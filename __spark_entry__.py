@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per implemented operator from SURVEY.md §2,
+each a callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — the equivalent DuckDB SQL per query (views
+pre-registered: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+All log-relational operators run over the deterministic message-envelope
+view of ``events`` (pulsar_spark.envelope — FIXTURES.md F1), which both
+engines derive with identical arithmetic, making every operator
+oracle-checkable. Aggregated doubles are rounded on BOTH sides so
+summation-order differences between engines cannot flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +18,620 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_spark.envelope import events_to_messages, messages_oracle_cte
+from pulsar_spark.sources import load_table
+
+# Fixed logical times so results are deterministic (events span Jan 2024).
+TTL_CUTOFF = "2024-01-15 00:00:00"
+VISIBLE_AT = "2024-01-20 00:00:00"
+SEEK_TS = "2024-01-10 00:00:00"
+CURSOR = 20
+PEEK_N = 10
+NUM_CONSUMERS = 4
+MAX_REDELIVER = 3
+DLQ_MOD = 97  # event_id % 97 == 0 -> processing failure
+
+
+def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_to_messages(load_table(spark, sf_dir, "events"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: publish-order topic compaction (latest-per-key with
+    tombstones) on sf0.001 — the reference's signature log-relational
+    operator (AbstractTwoPhaseCompactor semantics)."""
+    return _q_compact_publish_order(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+
+_COMPACT_COLS = ["key", "partition", "offset", "event_id", "event_type", "val", "props", "publish_time"]
+
+
+def _q_compact_publish_order(spark, sf_dir):
+    from pulsar_spark.operators import compact_publish_order
+
+    return compact_publish_order(_messages(spark, sf_dir)).select(*_COMPACT_COLS)
+
+
+def _q_compact_event_time(spark, sf_dir):
+    from pulsar_spark.operators import compact_event_time_order
+
+    return compact_event_time_order(_messages(spark, sf_dir)).select(
+        *_COMPACT_COLS, "event_time"
+    )
+
+
+def _q_table_view(spark, sf_dir):
+    from pulsar_spark.operators import table_view
+
+    return table_view(_messages(spark, sf_dir), value_cols=["event_id", "event_type", "val"])
+
+
+def _q_dedup(spark, sf_dir):
+    from pulsar_spark.operators import dedup_messages
+
+    return dedup_messages(_messages(spark, sf_dir), order_col="event_id").select(
+        "producer_name", "sequence_id", "partition", "offset", "event_id", "val"
+    )
+
+
+def _q_ttl_expiry(spark, sf_dir):
+    from pulsar_spark.operators import ttl_filter
+
+    return ttl_filter(_messages(spark, sf_dir), TTL_CUTOFF).select(
+        "partition", "offset", "event_id", "publish_time"
+    )
+
+
+def _q_delayed_visibility(spark, sf_dir):
+    from pulsar_spark.operators import visible_messages
+
+    return visible_messages(_messages(spark, sf_dir), VISIBLE_AT).select(
+        "partition", "offset", "event_id", "deliver_at"
+    )
+
+
+def _q_user_visible(spark, sf_dir):
+    from pulsar_spark.operators import user_visible
+
+    return user_visible(_messages(spark, sf_dir)).select("partition", "offset", "event_id")
+
+
+def _q_peek(spark, sf_dir):
+    from pulsar_spark.operators import peek_messages
+
+    cursors = {p: CURSOR for p in range(8)}
+    return peek_messages(_messages(spark, sf_dir), PEEK_N, cursors).select(
+        "partition", "offset", "event_id", "publish_time"
+    )
+
+
+def _q_seek_by_timestamp(spark, sf_dir):
+    from pulsar_spark.operators import seek_offsets_by_timestamp
+
+    return seek_offsets_by_timestamp(_messages(spark, sf_dir), SEEK_TS)
+
+
+def _q_backlog(spark, sf_dir):
+    from pulsar_spark.operators import backlog
+
+    cursors = spark.range(8).select(
+        F.col("id").cast("int").alias("partition"), F.lit(CURSOR).cast("bigint").alias("cursor_offset")
+    )
+    return backlog(_messages(spark, sf_dir), cursors)
+
+
+def _q_topic_stats(spark, sf_dir):
+    from pulsar_spark.operators import topic_stats
+
+    return topic_stats(_messages(spark, sf_dir))
+
+
+def _q_partition_stats(spark, sf_dir):
+    from pulsar_spark.operators import partitioned_topic_stats
+
+    return partitioned_topic_stats(_messages(spark, sf_dir))
+
+
+def _q_key_shared(spark, sf_dir):
+    from pulsar_spark.operators import key_shared_assignment
+
+    assigned = key_shared_assignment(
+        _messages(spark, sf_dir), NUM_CONSUMERS, deterministic_mod=True
+    )
+    return assigned.groupBy("consumer_id").agg(
+        F.count("*").alias("msg_count"), F.countDistinct("key").alias("key_count")
+    )
+
+
+def _q_dlq(spark, sf_dir):
+    from pulsar_spark.operators import dlq_split
+
+    _, dlq = dlq_split(
+        _messages(spark, sf_dir), (F.col("event_id") % DLQ_MOD) == 0, MAX_REDELIVER
+    )
+    return dlq.select("partition", "offset", "event_id", "redelivery_count")
+
+
+def _q_retry_schedule(spark, sf_dir):
+    from pulsar_spark.operators import retry_schedule
+
+    return retry_schedule(
+        _messages(spark, sf_dir), (F.col("event_id") % DLQ_MOD) == 0, 60
+    ).select("event_id", "publish_time", "deliver_at", "redelivery_count")
+
+
+def _q_window_tumbling_1h(spark, sf_dir):
+    from pulsar_spark.operators import tumbling_window
+
+    return tumbling_window(
+        _messages(spark, sf_dir),
+        "1 hour",
+        [F.count("*").alias("cnt"), F.round(F.sum("val"), 3).alias("sum_val")],
+        extra_group_cols=["event_type"],
+    ).select("window_start", "window_end", "event_type", "cnt", "sum_val")
+
+
+def _q_window_sliding_1h_15m(spark, sf_dir):
+    from pulsar_spark.operators import sliding_window
+
+    return sliding_window(
+        _messages(spark, sf_dir),
+        "1 hour",
+        "15 minutes",
+        [F.count("*").alias("cnt"), F.round(F.sum("val"), 3).alias("sum_val")],
+    ).select("window_start", "window_end", "cnt", "sum_val")
+
+
+def _q_window_count_100(spark, sf_dir):
+    from pulsar_spark.operators.windows import tumbling_count_window
+
+    return tumbling_count_window(
+        _messages(spark, sf_dir),
+        100,
+        [
+            F.count("*").alias("cnt"),
+            F.round(F.sum("val"), 3).alias("sum_val"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        ],
+    )
+
+
+def _q_wordcount(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < cutoff)
+            & (F.col("l_shipdate") > cutoff)
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def _q_region_revenue(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def _q_doc_exact_dedup(spark, sf_dir):
+    from pulsar_spark.functions import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from pulsar_spark.functions import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_doc_quality(spark, sf_dir):
+    from pulsar_spark.functions import quality_metrics
+
+    return quality_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    from pulsar_spark.functions import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def _q_doc_langid(spark, sf_dir):
+    from pulsar_spark.functions import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_embedding_knn(spark, sf_dir):
+    from pulsar_spark.functions import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, list(qvec), k=10, exclude_id=0)
+
+
+def _q_embedding_knn_all(spark, sf_dir):
+    from pulsar_spark.functions import cosine_all_pairs_topk
+
+    return cosine_all_pairs_topk(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+def _q_minhash_near_dups(spark, sf_dir):
+    from pulsar_spark.functions import minhash_near_duplicates
+
+    return minhash_near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    from pulsar_spark.functions import simhash_near_duplicates
+
+    return simhash_near_duplicates(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_embedding_lsh_knn(spark, sf_dir):
+    from pulsar_spark.functions import lsh_bucket_topk
+
+    return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), dim=64, k=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "compact_publish_order": _q_compact_publish_order,
+        "compact_event_time": _q_compact_event_time,
+        "table_view": _q_table_view,
+        "dedup": _q_dedup,
+        "ttl_expiry": _q_ttl_expiry,
+        "delayed_visibility": _q_delayed_visibility,
+        "user_visible": _q_user_visible,
+        "peek": _q_peek,
+        "seek_by_timestamp": _q_seek_by_timestamp,
+        "backlog": _q_backlog,
+        "topic_stats": _q_topic_stats,
+        "partition_stats": _q_partition_stats,
+        "key_shared": _q_key_shared,
+        "dlq": _q_dlq,
+        "retry_schedule": _q_retry_schedule,
+        "window_tumbling_1h": _q_window_tumbling_1h,
+        "window_sliding_1h_15m": _q_window_sliding_1h_15m,
+        "window_count_100": _q_window_count_100,
+        "wordcount": _q_wordcount,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders": _q_top_orders,
+        "region_revenue": _q_region_revenue,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_quality": _q_doc_quality,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_langid": _q_doc_langid,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_knn_all": _q_embedding_knn_all,
+        # non-SQL-expressible / approximate ops (rows-only driver check):
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "embedding_lsh_knn": _q_embedding_lsh_knn,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_M = messages_oracle_cte()
+
+_REV = "round(sum(l_extendedprice * (1 - l_discount)), 2)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "compact_publish_order": f"""
+            WITH {_M}
+            SELECT key, partition, "offset", event_id, event_type, val, props, publish_time
+            FROM messages
+            WHERE key IS NOT NULL
+            QUALIFY row_number() OVER (PARTITION BY key ORDER BY "offset" DESC) = 1
+            AND NOT tombstone
+        """,
+        "compact_event_time": f"""
+            WITH {_M}
+            SELECT key, partition, "offset", event_id, event_type, val, props, publish_time, event_time
+            FROM messages
+            WHERE key IS NOT NULL
+            QUALIFY row_number() OVER (PARTITION BY key ORDER BY event_time DESC, "offset" DESC) = 1
+            AND NOT tombstone
+        """,
+        "table_view": f"""
+            WITH {_M}
+            SELECT key, event_id, event_type, val
+            FROM messages
+            WHERE key IS NOT NULL
+            QUALIFY row_number() OVER (PARTITION BY key ORDER BY "offset" DESC) = 1
+            AND NOT tombstone
+        """,
+        "dedup": f"""
+            WITH {_M}
+            SELECT producer_name, sequence_id, partition, "offset", event_id, val
+            FROM messages
+            QUALIFY row_number() OVER (PARTITION BY producer_name, sequence_id ORDER BY event_id) = 1
+        """,
+        "ttl_expiry": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, publish_time
+            FROM messages WHERE publish_time >= TIMESTAMP '{TTL_CUTOFF}'
+        """,
+        "delayed_visibility": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, deliver_at
+            FROM messages
+            WHERE deliver_at IS NULL OR deliver_at <= TIMESTAMP '{VISIBLE_AT}'
+        """,
+        "user_visible": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id FROM messages WHERE marker_type IS NULL
+        """,
+        "peek": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, publish_time
+            FROM messages WHERE "offset" > {CURSOR}
+            QUALIFY row_number() OVER (PARTITION BY partition ORDER BY "offset") <= {PEEK_N}
+        """,
+        "seek_by_timestamp": f"""
+            WITH {_M}
+            SELECT partition, min("offset") AS seek_offset
+            FROM messages WHERE publish_time >= TIMESTAMP '{SEEK_TS}'
+            GROUP BY partition
+        """,
+        "backlog": f"""
+            WITH {_M}
+            SELECT partition, count(*) AS backlog
+            FROM messages WHERE "offset" > {CURSOR}
+            GROUP BY partition
+        """,
+        "topic_stats": f"""
+            WITH {_M}
+            SELECT topic, count(*) AS msg_count,
+                   min(publish_time) AS first_publish_time,
+                   max(publish_time) AS last_publish_time,
+                   count(DISTINCT producer_name) AS producer_count,
+                   count(DISTINCT key) AS key_count,
+                   max("offset") AS max_offset
+            FROM messages GROUP BY topic
+        """,
+        "partition_stats": f"""
+            WITH {_M}
+            SELECT partition, count(*) AS entries, min("offset") AS first_offset,
+                   max("offset") AS last_offset, max(publish_time) AS last_publish_time
+            FROM messages GROUP BY partition
+        """,
+        "key_shared": f"""
+            WITH {_M}
+            SELECT CAST(least((CAST(key AS BIGINT) * 2654435761) % 65536 // {65536 // NUM_CONSUMERS},
+                        {NUM_CONSUMERS - 1}) AS INT) AS consumer_id,
+                   count(*) AS msg_count, count(DISTINCT key) AS key_count
+            FROM messages GROUP BY 1
+        """,
+        "dlq": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, CAST({MAX_REDELIVER} AS INT) AS redelivery_count
+            FROM messages WHERE event_id % {DLQ_MOD} = 0
+        """,
+        "retry_schedule": f"""
+            WITH {_M}
+            SELECT event_id, publish_time, publish_time + INTERVAL 60 SECOND AS deliver_at,
+                   CAST(1 AS INT) AS redelivery_count
+            FROM messages WHERE event_id % {DLQ_MOD} = 0
+        """,
+        "window_tumbling_1h": f"""
+            WITH {_M}
+            SELECT make_timestamp((epoch_us(event_time) // 3600000000) * 3600000000) AS window_start,
+                   make_timestamp((epoch_us(event_time) // 3600000000) * 3600000000
+                                  + 3600000000) AS window_end,
+                   event_type, count(*) AS cnt, round(sum(val), 3) AS sum_val
+            FROM messages GROUP BY 1, 2, 3
+        """,
+        "window_sliding_1h_15m": f"""
+            WITH {_M}, expanded AS (
+              SELECT make_timestamp((epoch_us(event_time) // 900000000) * 900000000
+                                    - CAST(i AS BIGINT) * 900000000) AS window_start, val
+              FROM messages, unnest([0,1,2,3]) AS t(i)
+            )
+            SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+                   count(*) AS cnt, round(sum(val), 3) AS sum_val
+            FROM expanded GROUP BY 1, 2
+        """,
+        "window_count_100": f"""
+            WITH {_M}, ranked AS (
+              SELECT partition, "offset", val,
+                     (row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1) // 100 AS window_seq
+              FROM messages
+            )
+            SELECT partition, window_seq, count(*) AS cnt, round(sum(val), 3) AS sum_val,
+                   min("offset") AS first_offset, max("offset") AS last_offset
+            FROM ranked GROUP BY partition, window_seq
+        """,
+        "wordcount": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": f"""
+            SELECT o_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "region_revenue": f"""
+            SELECT r_name, n_name, {_REV} AS revenue, count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+        """,
+        "doc_exact_dedup": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "doc_quality": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS tok
+              FROM documents
+            )
+            SELECT doc_id, len(tok) AS n_tokens,
+                   round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6) AS distinct_ratio,
+                   round(CAST(len(list_filter(tok, t -> list_contains(
+                        ['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(tok), 6)
+                        AS stopword_ratio,
+                   round(CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / len(tok), 6)
+                        AS mean_token_len
+            FROM toks
+        """,
+        "doc_token_stats": """
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+                        AS total_tokens,
+                   round(CAST(avg(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE), 4)
+                        AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_langid": """
+            WITH scored AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(list_intersect(tok, ['der','die','und','das','ist'])) AS de_s,
+                     len(list_intersect(tok, ['the','and','of','to','is'])) AS en_s,
+                     len(list_intersect(tok, ['el','la','de','que','y'])) AS es_s,
+                     len(list_intersect(tok, ['le','la','et','les','des'])) AS fr_s,
+                     len(list_intersect(tok, ['的','是','了','在','我'])) AS zh_s
+              FROM scored
+            )
+            SELECT doc_id,
+                   CASE WHEN zh_s >= greatest(de_s, en_s, es_s, fr_s) THEN 'zh'
+                        WHEN fr_s >= greatest(de_s, en_s, es_s) THEN 'fr'
+                        WHEN es_s >= greatest(de_s, en_s) THEN 'es'
+                        WHEN en_s >= de_s THEN 'en' ELSE 'de' END AS lang_pred,
+                   greatest(de_s, en_s, es_s, fr_s, zh_s) AS lang_score
+            FROM s
+        """,
+        "embedding_knn": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "embedding_knn_all": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+                           AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id
+            )
+            SELECT id_a, id_b, cosine,
+                   CAST(row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS INT) AS rank
+            FROM pairs
+            QUALIFY rank <= 3
+        """,
+    }

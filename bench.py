@@ -1,0 +1,129 @@
+"""BENCH harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set mirrors BASELINE.md B1-B6 plus engine-representative extras.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from pulsar_spark import events_to_messages, get_spark
+    from pulsar_spark.sources import load_table
+
+    spark = get_spark("pulsar-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()  # warm the JVM + file listing before timing
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    tmp = tempfile.mkdtemp(prefix="pulsar_spark_bench_")
+    try:
+        # B1 ingest: envelope minting + partitioned append
+        timed(
+            "b1_ingest",
+            lambda: events_to_messages(events)
+            .write.mode("overwrite")
+            .partitionBy("partition")
+            .parquet(f"{tmp}/topic"),
+        )
+        messages = spark.read.parquet(f"{tmp}/topic").cache()
+        messages.count()
+
+        # B2 full scan + visibility predicates (TTL + marker + delayed)
+        from pulsar_spark.operators import compact_publish_order, dedup_messages, ttl_filter, user_visible, visible_messages
+
+        timed(
+            "b2_scan_filter",
+            lambda: user_visible(
+                visible_messages(ttl_filter(messages, "2024-01-10 00:00:00"), "2024-01-25 00:00:00")
+            ).count(),
+        )
+
+        # B3 compaction (latest-per-key max_by)
+        timed("b3_compaction", lambda: compact_publish_order(messages).count())
+
+        # B4 wordcount over documents
+        docs = load_table(spark, sf_dir, "documents")
+        timed(
+            "b4_wordcount",
+            lambda: docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .count()
+            .count(),
+        )
+
+        # B5 sliding event-time window agg (1h / 15m)
+        from pulsar_spark.operators import sliding_window
+
+        timed(
+            "b5_window",
+            lambda: sliding_window(
+                messages, "1 hour", "15 minutes", [F.count("*").alias("cnt")]
+            ).count(),
+        )
+
+        # B6 dedup filter (producer_name, sequence_id)
+        timed("b6_dedup", lambda: dedup_messages(messages, order_col="event_id").count())
+
+        # extras: relational + similarity representative queries
+        li = load_table(spark, sf_dir, "lineitem")
+        timed(
+            "x1_pricing_summary",
+            lambda: li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+            .collect(),
+        )
+
+        from pulsar_spark.functions import minhash_near_duplicates
+
+        timed(
+            "x2_minhash_dedup",
+            lambda: minhash_near_duplicates(docs, threshold=0.5).count(),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "rows_events": n_events,
+                "ingest_rows_per_sec": round(n_events / timings["b1_ingest"]),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""The message envelope — Pulsar's system columns as a Spark schema.
+
+Reference: the wire model ``MessageMetadata`` in
+pulsar-common/src/main/proto/PulsarApi.proto:108-166 and the accessor
+surface pulsar-client-api/.../api/Message.java:49-281. Every message
+carries producer_name, sequence_id, publish_time, event_time, key,
+deliver_at, marker_type, ... (SURVEY.md §1.2). A topic is a partitioned
+append-only log; a MessageId is (ledgerId, entryId) which we model as a
+(partition, offset) pair with per-partition monotonic offsets.
+
+Two mappings live here:
+
+1. ``events_to_messages`` — the DETERMINISTIC mapping from the driver's
+   ``events`` table to the envelope (FIXTURES.md F1-F4). It is defined
+   with arithmetic only (modulo routing, row_number offsets) so the
+   exact same view is expressible in DuckDB SQL — that is what lets the
+   correctness driver oracle-check every log operator. The real produce
+   path (pulsar_spark.sources.topics) uses Murmur3 key routing like the
+   reference (Spark's ``hash()`` IS Murmur3x86/32, matching
+   pulsar-client/.../MessageRouterBase.java:31-34).
+
+2. ``messages_oracle_cte`` — the same view as a DuckDB CTE string,
+   embedded by __spark_entry__.oracle_sql() queries.
+
+Fixture rules (cross-checked with FIXTURES.md):
+  partition   = user_id % N_PARTITIONS          (key routing stand-in)
+  offset      = row_number() per partition ordered by (ts, event_id) - 1
+  producer    = 'p' || event_id % N_PRODUCERS
+  sequence_id = floor(event_id / N_PRODUCERS); rows with
+                event_id % 97 == 0 re-emit the previous sequence
+                (duplicate injection for dedup tests, F2)
+  event_time  = ts - (event_id % 300) seconds   (bounded disorder, F5)
+  publish_time= ts
+  deliver_at  = ts + (event_id % 3600) s  when event_id % 10 < 3  (F4)
+  tombstone   = event_id % 50 == 0              (~2% tombstones, F3)
+  marker_type = 1 when event_id % 1000 == 999 else NULL
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PARTITIONS = 8
+N_PRODUCERS = 8
+DUP_EVERY = 97          # event_id % 97 == 0 -> duplicate previous sequence
+TOMBSTONE_EVERY = 50    # event_id % 50 == 0 -> null-value tombstone
+MARKER_EVERY = 1000     # event_id % 1000 == 999 -> internal marker row
+EVENT_TIME_SKEW_S = 300
+DELAY_FRACTION_MOD = 10  # event_id % 10 < 3 -> delayed message
+DELAY_RANGE_S = 3600
+
+#: Envelope columns (name, spark type ddl) in canonical order.
+ENVELOPE_FIELDS: list[tuple[str, str]] = [
+    ("topic", "string"),
+    ("partition", "int"),
+    ("offset", "bigint"),
+    ("producer_name", "string"),
+    ("sequence_id", "bigint"),
+    ("publish_time", "timestamp"),
+    ("event_time", "timestamp"),
+    ("key", "string"),
+    ("tombstone", "boolean"),
+    ("deliver_at", "timestamp"),
+    ("redelivery_count", "int"),
+    ("marker_type", "int"),
+    ("schema_version", "bigint"),
+    ("txn_id", "bigint"),
+    ("replicated_from", "string"),
+    # payload fields (kept scalar, not nested, so oracle value-hash
+    # comparison stays engine-neutral)
+    ("event_id", "bigint"),
+    ("event_type", "string"),
+    ("val", "double"),
+    ("props", "string"),
+]
+
+
+def events_to_messages(events: DataFrame) -> DataFrame:
+    """Map the driver ``events`` table to the message-envelope view.
+
+    Pure narrow ops + one window (row_number per partition) — the only
+    shuffle is the repartition implied by the window, which mirrors the
+    topic's own partitioning, so downstream per-key operators (compaction,
+    key-shared dispatch) reuse it without a second shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    part = (F.col("user_id") % N_PARTITIONS).cast("int")
+    w = Window.partitionBy("partition").orderBy("ts", "event_id")
+    base_seq = F.floor(F.col("event_id") / N_PRODUCERS).cast("bigint")
+
+    return (
+        events.withColumn("partition", part)
+        .withColumn("topic", F.concat(F.lit("persistent://public/default/events-"), F.col("partition")))
+        .withColumn("offset", (F.row_number().over(w) - F.lit(1)).cast("bigint"))
+        .withColumn("producer_name", F.concat(F.lit("p"), (F.col("event_id") % N_PRODUCERS)))
+        .withColumn(
+            "sequence_id",
+            F.when(
+                ((F.col("event_id") % DUP_EVERY) == 0) & (base_seq > 0), base_seq - 1
+            ).otherwise(base_seq),
+        )
+        .withColumn("publish_time", F.col("ts"))
+        .withColumn(
+            "event_time",
+            F.expr(f"ts - make_interval(0, 0, 0, 0, 0, 0, event_id % {EVENT_TIME_SKEW_S})"),
+        )
+        .withColumn("key", F.col("user_id").cast("string"))
+        .withColumn("tombstone", (F.col("event_id") % TOMBSTONE_EVERY) == 0)
+        .withColumn(
+            "deliver_at",
+            F.when(
+                (F.col("event_id") % DELAY_FRACTION_MOD) < 3,
+                F.expr(f"ts + make_interval(0, 0, 0, 0, 0, 0, event_id % {DELAY_RANGE_S})"),
+            ),
+        )
+        .withColumn("redelivery_count", F.lit(0).cast("int"))
+        .withColumn(
+            "marker_type",
+            F.when((F.col("event_id") % MARKER_EVERY) == MARKER_EVERY - 1, F.lit(1)).cast("int"),
+        )
+        .withColumn("schema_version", F.lit(1).cast("bigint"))
+        .withColumn("txn_id", F.lit(None).cast("bigint"))
+        .withColumn("replicated_from", F.lit(None).cast("string"))
+        .withColumnRenamed("value", "val")
+        .select(*[name for name, _ in ENVELOPE_FIELDS])
+    )
+
+
+def messages_oracle_cte(events_view: str = "events") -> str:
+    """DuckDB CTE body producing the identical envelope view.
+
+    Returned string is a full ``messages AS (...)`` clause; embed as
+    ``WITH {messages_oracle_cte()} SELECT ...``.
+    """
+    return f"""messages AS (
+  SELECT
+    'persistent://public/default/events-' || (user_id % {N_PARTITIONS}) AS topic,
+    CAST(user_id % {N_PARTITIONS} AS INT) AS partition,
+    CAST(row_number() OVER (PARTITION BY user_id % {N_PARTITIONS} ORDER BY ts, event_id) - 1 AS BIGINT) AS "offset",
+    'p' || (event_id % {N_PRODUCERS}) AS producer_name,
+    CAST(CASE WHEN event_id % {DUP_EVERY} = 0 AND event_id // {N_PRODUCERS} > 0
+         THEN event_id // {N_PRODUCERS} - 1 ELSE event_id // {N_PRODUCERS} END AS BIGINT) AS sequence_id,
+    ts AS publish_time,
+    ts - to_seconds(CAST(event_id % {EVENT_TIME_SKEW_S} AS BIGINT)) AS event_time,
+    CAST(user_id AS VARCHAR) AS key,
+    (event_id % {TOMBSTONE_EVERY} = 0) AS tombstone,
+    CASE WHEN event_id % {DELAY_FRACTION_MOD} < 3
+         THEN ts + to_seconds(CAST(event_id % {DELAY_RANGE_S} AS BIGINT)) END AS deliver_at,
+    CAST(0 AS INT) AS redelivery_count,
+    CAST(CASE WHEN event_id % {MARKER_EVERY} = {MARKER_EVERY - 1} THEN 1 END AS INT) AS marker_type,
+    CAST(1 AS BIGINT) AS schema_version,
+    CAST(NULL AS BIGINT) AS txn_id,
+    CAST(NULL AS VARCHAR) AS replicated_from,
+    event_id,
+    event_type,
+    "value" AS val,
+    props
+  FROM {events_view}
+)"""

@@ -1,0 +1,85 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python UDFs. Language-ID is a stopword-profile
+heuristic expressed as array intersections, so it also stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+#: tiny per-language marker-word profiles for the language-ID heuristic.
+#: (The driver's synthetic documents are English-ish word soup with a
+#: lang label; real profiles would be char-n-gram tables. The operator
+#: shape — score per language, argmax — is the real thing.)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal (BPE-ish regex
+    splitting would go here; whitespace keeps the oracle exact)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scores: token count, distinct-token ratio,
+    stopword ratio, mean token length — the usual cheap filters in a
+    pretraining pipeline. All ratios rounded to 6dp for cross-engine
+    comparability."""
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("distinct_ratio"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)) / n, 6
+        ).alias("mean_token_len"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = count of profile marker words
+    present; argmax over languages (ties -> lexicographic first).
+    Returns (doc_id, lang_pred, lang_score)."""
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.array_max(
+        F.transform(scores, lambda s: F.struct(s["score"].alias("score"), s["lang"].alias("lang")))
+    )
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["score"].cast("bigint").alias("lang_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of lowercase,
+    space-normalized text) — exact-dup key and cache key."""
+    return F.md5(F.lower(F.trim(text)))

@@ -1,0 +1,45 @@
+from pulsar_spark.operators.compaction import (
+    compact_publish_order,
+    compact_event_time_order,
+    compact_strategic,
+)
+from pulsar_spark.operators.dedup import dedup_messages
+from pulsar_spark.operators.retention import ttl_filter, visible_messages, user_visible
+from pulsar_spark.operators.seek import (
+    seek_offsets_by_timestamp,
+    peek_messages,
+    backlog,
+    skip_cursor,
+)
+from pulsar_spark.operators.stats import topic_stats, partitioned_topic_stats
+from pulsar_spark.operators.subscriptions import (
+    sticky_key_hash,
+    key_shared_assignment,
+    dlq_split,
+    retry_schedule,
+)
+from pulsar_spark.operators.tableview import table_view
+from pulsar_spark.operators.windows import tumbling_window, sliding_window
+
+__all__ = [
+    "compact_publish_order",
+    "compact_event_time_order",
+    "compact_strategic",
+    "dedup_messages",
+    "ttl_filter",
+    "visible_messages",
+    "user_visible",
+    "seek_offsets_by_timestamp",
+    "peek_messages",
+    "backlog",
+    "skip_cursor",
+    "topic_stats",
+    "partitioned_topic_stats",
+    "sticky_key_hash",
+    "key_shared_assignment",
+    "dlq_split",
+    "retry_schedule",
+    "table_view",
+    "tumbling_window",
+    "sliding_window",
+]

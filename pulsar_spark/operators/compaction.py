@@ -1,0 +1,73 @@
+"""Topic compaction — latest value per key, with tombstone deletes.
+
+Reference semantics (not code): the two-phase compactor
+(pulsar-broker/.../compaction/AbstractTwoPhaseCompactor.java:64,100-174)
+scans the log building key -> latest MessageId, then rewrites the
+compacted horizon keeping only that entry per key; a null-value message
+is a tombstone deleting the key. EventTimeOrderCompactor.java:39,62-115
+keeps the max-event-time entry instead (ties -> later offset wins).
+StrategicTwoPhaseCompactor.java allows a pluggable keep/replace order.
+
+Spark-first design: compaction is a single aggregation,
+``groupBy(key).agg(max_by(struct(*), <order>))`` — Catalyst runs it as
+partial (map-side) + final hash aggregate, so at 100 TB it is one
+shuffle of (num distinct keys) rows, not a sort of the whole log. No
+two-phase scan is needed because the agg *is* phase one and the rewrite
+is the output. Rows with null keys are passed through untouched, like
+the reference compactor (messages without a key are never compacted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _compact(messages: DataFrame, order: Column, key_col: str) -> DataFrame:
+    cols = messages.columns
+    latest = (
+        messages.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.max_by(F.struct(*[c for c in cols if c != key_col]), order).alias("_m"))
+        .select(key_col, "_m.*")
+        .select(*cols)
+    )
+    return latest
+
+
+def compact_publish_order(
+    messages: DataFrame,
+    key_col: str = "key",
+    offset_col: str = "offset",
+    tombstone_col: str = "tombstone",
+) -> DataFrame:
+    """Publish-order compaction: keep the highest-offset entry per key,
+    then drop keys whose latest entry is a tombstone.
+
+    Equivalent oracle: ``QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY "offset" DESC) = 1`` then ``WHERE NOT tombstone``.
+    """
+    latest = _compact(messages, F.col(offset_col), key_col)
+    return latest.where(~F.col(tombstone_col))
+
+
+def compact_event_time_order(
+    messages: DataFrame,
+    key_col: str = "key",
+    offset_col: str = "offset",
+    event_time_col: str = "event_time",
+    tombstone_col: str = "tombstone",
+) -> DataFrame:
+    """Event-time-order compaction: keep max (event_time, offset) per key
+    (lexicographic struct max == later event time, ties -> later offset,
+    matching the reference's >= comparison on replacement)."""
+    latest = _compact(messages, F.struct(F.col(event_time_col), F.col(offset_col)), key_col)
+    return latest.where(~F.col(tombstone_col))
+
+
+def compact_strategic(messages: DataFrame, order: Column, key_col: str = "key") -> DataFrame:
+    """Strategic compaction: pluggable ordering expression decides which
+    entry per key survives (TopicCompactionStrategy analog). ``order``
+    is any orderable Column/struct; max wins. Tombstone handling is the
+    caller's strategy choice, so no filter is applied here."""
+    return _compact(messages, order, key_col)

@@ -1,0 +1,91 @@
+"""Subscription disciplines, Key_Shared hashing, DLQ / retry routing.
+
+Reference semantics:
+- Key_Shared assigns each key a slot in a 64K hash space and maps hash
+  ranges to consumers (broker/service/StickyKeyConsumerSelector.java:38
+  DEFAULT_RANGE_SIZE = 2<<15; :82 makeStickyKeyHash;
+  HashRangeAutoSplitStickyKeyConsumerSelector.java:59-77 splits the
+  largest range on consumer join). Per-key ordering is preserved
+  because a key always maps to exactly one consumer.
+- Dead-letter policy: after ``maxRedeliverCount`` redeliveries a
+  message is routed to the DLQ topic; ``reconsumeLater`` sends to a
+  retry topic with a delay (pulsar-client-api DeadLetterPolicy.java:46-64,
+  Consumer.java:305-356).
+
+Spark-first: consumer assignment is a partitioning expression —
+``repartition(n, slot)`` gives each "consumer" (task) its key range
+with per-key order within the partition. DLQ/retry are a split write:
+one filter per sink over the same scan (Spark computes the scan once
+per sink in batch; in streaming use foreachBatch dual-write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_RANGE_SIZE = 2 << 15  # 65536, StickyKeyConsumerSelector.DEFAULT_RANGE_SIZE
+
+
+def sticky_key_hash(key: Column, deterministic_mod: bool = False) -> Column:
+    """Key -> slot in [0, 65536). Murmur3 (Spark's ``hash`` IS
+    Murmur3 x86/32) matching makeStickyKeyHash; ``deterministic_mod``
+    switches to a plain modulo on the numeric key for cross-engine
+    oracle tests (DuckDB has no Murmur3)."""
+    if deterministic_mod:
+        # Knuth multiplicative hash — spreads small numeric keys across the
+        # range and is expressible identically in any SQL dialect.
+        return F.pmod(key.cast("bigint") * F.lit(2654435761), F.lit(HASH_RANGE_SIZE)).cast("int")
+    return F.pmod(F.hash(key), F.lit(HASH_RANGE_SIZE)).cast("int")
+
+
+def key_shared_assignment(
+    messages: DataFrame,
+    num_consumers: int,
+    key_col: str = "key",
+    deterministic_mod: bool = False,
+) -> DataFrame:
+    """Assign each message to a consumer by equal hash ranges
+    (HashRangeAutoSplit steady state with 2^k consumers). Adds
+    ``sticky_hash`` and ``consumer_id`` columns."""
+    range_per = HASH_RANGE_SIZE // num_consumers
+    slot = sticky_key_hash(F.col(key_col), deterministic_mod)
+    return messages.withColumn("sticky_hash", slot).withColumn(
+        "consumer_id", F.least(F.floor(F.col("sticky_hash") / range_per), F.lit(num_consumers - 1)).cast("int")
+    )
+
+
+def dlq_split(
+    messages: DataFrame,
+    fail_predicate: Column,
+    max_redeliver_count: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (delivered, dead_letter).
+
+    Rows matching ``fail_predicate`` exhaust ``max_redeliver_count``
+    redeliveries and land in the DLQ with the terminal redelivery_count,
+    mirroring DeadLetterPolicy; everything else delivers with count 0.
+    """
+    delivered = messages.where(~fail_predicate)
+    dlq = messages.where(fail_predicate).withColumn(
+        "redelivery_count", F.lit(max_redeliver_count).cast("int")
+    )
+    return delivered, dlq
+
+
+def retry_schedule(
+    messages: DataFrame,
+    fail_predicate: Column,
+    backoff_seconds: int,
+    publish_time_col: str = "publish_time",
+) -> DataFrame:
+    """reconsumeLater analog: failed rows scheduled on the retry topic
+    with deliver_at = publish_time + backoff."""
+    return (
+        messages.where(fail_predicate)
+        .withColumn(
+            "deliver_at",
+            F.col(publish_time_col) + F.make_interval(secs=F.lit(backoff_seconds)),
+        )
+        .withColumn("redelivery_count", (F.col("redelivery_count") + 1).cast("int"))
+    )

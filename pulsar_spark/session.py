@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[$SPARK_GRAFT_CPUS]; the configuration is
+chosen to also be sane on a large cluster (AQE on, skew-join handling,
+zstd parquet, Arrow for the Python boundary). Nothing here is
+local-mode-specific except the master default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pulsar-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Scale notes (100 TB target):
+      - AQE handles runtime coalescing + skew-join splitting, so static
+        ``shuffle.partitions`` only needs to be an upper bound (set it to
+        ~2-3x total cores on a real cluster).
+      - ``files.maxPartitionBytes`` 128 MiB keeps scan tasks memory-bounded
+        regardless of input size.
+      - Broadcast threshold 64 MiB: every dim table in the star schema
+        (region/nation/customer/supplier/part) broadcasts; fact-fact joins
+        shuffle on their keys and AQE re-plans skew.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

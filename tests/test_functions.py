@@ -1,0 +1,108 @@
+"""Tests for the LLM-pipeline function surface: text analysis, dedup
+families (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search. LSH variants are validated against exact ground truth computed
+in-Spark (recall thresholds), since approximation is the point."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestText:
+    def test_token_count_matches_python(self, documents):
+        from pulsar_spark.functions import token_count
+
+        rows = documents.select("doc_id", "text", token_count(F.col("text")).alias("n")).collect()
+        for r in rows[:50]:
+            assert r["n"] == len([t for t in r["text"].split(" ") if t])
+
+    def test_quality_metrics_bounds(self, documents):
+        from pulsar_spark.functions import quality_metrics
+
+        q = quality_metrics(documents)
+        bad = q.where(
+            (F.col("distinct_ratio") < 0) | (F.col("distinct_ratio") > 1)
+            | (F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)
+            | (F.col("n_tokens") <= 0)
+        )
+        assert bad.count() == 0
+
+    def test_fingerprint_stable_under_case_and_padding(self, spark):
+        from pulsar_spark.functions import fingerprint
+
+        df = spark.createDataFrame(
+            [("Hello World",), ("  hello world ",), ("different",)], ["text"]
+        ).select(fingerprint(F.col("text")).alias("fp"))
+        fps = [r["fp"] for r in df.collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestDedupe:
+    def test_exact_dedup_on_injected_dups(self, spark, documents):
+        from pulsar_spark.functions import exact_dedup
+
+        dup = documents.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+        with_dups = documents.unionByName(dup)
+        out = exact_dedup(with_dups)
+        assert out.count() == documents.count()
+        # representative is the min doc_id -> originals survive
+        assert out.where(F.col("doc_id") >= 100000).count() == 0
+
+    def test_minhash_recall_against_exact_jaccard(self, documents):
+        from pulsar_spark.functions import minhash_near_duplicates, ngram_jaccard_pairs
+
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(documents, 0.6).collect()
+        }
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_duplicates(documents, threshold=0.6).collect()
+        }
+        # LSH verification step computes exact jaccard, so no false positives
+        assert found <= truth
+        if truth:
+            recall = len(found & truth) / len(truth)
+            assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
+
+    def test_simhash_identical_docs_distance_zero(self, spark):
+        from pulsar_spark.functions import simhash
+
+        df = spark.createDataFrame(
+            [("a b c d e f g h",), ("a b c d e f g h",), ("x y z w v u t s",)], ["text"]
+        ).select(simhash(F.col("text")).alias("h"))
+        h = [r["h"] for r in df.collect()]
+        assert h[0] == h[1]
+        assert bin(h[0] ^ h[2]).count("1") > 10
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, embeddings):
+        import numpy as np
+
+        from pulsar_spark.functions import cosine_topk
+
+        rows = embeddings.collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+        q = vecs[0]
+        sims = {
+            i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for i, v in vecs.items()
+            if i != 0
+        }
+        expected = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:10]
+        got = [r["vec_id"] for r in cosine_topk(embeddings, list(q), 10, exclude_id=0).collect()]
+        assert got == expected
+
+    def test_lsh_knn_recall(self, embeddings):
+        from pulsar_spark.functions import cosine_all_pairs_topk, lsh_bucket_topk
+
+        exact = {
+            (r["id_a"], r["id_b"]) for r in cosine_all_pairs_topk(embeddings, k=1).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_bucket_topk(embeddings, dim=64, k=1, n_planes=4, n_tables=8).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, f"nearest-neighbor recall {recall}"

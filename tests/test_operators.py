@@ -1,0 +1,171 @@
+"""Operator-level golden tests — semantics mirrored from the reference's
+CompactionTest / BrokerMessageDeduplicationTest / DelayedDeliveryTest /
+KeySharedSubscriptionTest (SURVEY.md §5), expressed over the
+deterministic envelope fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestCompaction:
+    def test_latest_per_key(self, messages):
+        from pulsar_spark.operators import compact_publish_order
+
+        out = compact_publish_order(messages)
+        rows = {r["key"]: r for r in out.collect()}
+        # one row per surviving key
+        assert len(rows) == out.count()
+        # spot-check: the kept offset is the max offset for that key
+        max_by_key = {
+            r["key"]: r["mo"]
+            for r in messages.groupBy("key").agg(F.max("offset").alias("mo")).collect()
+        }
+        for k, r in rows.items():
+            assert r["offset"] == max_by_key[k]
+
+    def test_tombstone_deletes_key(self, messages, spark):
+        from pulsar_spark.operators import compact_publish_order
+
+        # force key "42"'s latest entry to be a tombstone
+        forced = messages.withColumn(
+            "tombstone",
+            F.when(F.col("key") == "42", F.col("offset") == F.max("offset").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("key")
+            )).otherwise(F.col("tombstone")),
+        )
+        out = compact_publish_order(forced)
+        assert out.where(F.col("key") == "42").count() == 0
+
+    def test_event_time_order(self, messages):
+        from pulsar_spark.operators import compact_event_time_order
+
+        out = compact_event_time_order(messages)
+        et_max = {
+            r["key"]: r["m"]
+            for r in messages.groupBy("key").agg(F.max("event_time").alias("m")).collect()
+        }
+        for r in out.collect():
+            assert r["event_time"] == et_max[r["key"]]
+
+
+class TestDedup:
+    def test_first_occurrence_survives(self, messages):
+        from pulsar_spark.operators import dedup_messages
+
+        out = dedup_messages(messages, order_col="event_id")
+        # no (producer, seq) pair appears twice
+        assert out.groupBy("producer_name", "sequence_id").count().where("count > 1").count() == 0
+        # survivors are the min event_id of each group
+        mins = messages.groupBy("producer_name", "sequence_id").agg(
+            F.min("event_id").alias("event_id")
+        )
+        assert out.select("producer_name", "sequence_id", "event_id").exceptAll(mins).count() == 0
+
+    def test_duplicates_exist_in_fixture(self, messages):
+        dups = (
+            messages.groupBy("producer_name", "sequence_id").count().where("count > 1").count()
+        )
+        assert dups > 0, "fixture must inject duplicates for the test to be meaningful"
+
+
+class TestVisibility:
+    def test_delayed_holdback(self, messages):
+        from pulsar_spark.operators import visible_messages
+
+        at = "2024-01-20 00:00:00"
+        vis = visible_messages(messages, at)
+        assert vis.where(F.col("deliver_at") > F.lit(at).cast("timestamp")).count() == 0
+        hidden = messages.count() - vis.count()
+        assert hidden > 0
+
+    def test_marker_filter(self, messages):
+        from pulsar_spark.operators import user_visible
+
+        assert user_visible(messages).where(F.col("marker_type").isNotNull()).count() == 0
+
+    def test_txn_abort_antijoin(self, messages, spark):
+        from pulsar_spark.operators import user_visible
+
+        with_txn = messages.withColumn(
+            "txn_id", F.when(F.col("event_id") % 5 == 0, F.col("event_id") % 20)
+        )
+        aborted = spark.createDataFrame([(0,), (5,)], ["txn_id"])
+        vis = user_visible(with_txn, txn_aborted=aborted)
+        assert vis.where(F.col("txn_id").isin(0, 5)).count() == 0
+        assert vis.where(F.col("txn_id").isin(10, 15)).count() > 0
+
+
+class TestCursorOps:
+    def test_peek_respects_cursor_and_order(self, messages):
+        from pulsar_spark.operators import peek_messages
+
+        out = peek_messages(messages, 5, {p: 10 for p in range(8)})
+        per_part = out.groupBy("partition").agg(
+            F.count("*").alias("n"), F.min("offset").alias("lo")
+        )
+        for r in per_part.collect():
+            assert r["n"] <= 5
+            assert r["lo"] > 10
+
+    def test_skip_then_backlog(self, messages, spark):
+        from pulsar_spark.operators import backlog, skip_cursor
+
+        cursors = skip_cursor(messages, 10).select(
+            "partition", "cursor_offset"
+        )
+        bl = backlog(messages, cursors)
+        totals = {r["partition"]: r["backlog"] for r in bl.collect()}
+        counts = {
+            r["partition"]: r["c"]
+            for r in messages.groupBy("partition").agg(F.count("*").alias("c")).collect()
+        }
+        for p, c in counts.items():
+            assert totals[p] == c - 10
+
+
+class TestKeyShared:
+    def test_key_maps_to_single_consumer(self, messages):
+        from pulsar_spark.operators import key_shared_assignment
+
+        out = key_shared_assignment(messages, 4)
+        fanout = out.groupBy("key").agg(F.countDistinct("consumer_id").alias("n"))
+        assert fanout.where("n > 1").count() == 0
+
+    def test_all_consumers_used(self, messages):
+        from pulsar_spark.operators import key_shared_assignment
+
+        out = key_shared_assignment(messages, 4)
+        assert out.select("consumer_id").distinct().count() == 4
+
+
+class TestDlq:
+    def test_split_is_partition(self, messages):
+        from pulsar_spark.operators import dlq_split
+
+        pred = (F.col("event_id") % 97) == 0
+        ok, dlq = dlq_split(messages, pred, 3)
+        assert ok.count() + dlq.count() == messages.count()
+        assert dlq.where("redelivery_count != 3").count() == 0
+        assert dlq.where(~pred).count() == 0
+
+
+class TestWindows:
+    def test_tumbling_count_chunks(self, messages):
+        from pulsar_spark.operators.windows import tumbling_count_window
+
+        out = tumbling_count_window(
+            messages, 100, [F.count("*").alias("cnt"), F.max("offset").alias("mx")]
+        )
+        # all chunks except possibly the last per partition have exactly 100 rows
+        for r in out.collect():
+            assert r["cnt"] <= 100
+        full = out.where("cnt = 100").count()
+        assert full > 0
+
+    def test_sliding_each_row_in_4_windows(self, messages):
+        from pulsar_spark.operators import sliding_window
+
+        out = sliding_window(messages, "1 hour", "15 minutes", [F.count("*").alias("cnt")])
+        total_in_windows = out.agg(F.sum("cnt")).head()[0]
+        assert total_in_windows == messages.count() * 4
