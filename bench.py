@@ -43,12 +43,12 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="pulsar_spark_bench_")
     try:
         # B1 ingest: envelope minting + partitioned append
+        from pulsar_spark.sources import write_topic
+
+        # envelope window output is already hash-partitioned by `partition`
         timed(
             "b1_ingest",
-            lambda: events_to_messages(events)
-            .write.mode("overwrite")
-            .partitionBy("partition")
-            .parquet(f"{tmp}/topic"),
+            lambda: write_topic(events_to_messages(events), f"{tmp}/topic", repartition=False),
         )
         messages = spark.read.parquet(f"{tmp}/topic").cache()
         messages.count()

@@ -8,10 +8,12 @@ from pulsar_spark.functions.text import (
 from pulsar_spark.functions.dedupe import (
     exact_dedup,
     shingles,
+    with_shingles,
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_near_duplicates,
     simhash,
+    with_simhash,
     simhash_near_duplicates,
     ngram_jaccard_pairs,
 )
@@ -29,6 +31,8 @@ __all__ = [
     "fingerprint",
     "exact_dedup",
     "shingles",
+    "with_shingles",
+    "with_simhash",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_duplicates",

@@ -4,16 +4,23 @@ SimHash, n-gram Jaccard.
 Scale design:
 - Exact dedup is a hash aggregate on a fingerprint — one shuffle of one
   row per distinct document.
-- MinHash signatures are computed entirely JVM-side (``hash(shingle,
-  seed)`` + ``array_min`` per permutation — no Python UDF), then LSH
-  banding turns the quadratic all-pairs problem into an equi-join on
-  (band_id, band_hash): only documents sharing a band bucket are
-  compared. At 100 TB the band join is the only shuffle and its keys
-  are uniformly distributed by construction (hashes).
+- MinHash: shingles explode to rows, each shingle gets two base
+  Murmur3 hashes, and permutation i is the Carter-Wegman combo
+  ``h1 + i*h2`` — so the signature is ``num_perm`` cheap ``min()``
+  aggregates (partial-aggregated map-side, codegen-friendly), not
+  ``num_perm`` separate string hashes. LSH banding then turns the
+  quadratic all-pairs problem into an equi-join on (band_id,
+  band_hash): only documents sharing a band bucket are compared, and
+  the join keys are uniformly distributed by construction.
 - SimHash packs a document into one 64-bit int; near-dup = hamming
   distance via ``bit_count(a ^ b)`` on LSH-prefix-bucketed candidates.
 - ``ngram_jaccard_pairs`` is the exact (quadratic) verifier used on
   candidate pairs and in tests as ground truth.
+
+Perf note (measured): a lambda body that references an outer *expression*
+(not a bound column) re-evaluates it per array element — O(n^2) per row.
+Every helper here therefore materializes intermediate arrays as real
+columns before mapping over them.
 """
 
 from __future__ import annotations
@@ -35,8 +42,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def with_shingles(
+    docs: DataFrame, text_col: str = "text", k: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Add a distinct word-k-gram shingle array column (JVM-side).
+
+    Tokens are materialized as a column first so the k-gram lambda's
+    ``element_at`` lookups are O(1) (see module perf note).
+    """
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return (
+        docs.withColumn("_toks", F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+        .withColumn(out_col, F.array_distinct(grams))
+        .drop("_toks")
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a document (JVM-side)."""
+    """Column-expression form of shingling (convenience; prefer
+    ``with_shingles`` in pipelines — this form re-splits per element)."""
     toks = F.filter(F.split(text, " "), lambda t: t != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
@@ -52,33 +80,48 @@ def minhash_signatures(
     num_perm: int = 64,
     k: int = 3,
 ) -> DataFrame:
-    """(id, shingles, signature array<int>[num_perm]).
+    """(id, shingles, signature array<bigint>[num_perm]).
 
-    Permutation i's hash of a shingle is Murmur3 ``hash(shingle, i)``;
-    the signature element is the min over shingles — standard MinHash,
-    no Python in the loop.
+    Carter-Wegman MinHash: two base Murmur3 hashes per shingle,
+    permutation i = ``h1 + i*h2`` (32-bit bases in 64-bit arithmetic —
+    no overflow), signature element = min over shingles. The explode +
+    groupBy form partial-aggregates map-side: the shuffle carries
+    ``num_perm`` longs per document, never the shingle sets.
     """
-    # NB: lambdas passed to F.transform/F.filter must be unary — a second
-    # parameter (even a defaulted one) is interpreted as the array index.
-    def perm_hash(i: int):
-        return lambda s: F.hash(s, F.lit(i))
-
-    sh = shingles(F.col(text_col), k)
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("shingles"), perm_hash(i))) for i in range(num_perm)]
+    sh_df = with_shingles(docs, text_col, k).select(id_col, "shingles")
+    ex = (
+        sh_df.select(id_col, "shingles", F.explode("shingles").alias("_s"))
+        .withColumn("_h1", F.hash("_s").cast("bigint"))
+        .withColumn("_h2", F.hash("_s", F.lit(1)).cast("bigint"))
     )
-    return docs.select(F.col(id_col), sh.alias("shingles")).withColumn("signature", sig)
+    # first('shingles') rides along in the same partial aggregate, so no
+    # join-back is needed and the shuffle carries one array per doc per
+    # map partition.
+    aggs = [
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}") for i in range(num_perm)
+    ] + [F.first("shingles").alias("shingles")]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.col("shingles"),
+            F.array(*[F.col(f"_mh{i}") for i in range(num_perm)]).alias("signature"),
+        )
+    )
 
 
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Candidate pairs via LSH banding: explode each signature into
-    ``bands`` (band_id, band_hash) keys and self-join. Returns distinct
-    (id_a, id_b) with id_a < id_b."""
+    """Candidate pairs via LSH banding, WITHOUT a self-join: explode
+    each signature into ``bands`` (band_id, band_hash) keys, group each
+    bucket to its member-id list, and emit within-bucket pairs by a
+    double explode of that (small — that's the LSH premise) list.
+    One aggregation instead of re-executing the signature plan twice.
+    Returns distinct (id_a, id_b) with id_a < id_b."""
     banded = sigs.select(
         F.col(id_col),
-        F.col("shingles"),
         F.explode(
             F.array(
                 *[
@@ -92,23 +135,17 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "shingles", "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("shingles_a"),
-            F.col("b.shingles").alias("shingles_b"),
-        )
+        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -123,34 +160,44 @@ def minhash_near_duplicates(
     bands: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
-    over shingle sets. Returns (id_a, id_b, jaccard)."""
+    over shingle sets. Returns (id_a, id_b, jaccard).
+
+    The signature table is persisted: it feeds candidate generation and
+    both sides of the verification join, and is tiny relative to the
+    corpus (id + shingles + num_perm longs per doc) — the same call a
+    100 TB pipeline would make (materialize signatures, then join).
+    """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k)
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k).persist()
     cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "shingles_a"), on="id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "shingles_b"), on="id_b")
+    )
     inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
     union = F.size("shingles_a") + F.size("shingles_b") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash of the token multiset, entirely JVM-side:
-    bit b of the result is set iff more token-hashes have bit b set
-    than not."""
-    # NB: unary lambdas only — a second (defaulted) param would be bound to
-    # the array index by F.filter.
+def with_simhash(
+    docs: DataFrame, text_col: str = "text", out_col: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """Add a 64-bit SimHash column: bit b of the result is set iff more
+    token-hashes have bit b set than not. Token hashes are materialized
+    once, then the 64 bit-counts map over the bound column."""
+
     def bit_test(m: int):
         return lambda h: h.bitwiseAND(F.lit(m)) != 0
 
-    toks = F.filter(F.split(text, " "), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.col("_th")
     n = F.size(hashes)
     bit_exprs = []
     for b in range(bits):
-        # bit-test via mask AND (shift functions don't accept lambda vars);
         # b == 63 is the sign bit, whose int64 mask is negative.
         mask = (1 << b) if b < 63 else -(1 << 63)
         ones = F.size(F.filter(hashes, bit_test(mask)))
@@ -160,6 +207,39 @@ def simhash(text: Column, bits: int = 64) -> Column:
     out = bit_exprs[0]
     for e in bit_exprs[1:]:
         out = out.bitwiseOR(e)
+    return (
+        docs.withColumn(
+            "_th",
+            F.transform(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
+                lambda t: F.xxhash64(t),
+            ),
+        )
+        .withColumn(out_col, out)
+        .drop("_th")
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """Column-expression SimHash (convenience for literals/tests;
+    pipelines should use ``with_simhash`` — this form re-hashes the
+    token array once per bit)."""
+    return _simhash_expr(text, bits)
+
+
+def _simhash_expr(text: Column, bits: int) -> Column:
+    def bit_test(m: int):
+        return lambda h: h.bitwiseAND(F.lit(m)) != 0
+
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    out = None
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        ones = F.size(F.filter(hashes, bit_test(mask)))
+        e = F.when(ones * 2 >= n, F.lit(mask).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        out = e if out is None else out.bitwiseOR(e)
     return out
 
 
@@ -173,7 +253,7 @@ def simhash_near_duplicates(
     """Near-dups by SimHash: candidates share a ``prefix_bits`` bucket
     (cheap LSH on the high bits), verified by ``bit_count(xor) <=
     max_hamming``. Returns (id_a, id_b, hamming)."""
-    hashed = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash")).withColumn(
+    hashed = with_simhash(docs, text_col).select(id_col, "simhash").withColumn(
         "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
     )
     a, b = hashed.alias("a"), hashed.alias("b")
@@ -202,7 +282,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over ALL pairs — the quadratic ground truth
     (use only on bounded inputs; LSH variants are the scale path).
     Returns (id_a, id_b, jaccard >= threshold)."""
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sh = with_shingles(docs, text_col, k).select(F.col(id_col), F.col("shingles").alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size("a.sh") + F.size("b.sh") - inter

@@ -38,13 +38,14 @@ def token_count(text: Column) -> Column:
 def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scores: token count, distinct-token ratio,
     stopword ratio, mean token length — the usual cheap filters in a
-    pretraining pipeline. All ratios rounded to 6dp for cross-engine
-    comparability."""
-    toks = tokenize(F.col(text_col))
+    pretraining pipeline. Tokens are materialized once per row (a
+    lambda referencing an outer expression would re-split per element).
+    All ratios rounded to 6dp for cross-engine comparability."""
+    toks = F.col("_toks")
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    return docs.select(
+    return docs.withColumn("_toks", tokenize(F.col(text_col))).select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         F.round(F.size(F.array_distinct(toks)) / n, 6).alias("distinct_ratio"),
@@ -57,9 +58,9 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: score = count of profile marker words
-    present; argmax over languages (ties -> lexicographic first).
+    present; argmax over languages (ties -> lexicographically last).
     Returns (doc_id, lang_pred, lang_score)."""
-    toks = F.array_distinct(tokenize(F.col(text_col)))
+    toks = F.col("_toks")
     scores = F.array(
         *[
             F.struct(
@@ -69,10 +70,8 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for lang, words in sorted(LANG_PROFILES.items())
         ]
     )
-    best = F.array_max(
-        F.transform(scores, lambda s: F.struct(s["score"].alias("score"), s["lang"].alias("lang")))
-    )
-    return docs.select(
+    best = F.array_max(scores)
+    return docs.withColumn("_toks", F.array_distinct(tokenize(F.col(text_col)))).select(
         "doc_id",
         best["lang"].alias("lang_pred"),
         best["score"].cast("bigint").alias("lang_score"),

@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate inlines the full generator expression
+        # into a pre-explode filter; with higher-order-function pipelines
+        # (shingling, tokenization) that re-evaluates an O(n^2) expression
+        # per row (measured 10x slowdown). The inferred filter is redundant
+        # for explode (outer=false already drops empty arrays).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

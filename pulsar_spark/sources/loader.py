@@ -22,8 +22,18 @@ TIMESTAMP_NS_COLUMNS: dict[str, list[str]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table, normalizing nano timestamps to TimestampType."""
+    """Load one driver table, normalizing nano timestamps to TimestampType.
+
+    Also applies the engine's session-safe optimizer settings when the
+    caller's session lacks them (the external driver calls the contract
+    with a plain SparkSession): InferFiltersFromGenerate re-evaluates
+    expensive generator expressions per row (see pulsar_spark.session).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    if rule not in excluded:
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(filter(None, [excluded, rule])))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TIMESTAMP_NS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":

@@ -1,0 +1,124 @@
+"""Topic storage — the partitioned append-only log as a Parquet table.
+
+Reference semantics (SURVEY.md §3.1): a producer routes each message to
+a partition (key-hash Murmur3 or round-robin —
+pulsar-client/.../impl/RoundRobinPartitionMessageRouterImpl.java:36,
+MessageRouterBase.java:31-34), mints envelope metadata (producer_name,
+sequence_id, publish_time), and the broker assigns (ledgerId, entryId)
+positions — our (partition, offset).
+
+Spark-first layout: one directory per topic, hive-partitioned by
+``partition=N`` so partition pruning is free on read; per-partition
+offsets are dense and monotonic. Writes repartition by the topic
+partition BEFORE ``partitionBy`` so each task writes exactly one
+partition directory (avoids the tasks x partitions small-file
+explosion — at 1000 executors that is the difference between 8 files
+and 8000 per append).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def route_partition(key, num_partitions: int):
+    """Key -> partition via Murmur3, matching the reference's key-hash
+    router (Spark's ``hash`` is Murmur3 x86/32). Null keys fall back to
+    a uniform spread (the round-robin analog)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return F.when(
+        key_col.isNotNull(), F.pmod(F.hash(key_col), F.lit(num_partitions))
+    ).otherwise(F.pmod(F.hash(F.rand(seed=0)), F.lit(num_partitions))).cast("int")
+
+
+def produce(
+    payload: DataFrame,
+    topic_path: str,
+    key_col: str | None = None,
+    num_partitions: int = 8,
+    producer_name: str = "producer-0",
+    event_time_col: str | None = None,
+    mode: str = "append",
+) -> None:
+    """Append payload rows to a topic with full envelope minting.
+
+    Offsets continue from the topic's current per-partition high
+    watermark (read cheaply from the parquet footer stats of the
+    existing table; an 8-row broadcast join).
+    """
+    spark = payload.sparkSession
+    part = (
+        route_partition(key_col, num_partitions)
+        if key_col
+        else F.pmod(F.hash(F.rand(seed=0)), F.lit(num_partitions)).cast("int")
+    )
+    df = payload.withColumn("partition", part)
+    w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
+    df = (
+        df.withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn("producer_name", F.lit(producer_name))
+        .withColumn("publish_time", F.current_timestamp())
+        .withColumn(
+            "event_time",
+            F.col(event_time_col) if event_time_col else F.current_timestamp(),
+        )
+        .withColumn("key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"))
+    )
+    w_seq = Window.partitionBy("producer_name").orderBy("partition", "offset")
+    df = df.withColumn("sequence_id", (F.row_number().over(w_seq) - 1).cast("bigint"))
+
+    base = _existing_offsets(spark, topic_path, num_partitions) if mode == "append" else None
+    if base is not None:
+        df = df.join(F.broadcast(base), on="partition", how="left").withColumn(
+            "offset", F.col("offset") + F.coalesce(F.col("_base") + 1, F.lit(0))
+        ).drop("_base")
+
+    (
+        df.repartition("partition")
+        .write.mode("append" if mode == "append" else "overwrite")
+        .partitionBy("partition")
+        .parquet(topic_path)
+    )
+
+
+def _existing_offsets(spark: SparkSession, topic_path: str, num_partitions: int) -> DataFrame | None:
+    try:
+        existing = spark.read.parquet(topic_path)
+    except Exception:
+        return None
+    return existing.groupBy("partition").agg(F.max("offset").alias("_base"))
+
+
+def write_topic(
+    messages: DataFrame, topic_path: str, mode: str = "overwrite", repartition: bool = True
+) -> None:
+    """Write an already-enveloped message DataFrame as a topic table.
+
+    ``repartition(partition)`` first: one writer task per topic
+    partition, one file per append per partition. Pass
+    ``repartition=False`` when the input is already hash-partitioned by
+    ``partition`` (e.g. straight out of the envelope window) to skip
+    the redundant shuffle.
+    """
+    df = messages.repartition("partition") if repartition else messages
+    df.write.mode(mode).partitionBy("partition").parquet(topic_path)
+
+
+def read_topic(
+    spark: SparkSession,
+    topic_path: str,
+    start_offset: int | None = None,
+    start_time: str | None = None,
+) -> DataFrame:
+    """Batch scan of a topic (Reader analog — capi/Reader.java:116-159:
+    scan from explicit position or timestamp). Offset/time predicates
+    push down to the parquet scan; the partition column prunes
+    directories."""
+    df = spark.read.parquet(topic_path)
+    if start_offset is not None:
+        df = df.where(F.col("offset") >= start_offset)
+    if start_time is not None:
+        df = df.where(F.col("publish_time") >= F.lit(start_time).cast("timestamp"))
+    return df
