@@ -329,6 +329,66 @@ def _q_embedding_knn_all(spark, sf_dir):
     return cosine_all_pairs_topk(load_table(spark, sf_dir, "embeddings"), k=3)
 
 
+def _q_fn_exclamation(spark, sf_dir):
+    # ExclamationFunction example (fn/java-examples/.../ExclamationFunction)
+    from pulsar_spark.functions.runtime import map_function
+
+    docs = load_table(spark, sf_dir, "documents")
+    return map_function(
+        docs.select("doc_id", F.col("text").alias("val")),
+        lambda c: F.concat(c, F.lit("!")),
+    ).select("doc_id", "result")
+
+
+def _q_txn_visibility(spark, sf_dir):
+    # deterministic txn assignment: every 5th event in txn (event_id%20),
+    # even txns committed, odd aborted -> reader sees non-txn + committed
+    from pulsar_spark.operators.transactions import committed_view
+
+    m = _messages(spark, sf_dir).withColumn(
+        "txn_id", F.when(F.col("event_id") % 5 == 0, F.col("event_id") % 20)
+    )
+    txn_state = spark.range(20).select(
+        F.col("id").alias("txn_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("COMMITTED")).otherwise(F.lit("ABORTED")).alias("status"),
+    )
+    return committed_view(m, txn_state).select("partition", "offset", "event_id", "txn_id")
+
+
+def _q_media_byte_stats(spark, sf_dir):
+    # multimodal metadata query: payload bytes never deserialized, only
+    # length stats per language (column pruning keeps the scan narrow)
+    from pulsar_spark.functions.multimodal import attach_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "image", "utf8", "doc_id"
+    ).join(docs.select(F.col("doc_id").alias("media_id"), "lang"), on="media_id")
+    return media.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )
+
+
+def _q_datagen(spark, sf_dir):
+    from pulsar_spark.sources.io import open_source
+
+    return open_source("datagen", spark, rows=1000)
+
+
+def _q_media_decode(spark, sf_dir):
+    from pulsar_spark.functions.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "image", "utf8", "doc_id"
+    )
+    return decode_media(media).select(
+        "media_id", F.round(F.element_at("feature", 1), 6).alias("f0"), "decode_ok"
+    )
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     from pulsar_spark.functions import minhash_near_duplicates
 
@@ -378,10 +438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _q_doc_langid,
         "embedding_knn": _q_embedding_knn,
         "embedding_knn_all": _q_embedding_knn_all,
+        "fn_exclamation": _q_fn_exclamation,
+        "txn_visibility": _q_txn_visibility,
+        "media_byte_stats": _q_media_byte_stats,
         # non-SQL-expressible / approximate ops (rows-only driver check):
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_lsh_knn": _q_embedding_lsh_knn,
+        "datagen_people": _q_datagen,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -619,6 +684,25 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(qv, qv))), 6) AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "fn_exclamation": """
+            SELECT doc_id, text || '!' AS result FROM documents
+        """,
+        "txn_visibility": f"""
+            WITH {_M}, with_txn AS (
+              SELECT * EXCLUDE (txn_id),
+                     CASE WHEN event_id % 5 = 0 THEN event_id % 20 END AS txn_id
+              FROM messages
+            )
+            SELECT partition, "offset", event_id, txn_id
+            FROM with_txn
+            WHERE txn_id IS NULL OR (txn_id % 2 = 0)
+        """,
+        "media_byte_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+            FROM documents GROUP BY lang
         """,
         "embedding_knn_all": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -1,0 +1,124 @@
+"""Transactions — staged visibility with commit/abort.
+
+Reference semantics (SURVEY.md §2.10): a transaction coordinator tracks
+begin/commit/abort with timeouts (pulsar-transaction/coordinator/...
+TransactionMetadataStore.java, MLTransactionMetadataStore.java); on the
+topic side, messages published under a txn are invisible until commit,
+and the aborted-txn list is snapshotted so dispatch filters them
+(broker/.../transaction/buffer/impl/TopicTransactionBuffer.java:82-145).
+
+Spark-first: the txn-state table is a tiny keyed table (txn_id ->
+status); reads anti-join messages against the non-committed set
+(broadcast — it mirrors the reference's in-memory abort snapshot).
+Exactly-once produce+consume is native to Structured Streaming
+(checkpoint + idempotent sink); this module provides the explicit
+coordinator surface for the batch API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OPEN, COMMITTED, ABORTED = "OPEN", "COMMITTED", "ABORTED"
+
+
+@dataclass
+class TransactionCoordinator:
+    """File-backed txn metadata store (one JSON log per coordinator).
+
+    At scale this is a table-format commit log; the JSON file keeps the
+    local harness dependency-free while preserving the exact state
+    machine: begin -> OPEN, commit/abort only from OPEN, timeout sweep
+    aborts expired OPEN txns (TransactionMetadataStore semantics).
+    """
+
+    path: str
+
+    def _load(self) -> dict[str, dict]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as fh:
+            return json.load(fh)
+
+    def _save(self, state: dict[str, dict]) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w") as fh:
+            json.dump(state, fh)
+
+    def begin(self, timeout_s: float = 60.0) -> int:
+        state = self._load()
+        txn_id = max((int(k) for k in state), default=-1) + 1
+        state[str(txn_id)] = {"status": OPEN, "deadline": time.time() + timeout_s}
+        self._save(state)
+        return txn_id
+
+    def _transition(self, txn_id: int, to: str) -> None:
+        state = self._load()
+        cur = state.get(str(txn_id))
+        if cur is None:
+            raise KeyError(f"unknown txn {txn_id}")
+        if cur["status"] != OPEN:
+            raise ValueError(f"txn {txn_id} is {cur['status']}, cannot -> {to}")
+        cur["status"] = to
+        self._save(state)
+
+    def commit(self, txn_id: int) -> None:
+        self._transition(txn_id, COMMITTED)
+
+    def abort(self, txn_id: int) -> None:
+        self._transition(txn_id, ABORTED)
+
+    def sweep_timeouts(self) -> list[int]:
+        """Abort every OPEN txn past its deadline; returns aborted ids."""
+        state = self._load()
+        now = time.time()
+        out = []
+        for k, v in state.items():
+            if v["status"] == OPEN and v["deadline"] < now:
+                v["status"] = ABORTED
+                out.append(int(k))
+        self._save(state)
+        return out
+
+    def status(self, txn_id: int) -> str:
+        return self._load()[str(txn_id)]["status"]
+
+    def state_df(self, spark: SparkSession) -> DataFrame:
+        state = self._load()
+        rows = [(int(k), v["status"]) for k, v in state.items()]
+        return spark.createDataFrame(rows or [(None, None)], "txn_id bigint, status string").where(
+            F.col("txn_id").isNotNull()
+        )
+
+
+def committed_view(messages: DataFrame, txn_state: DataFrame) -> DataFrame:
+    """Reader view under transactions: non-transactional rows plus rows
+    whose txn committed. OPEN and ABORTED are both invisible
+    (TopicTransactionBuffer visibility rule)."""
+    committed = txn_state.where(F.col("status") == COMMITTED).select("txn_id")
+    return messages.where(F.col("txn_id").isNull()).unionByName(
+        messages.join(F.broadcast(committed), on="txn_id", how="left_semi")
+    )
+
+
+def produce_transactional(
+    payload: DataFrame,
+    topic_path: str,
+    coordinator: TransactionCoordinator,
+    txn_id: int,
+    **produce_kwargs,
+) -> None:
+    """Stage an append under a txn: rows carry txn_id; they exist in
+    the log immediately (like the reference's txn buffer) but
+    ``committed_view`` hides them until commit."""
+    if coordinator.status(txn_id) != OPEN:
+        raise ValueError(f"txn {txn_id} not OPEN")
+    from pulsar_spark.sources.topics import produce
+
+    produce(payload.withColumn("txn_id", F.lit(txn_id).cast("bigint")), topic_path, **produce_kwargs)

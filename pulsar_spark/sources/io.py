@@ -1,0 +1,114 @@
+"""Connector registry — the Pulsar IO analog.
+
+Reference semantics (SURVEY.md §2.1): IO sources pull external records
+into topics (pulsar-io/core/.../Source.java:28-45, BatchSource.java:62
+for triggered batch ingest), sinks push topic records out
+(Sink.java:31-47); the data-generator source produces synthetic test
+records (pulsar-io/data-generator/.../DataGeneratorSource.java).
+
+Spark-first: a "connector" is a named factory returning a DataFrame
+(source) or a writer callback (sink); streaming sources map to
+``readStream.format(...)`` and sinks to ``writeStream``/foreachBatch.
+The registry is the SPI surface; the built-ins cover the formats the
+driver environment has (parquet/json/csv/rate/memory).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SOURCES: dict[str, Callable[..., DataFrame]] = {}
+_SINKS: dict[str, Callable[..., Any]] = {}
+
+
+def register_source(name: str):
+    def deco(fn):
+        _SOURCES[name] = fn
+        return fn
+
+    return deco
+
+
+def register_sink(name: str):
+    def deco(fn):
+        _SINKS[name] = fn
+        return fn
+
+    return deco
+
+
+def open_source(name: str, spark: SparkSession, **config) -> DataFrame:
+    """Source.open(config, ctx) analog."""
+    return _SOURCES[name](spark, **config)
+
+
+def open_sink(name: str, **config) -> Callable[[DataFrame], Any]:
+    """Sink.open(config, ctx) analog; returns write(df)."""
+    return _SINKS[name](**config)
+
+
+def list_connectors() -> dict[str, list[str]]:
+    return {"sources": sorted(_SOURCES), "sinks": sorted(_SINKS)}
+
+
+# ---------------------------------------------------------------- built-ins
+
+
+@register_source("datagen")
+def datagen_source(
+    spark: SparkSession, rows: int = 1000, partitions: int = 4, seed: int = 42
+) -> DataFrame:
+    """Deterministic synthetic Person records — the data-generator
+    connector analog (DataGeneratorSource produces Person objects)."""
+    first = F.array(*[F.lit(x) for x in ["ada", "bob", "carol", "dan", "eve", "fay"]])
+    last = F.array(*[F.lit(x) for x in ["lee", "kim", "ray", "fox", "day"]])
+    df = spark.range(0, rows, 1, partitions)
+    return df.select(
+        F.col("id").alias("record_id"),
+        F.element_at(first, (F.pmod(F.hash(F.col("id"), F.lit(seed)), F.size(first)) + 1).cast("int")).alias("first_name"),
+        F.element_at(last, (F.pmod(F.hash(F.col("id"), F.lit(seed + 1)), F.size(last)) + 1).cast("int")).alias("last_name"),
+        (F.pmod(F.hash(F.col("id"), F.lit(seed + 2)), F.lit(80)) + 18).cast("int").alias("age"),
+    )
+
+
+@register_source("rate_stream")
+def rate_stream_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Continuous synthetic stream (Spark's rate source)."""
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+
+@register_source("file")
+def file_source(
+    spark: SparkSession, path: str, format: str = "parquet", streaming: bool = False, **options
+) -> DataFrame:
+    if streaming:
+        static = spark.read.format(format).options(**options).load(path)
+        return spark.readStream.schema(static.schema).format(format).options(**options).load(path)
+    return spark.read.format(format).options(**options).load(path)
+
+
+@register_sink("parquet")
+def parquet_sink(path: str, mode: str = "append", partition_by: list[str] | None = None):
+    def write(df: DataFrame) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    return write
+
+
+@register_sink("topic")
+def topic_sink(topic_path: str, **produce_kwargs):
+    """Sink into an engine topic with envelope minting (the
+    external->topic direction of Pulsar IO)."""
+
+    def write(df: DataFrame) -> None:
+        from pulsar_spark.sources.topics import produce
+
+        produce(df, topic_path, **produce_kwargs)
+
+    return write

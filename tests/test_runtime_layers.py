@@ -1,0 +1,274 @@
+"""Tests: Functions layer, schema registry, transactions, IO registry,
+tiered storage, multimodal plumbing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class TestFunctionsLayer:
+    def test_exclamation_function(self, spark):
+        # ExclamationFunction example: input + "!"
+        from pulsar_spark.functions.runtime import map_function
+
+        df = spark.createDataFrame([("hello",), ("world",)], ["val"])
+        out = map_function(df, lambda c: F.concat(c, F.lit("!")))
+        assert {r["result"] for r in out.collect()} == {"hello!", "world!"}
+
+    def test_row_at_a_time_spi(self, spark):
+        from pulsar_spark.functions.runtime import FunctionContext, map_function
+
+        ctx = FunctionContext(user_config={"suffix": "?"})
+
+        def process(value, context):
+            context.incr_counter("seen")
+            return value + context.get_user_config_value("suffix")
+
+        df = spark.createDataFrame([("a",), ("b",), ("c",)], ["val"])
+        out = map_function(df, process, vectorized=False, context=ctx)
+        assert {r["result"] for r in out.collect()} == {"a?", "b?", "c?"}
+        assert ctx.get_counter("seen") == 3
+
+    def test_flatmap_wordsplit(self, spark):
+        from pulsar_spark.functions.runtime import flatmap_function
+
+        df = spark.createDataFrame([("a b",), ("c",)], ["val"])
+        out = flatmap_function(df, lambda c: F.split(c, " "))
+        assert out.count() == 3
+
+    def test_identity(self, messages):
+        from pulsar_spark.functions.runtime import identity_function
+
+        assert identity_function(messages).count() == messages.count()
+
+    def test_side_outputs(self, spark, messages):
+        from pulsar_spark.functions.runtime import SideOutputs
+
+        d = tempfile.mkdtemp(prefix="ps_side_")
+        try:
+            side = SideOutputs()
+            side.publish("errors", F.col("event_type") == "error", ["event_id", "val"])
+            side.publish("big", F.col("val") > 100)
+            written = side.write_all(messages, d)
+            assert written["errors"] == messages.where("event_type = 'error'").count()
+            got = spark.read.parquet(f"{d}/errors")
+            assert got.columns == ["event_id", "val"]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class TestSchemaRegistry:
+    @pytest.fixture()
+    def reg(self):
+        from pulsar_spark.schema_registry import SchemaRegistry
+
+        d = tempfile.mkdtemp(prefix="ps_reg_")
+        yield SchemaRegistry(d)
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_register_and_versions(self, reg):
+        s1 = StructType.fromDDL("a int, b string")
+        assert reg.register("t", s1) == 0
+        assert reg.register("t", s1) == 0  # idempotent
+        s2 = StructType.fromDDL("a int, b string, c double")  # nullable add: FULL ok
+        assert reg.register("t", s2) == 1
+        assert reg.latest("t")[0] == 1
+
+    def test_backward_rejects_nonnullable_add(self, reg):
+        from pyspark.sql.types import IntegerType, StructField
+
+        from pulsar_spark.schema_registry import IncompatibleSchemaError
+
+        s1 = StructType.fromDDL("a int")
+        reg.register("t", s1, "BACKWARD")
+        s2 = StructType([*s1.fields, StructField("b", IntegerType(), nullable=False)])
+        with pytest.raises(IncompatibleSchemaError):
+            reg.register("t", s2, "BACKWARD")
+
+    def test_type_change_rejected(self, reg):
+        from pulsar_spark.schema_registry import IncompatibleSchemaError
+
+        reg.register("t", StructType.fromDDL("a int"), "FULL")
+        with pytest.raises(IncompatibleSchemaError):
+            reg.register("t", StructType.fromDDL("a string"), "FULL")
+
+    def test_always_incompatible_freezes(self, reg):
+        from pulsar_spark.schema_registry import IncompatibleSchemaError
+
+        reg.register("t", StructType.fromDDL("a int"), "ALWAYS_INCOMPATIBLE")
+        with pytest.raises(IncompatibleSchemaError):
+            reg.register("t", StructType.fromDDL("a int, b string"), "ALWAYS_INCOMPATIBLE")
+
+    def test_auto_consume_projection(self, reg, spark):
+        reg.register("t", StructType.fromDDL("a int, b string, c double"))
+        df = spark.createDataFrame([(1, "x")], "a int, b string")
+        out = reg.read_with_latest(df, "t")
+        assert out.columns == ["a", "b", "c"]
+        assert out.head()["c"] is None
+
+    def test_validate_produce(self, reg, spark):
+        from pulsar_spark.schema_registry import IncompatibleSchemaError
+
+        reg.register("t", StructType.fromDDL("a int, b string"))
+        ok = spark.createDataFrame([(1, "x")], "a int, b string")
+        reg.validate_produce("t", ok)  # no raise
+        bad = spark.createDataFrame([(1,)], "a int")
+        with pytest.raises(IncompatibleSchemaError):
+            reg.validate_produce("t", bad)
+
+
+class TestTransactions:
+    def test_commit_abort_visibility(self, spark):
+        from pulsar_spark.operators.transactions import (
+            TransactionCoordinator,
+            committed_view,
+            produce_transactional,
+        )
+
+        d = tempfile.mkdtemp(prefix="ps_txn_")
+        try:
+            coord = TransactionCoordinator(f"{d}/txn.json")
+            topic = f"{d}/topic"
+            payload = spark.range(10).select(F.col("id").alias("event_id"))
+
+            t1 = coord.begin()
+            t2 = coord.begin()
+            produce_transactional(payload, topic, coord, t1, num_partitions=2)
+            produce_transactional(payload, topic, coord, t2, num_partitions=2)
+
+            log = spark.read.parquet(topic)
+            view0 = committed_view(log, coord.state_df(spark))
+            assert view0.count() == 0  # both OPEN -> invisible
+
+            coord.commit(t1)
+            coord.abort(t2)
+            view1 = committed_view(spark.read.parquet(topic), coord.state_df(spark))
+            assert view1.count() == 10
+            assert view1.where(F.col("txn_id") == t2).count() == 0
+
+            with pytest.raises(ValueError):
+                coord.commit(t2)  # aborted, cannot commit
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_timeout_sweep(self, spark):
+        from pulsar_spark.operators.transactions import TransactionCoordinator
+
+        d = tempfile.mkdtemp(prefix="ps_txn2_")
+        try:
+            coord = TransactionCoordinator(f"{d}/txn.json")
+            t = coord.begin(timeout_s=-1)  # already expired
+            assert coord.sweep_timeouts() == [t]
+            assert coord.status(t) == "ABORTED"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class TestIORegistry:
+    def test_datagen_deterministic(self, spark):
+        from pulsar_spark.sources.io import open_source
+
+        a = open_source("datagen", spark, rows=100).collect()
+        b = open_source("datagen", spark, rows=100).collect()
+        assert a == b
+        assert all(18 <= r["age"] <= 97 for r in a)
+
+    def test_file_roundtrip_via_sinks(self, spark):
+        from pulsar_spark.sources.io import open_sink, open_source
+
+        d = tempfile.mkdtemp(prefix="ps_io_")
+        try:
+            src = open_source("datagen", spark, rows=50)
+            open_sink("parquet", path=f"{d}/out", mode="overwrite")(src)
+            back = open_source("file", spark, path=f"{d}/out")
+            assert back.count() == 50
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_topic_sink_envelopes(self, spark):
+        from pulsar_spark.sources.io import open_sink, open_source
+
+        d = tempfile.mkdtemp(prefix="ps_io2_")
+        try:
+            src = open_source("datagen", spark, rows=50)
+            open_sink("topic", topic_path=f"{d}/t", key_col="last_name", num_partitions=2)(src)
+            t = spark.read.parquet(f"{d}/t")
+            assert t.count() == 50
+            assert {"offset", "producer_name", "publish_time", "key"} <= set(t.columns)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_registry_lists(self):
+        from pulsar_spark.sources.io import list_connectors
+
+        c = list_connectors()
+        assert "datagen" in c["sources"] and "topic" in c["sinks"]
+
+
+class TestTieredStorage:
+    def test_offload_and_readthrough(self, spark, messages):
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.sources.tiered import offload_partitions, tiered_view
+
+        d = tempfile.mkdtemp(prefix="ps_tier_")
+        try:
+            hot, cold = f"{d}/hot", f"{d}/cold"
+            write_topic(messages, hot)
+            total = messages.count()
+            cutoff = "2024-01-15 00:00:00"
+            stats = offload_partitions(spark, hot, cold, cutoff)
+            assert stats["offloaded"] > 0 and stats["hot"] > 0
+            assert stats["offloaded"] + stats["hot"] == total
+            # hot tier holds only new rows
+            assert spark.read.parquet(hot).where(F.col("publish_time") < cutoff).count() == 0
+            # read-through view sees everything
+            assert tiered_view(spark, hot, cold).count() == total
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, spark, documents):
+        from pulsar_spark.functions.multimodal import attach_media, decode_media
+
+        media = attach_media(
+            documents.withColumn("payload", F.encode("text", "utf-8")),
+            "payload",
+            "image",
+            "fake",
+            "doc_id",
+        )
+        feats = decode_media(media)
+        rows = feats.collect()
+        assert len(rows) == documents.count()
+        assert all(len(r["feature"]) == 16 and r["decode_ok"] for r in rows)
+        # deterministic: same payload -> same feature
+        again = decode_media(media).collect()
+        assert sorted(r["media_id"] for r in rows) == sorted(r["media_id"] for r in again)
+
+    def test_strict_raises(self, spark, documents):
+        from pulsar_spark.functions.multimodal import attach_media, decode_media
+
+        media = attach_media(
+            documents.limit(1).withColumn("payload", F.encode("text", "utf-8")),
+            "payload",
+            "image",
+            "fake",
+            "doc_id",
+        )
+        with pytest.raises(Exception):
+            decode_media(media, strict=True).collect()
+
+    def test_frame_sampling_plan(self, spark):
+        from pulsar_spark.functions.multimodal import sample_frames
+
+        media = spark.createDataFrame(
+            [(1, "video", 25), (2, "image", 1)], "media_id long, modality string, n_frames int"
+        )
+        out = sample_frames(media, every_n=10)
+        assert [r["frame_idx"] for r in out.orderBy("frame_idx").collect()] == [0, 10, 20]
