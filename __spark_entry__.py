@@ -407,6 +407,56 @@ def _q_embedding_lsh_knn(spark, sf_dir):
     return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), dim=64, k=3)
 
 
+def _q_ngram_jaccard_dedup(spark, sf_dir):
+    # exact n-gram (k=3 word shingles) Jaccard near-dup pairs
+    from pulsar_spark.functions import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_embedding_cosine_near_dups(spark, sf_dir):
+    # exact cosine-threshold near-dup pairs over the embedding column
+    from pulsar_spark.functions import embedding_near_duplicates
+
+    return embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _q_embedding_cosine_near_dups_lsh(spark, sf_dir):
+    # scale path for the same predicate: LSH candidates only
+    from pulsar_spark.functions import embedding_near_duplicates_lsh
+
+    return embedding_near_duplicates_lsh(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.45
+    )
+
+
+def _q_embedding_ivf_knn(spark, sf_dir):
+    # IVF probe-limited ANN against vec 0's embedding
+    from pulsar_spark.functions import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, list(qvec), dim=64, k=10, n_probe=4, exclude_id=0)
+
+
+def _q_multi_topic_union(spark, sf_dir):
+    # regex + explicit-list multi-topic subscribe (capi/ConsumerBuilder
+    # topicsPattern; client/impl/MultiTopicsConsumerImpl) = streaming
+    # UNION ALL of topic scans -> per-topic counts
+    m = _messages(spark, sf_dir)
+    by_pattern = m.where(F.col("topic").rlike("events-[0-2]$"))
+    by_list = m.where(
+        F.col("topic").isin(
+            "persistent://public/default/events-5", "persistent://public/default/events-7"
+        )
+    )
+    return (
+        by_pattern.unionByName(by_list)
+        .groupBy("topic")
+        .agg(F.count("*").alias("msg_count"), F.max("offset").alias("max_offset"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "compact_publish_order": _q_compact_publish_order,
@@ -441,7 +491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_exclamation": _q_fn_exclamation,
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
+        "multi_topic_union": _q_multi_topic_union,
         # non-SQL-expressible / approximate ops (rows-only driver check):
+        "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
+        "embedding_ivf_knn": _q_embedding_ivf_knn,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_lsh_knn": _q_embedding_lsh_knn,
@@ -703,6 +758,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
             FROM documents GROUP BY lang
+        """,
+        "ngram_jaccard_dedup": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "embedding_cosine_near_dups": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+                           AS cosine
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
+        """,
+        "multi_topic_union": f"""
+            WITH {_M}
+            SELECT topic, count(*) AS msg_count, max("offset") AS max_offset
+            FROM messages
+            WHERE regexp_matches(topic, 'events-[0-2]$')
+               OR topic IN ('persistent://public/default/events-5',
+                            'persistent://public/default/events-7')
+            GROUP BY topic
         """,
         "embedding_knn_all": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -11,10 +11,20 @@
   (sign bits of dot products with fixed seeded hyperplanes), candidates
   only within a bucket. Hyperplanes are deterministic (numpy seed), so
   results are reproducible.
+- ``embedding_near_duplicates`` / ``embedding_near_duplicates_lsh``:
+  cosine-threshold near-duplicate pairs — exact (quadratic ground
+  truth, DuckDB-oracle-checkable) and LSH-candidate (scale) variants.
+- ``ivf_fit`` / ``ivf_assign`` / ``ivf_topk``: IVF index — Lloyd
+  k-means over DataFrame aggregates, centroids held driver-side (tiny:
+  n_centroids x dim floats, broadcast into the plan), probe-limited
+  search. Assignment is a vectorized numpy matmul-argmax pandas UDF:
+  one (batch x dim) @ (dim x n_centroids) per Arrow batch.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -163,3 +173,166 @@ def lsh_bucket_topk(
         .where(F.col("_rn") <= k)
         .select("id_a", "id_b", "cosine", F.col("_rn").alias("rank"))
     )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold. Quadratic — the ground truth / oracle form;
+    ``embedding_near_duplicates_lsh`` is the scale path."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs at scale: exact cosine evaluated only on
+    LSH-bucket-colliding candidates (OR over ``n_tables`` tables). The
+    quadratic pair space becomes an equi-join on (table, bucket); miss
+    probability for a pair at cosine c is (1-p^n_planes)^n_tables with
+    p = 1 - arccos(c)/pi."""
+    bucketed = lsh_bucket_assignment(embeddings, dim, n_planes, n_tables, vec_col, seed)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"),
+        "lsh_table", "lsh_bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"),
+        "lsh_table", "lsh_bucket",
+    )
+    return (
+        a.join(b, on=["lsh_table", "lsh_bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+def _normalize_rows(m: "np.ndarray") -> "np.ndarray":
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _assign_udf(centroids: "np.ndarray"):
+    """Pandas UDF: vec -> nearest centroid id by cosine (matmul argmax).
+
+    ``centroids`` rides to executors inside the serialized UDF closure —
+    the same mechanics as a broadcast variable, appropriate because the
+    index is n_centroids x dim floats (KBs)."""
+    cn = _normalize_rows(centroids.astype(np.float64)).T  # (dim, k)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        return pd.Series((m @ cn).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Lloyd k-means producing the IVF coarse quantizer (centroid
+    matrix, driver-side). Deterministic: init = the ``n_centroids``
+    lowest-id vectors; ties in assignment resolve to the lowest
+    centroid id (numpy argmax takes the first maximum).
+
+    Each iteration is one distributed pass: vectorized assign UDF +
+    per-dimension ``avg`` aggregate (dim x n_centroids partial aggs,
+    map-side combined — the shuffle carries n_centroids rows)."""
+    init = (
+        embeddings.orderBy(id_col).limit(n_centroids).select(_as_double(F.col(vec_col)).alias("v")
+        ).collect()
+    )
+    centroids = np.array([r["v"] for r in init], dtype=np.float64)
+    dim_avgs = None
+    for _ in range(iters):
+        assigned = embeddings.withColumn("_cid", _assign_udf(centroids)(F.col(vec_col)))
+        if dim_avgs is None:
+            v = _as_double(F.col(vec_col))
+            dim_avgs = [F.avg(v[i]).alias(f"d{i}") for i in range(dim)]
+        rows = assigned.groupBy("_cid").agg(*dim_avgs).collect()
+        new = centroids.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            new[r["_cid"]] = [r[f"d{i}"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Attach the IVF list (nearest-centroid id) to every row. At rest a
+    100 TB corpus stores this as a partition column so probes prune
+    whole partitions instead of filtering rows."""
+    return embeddings.withColumn(out_col, _assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Approximate top-k: search only the ``n_probe`` inverted lists
+    whose centroids are nearest the query. Recall is tuned by
+    n_probe/n_centroids; cost drops from N to ~N*n_probe/n_centroids
+    row comparisons, and with ``centroid_id`` as a storage partition
+    column the non-probed lists are never read at all."""
+    if centroids is None:
+        centroids = ivf_fit(embeddings, dim, n_centroids, iters, vec_col, id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(_normalize_rows(centroids.astype(np.float64)) @ qn))[:n_probe]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    shortlist = assigned.where(F.col("centroid_id").isin([int(p) for p in probe]))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = shortlist.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

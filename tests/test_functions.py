@@ -106,3 +106,68 @@ class TestSimilarity:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.6, f"nearest-neighbor recall {recall}"
+
+    def test_ivf_topk_recall_vs_exact(self, embeddings):
+        from pulsar_spark.functions import cosine_topk, ivf_topk
+
+        q = list(embeddings.where("vec_id = 0").select("embedding").head()[0])
+        exact = [r["vec_id"] for r in cosine_topk(embeddings, q, 10, exclude_id=0).collect()]
+        approx = [
+            r["vec_id"]
+            for r in ivf_topk(
+                embeddings, q, dim=64, k=10, n_centroids=16, n_probe=4, exclude_id=0
+            ).collect()
+        ]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.5, f"IVF top-10 recall {recall}"
+        # probing ALL lists must reproduce the exact result
+        full = [
+            r["vec_id"]
+            for r in ivf_topk(
+                embeddings, q, dim=64, k=10, n_centroids=16, n_probe=16, exclude_id=0
+            ).collect()
+        ]
+        assert full == exact
+
+    def test_ivf_assign_covers_all_rows(self, embeddings):
+        from pulsar_spark.functions import ivf_assign, ivf_fit
+
+        cents = ivf_fit(embeddings, dim=64, n_centroids=8, iters=2)
+        assert cents.shape == (8, 64)
+        assigned = ivf_assign(embeddings, cents)
+        n = embeddings.count()
+        assert assigned.where("centroid_id >= 0 AND centroid_id < 8").count() == n
+
+    def test_embedding_near_dup_lsh_subset_of_exact(self, embeddings):
+        from pulsar_spark.functions import (
+            embedding_near_duplicates,
+            embedding_near_duplicates_lsh,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(embeddings, threshold=0.4).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates_lsh(embeddings, dim=64, threshold=0.4).collect()
+        }
+        assert approx <= exact
+        if exact:
+            recall = len(approx) / len(exact)
+            assert recall >= 0.5, f"LSH near-dup recall {recall}"
+
+    def test_ngram_jaccard_identical_docs(self, spark):
+        from pulsar_spark.functions import ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "completely different words here entirely now"),
+            ],
+            "doc_id int, text string",
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                 ngram_jaccard_pairs(df, threshold=0.9).collect()}
+        assert pairs == {(1, 2): 1.0}
