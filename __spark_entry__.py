@@ -439,6 +439,45 @@ def _q_embedding_ivf_knn(spark, sf_dir):
     return ivf_topk(emb, list(qvec), dim=64, k=10, n_probe=4, exclude_id=0)
 
 
+def _q_message_by_id(spark, sf_dir):
+    # getMessageById admin lookup (Topics.java:1746)
+    from pulsar_spark.operators import get_message_by_id
+
+    return get_message_by_id(_messages(spark, sf_dir), partition=3, offset=7).select(
+        "partition", "offset", "event_id", "key", "publish_time"
+    )
+
+
+def _q_examine_message(spark, sf_dir):
+    # examineMessage: 5th message from latest, per partition (Topics.java:1662)
+    from pulsar_spark.operators import examine_message
+
+    return examine_message(_messages(spark, sf_dir), "latest", n=5).select(
+        "partition", "offset", "event_id", "publish_time"
+    )
+
+
+def _q_ack_state(spark, sf_dir):
+    # cursor mark-delete + ack holes with a deterministic ack set:
+    # acked iff event_id % 13 != 0 (ManagedCursorImpl individualDeletedMessages)
+    from pulsar_spark.operators import ack_state
+
+    return ack_state(_messages(spark, sf_dir), F.col("event_id") % 13 != 0)
+
+
+def _q_geo_replication(spark, sf_dir):
+    # loop-avoid filter: replicate to 'west' skips messages originating
+    # there (deterministic origin: event_id % 7 == 0 -> 'west')
+    from pulsar_spark.operators import replicate_candidates
+
+    m = _messages(spark, sf_dir).withColumn(
+        "replicated_from", F.when(F.col("event_id") % 7 == 0, F.lit("west"))
+    )
+    return replicate_candidates(m, "west").select(
+        "partition", "offset", "event_id", "replicated_from"
+    )
+
+
 def _q_multi_topic_union(spark, sf_dir):
     # regex + explicit-list multi-topic subscribe (capi/ConsumerBuilder
     # topicsPattern; client/impl/MultiTopicsConsumerImpl) = streaming
@@ -491,6 +530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_exclamation": _q_fn_exclamation,
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
+        "message_by_id": _q_message_by_id,
+        "examine_message": _q_examine_message,
+        "ack_state": _q_ack_state,
+        "geo_replication": _q_geo_replication,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "multi_topic_union": _q_multi_topic_union,
@@ -758,6 +801,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
             FROM documents GROUP BY lang
+        """,
+        "message_by_id": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, key, publish_time
+            FROM messages WHERE partition = 3 AND "offset" = 7
+        """,
+        "examine_message": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, publish_time
+            FROM messages
+            QUALIFY row_number() OVER (PARTITION BY partition ORDER BY "offset" DESC) = 5
+        """,
+        "ack_state": f"""
+            WITH {_M}, flagged AS (
+              SELECT partition, "offset", (event_id % 13 <> 0) AS acked FROM messages
+            ), agg AS (
+              SELECT partition,
+                     coalesce(min(CASE WHEN NOT acked THEN "offset" END) - 1, max("offset"))
+                         AS mark_delete_offset,
+                     max("offset") AS max_offset,
+                     CAST(sum(CASE WHEN acked THEN 1 ELSE 0 END) AS BIGINT) AS total_acked
+              FROM flagged GROUP BY partition
+            )
+            SELECT a.partition, a.mark_delete_offset, a.max_offset, a.total_acked,
+                   CAST(coalesce(h.individually_acked, 0) AS BIGINT) AS individually_acked
+            FROM agg a LEFT JOIN (
+              SELECT f.partition, count(*) AS individually_acked
+              FROM flagged f JOIN agg g ON f.partition = g.partition
+              WHERE f.acked AND f."offset" > g.mark_delete_offset
+              GROUP BY f.partition
+            ) h ON a.partition = h.partition
+        """,
+        "geo_replication": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id,
+                   CASE WHEN event_id % 7 = 0 THEN 'west' END AS replicated_from
+            FROM messages
+            WHERE (event_id % 7 <> 0) AND marker_type IS NULL
         """,
         "ngram_jaccard_dedup": """
             WITH toks AS (

@@ -5,11 +5,15 @@ from pulsar_spark.operators.compaction import (
 )
 from pulsar_spark.operators.dedup import dedup_messages
 from pulsar_spark.operators.retention import ttl_filter, visible_messages, user_visible
+from pulsar_spark.operators.replication import replicate_candidates, shadow_view
 from pulsar_spark.operators.seek import (
     seek_offsets_by_timestamp,
     peek_messages,
     backlog,
     skip_cursor,
+    get_message_by_id,
+    examine_message,
+    ack_state,
 )
 from pulsar_spark.operators.stats import topic_stats, partitioned_topic_stats
 from pulsar_spark.operators.subscriptions import (
@@ -33,6 +37,11 @@ __all__ = [
     "peek_messages",
     "backlog",
     "skip_cursor",
+    "get_message_by_id",
+    "examine_message",
+    "ack_state",
+    "replicate_candidates",
+    "shadow_view",
     "topic_stats",
     "partitioned_topic_stats",
     "sticky_key_hash",

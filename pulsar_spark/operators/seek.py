@@ -101,3 +101,83 @@ def backlog(
         .groupBy(partition_col)
         .agg(F.count("*").alias("backlog"))
     )
+
+
+def get_message_by_id(
+    messages: DataFrame,
+    partition: int,
+    offset: int,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Point lookup by MessageId = (partition, offset) — the
+    ``getMessageById(ledgerId, entryId)`` admin query
+    (pulsar-client-admin-api/.../admin/Topics.java:1746). Both
+    predicates reach the parquet scan: the partition directory prunes
+    and the offset min/max footer stats skip row groups."""
+    return messages.where(
+        (F.col(partition_col) == partition) & (F.col(offset_col) == offset)
+    )
+
+
+def examine_message(
+    messages: DataFrame,
+    initial_position: str = "earliest",
+    n: int = 1,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Per partition, the n-th message from the earliest (or latest)
+    position — ``examineMessage(initialPosition, messagePosition)``
+    (admin Topics.java:1662-1691). A per-partition rank bounded at
+    ``n`` executes as partial top-n, never a full sort."""
+    if initial_position not in ("earliest", "latest"):
+        raise ValueError(f"initial_position must be earliest|latest, got {initial_position}")
+    order = F.col(offset_col) if initial_position == "earliest" else F.col(offset_col).desc()
+    w = Window.partitionBy(partition_col).orderBy(order)
+    return messages.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == n).drop("_rn")
+
+
+def ack_state(
+    messages: DataFrame,
+    acked: Column,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Cursor ack state per partition from an acked-predicate column:
+    mark-delete position (greatest offset with every offset <= it
+    acked) plus ack-hole accounting — individually-deleted messages
+    past the mark-delete position
+    (managed-ledger/.../ManagedCursorImpl.java:202
+    ``individualDeletedMessages``).
+
+    One aggregation pass: mark_delete = (min unacked offset) - 1, or
+    the partition max when fully acked; ack holes = acked offsets
+    beyond it.
+    """
+    flagged = messages.select(
+        partition_col, offset_col, acked.cast("boolean").alias("_acked")
+    )
+    agg = flagged.groupBy(partition_col).agg(
+        F.coalesce(
+            F.min(F.when(~F.col("_acked"), F.col(offset_col))) - 1,
+            F.max(offset_col),
+        ).alias("mark_delete_offset"),
+        F.max(offset_col).alias("max_offset"),
+        F.sum(F.col("_acked").cast("long")).alias("total_acked"),
+    )
+    holes = (
+        flagged.join(
+            F.broadcast(agg.select(partition_col, "mark_delete_offset")), on=partition_col
+        )
+        .where(F.col("_acked") & (F.col(offset_col) > F.col("mark_delete_offset")))
+        .groupBy(partition_col)
+        .agg(F.count("*").alias("individually_acked"))
+    )
+    return (
+        agg.join(holes, on=partition_col, how="left")
+        .withColumn("individually_acked", F.coalesce("individually_acked", F.lit(0)))
+        .select(
+            partition_col, "mark_delete_offset", "max_offset", "total_acked", "individually_acked"
+        )
+    )

@@ -169,3 +169,81 @@ class TestWindows:
         out = sliding_window(messages, "1 hour", "15 minutes", [F.count("*").alias("cnt")])
         total_in_windows = out.agg(F.sum("cnt")).head()[0]
         assert total_in_windows == messages.count() * 4
+
+
+class TestAdminLookups:
+    def test_get_message_by_id_unique(self, messages):
+        from pulsar_spark.operators import get_message_by_id
+
+        rows = get_message_by_id(messages, partition=3, offset=7).collect()
+        assert len(rows) == 1
+        assert rows[0]["partition"] == 3 and rows[0]["offset"] == 7
+
+    def test_examine_nth_from_latest(self, messages):
+        from pulsar_spark.operators import examine_message
+        from pyspark.sql import functions as F
+
+        got = {r["partition"]: r["offset"] for r in examine_message(messages, "latest", 5).collect()}
+        maxes = {
+            r["partition"]: r["m"]
+            for r in messages.groupBy("partition").agg(F.max("offset").alias("m")).collect()
+        }
+        for p, off in got.items():
+            assert off == maxes[p] - 4
+
+    def test_examine_rejects_bad_position(self, messages):
+        import pytest
+
+        from pulsar_spark.operators import examine_message
+
+        with pytest.raises(ValueError):
+            examine_message(messages, "middle", 1)
+
+
+class TestAckState:
+    def test_mark_delete_and_holes(self, spark):
+        from pulsar_spark.operators import ack_state
+        from pyspark.sql import functions as F
+
+        # partition 0: offsets 0..9 acked except 3 -> markDelete=2, holes=6
+        # partition 1: all acked -> markDelete=max, holes=0
+        rows = [(0, o) for o in range(10)] + [(1, o) for o in range(5)]
+        df = spark.createDataFrame(rows, "partition int, offset long")
+        st = {
+            r["partition"]: r
+            for r in ack_state(
+                df, ~((F.col("partition") == 0) & (F.col("offset") == 3))
+            ).collect()
+        }
+        assert st[0]["mark_delete_offset"] == 2
+        assert st[0]["individually_acked"] == 6
+        assert st[0]["total_acked"] == 9
+        assert st[1]["mark_delete_offset"] == 4
+        assert st[1]["individually_acked"] == 0
+
+
+class TestReplication:
+    def test_loop_avoidance(self, spark, messages):
+        from pulsar_spark.operators import replicate_candidates
+        from pyspark.sql import functions as F
+
+        m = messages.withColumn(
+            "replicated_from", F.when(F.col("event_id") % 7 == 0, F.lit("west"))
+        )
+        out = replicate_candidates(m, "west")
+        assert out.where("replicated_from = 'west'").count() == 0
+        # replicating to a different cluster forwards west-origin rows too
+        out_east = replicate_candidates(m, "east")
+        assert out_east.where("replicated_from = 'west'").count() > 0
+        assert out_east.where("marker_type IS NOT NULL").count() == 0
+
+    def test_shadow_view_same_offsets(self, messages):
+        from pulsar_spark.operators import shadow_view
+
+        shadow = shadow_view(messages, "persistent://public/default/shadow")
+        assert shadow.select("partition", "offset").exceptAll(
+            messages.select("partition", "offset")
+        ).count() == 0
+        assert shadow.select("topic").distinct().collect()[0][0] == (
+            "persistent://public/default/shadow"
+        )
