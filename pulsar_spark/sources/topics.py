@@ -122,3 +122,42 @@ def read_topic(
     if start_time is not None:
         df = df.where(F.col("publish_time") >= F.lit(start_time).cast("timestamp"))
     return df
+
+
+def write_topic_bucketed(
+    messages: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+    key_col: str = "key",
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a topic as a BUCKETED table: rows hash-clustered by key
+    into ``n_buckets`` file groups, sorted by key within each bucket.
+
+    This is the at-rest analog of Key_Shared dispatch (SURVEY.md §2.9:
+    sticky key-hash ranges) and the scale path for every keyed
+    operator: compaction, TableView materialization, and key-grouped
+    aggregation read bucket metadata from the catalog and run with NO
+    shuffle — at 100 TB that deletes the single biggest cost of a
+    latest-per-key rewrite. A join between two topics bucketed the
+    same way (same key, same bucket count) is likewise shuffle-free.
+
+    Requires a table catalog (``saveAsTable``); pass ``path`` to keep
+    the data external at a chosen location.
+    """
+    writer = (
+        messages.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, key_col)
+        .sortBy(key_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def read_topic_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Catalog read of a bucketed topic table (bucket metadata intact,
+    so Catalyst elides exchanges on the bucket key)."""
+    return spark.table(table_name)

@@ -2,7 +2,7 @@ from pulsar_spark.streaming.subscribe import subscribe, run_to_end
 from pulsar_spark.streaming.tableview import table_view_stream, table_view_merge_sink
 from pulsar_spark.streaming.dedup import dedup_stream
 from pulsar_spark.streaming.windows import windowed_agg_stream, late_data_split
-from pulsar_spark.streaming.count_windows import count_window_stream
+from pulsar_spark.streaming.count_windows import count_window_stream, watermark_count_window_stream
 from pulsar_spark.streaming.delayed import delayed_release_stream
 
 __all__ = [
@@ -14,5 +14,6 @@ __all__ = [
     "windowed_agg_stream",
     "late_data_split",
     "count_window_stream",
+    "watermark_count_window_stream",
     "delayed_release_stream",
 ]

@@ -247,3 +247,24 @@ class TestReplication:
         assert shadow.select("topic").distinct().collect()[0][0] == (
             "persistent://public/default/shadow"
         )
+
+
+class TestBucketedTopics:
+    def test_bucketed_compaction_is_shuffle_free(self, spark, messages, tmp_path):
+        from pulsar_spark.operators import compact_publish_order
+        from pulsar_spark.sources import read_topic_table, write_topic_bucketed
+
+        write_topic_bucketed(
+            messages, "t_bucketed_test", n_buckets=8, path=str(tmp_path / "tb")
+        )
+        try:
+            t = read_topic_table(spark, "t_bucketed_test")
+            compacted = compact_publish_order(t)
+            plan = compacted._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, "bucketed compaction must not shuffle"
+            # same result as the unbucketed path
+            expected = compact_publish_order(messages).select("key", "offset")
+            assert compacted.select("key", "offset").exceptAll(expected).count() == 0
+            assert compacted.count() == expected.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bucketed_test")

@@ -238,3 +238,62 @@ class TestDelayedRelease:
         due = delayed_total.where(F.col("deliver_at") <= F.lit(now))
         assert out.count() == due.count()
         assert out.where(F.col("deliver_at") > F.lit(now)).count() == 0
+
+
+class TestWatermarkCountWindows:
+    def test_event_time_ordered_dense_windows(self, spark, topic_dir):
+        from pulsar_spark.streaming import subscribe, watermark_count_window_stream
+
+        out = _run(
+            watermark_count_window_stream(
+                subscribe(spark, topic_dir, max_files_per_trigger=1),
+                length=30,
+                max_lag="5 minutes",
+            ),
+            "wmcw",
+            spark,
+        ).collect()
+        assert out, "multi-batch run must advance the watermark and fire windows"
+        by_part = {}
+        for r in out:
+            by_part.setdefault(r["partition"], []).append(r)
+        for p, rows in by_part.items():
+            rows.sort(key=lambda r: r["window_seq"])
+            # dense seq, exactly-length windows, non-overlapping in event time
+            assert [r["window_seq"] for r in rows] == list(range(len(rows)))
+            for r in rows:
+                assert r["cnt"] == 30
+                assert r["first_event_time"] <= r["last_event_time"]
+            for a, b in zip(rows, rows[1:]):
+                assert a["last_event_time"] <= b["first_event_time"]
+
+    def test_windows_respect_event_time_order_not_arrival(self, spark, messages, tmp_path):
+        # fixture disorder: event_time = ts - (event_id % 300)s; windows must
+        # chunk the event-time-sorted sequence, so concatenating window
+        # contents in seq order reproduces sorted event times
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.streaming import subscribe, watermark_count_window_stream
+
+        d = str(tmp_path / "t")
+        write_topic(messages.where("partition = 0"), d)
+        out = _run(
+            watermark_count_window_stream(
+                subscribe(spark, d, max_files_per_trigger=1), length=20, max_lag="1 minute"
+            ),
+            "wmcw2",
+            spark,
+        ).collect()
+        assert out
+        rows = sorted(out, key=lambda r: r["window_seq"])
+        fired_n = len(rows) * 20
+        expected = [
+            r["event_time"]
+            for r in messages.where("partition = 0")
+            .orderBy("event_time", "offset")
+            .limit(fired_n)
+            .collect()
+        ]
+        # window k spans exactly the k-th chunk of the event-time-sorted prefix
+        for k, r in enumerate(rows):
+            assert r["first_event_time"] == expected[k * 20]
+            assert r["last_event_time"] == expected[k * 20 + 19]
