@@ -309,6 +309,28 @@ def _q_doc_token_stats(spark, sf_dir):
     )
 
 
+def _q_doc_bpe_tokens(spark, sf_dir):
+    from pulsar_spark.functions import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", bpe_token_count(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+def _q_doc_rolling_fingerprint(spark, sf_dir):
+    from pulsar_spark.functions import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("rfp"))
+
+
 def _q_doc_langid(spark, sf_dir):
     from pulsar_spark.functions import language_id
 
@@ -525,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_token_stats": _q_doc_token_stats,
         "doc_langid": _q_doc_langid,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "embedding_knn": _q_embedding_knn,
         "embedding_knn_all": _q_embedding_knn_all,
         "fn_exclamation": _q_fn_exclamation,
@@ -773,6 +797,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN en_s >= de_s THEN 'en' ELSE 'de' END AS lang_pred,
                    greatest(de_s, en_s, es_s, fr_s, zh_s) AS lang_score
             FROM s
+        """,
+        "doc_bpe_tokens": r"""
+            WITH toks AS (
+              SELECT lang,
+                     len(regexp_extract_all(text,
+                         '''s|''t|''re|''ve|''m|''ll|''d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+                         AS n_tok
+              FROM documents
+            )
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_bpe_tokens,
+                   round(CAST(avg(n_tok) AS DOUBLE), 4) AS avg_bpe_tokens
+            FROM toks GROUP BY lang
+        """,
+        "doc_rolling_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_filter(string_split(text, ''), ch -> ch <> ''),
+                                      ch -> CAST(unicode(ch) AS BIGINT))),
+                     (acc, cp) -> (acc * 31 + cp) % 1000000007) AS rfp
+            FROM documents
         """,
         "embedding_knn": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

@@ -82,3 +82,42 @@ def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit document fingerprint (md5 of lowercase,
     space-normalized text) — exact-dup key and cache key."""
     return F.md5(F.lower(F.trim(text)))
+
+
+#: GPT-2-ish pretokenizer pattern, restricted to constructs with
+#: identical semantics in java.util.regex and RE2 (no lookarounds):
+#: common contractions, letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokenize(text: Column) -> Column:
+    """BPE-style pretokenization (contractions / letter runs / digit
+    runs / punctuation runs) via ``regexp_extract_all`` — JVM-side, no
+    UDF. The real byte-pair merges happen in a trainer's tokenizer;
+    pipelines use this split for token-budget estimation."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokenize(text))
+
+
+ROLLING_HASH_BASE = 31
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp accumulator) over unicode
+    codepoints: acc = (acc*31 + cp) mod 1e9+7. Order-sensitive — unlike
+    the md5 ``fingerprint`` it can be updated incrementally and compared
+    across substrings; modulus keeps every intermediate < 2^35 so the
+    arithmetic is exact in any engine's 64-bit integers."""
+    cps = F.transform(
+        F.filter(F.split(text, ""), lambda ch: ch != ""),
+        lambda ch: F.ascii(ch).cast("bigint"),
+    )
+    return F.aggregate(
+        cps,
+        F.lit(0).cast("bigint"),
+        lambda acc, cp: (acc * ROLLING_HASH_BASE + cp) % ROLLING_HASH_MOD,
+    )

@@ -171,3 +171,25 @@ class TestSimilarity:
         pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
                  ngram_jaccard_pairs(df, threshold=0.9).collect()}
         assert pairs == {(1, 2): 1.0}
+
+
+class TestBpeAndRollingHash:
+    def test_bpe_tokenize_splits_contractions_and_runs(self, spark):
+        from pulsar_spark.functions import bpe_tokenize
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("It's 2024, v2.0-beta!",)], "t string")
+        toks = df.select(bpe_tokenize(F.col("t")).alias("x")).head()["x"]
+        assert toks == ["It", "'s", "2024", ",", "v", "2", ".", "0", "-", "beta", "!"]
+
+    def test_rolling_fingerprint_order_sensitive(self, spark):
+        from pulsar_spark.functions import rolling_fingerprint
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("ab",), ("ba",), ("",), ("ab",)], "t string")
+        vals = [r["h"] for r in df.select(rolling_fingerprint(F.col("t")).alias("h")).collect()]
+        assert vals[0] != vals[1]  # order-sensitive, unlike set hashing
+        assert vals[2] == 0
+        assert vals[0] == vals[3]  # deterministic
+        # matches the arithmetic definition
+        assert vals[0] == (ord("a") * 31 + ord("b")) % 1_000_000_007
