@@ -114,6 +114,16 @@ def main() -> None:
             "x2_minhash_dedup",
             lambda: minhash_near_duplicates(docs, threshold=0.5).count(),
         )
+
+        # x3: brute-force cosine top-10 over the embedding corpus
+        from pulsar_spark.functions import cosine_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+        timed(
+            "x3_embedding_knn",
+            lambda: cosine_topk(emb, qvec, k=10, exclude_id=0).collect(),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
