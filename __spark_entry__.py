@@ -64,6 +64,17 @@ def _q_compact_event_time(spark, sf_dir):
     )
 
 
+def _q_compact_strategic(spark, sf_dir):
+    # pluggable-order compaction: keep the max-val entry per key
+    # (TopicCompactionStrategy analog; ties -> later offset)
+    from pulsar_spark.operators import compact_strategic
+
+    m = _messages(spark, sf_dir)
+    return compact_strategic(m, F.struct(F.col("val"), F.col("offset"))).select(
+        "key", "partition", "offset", "event_id", "val"
+    )
+
+
 def _q_table_view(spark, sf_dir):
     from pulsar_spark.operators import table_view
 
@@ -91,6 +102,19 @@ def _q_delayed_visibility(spark, sf_dir):
 
     return visible_messages(_messages(spark, sf_dir), VISIBLE_AT).select(
         "partition", "offset", "event_id", "deliver_at"
+    )
+
+
+def _q_scheduled_messages(spark, sf_dir):
+    # delayed-delivery tracker: next N messages due after a logical
+    # 'now' in deliver_at order (InMemoryDelayedDeliveryTracker
+    # :209-226 getScheduledMessages min-heap analog)
+    m = _messages(spark, sf_dir)
+    return (
+        m.where(F.col("deliver_at") > F.lit(VISIBLE_AT).cast("timestamp"))
+        .orderBy("deliver_at", "partition", "offset")
+        .limit(100)
+        .select("partition", "offset", "event_id", "deliver_at")
     )
 
 
@@ -522,10 +546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "compact_publish_order": _q_compact_publish_order,
         "compact_event_time": _q_compact_event_time,
+        "compact_strategic": _q_compact_strategic,
         "table_view": _q_table_view,
         "dedup": _q_dedup,
         "ttl_expiry": _q_ttl_expiry,
         "delayed_visibility": _q_delayed_visibility,
+        "scheduled_messages": _q_scheduled_messages,
         "user_visible": _q_user_visible,
         "peek": _q_peek,
         "seek_by_timestamp": _q_seek_by_timestamp,
@@ -597,6 +623,13 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY key ORDER BY event_time DESC, "offset" DESC) = 1
             AND NOT tombstone
         """,
+        "compact_strategic": f"""
+            WITH {_M}
+            SELECT key, partition, "offset", event_id, val
+            FROM messages
+            WHERE key IS NOT NULL
+            QUALIFY row_number() OVER (PARTITION BY key ORDER BY val DESC, "offset" DESC) = 1
+        """,
         "table_view": f"""
             WITH {_M}
             SELECT key, event_id, event_type, val
@@ -621,6 +654,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT partition, "offset", event_id, deliver_at
             FROM messages
             WHERE deliver_at IS NULL OR deliver_at <= TIMESTAMP '{VISIBLE_AT}'
+        """,
+        "scheduled_messages": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, deliver_at
+            FROM messages
+            WHERE deliver_at > TIMESTAMP '{VISIBLE_AT}'
+            ORDER BY deliver_at, partition, "offset" LIMIT 100
         """,
         "user_visible": f"""
             WITH {_M}
