@@ -55,9 +55,22 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         minhash_near_duplicates(docs.limit(64), threshold=0.5).count()  # Arrow/pandas worker warmup
 
-        # envelope window output is already hash-partitioned by `partition`
+        # B1: the product ingest path — produce() mints the full envelope
+        # (key routing, per-partition offsets, monotonic sequence ids)
+        # and appends a 32-partition topic
+        from pulsar_spark.sources.topics import produce
+
+        produce(events.limit(5000), f"{tmp}/warm2", key_col="user_id",
+                num_partitions=32, mode="overwrite")
         timed(
             "b1_ingest",
+            lambda: produce(events, f"{tmp}/topic_p", key_col="user_id",
+                            num_partitions=32, mode="overwrite"),
+        )
+        # fixture-envelope variant (the oracle-checked mapping), kept for
+        # round-over-round comparability
+        timed(
+            "b1b_fixture_envelope",
             lambda: write_topic(events_to_messages(events), f"{tmp}/topic", repartition=False),
         )
         messages = spark.read.parquet(f"{tmp}/topic").cache()

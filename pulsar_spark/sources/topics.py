@@ -66,8 +66,18 @@ def produce(
         )
         .withColumn("key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"))
     )
-    w_seq = Window.partitionBy("producer_name").orderBy("partition", "offset")
-    df = df.withColumn("sequence_id", (F.row_number().over(w_seq) - 1).cast("bigint"))
+    # sequence_id: the dedup contract (MessageDeduplication.java:279-281)
+    # only needs strict monotonicity in send order per producer — reject
+    # sequence <= highest-seen — not dense numbering. Mint it as the
+    # bijection offset * num_partitions + partition (send order =
+    # round-robin interleave across partitions): unique per producer,
+    # strictly increasing along every partition's log, and a narrow
+    # expression — no extra pass, no single-task global window (a window
+    # over producer_name would serialize the whole batch into one task).
+    df = df.withColumn(
+        "sequence_id",
+        (F.col("offset") * num_partitions + F.col("partition")).cast("bigint"),
+    )
 
     base = _existing_offsets(spark, topic_path, num_partitions) if mode == "append" else None
     if base is not None:
@@ -75,9 +85,11 @@ def produce(
             "offset", F.col("offset") + F.coalesce(F.col("_base") + 1, F.lit(0))
         ).drop("_base")
 
+    # No repartition here: the offset window already hash-partitioned the
+    # data by `partition`, so each task holds whole topic partitions and
+    # the dynamic-partition write emits one file per partition per append.
     (
-        df.repartition("partition")
-        .write.mode("append" if mode == "append" else "overwrite")
+        df.write.mode("append" if mode == "append" else "overwrite")
         .partitionBy("partition")
         .parquet(topic_path)
     )
