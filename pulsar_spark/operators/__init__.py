@@ -1,4 +1,6 @@
 from pulsar_spark.operators.compaction import (
+    compact_topic_storage,
+    read_compacted,
     compact_publish_order,
     compact_event_time_order,
     compact_strategic,
@@ -29,6 +31,8 @@ __all__ = [
     "compact_publish_order",
     "compact_event_time_order",
     "compact_strategic",
+    "compact_topic_storage",
+    "read_compacted",
     "dedup_messages",
     "ttl_filter",
     "visible_messages",

@@ -71,3 +71,60 @@ def compact_strategic(messages: DataFrame, order: Column, key_col: str = "key") 
     is any orderable Column/struct; max wins. Tombstone handling is the
     caller's strategy choice, so no filter is applied here."""
     return _compact(messages, order, key_col)
+
+
+def compact_topic_storage(
+    spark,
+    topic_path: str,
+    event_time_order: bool = False,
+    key_col: str = "key",
+) -> dict[int, int]:
+    """Background compaction maintenance job — the storage analog of the
+    two-phase compactor (AbstractTwoPhaseCompactor.java:100 phaseTwo
+    rewrite): materialize latest-per-key (tombstone keys dropped) into a
+    ``<topic>__compacted`` side table and record the compaction horizon
+    (max offset per partition at compaction time).
+
+    Returns the horizon map. Scale: the rewrite output is one row per
+    live key — at 100 TB this runs as a single keyed aggregation and a
+    partitioned write, scheduled off the hot path exactly like the
+    reference's broker-triggered compaction.
+    """
+    from pulsar_spark.sources.topics import read_topic, write_topic
+
+    m = read_topic(spark, topic_path)
+    horizon = {
+        r["partition"]: r["mx"]
+        for r in m.groupBy("partition").agg(F.max("offset").alias("mx")).collect()
+    }
+    compacted = (
+        compact_event_time_order(m, key_col=key_col)
+        if event_time_order
+        else compact_publish_order(m, key_col=key_col)
+    )
+    write_topic(compacted, topic_path.rstrip("/") + "__compacted", mode="overwrite")
+    hdf = spark.createDataFrame(
+        [(p, o) for p, o in sorted(horizon.items())], "partition int, horizon bigint"
+    )
+    hdf.coalesce(1).write.mode("overwrite").parquet(topic_path.rstrip("/") + "__horizon")
+    return horizon
+
+
+def read_compacted(spark, topic_path: str):
+    """Reader with readCompacted=true semantics: the compacted ledger up
+    to the recorded horizon, then the raw log past it
+    (CompactionTest.java reader behavior). Falls back to the raw topic
+    when no compaction has run."""
+    from pulsar_spark.sources.topics import read_topic
+
+    base = topic_path.rstrip("/")
+    try:
+        compacted = spark.read.parquet(base + "__compacted")
+        horizon = spark.read.parquet(base + "__horizon")
+    except Exception:
+        return read_topic(spark, topic_path)
+    raw = read_topic(spark, topic_path)
+    tail = raw.join(F.broadcast(horizon), on="partition", how="left").where(
+        F.col("horizon").isNull() | (F.col("offset") > F.col("horizon"))
+    ).drop("horizon")
+    return compacted.unionByName(tail)

@@ -268,3 +268,47 @@ class TestBucketedTopics:
             assert compacted.count() == expected.count()
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+
+
+class TestStorageCompaction:
+    def test_compact_then_tail_reads(self, spark, messages, tmp_path):
+        """Reader with readCompacted=true sees the compacted horizon plus
+        the raw tail appended after compaction (CompactionTest.java
+        reader semantics)."""
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators import (
+            compact_publish_order,
+            compact_topic_storage,
+            read_compacted,
+        )
+        from pulsar_spark.sources import write_topic
+
+        d = str(tmp_path / "t")
+        first = messages.where("offset < 50")
+        write_topic(first, d)
+        horizon = compact_topic_storage(spark, d)
+        assert set(horizon.values()) == {49}
+
+        # before any tail append: exactly the batch compaction result
+        got = read_compacted(spark, d)
+        want = compact_publish_order(first)
+        assert got.count() == want.count()
+        assert got.select("key", "offset").exceptAll(want.select("key", "offset")).count() == 0
+
+        # append a tail past the horizon; reader = compacted + RAW tail
+        tail = messages.where("offset >= 50 AND offset < 60")
+        write_topic(tail, d, mode="append")
+        got2 = read_compacted(spark, d)
+        assert got2.count() == want.count() + tail.count()
+        # tail rows are NOT compacted (duplicate keys with the horizon allowed)
+        raw_tail = got2.where(F.col("offset") >= 50)
+        assert raw_tail.count() == tail.count()
+
+    def test_read_compacted_falls_back_to_raw(self, spark, messages, tmp_path):
+        from pulsar_spark.operators import read_compacted
+        from pulsar_spark.sources import write_topic
+
+        d = str(tmp_path / "t2")
+        write_topic(messages.where("offset < 20"), d)
+        assert read_compacted(spark, d).count() == messages.where("offset < 20").count()
