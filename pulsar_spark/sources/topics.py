@@ -41,12 +41,19 @@ def produce(
     producer_name: str = "producer-0",
     event_time_col: str | None = None,
     mode: str = "append",
+    sequence_col: str | None = None,
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
 
     Offsets continue from the topic's current per-partition high
     watermark (read cheaply from the parquet footer stats of the
     existing table; an 8-row broadcast join).
+
+    Pass ``sequence_col`` to supply caller sequence ids and get
+    broker-side effectively-once semantics: rows whose sequence is <=
+    the topic's highest stored sequence for this producer are silently
+    dropped, and in-batch repeats keep one row
+    (MessageDeduplication.java:279-281 isDuplicate).
     """
     spark = payload.sparkSession
     part = (
@@ -55,10 +62,25 @@ def produce(
         else F.pmod(F.hash(F.rand(seed=0)), F.lit(num_partitions)).cast("int")
     )
     df = payload.withColumn("partition", part)
+
+    if sequence_col is not None:
+        df = df.withColumn("sequence_id", F.col(sequence_col).cast("bigint")).withColumn(
+            "producer_name", F.lit(producer_name)
+        )
+        high = _existing_sequences(spark, topic_path)
+        if high is not None:
+            df = (
+                df.join(F.broadcast(high), on="producer_name", how="left")
+                .where(F.col("_hiseq").isNull() | (F.col("sequence_id") > F.col("_hiseq")))
+                .drop("_hiseq")
+            )
+        df = df.dropDuplicates(["producer_name", "sequence_id"])
+    else:
+        df = df.withColumn("producer_name", F.lit(producer_name))
+
     w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
     df = (
         df.withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
-        .withColumn("producer_name", F.lit(producer_name))
         .withColumn("publish_time", F.current_timestamp())
         .withColumn(
             "event_time",
@@ -66,24 +88,27 @@ def produce(
         )
         .withColumn("key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"))
     )
-    # sequence_id: the dedup contract (MessageDeduplication.java:279-281)
-    # only needs strict monotonicity in send order per producer — reject
-    # sequence <= highest-seen — not dense numbering. Mint it as the
-    # bijection offset * num_partitions + partition (send order =
-    # round-robin interleave across partitions): unique per producer,
-    # strictly increasing along every partition's log, and a narrow
-    # expression — no extra pass, no single-task global window (a window
-    # over producer_name would serialize the whole batch into one task).
-    df = df.withColumn(
-        "sequence_id",
-        (F.col("offset") * num_partitions + F.col("partition")).cast("bigint"),
-    )
 
     base = _existing_offsets(spark, topic_path, num_partitions) if mode == "append" else None
     if base is not None:
         df = df.join(F.broadcast(base), on="partition", how="left").withColumn(
             "offset", F.col("offset") + F.coalesce(F.col("_base") + 1, F.lit(0))
         ).drop("_base")
+
+    if sequence_col is None:
+        # sequence_id: the dedup contract (MessageDeduplication.java:279-281)
+        # only needs strict monotonicity in send order per producer — reject
+        # sequence <= highest-seen — not dense numbering. Mint it AFTER
+        # offset rebasing as the bijection offset*num_partitions+partition
+        # (send order = round-robin interleave across partitions): unique
+        # per producer, strictly increasing along every partition's log
+        # across appends, and a narrow expression — no extra pass, no
+        # single-task global window (a window over producer_name would
+        # serialize the whole batch into one task).
+        df = df.withColumn(
+            "sequence_id",
+            (F.col("offset") * num_partitions + F.col("partition")).cast("bigint"),
+        )
 
     # No repartition here: the offset window already hash-partitioned the
     # data by `partition`, so each task holds whole topic partitions and
@@ -101,6 +126,16 @@ def _existing_offsets(spark: SparkSession, topic_path: str, num_partitions: int)
     except Exception:
         return None
     return existing.groupBy("partition").agg(F.max("offset").alias("_base"))
+
+
+def _existing_sequences(spark: SparkSession, topic_path: str) -> DataFrame | None:
+    """Highest stored sequence per producer — the dedup high-water map
+    (MessageDeduplication.java:112 highestSequencedPushed)."""
+    try:
+        existing = spark.read.parquet(topic_path)
+    except Exception:
+        return None
+    return existing.groupBy("producer_name").agg(F.max("sequence_id").alias("_hiseq"))
 
 
 def write_topic(

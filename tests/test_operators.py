@@ -312,3 +312,66 @@ class TestStorageCompaction:
         d = str(tmp_path / "t2")
         write_topic(messages.where("offset < 20"), d)
         assert read_compacted(spark, d).count() == messages.where("offset < 20").count()
+
+
+class TestEffectivelyOnceProduce:
+    def test_replayed_sequences_rejected(self, spark, tmp_path):
+        """Broker-side dedup: replaying a batch with already-stored
+        sequence ids appends nothing; partially-new batches append only
+        the new tail (MessageDeduplication isDuplicate semantics)."""
+        from pulsar_spark.sources.topics import produce
+
+        d = str(tmp_path / "t")
+        batch1 = spark.createDataFrame(
+            [(i, i * 1.0) for i in range(100)], "seq long, v double"
+        )
+        produce(batch1, d, sequence_col="seq", mode="overwrite")
+        n1 = spark.read.parquet(d).count()
+        assert n1 == 100
+
+        # exact replay -> nothing new
+        produce(batch1, d, sequence_col="seq", mode="append")
+        assert spark.read.parquet(d).count() == 100
+
+        # overlap replay (50..149) -> only 100..149 appended
+        batch2 = spark.createDataFrame(
+            [(i, i * 1.0) for i in range(50, 150)], "seq long, v double"
+        )
+        produce(batch2, d, sequence_col="seq", mode="append")
+        df = spark.read.parquet(d)
+        assert df.count() == 150
+        assert df.select("sequence_id").distinct().count() == 150
+        # offsets stay dense per partition after dedup
+        from pyspark.sql import functions as F
+
+        per = df.groupBy("partition").agg(F.max("offset").alias("mx"), F.count("*").alias("c"))
+        assert per.where("mx != c - 1").count() == 0
+
+    def test_in_batch_duplicates_collapse(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce
+
+        d = str(tmp_path / "t2")
+        dup = spark.createDataFrame(
+            [(1, 1.0), (1, 1.0), (2, 2.0)], "seq long, v double"
+        )
+        produce(dup, d, sequence_col="seq", mode="overwrite")
+        assert spark.read.parquet(d).count() == 2
+
+    def test_minted_sequences_monotonic_across_appends(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.sources.topics import produce
+
+        d = str(tmp_path / "t3")
+        b = spark.createDataFrame([(i,) for i in range(40)], "x long")
+        produce(b, d, num_partitions=4, mode="overwrite")
+        hi1 = spark.read.parquet(d).select(F.max("sequence_id")).first()[0]
+        produce(b, d, num_partitions=4, mode="append")
+        df = spark.read.parquet(d)
+        # second append's sequences all exceed the first append's max
+        # within each partition's log (monotonic per producer send order)
+        w_bad = (
+            df.groupBy("partition", "sequence_id").count().where("count > 1").count()
+        )
+        assert w_bad == 0, "sequence ids must stay unique across appends"
+        assert df.select(F.max("sequence_id")).first()[0] > hi1
