@@ -21,6 +21,8 @@ from pulsar_spark.operators.stats import topic_stats, partitioned_topic_stats
 from pulsar_spark.operators.subscriptions import (
     sticky_key_hash,
     key_shared_assignment,
+    key_shared_assignment_auto_split,
+    hash_range_auto_split,
     dlq_split,
     retry_schedule,
 )
@@ -50,6 +52,8 @@ __all__ = [
     "partitioned_topic_stats",
     "sticky_key_hash",
     "key_shared_assignment",
+    "key_shared_assignment_auto_split",
+    "hash_range_auto_split",
     "dlq_split",
     "retry_schedule",
     "table_view",

@@ -89,3 +89,39 @@ def retry_schedule(
         )
         .withColumn("redelivery_count", (F.col("redelivery_count") + 1).cast("int"))
     )
+
+
+def hash_range_auto_split(num_consumers: int) -> list[tuple[int, int, int]]:
+    """Range boundaries from sequential consumer joins, each split
+    halving the (first) largest existing range —
+    HashRangeAutoSplitStickyKeyConsumerSelector.java:59-77. Returns
+    [(start, end_exclusive, consumer_id)] covering [0, 65536)."""
+    ranges: list[tuple[int, int, int]] = [(0, HASH_RANGE_SIZE, 0)]
+    for c in range(1, num_consumers):
+        i = max(range(len(ranges)), key=lambda j: ranges[j][1] - ranges[j][0])
+        s, e, owner = ranges[i]
+        mid = (s + e) // 2
+        ranges[i] = (s, mid, owner)
+        ranges.insert(i + 1, (mid, e, c))
+    return ranges
+
+
+def key_shared_assignment_auto_split(
+    messages: DataFrame,
+    num_consumers: int,
+    key_col: str = "key",
+    deterministic_mod: bool = False,
+) -> DataFrame:
+    """Key_Shared assignment under auto-split ranges (exact reference
+    boundaries, including non-power-of-two consumer counts where range
+    sizes differ 2:1). Adds ``sticky_hash`` and ``consumer_id``."""
+    ranges = hash_range_auto_split(num_consumers)
+    slot = sticky_key_hash(F.col(key_col), deterministic_mod)
+    expr = F.lit(None).cast("int")
+    assign = None
+    for s, e, owner in ranges:
+        cond = (F.col("sticky_hash") >= s) & (F.col("sticky_hash") < e)
+        assign = F.when(cond, owner) if assign is None else assign.when(cond, owner)
+    return messages.withColumn("sticky_hash", slot).withColumn(
+        "consumer_id", assign.cast("int")
+    )

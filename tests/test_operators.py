@@ -375,3 +375,31 @@ class TestEffectivelyOnceProduce:
         )
         assert w_bad == 0, "sequence ids must stay unique across appends"
         assert df.select(F.max("sequence_id")).first()[0] > hi1
+
+
+class TestKeySharedAutoSplit:
+    def test_ranges_cover_space_disjoint(self):
+        from pulsar_spark.operators import hash_range_auto_split
+
+        for n in (1, 2, 3, 5, 8, 7):
+            ranges = sorted(hash_range_auto_split(n))
+            assert ranges[0][0] == 0 and ranges[-1][1] == 65536
+            for (s1, e1, _), (s2, e2, _) in zip(ranges, ranges[1:]):
+                assert e1 == s2, "ranges must tile the hash space"
+            assert sorted({r[2] for r in ranges}) == list(range(n))
+            # auto-split invariant: sizes differ by at most 2x
+            sizes = [e - s for s, e, _ in ranges]
+            assert max(sizes) <= 2 * min(sizes)
+
+    def test_assignment_matches_ranges_and_per_key_affinity(self, messages):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators import key_shared_assignment_auto_split
+
+        out = key_shared_assignment_auto_split(messages, 3)
+        assert out.where("consumer_id IS NULL").count() == 0
+        # a key maps to exactly one consumer (per-key ordering guarantee)
+        multi = out.groupBy("key").agg(
+            F.countDistinct("consumer_id").alias("n")
+        ).where("n > 1")
+        assert multi.count() == 0

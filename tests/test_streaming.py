@@ -297,3 +297,51 @@ class TestWatermarkCountWindows:
         for k, r in enumerate(rows):
             assert r["first_event_time"] == expected[k * 20]
             assert r["last_event_time"] == expected[k * 20 + 19]
+
+
+class TestFunctionPipelineE2E:
+    def test_topic_to_function_to_topic(self, spark, topic_dir, messages, tmp_path):
+        """The §3.3 lifecycle end-to-end: subscribe(input topic) ->
+        map Function -> produce(output topic), streaming via
+        foreachBatch, then validate the output topic's envelope and
+        payload (PulsarFunctionE2ETest analog)."""
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions.runtime import map_function
+        from pulsar_spark.sources.topics import produce
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        out_topic = str(tmp_path / "out_topic")
+
+        def process_batch(batch_df, batch_id):
+            transformed = map_function(
+                batch_df.select("key", "event_id", F.col("val").cast("string").alias("val")),
+                lambda c: F.concat(c, F.lit("!")),
+            )
+            produce(
+                transformed,
+                out_topic,
+                key_col="key",
+                num_partitions=4,
+                producer_name="fn-exclaim",
+                mode="append",
+            )
+
+        run_to_end(
+            subscribe(spark, topic_dir, max_files_per_trigger=4).writeStream.foreachBatch(
+                process_batch
+            )
+        )
+
+        out = spark.read.parquet(out_topic)
+        assert out.count() == messages.count()
+        # envelope minted by the sink producer
+        assert out.select("producer_name").distinct().collect()[0][0] == "fn-exclaim"
+        per = out.groupBy("partition").agg(
+            F.max("offset").alias("mx"), F.count("*").alias("c")
+        )
+        assert per.where("mx != c - 1").count() == 0, "dense offsets across micro-batches"
+        # function semantics applied to every record
+        assert out.where(~F.col("result").endswith("!")).count() == 0
+        # per-producer sequence ids stay unique across micro-batch appends
+        assert out.select("sequence_id").distinct().count() == out.count()
