@@ -171,6 +171,19 @@ def _q_key_shared(spark, sf_dir):
     )
 
 
+def _q_key_shared_auto_split(spark, sf_dir):
+    # auto-split sticky ranges with 3 consumers (non-power-of-two:
+    # range sizes differ 2:1 — HashRangeAutoSplitStickyKeyConsumerSelector)
+    from pulsar_spark.operators import key_shared_assignment_auto_split
+
+    m = _messages(spark, sf_dir)
+    return (
+        key_shared_assignment_auto_split(m, 3, deterministic_mod=True)
+        .groupBy("consumer_id")
+        .agg(F.count("*").alias("msg_count"), F.countDistinct("key").alias("key_count"))
+    )
+
+
 def _q_dlq(spark, sf_dir):
     from pulsar_spark.operators import dlq_split
 
@@ -559,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_stats": _q_topic_stats,
         "partition_stats": _q_partition_stats,
         "key_shared": _q_key_shared,
+        "key_shared_auto_split": _q_key_shared_auto_split,
         "dlq": _q_dlq,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
@@ -603,6 +617,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _M = messages_oracle_cte()
 
 _REV = "round(sum(l_extendedprice * (1 - l_discount)), 2)"
+
+
+def _key_shared_auto_split_oracle(num_consumers: int = 3) -> str:
+    # build the CASE from the same auto-split boundaries the engine uses
+    from pulsar_spark.operators import hash_range_auto_split
+
+    cases = " ".join(
+        f"WHEN slot >= {s} AND slot < {e} THEN {c}"
+        for s, e, c in hash_range_auto_split(num_consumers)
+    )
+    return f"""
+        WITH {_M}, slotted AS (
+          SELECT key, (CAST(key AS BIGINT) * 2654435761) % 65536 AS slot FROM messages
+        )
+        SELECT CAST(CASE {cases} END AS INT) AS consumer_id,
+               count(*) AS msg_count, count(DISTINCT key) AS key_count
+        FROM slotted GROUP BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -707,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS msg_count, count(DISTINCT key) AS key_count
             FROM messages GROUP BY 1
         """,
+        "key_shared_auto_split": _key_shared_auto_split_oracle(),
         "dlq": f"""
             WITH {_M}
             SELECT partition, "offset", event_id, CAST({MAX_REDELIVER} AS INT) AS redelivery_count

@@ -38,7 +38,7 @@ Fixture rules (cross-checked with FIXTURES.md):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_PARTITIONS = 8

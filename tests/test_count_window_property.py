@@ -71,7 +71,6 @@ def test_windows_invariant_to_batch_splits(n, length, slide_frac, cuts):
 def test_simulation_matches_stream_operator(spark, messages, tmp_path):
     """Anchor the pure simulation to the real applyInPandasWithState
     operator on fixture data (one partition, multi-batch run)."""
-    from pyspark.sql import functions as F
 
     from pulsar_spark.sources import write_topic
     from pulsar_spark.streaming import count_window_stream, run_to_end, subscribe
