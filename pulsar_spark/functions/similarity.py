@@ -336,3 +336,66 @@ def ivf_topk(
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Materialize an IVF index as a parquet store hive-partitioned by
+    ``centroid_id``, with the centroid matrix saved alongside. At 100 TB
+    this is THE layout: a probe of n_probe lists touches only those
+    directories — partition pruning at the storage layer, not a row
+    filter — so query cost is ~n_probe/n_centroids of the corpus
+    regardless of corpus size. Returns the centroids."""
+    centroids = ivf_fit(embeddings, dim, n_centroids, iters, vec_col, id_col)
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path.rstrip("/") + "/vectors")
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a materialized IVF store: rank centroids driver-side (the
+    centroid table is KBs), scan ONLY the probed ``centroid_id=``
+    partitions (check .explain: PartitionFilters prunes the rest), exact
+    cosine top-k within."""
+    crows = spark.read.parquet(path.rstrip("/") + "/centroids").collect()
+    cents = np.zeros((len(crows), len(crows[0]["centroid"])), dtype=np.float64)
+    for r in crows:
+        cents[r["centroid_id"]] = r["centroid"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = [int(p) for p in np.argsort(-(_normalize_rows(cents) @ qn))[:n_probe]]
+
+    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
+    shortlist = vectors.where(F.col("centroid_id").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = shortlist.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

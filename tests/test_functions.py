@@ -173,6 +173,27 @@ class TestSimilarity:
         assert pairs == {(1, 2): 1.0}
 
 
+    def test_ivf_indexed_store_prunes_and_matches(self, spark, embeddings, tmp_path):
+        from pulsar_spark.functions import ivf_topk, ivf_topk_indexed, ivf_write_index
+
+        path = str(tmp_path / "ivf")
+        cents = ivf_write_index(embeddings, path, dim=64, n_centroids=8, iters=2)
+        q = list(embeddings.where("vec_id = 0").select("embedding").head()[0])
+
+        indexed = ivf_topk_indexed(spark, path, q, k=10, n_probe=2, exclude_id=0)
+        # probe scan must prune partitions at the source, not post-filter
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan
+
+        inline = ivf_topk(
+            embeddings, q, dim=64, k=10, n_centroids=8, n_probe=2,
+            exclude_id=0, centroids=cents,
+        )
+        got = [(r["vec_id"], r["cosine"]) for r in indexed.collect()]
+        want = [(r["vec_id"], r["cosine"]) for r in inline.collect()]
+        assert got == want
+
+
 class TestBpeAndRollingHash:
     def test_bpe_tokenize_splits_contractions_and_runs(self, spark):
         from pulsar_spark.functions import bpe_tokenize
