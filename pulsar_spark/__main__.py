@@ -1,0 +1,103 @@
+"""Thin CLI over the engine API — the `pulsar-client produce/consume/read`
+analog (pulsar-client-tools/.../cli/CmdProduce.java:88, CmdConsume.java:56,
+CmdRead.java:54). The CLI is deliberately a shim: every subcommand is a
+few lines over the same DataFrame operators the library exposes.
+
+  python -m pulsar_spark produce <topic_path> --input f.parquet --key-col k
+  python -m pulsar_spark read    <topic_path> [--from-offset N] [--from-time TS] [-n N]
+  python -m pulsar_spark consume <topic_path> -n 10       (peek past cursor 0)
+  python -m pulsar_spark stats   <topic_path>
+  python -m pulsar_spark compact <topic_path> [--event-time-order]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pulsar_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_prod = sub.add_parser("produce", help="append rows from a file to a topic")
+    p_prod.add_argument("topic")
+    p_prod.add_argument("--input", required=True, help="parquet/json/csv input path")
+    p_prod.add_argument("--format", default="parquet")
+    p_prod.add_argument("--key-col", default=None)
+    p_prod.add_argument("--num-partitions", type=int, default=8)
+    p_prod.add_argument("--producer-name", default="cli-producer")
+
+    p_read = sub.add_parser("read", help="scan a topic from an offset/timestamp")
+    p_read.add_argument("topic")
+    p_read.add_argument("--from-offset", type=int, default=None)
+    p_read.add_argument("--from-time", default=None)
+    p_read.add_argument("-n", "--limit", type=int, default=20)
+
+    p_cons = sub.add_parser("consume", help="peek the next N messages per partition")
+    p_cons.add_argument("topic")
+    p_cons.add_argument("-n", "--limit", type=int, default=10)
+
+    p_stat = sub.add_parser("stats", help="per-topic stats rollup")
+    p_stat.add_argument("topic")
+
+    p_comp = sub.add_parser("compact", help="run the compaction maintenance job")
+    p_comp.add_argument("topic")
+    p_comp.add_argument("--event-time-order", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pulsar_spark import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("pulsar-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "produce":
+        from pulsar_spark.sources.topics import produce
+
+        df = spark.read.format(args.format).load(args.input)
+        produce(
+            df,
+            args.topic,
+            key_col=args.key_col,
+            num_partitions=args.num_partitions,
+            producer_name=args.producer_name,
+        )
+        print(json.dumps({"produced": df.count(), "topic": args.topic}))
+    elif args.cmd == "read":
+        from pulsar_spark.sources.topics import read_topic
+
+        df = read_topic(spark, args.topic, args.from_offset, args.from_time)
+        for row in df.orderBy("partition", "offset").limit(args.limit).collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "consume":
+        from pulsar_spark.operators import peek_messages
+        from pulsar_spark.sources.topics import read_topic
+
+        df = peek_messages(read_topic(spark, args.topic), args.limit)
+        for row in df.orderBy("partition", "offset").collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "stats":
+        from pulsar_spark.operators import topic_stats
+        from pulsar_spark.sources.topics import read_topic
+
+        for row in topic_stats(read_topic(spark, args.topic)).collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "compact":
+        from pulsar_spark.operators import compact_topic_storage
+
+        horizon = compact_topic_storage(
+            spark, args.topic, event_time_order=args.event_time_order
+        )
+        print(json.dumps({"compacted_horizon": horizon}))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

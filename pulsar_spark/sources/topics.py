@@ -78,9 +78,13 @@ def produce(
     else:
         df = df.withColumn("producer_name", F.lit(producer_name))
 
+    import os
+
+    topic_name = "persistent://public/default/" + os.path.basename(topic_path.rstrip("/"))
     w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
     df = (
-        df.withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
+        df.withColumn("topic", F.lit(topic_name))
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
         .withColumn("publish_time", F.current_timestamp())
         .withColumn(
             "event_time",

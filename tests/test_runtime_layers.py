@@ -272,3 +272,38 @@ class TestMultimodal:
         )
         out = sample_frames(media, every_n=10)
         assert [r["frame_idx"] for r in out.orderBy("frame_idx").collect()] == [0, 10, 20]
+
+
+class TestCli:
+    def test_produce_read_stats_roundtrip(self, spark, tmp_path):
+        """CLI shim: produce a parquet file into a topic, read and stats
+        it back (CmdProduce/CmdRead behavioral analog). Runs main() in
+        process against the shared session."""
+        import json
+
+        from pulsar_spark.__main__ import main
+
+        src = str(tmp_path / "in.parquet")
+        spark.range(50).selectExpr("id", "id % 5 AS k").write.parquet(src)
+        topic = str(tmp_path / "topic")
+
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["produce", topic, "--input", src, "--key-col", "k",
+                  "--num-partitions", "4"])
+        assert json.loads(buf.getvalue())["produced"] == 50
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["read", topic, "-n", "5"])
+        lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+        assert len(lines) == 5 and "offset" in lines[0]
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["stats", topic])
+        stats = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+        assert sum(int(s["msg_count"]) for s in stats) == 50
