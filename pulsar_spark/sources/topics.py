@@ -42,6 +42,7 @@ def produce(
     event_time_col: str | None = None,
     mode: str = "append",
     sequence_col: str | None = None,
+    codec: str = "lz4",
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
 
@@ -117,8 +118,13 @@ def produce(
     # No repartition here: the offset window already hash-partitioned the
     # data by `partition`, so each task holds whole topic partitions and
     # the dynamic-partition write emits one file per partition per append.
+    # Hot-tier appends default to lz4 (CompressionType.java:29-43 puts the
+    # codec choice on the producer): encode cost sits on the ingest
+    # critical path, while compaction / tiered offload rewrite cold data
+    # to zstd where ratio matters more than speed.
     (
         df.write.mode("append" if mode == "append" else "overwrite")
+        .option("compression", codec)
         .partitionBy("partition")
         .parquet(topic_path)
     )
