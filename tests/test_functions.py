@@ -182,8 +182,9 @@ class TestSimilarity:
 
         indexed = ivf_topk_indexed(spark, path, q, k=10, n_probe=2, exclude_id=0)
         # probe scan must prune partitions at the source, not post-filter
-        plan = indexed._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "centroid_id" in plan
+        from pulsar_spark.plans import partition_filters
+
+        assert any("centroid_id" in f for f in partition_filters(indexed))
 
         inline = ivf_topk(
             embeddings, q, dim=64, k=10, n_centroids=8, n_probe=2,

@@ -260,8 +260,9 @@ class TestBucketedTopics:
         try:
             t = read_topic_table(spark, "t_bucketed_test")
             compacted = compact_publish_order(t)
-            plan = compacted._jdf.queryExecution().executedPlan().toString()
-            assert "Exchange" not in plan, "bucketed compaction must not shuffle"
+            from pulsar_spark.plans import assert_no_exchange
+
+            assert_no_exchange(compacted, "bucketed compaction")
             # same result as the unbucketed path
             expected = compact_publish_order(messages).select("key", "offset")
             assert compacted.select("key", "offset").exceptAll(expected).count() == 0

@@ -1,0 +1,49 @@
+"""Plan-audit helpers: the checks that keep Catalyst honest at scale."""
+
+from pyspark.sql import functions as F
+
+from pulsar_spark.plans import (
+    broadcast_join_count,
+    codegen_span_count,
+    exchange_count,
+    plan_summary,
+    pushed_filters,
+)
+
+
+class TestPlanAudit:
+    def test_exchange_and_codegen_counts(self, spark):
+        df = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+        df.collect()  # materialize THIS plan so AQE finalizes it
+        assert exchange_count(df) == 1
+        assert codegen_span_count(df) >= 1
+
+        narrow = spark.range(1000).select((F.col("id") * 2).alias("x"))
+        narrow.collect()
+        assert exchange_count(narrow) == 0
+
+    def test_broadcast_join_not_counted_as_exchange(self, spark):
+        small = spark.range(10).withColumnRenamed("id", "k")
+        big = spark.range(10000).withColumn("k", F.col("id") % 10)
+        joined = big.join(F.broadcast(small), on="k")
+        joined.collect()
+        assert broadcast_join_count(joined) == 1
+        assert exchange_count(joined) == 0  # broadcast is the cheap kind
+
+    def test_pushed_filters_reach_parquet(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        spark.range(1000).withColumn("v", F.col("id") * 2).write.parquet(p)
+        df = spark.read.parquet(p).where(F.col("id") > 500)
+        assert any("id" in f for f in pushed_filters(df))
+
+    def test_plan_summary_flags_python_stage(self, spark):
+        from pulsar_spark.functions.dedupe import minhash_signatures
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "b c d e f")], ["doc_id", "text"]
+        )
+        sigs = minhash_signatures(docs, num_perm=8)
+        sigs.collect()
+        s = plan_summary(sigs)
+        assert s["python_stages"] >= 1  # the vectorized signature UDF
+        assert s["exchanges"] == 0  # signatures are embarrassingly parallel
