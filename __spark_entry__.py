@@ -555,6 +555,61 @@ def _q_multi_topic_union(spark, sf_dir):
     )
 
 
+def _q_schema_json_decode(spark, sf_dir):
+    # JSON SchemaType (SchemaType.java:51): payload decoded
+    # schema-on-read via from_json against the registered StructType,
+    # then aggregated — the typed-payload consume path.
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_schema_auto_consume(spark, sf_dir):
+    # AUTO_CONSUME + schema evolution (SchemaType.java:175,
+    # SchemaRegistryServiceImpl): reader projects rows to the LATEST
+    # registered version — v2 adds a nullable field the data doesn't
+    # have (reads as null) on top of v1's subset.
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pulsar_spark.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry(tempfile.mkdtemp(prefix="psreg_"))
+    v1 = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("event_type", StringType(), True),
+        ]
+    )
+    v2 = StructType(
+        v1.fields
+        + [
+            StructField("value", DoubleType(), True),
+            StructField("quality_tier", StringType(), True),
+        ]
+    )
+    reg.register("events", v1, "BACKWARD")
+    reg.register("events", v2, "BACKWARD")
+    ev = load_table(spark, sf_dir, "events")
+    return reg.read_with_latest(ev, "events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "compact_publish_order": _q_compact_publish_order,
@@ -601,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "multi_topic_union": _q_multi_topic_union,
+        "schema_json_decode": _q_schema_json_decode,
+        "schema_auto_consume": _q_schema_auto_consume,
         # non-SQL-expressible / approximate ops (rows-only driver check):
         "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
         "embedding_ivf_knn": _q_embedding_ivf_knn,
@@ -1009,5 +1066,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS INT) AS rank
             FROM pairs
             QUALIFY rank <= 3
+        """,
+        "schema_json_decode": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "schema_auto_consume": """
+            SELECT event_id, event_type, value,
+                   CAST(NULL AS VARCHAR) AS quality_tier
+            FROM events
         """,
     }
