@@ -555,6 +555,16 @@ def _q_multi_topic_union(spark, sf_dir):
     )
 
 
+def _q_subscription_stats(spark, sf_dir):
+    # getStats SubscriptionStats rollup with the same deterministic ack
+    # rule as ack_state: acked iff event_id % 13 != 0
+    from pulsar_spark.operators import subscription_stats
+
+    return subscription_stats(
+        _messages(spark, sf_dir), F.col("event_id") % 13 != 0, subscription="sub-0"
+    )
+
+
 def _q_schema_json_decode(spark, sf_dir):
     # JSON SchemaType (SchemaType.java:51): payload decoded
     # schema-on-read via from_json against the registered StructType,
@@ -658,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_topic_union": _q_multi_topic_union,
         "schema_json_decode": _q_schema_json_decode,
         "schema_auto_consume": _q_schema_auto_consume,
+        "subscription_stats": _q_subscription_stats,
         # non-SQL-expressible / approximate ops (rows-only driver check):
         "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
         "embedding_ivf_knn": _q_embedding_ivf_knn,
@@ -1078,5 +1089,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    CAST(NULL AS VARCHAR) AS quality_tier
             FROM events
+        """,
+        "subscription_stats": f"""
+            WITH {_M}, flagged AS (
+              SELECT partition, "offset", (event_id % 13 != 0) AS acked FROM messages
+            ), per AS (
+              SELECT partition, count(*) AS entries,
+                     sum(CASE WHEN NOT acked THEN 1 ELSE 0 END) AS unacked,
+                     coalesce(min(CASE WHEN NOT acked THEN "offset" END) - 1,
+                              max("offset")) AS mark_delete_offset,
+                     max("offset") AS max_offset
+              FROM flagged GROUP BY partition
+            )
+            SELECT 'sub-0' AS subscription,
+                   count(*) AS partitions,
+                   CAST(sum(entries) AS BIGINT) AS msg_in_counter,
+                   CAST(sum(unacked) AS BIGINT) AS msg_backlog,
+                   CAST(sum(max_offset - mark_delete_offset) AS BIGINT) AS backlog_estimate
+            FROM per
         """,
     }

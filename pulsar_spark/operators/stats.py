@@ -26,6 +26,47 @@ def topic_stats(messages: DataFrame, group_cols: list[str] | None = None) -> Dat
     )
 
 
+def subscription_stats(
+    messages: DataFrame,
+    acked,
+    subscription: str = "sub-0",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Subscription-level rollup of cursor state — the SubscriptionStats
+    section of ``Topics.getStats`` (admin/Topics.java:1138).
+
+    Two backlog figures, matching the reference's
+    ``getNumberOfEntriesInBacklog(precise)`` split:
+    - ``msg_backlog``: precise — count of unacked messages;
+    - ``backlog_estimate``: range-based — entries between each
+      partition's mark-delete position and its last offset, counting
+      individually-acked holes (the cheap estimate the broker serves
+      by default).
+
+    Two aggregations total (per-partition then rollup); the per-
+    partition frame is ~num_partitions rows, so the second agg is free.
+    """
+    flagged = messages.select(
+        partition_col, offset_col, acked.cast("boolean").alias("_acked")
+    )
+    per = flagged.groupBy(partition_col).agg(
+        F.count("*").alias("entries"),
+        F.sum((~F.col("_acked")).cast("long")).alias("unacked"),
+        F.coalesce(
+            F.min(F.when(~F.col("_acked"), F.col(offset_col))) - 1,
+            F.max(offset_col),
+        ).alias("mark_delete_offset"),
+        F.max(offset_col).alias("max_offset"),
+    )
+    return per.agg(
+        F.count("*").alias("partitions"),
+        F.sum("entries").alias("msg_in_counter"),
+        F.sum("unacked").alias("msg_backlog"),
+        F.sum(F.col("max_offset") - F.col("mark_delete_offset")).alias("backlog_estimate"),
+    ).select(F.lit(subscription).alias("subscription"), "*")
+
+
 def partitioned_topic_stats(messages: DataFrame) -> DataFrame:
     """Per-partition stats (entries, offsets watermarks) — the
     getInternalStats analog."""

@@ -221,6 +221,25 @@ class TestAckState:
         assert st[1]["mark_delete_offset"] == 4
         assert st[1]["individually_acked"] == 0
 
+    def test_subscription_stats_rollup(self, spark):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators import subscription_stats
+
+        # partition 0: offsets 0..9, offset 3 unacked -> markDelete=2,
+        #   backlog range = 9-2 = 7 entries (6 of them acked holes)
+        # partition 1: offsets 0..4 all acked -> markDelete=4, range 0
+        rows = [(0, o) for o in range(10)] + [(1, o) for o in range(5)]
+        df = spark.createDataFrame(rows, "partition int, offset long")
+        row = subscription_stats(
+            df, ~((F.col("partition") == 0) & (F.col("offset") == 3)), "s"
+        ).collect()[0]
+        assert row["subscription"] == "s"
+        assert row["partitions"] == 2
+        assert row["msg_in_counter"] == 15
+        assert row["msg_backlog"] == 1  # precise: only offset 3 unacked
+        assert row["backlog_estimate"] == 7  # range-based, counts holes
+
 
 class TestReplication:
     def test_loop_avoidance(self, spark, messages):
