@@ -1,0 +1,128 @@
+"""Property tests: core log-relational operators vs pure-Python oracles
+over hypothesis-generated logs.
+
+The reference's golden tests (CompactionTest, MessageDeduplication
+tests, ManagedCursor ack-hole tests — SURVEY.md §5) pin these semantics
+with hand-picked cases; here hypothesis sweeps the input space instead:
+duplicate keys, all-tombstone keys, duplicate sequence ids, fully- and
+never-acked partitions, single-row logs.
+
+Example counts are kept modest because every example runs a real Spark
+job; the pure oracles themselves are O(n) dictionaries, not re-
+implementations of the operator's plan.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SPARKY = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key | None, tombstone, val) — offsets are assigned by enumeration so
+# they are unique and dense, like a real topic partition.
+log_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5).map(str)),
+        st.booleans(),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    max_size=60,
+)
+
+
+def _mk_messages(spark, rows):
+    data = [
+        (k, i, bool(t), float(v)) for i, (k, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "key string, offset long, tombstone boolean, val double"
+    )
+
+
+class TestCompactionProperties:
+    @SPARKY
+    @given(rows=log_strategy)
+    def test_publish_order_compaction_is_last_writer_wins(self, spark, rows):
+        from pulsar_spark.operators import compact_publish_order
+
+        df = _mk_messages(spark, rows)
+        got = {
+            r["key"]: (r["offset"], r["val"])
+            for r in compact_publish_order(df).collect()
+        }
+
+        latest: dict[str, tuple] = {}
+        for off, (k, t, v) in enumerate(rows):
+            if k is not None:
+                latest[k] = (off, bool(t), float(v))
+        want = {k: (off, v) for k, (off, t, v) in latest.items() if not t}
+        assert got == want
+
+    @SPARKY
+    @given(rows=log_strategy)
+    def test_compaction_is_idempotent(self, spark, rows):
+        from pulsar_spark.operators import compact_publish_order
+
+        df = _mk_messages(spark, rows)
+        once = compact_publish_order(df)
+        twice = compact_publish_order(once)
+        a = sorted(map(tuple, once.collect()))
+        b = sorted(map(tuple, twice.collect()))
+        assert a == b
+
+
+class TestDedupProperties:
+    @SPARKY
+    @given(
+        seqs=st.lists(st.integers(min_value=0, max_value=8), max_size=60),
+        producers=st.integers(min_value=1, max_value=3),
+    )
+    def test_first_occurrence_per_producer_sequence_wins(self, spark, seqs, producers):
+        from pulsar_spark.operators import dedup_messages
+
+        data = [
+            (f"p{i % producers}", s, i) for i, s in enumerate(seqs)
+        ]
+        df = spark.createDataFrame(
+            data, "producer_name string, sequence_id long, offset long"
+        )
+        got = {
+            (r["producer_name"], r["sequence_id"]): r["offset"]
+            for r in dedup_messages(df).collect()
+        }
+
+        want: dict[tuple, int] = {}
+        for prod, seq, off in data:
+            want.setdefault((prod, seq), off)  # first occurrence
+        assert got == want
+
+
+class TestAckStateProperties:
+    @SPARKY
+    @given(
+        acked_mask=st.lists(st.booleans(), min_size=1, max_size=60),
+    )
+    def test_mark_delete_and_holes_invariants(self, spark, acked_mask):
+        from pulsar_spark.operators import ack_state
+
+        df = spark.createDataFrame(
+            [(0, i, a) for i, a in enumerate(acked_mask)],
+            "partition int, offset long, acked boolean",
+        )
+        row = ack_state(df, F.col("acked")).collect()[0]
+
+        unacked = [i for i, a in enumerate(acked_mask) if not a]
+        want_md = (unacked[0] - 1) if unacked else len(acked_mask) - 1
+        want_holes = sum(
+            1 for i, a in enumerate(acked_mask) if a and i > want_md
+        )
+        assert row["mark_delete_offset"] == want_md
+        assert row["individually_acked"] == want_holes
+        # invariant: everything at or below mark-delete is acked
+        assert all(acked_mask[: want_md + 1])
