@@ -565,6 +565,23 @@ def _q_subscription_stats(spark, sf_dir):
     )
 
 
+def _q_batch_receive(spark, sf_dir):
+    # BatchReceivePolicy (max 10 msgs OR 400 bytes per batch, props
+    # length as the byte size) -> per-batch rollup
+    from pulsar_spark.operators import batch_receive
+
+    m = _messages(spark, sf_dir).withColumn("msg_size", F.octet_length("props"))
+    batched = batch_receive(
+        m, max_num_messages=10, max_num_bytes=400, size_col="msg_size"
+    )
+    return batched.groupBy("partition", "batch_id").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("msg_size").cast("bigint").alias("batch_bytes"),
+        F.min("offset").alias("first_offset"),
+        F.max("offset").alias("last_offset"),
+    )
+
+
 def _q_schema_json_decode(spark, sf_dir):
     # JSON SchemaType (SchemaType.java:51): payload decoded
     # schema-on-read via from_json against the registered StructType,
@@ -669,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_json_decode": _q_schema_json_decode,
         "schema_auto_consume": _q_schema_auto_consume,
         "subscription_stats": _q_subscription_stats,
+        "batch_receive": _q_batch_receive,
         # non-SQL-expressible / approximate ops (rows-only driver check):
         "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
         "embedding_ivf_knn": _q_embedding_ivf_knn,
@@ -1089,6 +1107,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    CAST(NULL AS VARCHAR) AS quality_tier
             FROM events
+        """,
+        "batch_receive": f"""
+            WITH {_M}, sized AS (
+              SELECT partition, "offset", strlen(props) AS msg_size FROM messages
+            ), bucketed AS (
+              SELECT partition, "offset", msg_size,
+                     (row_number() OVER w - 1) // 10 AS cb,
+                     (sum(msg_size) OVER w - msg_size) // 400 AS bb
+              FROM sized WINDOW w AS (PARTITION BY partition ORDER BY "offset")
+            ), ranked AS (
+              SELECT partition, "offset", msg_size,
+                     dense_rank() OVER (PARTITION BY partition ORDER BY cb, bb) - 1 AS batch_id
+              FROM bucketed
+            )
+            SELECT partition, CAST(batch_id AS BIGINT) AS batch_id,
+                   count(*) AS n_msgs,
+                   CAST(sum(msg_size) AS BIGINT) AS batch_bytes,
+                   min("offset") AS first_offset, max("offset") AS last_offset
+            FROM ranked GROUP BY partition, batch_id
         """,
         "subscription_stats": f"""
             WITH {_M}, flagged AS (

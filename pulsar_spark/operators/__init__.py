@@ -19,6 +19,7 @@ from pulsar_spark.operators.seek import (
 )
 from pulsar_spark.operators.stats import topic_stats, partitioned_topic_stats, subscription_stats
 from pulsar_spark.operators.subscriptions import (
+    batch_receive,
     sticky_key_hash,
     key_shared_assignment,
     key_shared_assignment_auto_split,
@@ -55,6 +56,7 @@ __all__ = [
     "key_shared_assignment",
     "key_shared_assignment_auto_split",
     "hash_range_auto_split",
+    "batch_receive",
     "dlq_split",
     "retry_schedule",
     "table_view",

@@ -125,3 +125,55 @@ def key_shared_assignment_auto_split(
     return messages.withColumn("sticky_hash", slot).withColumn(
         "consumer_id", assign.cast("int")
     )
+
+
+def batch_receive(
+    messages: DataFrame,
+    max_num_messages: int = 10,
+    max_num_bytes: int | None = None,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Assign consumer receive-batch ids per partition — the
+    BatchReceivePolicy analog (capi/BatchReceivePolicy.java:66-69: a
+    batch closes on maxNumMessages OR maxNumBytes, whichever first).
+
+    Deterministic windowed formulation: each row gets a count-quota
+    bucket ``(row_number-1) // max_num_messages`` and, when byte caps
+    are configured, a byte-quota bucket of its *starting* cumulative
+    byte ``(cum_bytes - size) // max_num_bytes``; the batch id is the
+    dense rank of the (count_bucket, byte_bucket) pair along offset
+    order. Every batch holds <= max_num_messages rows and starts
+    within one byte quota; like the reference (which always accepts
+    the message that crosses the limit), a batch's final message may
+    run past the byte cap — by less than one message, never more.
+
+    Scale: window passes over one (partition, offset) sort — a single
+    shuffle, no Python, batch ids dense per partition in offset order.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(partition_col).orderBy(offset_col)
+    count_bucket = F.floor((F.row_number().over(w) - 1) / max_num_messages)
+    df = messages.withColumn("_cb", count_bucket)
+    if max_num_bytes is not None and size_col is not None:
+        byte_bucket = F.floor(
+            (F.sum(size_col).over(w) - F.col(size_col)) / max_num_bytes
+        )
+        df = (
+            df.withColumn("_bb", byte_bucket)
+            .withColumn(
+                "batch_id",
+                (
+                    F.dense_rank().over(
+                        Window.partitionBy(partition_col).orderBy("_cb", "_bb")
+                    )
+                    - 1
+                ).cast("bigint"),
+            )
+            .drop("_cb", "_bb")
+        )
+    else:
+        df = df.withColumn("batch_id", F.col("_cb").cast("bigint")).drop("_cb")
+    return df

@@ -241,6 +241,59 @@ class TestAckState:
         assert row["backlog_estimate"] == 7  # range-based, counts holes
 
 
+class TestBatchReceive:
+    def test_count_cap_only(self, spark):
+        from pulsar_spark.operators import batch_receive
+
+        df = spark.createDataFrame(
+            [(0, o) for o in range(7)], "partition int, offset long"
+        )
+        got = {
+            r["offset"]: r["batch_id"]
+            for r in batch_receive(df, max_num_messages=3).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2}
+
+    def test_byte_cap_closes_batch_early(self, spark):
+        from pulsar_spark.operators import batch_receive
+
+        # sizes: starts 0,3,6,9,12 with cap 10 -> byte buckets 0,0,0,0,1
+        rows = [(0, o, 3) for o in range(5)]
+        df = spark.createDataFrame(rows, "partition int, offset long, sz int")
+        got = {
+            r["offset"]: r["batch_id"]
+            for r in batch_receive(
+                df, max_num_messages=100, max_num_bytes=10, size_col="sz"
+            ).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1}
+
+    def test_both_caps_batch_is_bounded(self, spark):
+        from pulsar_spark.operators import batch_receive
+        from pyspark.sql import functions as F
+
+        rows = [(p, o, 1 + (o * 7) % 13) for p in range(2) for o in range(50)]
+        df = spark.createDataFrame(rows, "partition int, offset long, sz int")
+        out = batch_receive(
+            df, max_num_messages=5, max_num_bytes=30, size_col="sz"
+        )
+        per = out.groupBy("partition", "batch_id").agg(
+            F.count("*").alias("n"),
+            F.sum("sz").alias("bytes"),
+            F.max("sz").alias("max_sz"),
+        )
+        for r in per.collect():
+            assert r["n"] <= 5
+            # overflow past the byte cap is less than one message
+            assert r["bytes"] < 30 + r["max_sz"]
+        # batch ids are dense per partition
+        for p in (0, 1):
+            ids = sorted(
+                r["batch_id"] for r in per.where(F.col("partition") == p).collect()
+            )
+            assert ids == list(range(len(ids)))
+
+
 class TestReplication:
     def test_loop_avoidance(self, spark, messages):
         from pulsar_spark.operators import replicate_candidates
