@@ -565,6 +565,30 @@ def _q_subscription_stats(spark, sf_dir):
     )
 
 
+def _q_skip_messages(spark, sf_dir):
+    # admin skipMessages(n): new cursor per partition after skipping
+    # the next 15 messages past the shared CURSOR position
+    from pulsar_spark.operators import skip_cursor
+
+    m = _messages(spark, sf_dir).where(F.col("offset") > CURSOR)
+    return skip_cursor(m, 15)
+
+
+def _q_retention_budget(spark, sf_dir):
+    # RetentionPolicies(time=TTL_CUTOFF, size=4000 bytes/partition):
+    # per-partition deletable/retained rollup (props length as size)
+    from pulsar_spark.operators import retention_plan
+
+    m = _messages(spark, sf_dir).withColumn("msg_size", F.octet_length("props"))
+    planned = retention_plan(m, TTL_CUTOFF, 4000, "msg_size")
+    return planned.groupBy("partition").agg(
+        F.sum(F.col("deletable").cast("long")).alias("deletable_count"),
+        F.sum((~F.col("deletable")).cast("long")).alias("retained_count"),
+        F.sum(F.when(~F.col("deletable"), F.col("msg_size")).otherwise(0)).cast("bigint").alias("retained_bytes"),
+        F.min(F.when(~F.col("deletable"), F.col("offset"))).alias("oldest_retained_offset"),
+    )
+
+
 def _q_batch_receive(spark, sf_dir):
     # BatchReceivePolicy (max 10 msgs OR 400 bytes per batch, props
     # length as the byte size) -> per-batch rollup
@@ -687,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_auto_consume": _q_schema_auto_consume,
         "subscription_stats": _q_subscription_stats,
         "batch_receive": _q_batch_receive,
+        "skip_messages": _q_skip_messages,
+        "retention_budget": _q_retention_budget,
         # non-SQL-expressible / approximate ops (rows-only driver check):
         "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
         "embedding_ivf_knn": _q_embedding_ivf_knn,
@@ -1107,6 +1133,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    CAST(NULL AS VARCHAR) AS quality_tier
             FROM events
+        """,
+        "skip_messages": f"""
+            WITH {_M}, past AS (
+              SELECT partition, "offset",
+                     row_number() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+              FROM messages WHERE "offset" > {CURSOR}
+            )
+            SELECT partition, max("offset") AS cursor_offset, count(*) AS skipped
+            FROM past WHERE rn <= 15 GROUP BY partition
+        """,
+        "retention_budget": f"""
+            WITH {_M}, sized AS (
+              SELECT partition, "offset", publish_time, strlen(props) AS msg_size
+              FROM messages
+            ), planned AS (
+              SELECT partition, "offset", msg_size,
+                     (publish_time < TIMESTAMP '{TTL_CUTOFF}'
+                      OR sum(msg_size) OVER (PARTITION BY partition ORDER BY "offset" DESC)
+                         > 4000) AS deletable
+              FROM sized
+            )
+            SELECT partition,
+                   CAST(sum(CASE WHEN deletable THEN 1 ELSE 0 END) AS BIGINT) AS deletable_count,
+                   CAST(sum(CASE WHEN deletable THEN 0 ELSE 1 END) AS BIGINT) AS retained_count,
+                   CAST(sum(CASE WHEN deletable THEN 0 ELSE msg_size END) AS BIGINT) AS retained_bytes,
+                   min(CASE WHEN NOT deletable THEN "offset" END) AS oldest_retained_offset
+            FROM planned GROUP BY partition
         """,
         "batch_receive": f"""
             WITH {_M}, sized AS (

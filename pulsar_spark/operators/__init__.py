@@ -6,7 +6,7 @@ from pulsar_spark.operators.compaction import (
     compact_strategic,
 )
 from pulsar_spark.operators.dedup import dedup_messages
-from pulsar_spark.operators.retention import ttl_filter, visible_messages, user_visible
+from pulsar_spark.operators.retention import ttl_filter, visible_messages, user_visible, retention_plan
 from pulsar_spark.operators.replication import replicate_candidates, shadow_view
 from pulsar_spark.operators.seek import (
     seek_offsets_by_timestamp,
@@ -38,6 +38,7 @@ __all__ = [
     "read_compacted",
     "dedup_messages",
     "ttl_filter",
+    "retention_plan",
     "visible_messages",
     "user_visible",
     "seek_offsets_by_timestamp",

@@ -61,3 +61,38 @@ def user_visible(
             how="left_anti",
         )
     return out
+
+def retention_plan(
+    messages: DataFrame,
+    time_cutoff: Column | str,
+    size_budget_bytes: int,
+    size_col: str,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+    publish_time_col: str = "publish_time",
+) -> DataFrame:
+    """Mark rows deletable under a RetentionPolicies(time, size) budget
+    (pulsar-client-admin-api/.../RetentionPolicies.java:33-34): the
+    broker trims the backlog oldest-first once data falls outside the
+    time window OR the topic exceeds its size budget.
+
+    Row-level rendering of the ledger-trim rule: a row is retained iff
+    it is newer than ``time_cutoff`` AND the cumulative size of it plus
+    every newer row in its partition is within the budget; else it is
+    ``deletable``. The newest-first running sum is one window over the
+    (partition, offset desc) order — same shuffle the compactor already
+    uses, no extra pass.
+    """
+    from pyspark.sql.window import Window
+
+    cutoff = (
+        F.lit(time_cutoff).cast("timestamp")
+        if isinstance(time_cutoff, str)
+        else time_cutoff
+    )
+    w = Window.partitionBy(partition_col).orderBy(F.col(offset_col).desc())
+    cum = F.sum(size_col).over(w)
+    return messages.withColumn(
+        "deletable",
+        (F.col(publish_time_col) < cutoff) | (cum > F.lit(size_budget_bytes)),
+    )
