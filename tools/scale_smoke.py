@@ -1,0 +1,72 @@
+"""Scale smoke test: the headline write/scan/fold paths at ~50x sf0.1
+(5M rows), demonstrating that the per-row throughputs BASELINE.md's
+B1/B2 targets ask for are a fixed-cost artifact at 100k rows, not a
+plan-shape problem.
+
+Usage: SPARK_GRAFT_CPUS=32 python tools/scale_smoke.py [replication]
+
+Prints one JSON line with rows/s per path. The input is the sf0.1
+events table cross-joined with a replication range (event ids
+perturbed so dedup keys stay realistic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import functions as F
+
+    from pulsar_spark import get_spark
+    from pulsar_spark.operators import compact_publish_order, dedup_messages
+    from pulsar_spark.sources import load_table
+    from pulsar_spark.sources.topics import produce
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = load_table(spark, "/root/testdata/sf0.1", "events")
+    big = (
+        events.crossJoin(spark.range(rep).withColumnRenamed("id", "rep"))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+    n = big.count()
+
+    out: dict[str, float] = {"rows": n}
+    tmp = tempfile.mkdtemp(prefix="pulsar_spark_scale_")
+    try:
+        t0 = time.perf_counter()
+        produce(big, f"{tmp}/topic", key_col="user_id", num_partitions=32, mode="overwrite")
+        out["produce_rows_per_sec"] = round(n / (time.perf_counter() - t0))
+
+        msgs = spark.read.parquet(f"{tmp}/topic").withColumn("tombstone", F.lit(False))
+        t0 = time.perf_counter()
+        compact_publish_order(msgs).count()
+        out["compaction_sec"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        dedup_messages(msgs).count()
+        out["dedup_sec"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        msgs.where("offset % 3 = 0").count()
+        out["scan_filter_rows_per_sec"] = round(n / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
