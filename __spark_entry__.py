@@ -565,6 +565,39 @@ def _q_subscription_stats(spark, sf_dir):
     )
 
 
+def _q_tiered_storage(spark, sf_dir):
+    # LedgerOffloader analog: materialize the topic, offload rows older
+    # than TTL_CUTOFF to the cold tier, then roll up each tier and the
+    # read-through union view (hot + cold must reconstruct the topic).
+    import tempfile
+
+    from pulsar_spark.sources import write_topic
+    from pulsar_spark.sources.tiered import offload_partitions, tiered_view
+
+    tmp = tempfile.mkdtemp(prefix="pstier_")
+    hot, cold = f"{tmp}/hot", f"{tmp}/cold"
+    write_topic(_messages(spark, sf_dir), hot)
+    offload_partitions(spark, hot, cold, TTL_CUTOFF)
+
+    tiers = (
+        spark.read.parquet(hot)
+        .withColumn("tier", F.lit("hot"))
+        .unionByName(spark.read.parquet(cold).withColumn("tier", F.lit("cold")))
+    )
+    rollup = tiers.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        F.min("publish_time").alias("first_publish_time"),
+        F.max("publish_time").alias("last_publish_time"),
+    )
+    total = tiered_view(spark, hot, cold).agg(
+        F.lit("view_total").alias("tier"),
+        F.count("*").alias("n"),
+        F.min("publish_time").alias("first_publish_time"),
+        F.max("publish_time").alias("last_publish_time"),
+    )
+    return rollup.unionByName(total)
+
+
 def _q_skip_messages(spark, sf_dir):
     # admin skipMessages(n): new cursor per partition after skipping
     # the next 15 messages past the shared CURSOR position
@@ -713,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_receive": _q_batch_receive,
         "skip_messages": _q_skip_messages,
         "retention_budget": _q_retention_budget,
+        "tiered_storage": _q_tiered_storage,
         # non-SQL-expressible / approximate ops (rows-only driver check):
         "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
         "embedding_ivf_knn": _q_embedding_ivf_knn,
@@ -1133,6 +1167,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    CAST(NULL AS VARCHAR) AS quality_tier
             FROM events
+        """,
+        "tiered_storage": f"""
+            WITH {_M}, tiers AS (
+              SELECT CASE WHEN publish_time < TIMESTAMP '{TTL_CUTOFF}'
+                          THEN 'cold' ELSE 'hot' END AS tier,
+                     publish_time
+              FROM messages
+            )
+            SELECT tier, count(*) AS n,
+                   min(publish_time) AS first_publish_time,
+                   max(publish_time) AS last_publish_time
+            FROM tiers GROUP BY tier
+            UNION ALL
+            SELECT 'view_total' AS tier, count(*) AS n,
+                   min(publish_time) AS first_publish_time,
+                   max(publish_time) AS last_publish_time
+            FROM messages
         """,
         "skip_messages": f"""
             WITH {_M}, past AS (
