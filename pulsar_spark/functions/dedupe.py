@@ -75,14 +75,18 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+_BAND_MIX = np.int64(-7046029254386353131)  # golden-ratio odd constant, wraps in int64
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
     k: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
-    """(id, shingles, signature array<bigint>[num_perm]).
+    """(id, shingles, signature array<bigint>[num_perm[, band_hashes]]).
 
     Carter-Wegman MinHash: two base Murmur3 hashes per shingle
     (computed JVM-side), permutation i = ``h1 + i*h2`` (64-bit wrapping
@@ -96,30 +100,69 @@ def minhash_signatures(
     than both the explode+groupBy(num_perm mins) and the nested
     higher-order-function formulations — HOF lambdas are interpreted
     per element, while numpy does the num_perm*n_shingles sweep in C.
+
+    With ``bands`` set, the LSH band hashes (``num_perm // bands`` rows
+    each, multiply-add folded) come out of the SAME numpy sweep as a
+    ``band_hashes`` column — cheaper than re-extracting 64 array
+    elements JVM-side, and the banding consumer can skip the signature
+    entirely (column pruning drops it from the Arrow transfer).
     """
     from pyspark.sql.types import ArrayType, LongType
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sig(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        ii = np.arange(num_perm, dtype=np.int64)[:, None]
-        empty = np.zeros(num_perm, dtype=np.int64)
-        out = []
-        for a, b in zip(h1, h2):
-            if a is None or len(a) == 0:
-                out.append(empty)
-                continue
-            a = np.asarray(a, dtype=np.int64)
-            b = np.asarray(b, dtype=np.int64)
-            out.append((a[None, :] + ii * b[None, :]).min(axis=1))
-        return pd.Series(out)
+    if bands is None:
 
-    return (
+        @F.pandas_udf(ArrayType(LongType()))
+        def _sig(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            ii = np.arange(num_perm, dtype=np.int64)[:, None]
+            empty = np.zeros(num_perm, dtype=np.int64)
+            out = []
+            for a, b in zip(h1, h2):
+                if a is None or len(a) == 0:
+                    out.append(empty)
+                    continue
+                a = np.asarray(a, dtype=np.int64)
+                b = np.asarray(b, dtype=np.int64)
+                out.append((a[None, :] + ii * b[None, :]).min(axis=1))
+            return pd.Series(out)
+
+        sig_cols = [_sig("_h1", "_h2").alias("signature")]
+    else:
+        rpb = num_perm // bands
+
+        @F.pandas_udf("signature array<bigint>, band_hashes array<bigint>")
+        def _sig_bands(h1: pd.Series, h2: pd.Series) -> pd.DataFrame:
+            ii = np.arange(num_perm, dtype=np.int64)[:, None]
+            empty = np.zeros(num_perm, dtype=np.int64)
+            sigs, bhs = [], []
+            with np.errstate(over="ignore"):
+                for a, b in zip(h1, h2):
+                    if a is None or len(a) == 0:
+                        mins = empty
+                    else:
+                        a = np.asarray(a, dtype=np.int64)
+                        b = np.asarray(b, dtype=np.int64)
+                        mins = (a[None, :] + ii * b[None, :]).min(axis=1)
+                    resh = mins.reshape(bands, rpb)
+                    h = np.zeros(bands, dtype=np.int64)
+                    for r in range(rpb):
+                        h = h * _BAND_MIX + resh[:, r]
+                    sigs.append(mins)
+                    bhs.append(h)
+            return pd.DataFrame({"signature": sigs, "band_hashes": bhs})
+
+        sig_cols = [F.col("_sb.signature").alias("signature"), F.col("_sb.band_hashes").alias("band_hashes")]
+
+    base = (
         with_shingles(docs, text_col, k)
         .select(id_col, "shingles")
         .withColumn("_h1", F.transform("shingles", lambda s: F.hash(s).cast("bigint")))
         .withColumn("_h2", F.transform("shingles", lambda s: F.hash(s, F.lit(1)).cast("bigint")))
-        .withColumn("signature", _sig("_h1", "_h2"))
-        .drop("_h1", "_h2")
+    )
+    if bands is None:
+        return base.withColumn("signature", sig_cols[0]).drop("_h1", "_h2")
+    return (
+        base.withColumn("_sb", _sig_bands("_h1", "_h2"))
+        .select(id_col, "shingles", *sig_cols)
     )
 
 
@@ -131,23 +174,35 @@ def minhash_lsh_candidates(
     bucket to its member-id list, and emit within-bucket pairs by a
     double explode of that (small — that's the LSH premise) list.
     One aggregation instead of re-executing the signature plan twice.
-    Returns distinct (id_a, id_b) with id_a < id_b."""
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.hash(
-                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    When the signature frame carries precomputed ``band_hashes`` (from
+    ``minhash_signatures(..., bands=N)``) the banding is a posexplode of
+    that array and column pruning drops the 64-element signature from
+    the Arrow transfer; otherwise band hashes are derived JVM-side from
+    the signature column."""
+    if "band_hashes" in sigs.columns:
+        banded = sigs.select(
+            F.col(id_col),
+            F.posexplode("band_hashes").alias("band_id", "band_hash"),
+        )
+    else:
+        banded = sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.hash(
+                                *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_col, "band.band_id", "band.band_hash")
 
     buckets = (
         banded.groupBy("band_id", "band_hash")
@@ -182,7 +237,7 @@ def minhash_near_duplicates(
     candidate set broadcast-join back to the shingle table.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k)
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k, bands=bands)
     cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     sh = with_shingles(docs, text_col, k).select(F.col(id_col), F.col("shingles"))
     pairs = (
