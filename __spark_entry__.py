@@ -473,6 +473,15 @@ def _q_ngram_jaccard_dedup(spark, sf_dir):
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # corpus-level dedup clustering: connected components (iterative
+    # min-label propagation) over the exact n-gram Jaccard pair list
+    from pulsar_spark.functions import near_dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return near_dup_clusters(pairs)
+
+
 def _q_embedding_cosine_near_dups(spark, sf_dir):
     # exact cosine-threshold near-dup pairs over the embedding column
     from pulsar_spark.functions import embedding_near_duplicates
@@ -738,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ack_state": _q_ack_state,
         "geo_replication": _q_geo_replication,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "multi_topic_union": _q_multi_topic_union,
         "schema_json_decode": _q_schema_json_decode,
@@ -1121,6 +1131,35 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(v, u) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+            ), labels AS (
+              SELECT v AS id, min(u) AS cluster_id FROM reach GROUP BY v
+            )
+            SELECT l.id, l.cluster_id, s.cluster_size
+            FROM labels l JOIN (
+              SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+            ) s USING (cluster_id)
         """,
         "embedding_cosine_near_dups": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

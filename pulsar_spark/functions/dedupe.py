@@ -365,3 +365,80 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the
+    clustering step that turns pairwise matches into keep-one-per-group
+    dedup decisions. Returns (id, cluster_id, cluster_size) for every
+    id that appears in a pair; cluster_id is the smallest member id
+    (so the canonical "representative" is ``id == cluster_id``).
+
+    Iterative min-label propagation (hash-min): each round every vertex
+    takes the min of its own label and its neighbors' labels, so labels
+    converge in O(component diameter) rounds — near-dup clusters are
+    shallow (a hub + spokes), so 3-5 rounds is typical. Each round is
+    one broadcast-able join + one partial-aggregated groupBy, and the
+    frame is ``localCheckpoint``-ed to truncate lineage (without it the
+    plan doubles every iteration and Catalyst analysis, not the data,
+    becomes the bottleneck at scale). The loop's driver-side work is a
+    single scalar ``count`` per round — no row data ever collects.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), on="label")
+        .select(F.col("id"), F.col("label").alias("cluster_id"), "cluster_size")
+    )
+
+
+def dedup_keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus-level dedup: drop every document that belongs to a
+    near-dup cluster except its smallest-id representative. Documents
+    in no pair survive untouched (left-anti on the non-representative
+    member set, which is small — it broadcasts)."""
+    clusters = near_dup_clusters(pairs, id_a, id_b)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")

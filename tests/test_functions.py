@@ -65,6 +65,58 @@ class TestDedupe:
             recall = len(found & truth) / len(truth)
             assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
 
+    def test_near_dup_clusters_connected_components(self, spark):
+        from pulsar_spark.functions import near_dup_clusters
+
+        # components: {1,2,3,4} (chain via 2), {7,9}, singletons absent
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 9)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: (r["cluster_id"], r["cluster_size"])
+            for r in near_dup_clusters(pairs).collect()
+        }
+        assert got == {
+            1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+            7: (7, 2), 9: (7, 2),
+        }
+
+    def test_near_dup_clusters_matches_union_find(self, spark):
+        import random
+
+        from pulsar_spark.functions import near_dup_clusters
+
+        rng = random.Random(7)
+        edges = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(45)})
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+        parent = {v: v for e in edges for v in e}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want_label = {v: min(u for u in parent if find(u) == find(v)) for v in parent}
+
+        got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+        assert got == want_label
+
+    def test_dedup_keep_representatives(self, spark):
+        from pulsar_spark.functions import dedup_keep_representatives
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")
+        kept = sorted(
+            r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect()
+        )
+        assert kept == [0, 1, 2, 3]  # 4 and 5 fold into representative 1
+
     def test_simhash_identical_docs_distance_zero(self, spark):
         from pulsar_spark.functions import simhash
 
