@@ -482,6 +482,30 @@ def _q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+def _q_training_set_select(spark, sf_dir):
+    # the composed pretraining-data pipeline: exact-dedup -> quality
+    # gate (>=5 tokens) -> score = distinct_ratio * (1-stopword_ratio)
+    # -> greedy token-budget selection (20k tokens, best-score-first).
+    # The global ordered cumsum is fine here because the SELECTED set is
+    # small; at 100 TB the same selection runs as approx-quantile score
+    # threshold + one filter, refined once (no global sort of the corpus).
+    from pyspark.sql.window import Window
+
+    from pulsar_spark.functions import exact_dedup, quality_metrics
+
+    docs = exact_dedup(load_table(spark, sf_dir, "documents"))
+    q = quality_metrics(docs).where(F.col("n_tokens") >= 5)
+    scored = q.withColumn(
+        "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
+    )
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "n_tokens", "score", "cum_tokens")
+    )
+
+
 def _q_embedding_cosine_near_dups(spark, sf_dir):
     # exact cosine-threshold near-dup pairs over the embedding column
     from pulsar_spark.functions import embedding_near_duplicates
@@ -748,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_replication": _q_geo_replication,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "training_set_select": _q_training_set_select,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "multi_topic_union": _q_multi_topic_union,
         "schema_json_decode": _q_schema_json_decode,
@@ -1131,6 +1156,31 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "training_set_select": """
+            WITH dedup AS (
+              SELECT doc_id, text FROM documents
+              QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+            ), toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+              FROM dedup
+            ), q AS (
+              SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+                     round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6) AS distinct_ratio,
+                     round(CAST(len(list_filter(tok, t -> list_contains(
+                          ['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(tok), 6)
+                          AS stopword_ratio
+              FROM toks WHERE len(tok) >= 5
+            ), scored AS (
+              SELECT doc_id, n_tokens,
+                     round(distinct_ratio * (1 - stopword_ratio), 6) AS score
+              FROM q
+            ), sel AS (
+              SELECT doc_id, n_tokens, score,
+                     CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+              FROM scored
+            )
+            SELECT doc_id, n_tokens, score, cum_tokens FROM sel WHERE cum_tokens <= 20000
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (
