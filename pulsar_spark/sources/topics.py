@@ -43,6 +43,7 @@ def produce(
     mode: str = "append",
     sequence_col: str | None = None,
     codec: str = "lz4",
+    registry=None,
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
 
@@ -55,7 +56,15 @@ def produce(
     the topic's highest stored sequence for this producer are silently
     dropped, and in-batch repeats keep one row
     (MessageDeduplication.java:279-281 isDuplicate).
+
+    Pass ``registry`` (a ``pulsar_spark.schema_registry.SchemaRegistry``)
+    to enforce the topic's registered schema on the write path — the
+    AUTO_PRODUCE_BYTES analog (Schema.java:450): an append whose frame
+    doesn't match the latest registered version raises before any file
+    is written.
     """
+    if registry is not None:
+        registry.validate_produce(topic_path, payload)
     spark = payload.sparkSession
     part = (
         route_partition(key_col, num_partitions)

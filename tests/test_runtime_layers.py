@@ -121,6 +121,23 @@ class TestSchemaRegistry:
         with pytest.raises(IncompatibleSchemaError):
             reg.validate_produce("t", bad)
 
+    def test_produce_enforces_registered_schema(self, reg, spark, tmp_path):
+        """AUTO_PRODUCE on the write path: produce(registry=...) refuses
+        a mismatched frame before writing anything."""
+        from pulsar_spark.schema_registry import IncompatibleSchemaError
+        from pulsar_spark.sources.topics import produce
+
+        topic = str(tmp_path / "t")
+        reg.register(topic, StructType.fromDDL("a bigint, b string"))
+        ok = spark.createDataFrame([(1, "x"), (2, "y")], "a bigint, b string")
+        produce(ok, topic, key_col="b", num_partitions=2, registry=reg)
+        assert spark.read.parquet(topic).count() == 2
+
+        bad = ok.withColumn("a", ok["a"].cast("string"))
+        with pytest.raises(IncompatibleSchemaError):
+            produce(bad, topic, key_col="b", num_partitions=2, registry=reg)
+        assert spark.read.parquet(topic).count() == 2  # nothing appended
+
 
 class TestTransactions:
     def test_commit_abort_visibility(self, spark):
