@@ -167,7 +167,11 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, WITHOUT a self-join: explode
     each signature into ``bands`` (band_id, band_hash) keys, group each
@@ -209,10 +213,31 @@ def minhash_lsh_candidates(
         .agg(F.collect_list(id_col).alias("_ids"))
         .where(F.size("_ids") > 1)
     )
+    if max_bucket_size is not None:
+        # Mega-bucket guard: a bucket of m members emits m^2/2 pairs —
+        # on real corpora (boilerplate, empty docs) one degenerate
+        # bucket can dominate the whole job. Above the cap, emit a STAR
+        # (every member paired to the bucket's min id) instead of all
+        # pairs: linear in m, and connectivity-preserving, so
+        # cluster-level dedup (near_dup_clusters /
+        # dedup_keep_representatives) is unaffected; only pair-level
+        # recall *within* the mega-bucket is reduced. Verification
+        # stays exact either way.
+        small = buckets.where(F.size("_ids") <= max_bucket_size)
+        big = buckets.where(F.size("_ids") > max_bucket_size).select(
+            F.array_min("_ids").alias("id_a"), F.explode("_ids").alias("id_b")
+        )
+        all_pairs = (
+            small.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .union(big)
+        )
+    else:
+        all_pairs = buckets.select(F.explode("_ids").alias("id_a"), "_ids").select(
+            "id_a", F.explode("_ids").alias("id_b")
+        )
     return (
-        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
+        all_pairs.where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -225,9 +250,14 @@ def minhash_near_duplicates(
     num_perm: int = 64,
     k: int = 3,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
     over shingle sets. Returns (id_a, id_b, jaccard).
+
+    ``max_bucket_size`` enables the mega-bucket star guard (see
+    ``minhash_lsh_candidates``) — at corpus scale set it to a few
+    hundred so one degenerate boilerplate bucket cannot go quadratic.
 
     Deliberately NOT persisted: Spark's in-memory columnar cache is
     slow to build for nested array columns (measured 3x the cost of
@@ -238,7 +268,7 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, k, bands=bands)
-    cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band, max_bucket_size)
     sh = with_shingles(docs, text_col, k).select(F.col(id_col), F.col("shingles"))
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "shingles_a"), on="id_a")

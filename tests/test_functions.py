@@ -65,6 +65,24 @@ class TestDedupe:
             recall = len(found & truth) / len(truth)
             assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
 
+    def test_mega_bucket_star_guard_preserves_clusters(self, spark):
+        from pulsar_spark.functions import minhash_near_duplicates, near_dup_clusters
+
+        # 30 identical docs -> one LSH bucket of 30. Uncapped: 435
+        # pairs; capped at 5: star of 29 pairs, same single cluster.
+        docs = spark.createDataFrame(
+            [(i, "the same exact boilerplate text repeated here") for i in range(30)]
+            + [(100, "something else entirely different words")],
+            "doc_id long, text string",
+        )
+        full = minhash_near_duplicates(docs, threshold=0.9)
+        starred = minhash_near_duplicates(docs, threshold=0.9, max_bucket_size=5)
+        assert full.count() == 30 * 29 // 2
+        assert starred.count() == 29  # linear, not quadratic
+        clusters = near_dup_clusters(starred)
+        got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+        assert got == {i: 0 for i in range(30)}  # connectivity intact
+
     def test_near_dup_clusters_connected_components(self, spark):
         from pulsar_spark.functions import near_dup_clusters
 
