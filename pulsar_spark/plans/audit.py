@@ -45,7 +45,7 @@ def exchange_count(df: DataFrame) -> int:
     broadcast exchanges are excluded (they are the *cheap* kind)."""
     n = 0
     for line in executed_plan(df).splitlines():
-        stripped = line.strip(" +-*(0123456789)")
+        stripped = line.strip(" :|+-*(0123456789)")
         if stripped.startswith("Exchange"):
             n += 1
     return n

@@ -241,6 +241,42 @@ class TestAckState:
         assert row["backlog_estimate"] == 7  # range-based, counts holes
 
 
+class TestBucketedJoin:
+    def test_cobucketed_topics_join_without_shuffle(self, spark, messages, tmp_path):
+        """Two topics bucketed the same way (same key, same bucket
+        count) join on the key with ZERO exchanges — the co-located
+        join that makes cross-topic enrichment affordable at 100 TB."""
+        from pulsar_spark.plans import assert_no_exchange, exchange_count
+        from pulsar_spark.sources import read_topic_table, write_topic_bucketed
+
+        write_topic_bucketed(messages, "t_join_a", n_buckets=8, path=str(tmp_path / "a"))
+        write_topic_bucketed(
+            messages.withColumnRenamed("val", "val_b"),
+            "t_join_b", n_buckets=8, path=str(tmp_path / "b"),
+        )
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        try:
+            a = read_topic_table(spark, "t_join_a").select("key", "offset", "val")
+            b = read_topic_table(spark, "t_join_b").select("key", "val_b").where("offset = 0")
+            joined = a.join(b, on="key")
+            joined.collect()
+            assert_no_exchange(joined, "co-bucketed topic join")
+
+            # same join against a plain (unbucketed) topic shuffles
+            from pulsar_spark.sources import write_topic
+
+            write_topic(messages, str(tmp_path / "plain"))
+            plain = spark.read.parquet(str(tmp_path / "plain")).select("key", "offset", "val")
+            j2 = plain.join(b, on="key")
+            j2.collect()
+            assert exchange_count(j2) >= 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            spark.sql("DROP TABLE IF EXISTS t_join_a")
+            spark.sql("DROP TABLE IF EXISTS t_join_b")
+
+
 class TestBatchReceive:
     def test_count_cap_only(self, spark):
         from pulsar_spark.operators import batch_receive
