@@ -672,6 +672,13 @@ def _q_batch_receive(spark, sf_dir):
     )
 
 
+def _q_key_skew(spark, sf_dir):
+    # hot-key report: top-10 keys by count + share of keyed messages
+    from pulsar_spark.operators import key_skew_stats
+
+    return key_skew_stats(_messages(spark, sf_dir), k=10)
+
+
 def _q_schema_json_decode(spark, sf_dir):
     # JSON SchemaType (SchemaType.java:51): payload decoded
     # schema-on-read via from_json against the registered StructType,
@@ -779,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_auto_consume": _q_schema_auto_consume,
         "subscription_stats": _q_subscription_stats,
         "batch_receive": _q_batch_receive,
+        "key_skew": _q_key_skew,
         "skip_messages": _q_skip_messages,
         "retention_budget": _q_retention_budget,
         "tiered_storage": _q_tiered_storage,
@@ -1256,6 +1264,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    CAST(NULL AS VARCHAR) AS quality_tier
             FROM events
+        """,
+        "key_skew": f"""
+            WITH {_M}, counts AS (
+              SELECT key, count(*) AS msg_count FROM messages
+              WHERE key IS NOT NULL GROUP BY key
+            )
+            SELECT key, msg_count,
+                   round(CAST(msg_count AS DOUBLE) / (SELECT sum(msg_count) FROM counts), 6) AS share
+            FROM counts ORDER BY msg_count DESC, key LIMIT 10
         """,
         "tiered_storage": f"""
             WITH {_M}, tiers AS (

@@ -17,7 +17,7 @@ from pulsar_spark.operators.seek import (
     examine_message,
     ack_state,
 )
-from pulsar_spark.operators.stats import topic_stats, partitioned_topic_stats, subscription_stats
+from pulsar_spark.operators.stats import topic_stats, partitioned_topic_stats, subscription_stats, key_skew_stats
 from pulsar_spark.operators.subscriptions import (
     batch_receive,
     sticky_key_hash,
@@ -53,6 +53,7 @@ __all__ = [
     "topic_stats",
     "partitioned_topic_stats",
     "subscription_stats",
+    "key_skew_stats",
     "sticky_key_hash",
     "key_shared_assignment",
     "key_shared_assignment_auto_split",

@@ -67,6 +67,30 @@ def subscription_stats(
     ).select(F.lit(subscription).alias("subscription"), "*")
 
 
+def key_skew_stats(messages: DataFrame, k: int = 10, key_col: str = "key") -> DataFrame:
+    """Hot-key report: top-k keys by message count with their share of
+    all keyed messages — the operational pre-check for Key_Shared
+    dispatch (a hot key pins its whole range to one consumer —
+    StickyKeyConsumerSelector semantics make per-key order a
+    serialization point) and for choosing salting/AQE-skew strategies
+    on keyed aggregations.
+
+    One partial-aggregated groupBy + a 1-row broadcast total; the top-k
+    sort runs on the (num distinct keys) frame, never the log.
+    """
+    counts = messages.where(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count("*").alias("msg_count")
+    )
+    total = counts.agg(F.sum("msg_count").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("msg_count") / F.col("_total"), 6))
+        .drop("_total")
+        .orderBy(F.desc("msg_count"), key_col)
+        .limit(k)
+    )
+
+
 def partitioned_topic_stats(messages: DataFrame) -> DataFrame:
     """Per-partition stats (entries, offsets watermarks) — the
     getInternalStats analog."""
