@@ -46,9 +46,15 @@ def compact_publish_order(
 
     Equivalent oracle: ``QUALIFY row_number() OVER (PARTITION BY key
     ORDER BY "offset" DESC) = 1`` then ``WHERE NOT tombstone``.
+
+    A topic without a tombstone column (nothing ever published a null
+    value) compacts as if every row were live — the reference behaves
+    the same way, a tombstone being just a null-payload message.
     """
     latest = _compact(messages, F.col(offset_col), key_col)
-    return latest.where(~F.col(tombstone_col))
+    if tombstone_col in messages.columns:
+        latest = latest.where(~F.col(tombstone_col))
+    return latest
 
 
 def compact_event_time_order(
@@ -60,9 +66,12 @@ def compact_event_time_order(
 ) -> DataFrame:
     """Event-time-order compaction: keep max (event_time, offset) per key
     (lexicographic struct max == later event time, ties -> later offset,
-    matching the reference's >= comparison on replacement)."""
+    matching the reference's >= comparison on replacement). Missing
+    tombstone column == no tombstones, as in publish-order compaction."""
     latest = _compact(messages, F.struct(F.col(event_time_col), F.col(offset_col)), key_col)
-    return latest.where(~F.col(tombstone_col))
+    if tombstone_col in messages.columns:
+        latest = latest.where(~F.col(tombstone_col))
+    return latest
 
 
 def compact_strategic(messages: DataFrame, order: Column, key_col: str = "key") -> DataFrame:

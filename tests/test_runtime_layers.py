@@ -324,3 +324,17 @@ class TestCli:
             main(["stats", topic])
         stats = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
         assert sum(int(s["msg_count"]) for s in stats) == 50
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["consume", topic, "-n", "2"])
+        peeked = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+        from collections import Counter
+
+        per_part = Counter(r["partition"] for r in peeked)
+        assert per_part and all(n <= 2 for n in per_part.values())  # n per partition
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["compact", topic])
+        assert "compacted_horizon" in json.loads(buf.getvalue())
