@@ -482,6 +482,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+def _q_dedup_keep_one(spark, sf_dir):
+    # cluster-level dedup applied: documents surviving keep-one-per-
+    # near-dup-cluster (smallest doc_id representative wins)
+    from pulsar_spark.functions import dedup_keep_representatives, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_keep_representatives(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def _q_training_set_select(spark, sf_dir):
     # the composed pretraining-data pipeline: exact-dedup -> quality
     # gate (>=5 tokens) -> score = distinct_ratio * (1-stopword_ratio)
@@ -779,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_replication": _q_geo_replication,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_one": _q_dedup_keep_one,
         "training_set_select": _q_training_set_select,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "multi_topic_union": _q_multi_topic_union,
@@ -1164,6 +1177,33 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "dedup_keep_one": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(v, u) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+            ), labels AS (
+              SELECT v AS id, min(u) AS cluster_id FROM reach GROUP BY v
+            )
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)
         """,
         "training_set_select": """
             WITH dedup AS (
