@@ -348,26 +348,57 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_bits: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dups by SimHash: candidates share a ``prefix_bits`` bucket
     (cheap LSH on the high bits), verified by ``bit_count(xor) <=
-    max_hamming``. Returns (id_a, id_b, hamming)."""
+    max_hamming``. Returns (id_a, id_b, hamming).
+
+    ``max_bucket_size`` enables the same mega-bucket star guard as the
+    MinHash path: buckets above the cap pair members to the bucket-min
+    id only (linear, connectivity-preserving for identical docs)
+    instead of all-pairs."""
     hashed = with_simhash(docs, text_col).select(id_col, "simhash").withColumn(
         "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
     )
-    a, b = hashed.alias("a"), hashed.alias("b")
+    if max_bucket_size is None:
+        a, b = hashed.alias("a"), hashed.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                "hamming",
+            )
+        )
+
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h"))
+    buckets = (
+        hashed.groupBy("bucket")
+        .agg(F.collect_list(member).alias("_ms"))
+        .where(F.size("_ms") > 1)
+    )
+    small_pairs = (
+        buckets.where(F.size("_ms") <= max_bucket_size)
+        .select(F.explode("_ms").alias("a"), "_ms")
+        .select("a", F.explode("_ms").alias("b"))
+    )
+    star_pairs = buckets.where(F.size("_ms") > max_bucket_size).select(
+        F.array_min("_ms").alias("a"), F.explode("_ms").alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        small_pairs.union(star_pairs)
+        .where(F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))))
         .where(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -83,6 +83,18 @@ class TestDedupe:
         got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
         assert got == {i: 0 for i in range(30)}  # connectivity intact
 
+    def test_simhash_star_guard(self, spark):
+        from pulsar_spark.functions import simhash_near_duplicates
+
+        docs = spark.createDataFrame(
+            [(i, "the same exact boilerplate text repeated here") for i in range(20)],
+            "doc_id long, text string",
+        )
+        full = simhash_near_duplicates(docs, max_hamming=0)
+        starred = simhash_near_duplicates(docs, max_hamming=0, max_bucket_size=5)
+        assert full.count() == 20 * 19 // 2
+        assert starred.count() == 19  # star of the mega-bucket
+
     def test_near_dup_clusters_connected_components(self, spark):
         from pulsar_spark.functions import near_dup_clusters
 
