@@ -134,6 +134,15 @@ def main() -> None:
             lambda: minhash_near_duplicates(docs, threshold=0.5).count(),
         )
 
+        # x4: composed pretraining pipeline (exact-dedup -> quality gate
+        # -> greedy token-budget selection) over documents
+        import __spark_entry__ as _entry
+
+        timed(
+            "x4_training_select",
+            lambda: _entry.queries()["training_set_select"](spark, sf_dir).count(),
+        )
+
         # x3: brute-force cosine top-10 over the embedding corpus
         from pulsar_spark.functions import cosine_topk
 
