@@ -50,9 +50,11 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n.cast("bigint").alias("n_tokens"),
         F.round(F.size(F.array_distinct(toks)) / n, 6).alias("distinct_ratio"),
         F.round(n_stop / n, 6).alias("stopword_ratio"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)) / n, 6
-        ).alias("mean_token_len"),
+        # total token chars via one codegen'd concat+length, not an
+        # interpreted per-element HOF fold
+        F.round(F.length(F.concat_ws("", toks)).cast("bigint") / n, 6).alias(
+            "mean_token_len"
+        ),
     )
 
 
