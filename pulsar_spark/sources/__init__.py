@@ -6,6 +6,8 @@ from pulsar_spark.sources.topics import (
     route_partition,
     write_topic_bucketed,
     read_topic_table,
+    create_topic,
+    topic_metadata,
 )
 
 __all__ = [
@@ -17,4 +19,6 @@ __all__ = [
     "read_topic_table",
     "read_topic",
     "route_partition",
+    "create_topic",
+    "topic_metadata",
 ]

@@ -37,7 +37,7 @@ def produce(
     payload: DataFrame,
     topic_path: str,
     key_col: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     producer_name: str = "producer-0",
     event_time_col: str | None = None,
     mode: str = "append",
@@ -65,6 +65,12 @@ def produce(
     """
     if registry is not None:
         registry.validate_produce(topic_path, payload)
+    if num_partitions is None:
+        # partition count comes from the topic metadata sidecar when the
+        # topic was created explicitly (createPartitionedTopic analog);
+        # ad-hoc topics default to 8
+        meta = topic_metadata(topic_path)
+        num_partitions = meta["num_partitions"] if meta else 8
     spark = payload.sparkSession
     part = (
         route_partition(key_col, num_partitions)
@@ -227,3 +233,32 @@ def read_topic_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog read of a bucketed topic table (bucket metadata intact,
     so Catalyst elides exchanges on the bucket key)."""
     return spark.table(table_name)
+
+def create_topic(
+    topic_path: str, num_partitions: int = 8, properties: dict | None = None
+) -> None:
+    """Create a partitioned topic: record its metadata sidecar
+    (``_topic.json``) — the createPartitionedTopic admin analog
+    (pulsar-client-admin-api/.../admin/Topics.java createPartitionedTopic).
+    ``produce`` reads the partition count from here when the caller
+    doesn't pass one, so every writer routes over the same key space.
+    """
+    import json
+    import os
+
+    os.makedirs(topic_path, exist_ok=True)
+    meta = {"num_partitions": int(num_partitions), "properties": properties or {}}
+    with open(os.path.join(topic_path, "_topic.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def topic_metadata(topic_path: str) -> dict | None:
+    """Read the topic's metadata sidecar, or None for an ad-hoc topic."""
+    import json
+    import os
+
+    f = os.path.join(topic_path, "_topic.json")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)

@@ -241,6 +241,25 @@ class TestAckState:
         assert row["backlog_estimate"] == 7  # range-based, counts holes
 
 
+class TestTopicMetadata:
+    def test_create_topic_sets_producer_partitioning(self, spark, tmp_path):
+        from pulsar_spark.sources import create_topic, produce, topic_metadata
+
+        topic = str(tmp_path / "t")
+        create_topic(topic, num_partitions=4, properties={"owner": "team-x"})
+        assert topic_metadata(topic)["num_partitions"] == 4
+
+        df = spark.range(100).selectExpr("id", "CAST(id % 10 AS STRING) AS k")
+        produce(df, topic, key_col="k")  # no num_partitions: sidecar wins
+        out = spark.read.parquet(topic)
+        assert out.select("partition").distinct().count() <= 4
+        assert out.agg({"partition": "max"}).collect()[0][0] <= 3
+        # metadata survives appends and stays invisible to the scan
+        produce(df, topic, key_col="k")
+        assert topic_metadata(topic)["properties"] == {"owner": "team-x"}
+        assert out.columns == spark.read.parquet(topic).columns
+
+
 class TestBucketedJoin:
     def test_cobucketed_topics_join_without_shuffle(self, spark, messages, tmp_path):
         """Two topics bucketed the same way (same key, same bucket
