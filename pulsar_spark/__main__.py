@@ -5,6 +5,7 @@ few lines over the same DataFrame operators the library exposes.
 
   python -m pulsar_spark produce <topic_path> --input f.parquet --key-col k
   python -m pulsar_spark read    <topic_path> [--from-offset N] [--from-time TS] [-n N]
+  python -m pulsar_spark create  <topic_path> [--partitions N]
   python -m pulsar_spark consume <topic_path> -n 10       (peek past cursor 0)
   python -m pulsar_spark stats   <topic_path>
   python -m pulsar_spark compact <topic_path> [--event-time-order]
@@ -26,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
     p_prod.add_argument("--input", required=True, help="parquet/json/csv input path")
     p_prod.add_argument("--format", default="parquet")
     p_prod.add_argument("--key-col", default=None)
-    p_prod.add_argument("--num-partitions", type=int, default=8)
+    p_prod.add_argument("--num-partitions", type=int, default=None)  # sidecar/8 fallback
     p_prod.add_argument("--producer-name", default="cli-producer")
 
     p_read = sub.add_parser("read", help="scan a topic from an offset/timestamp")
@@ -46,7 +47,18 @@ def main(argv: list[str] | None = None) -> int:
     p_comp.add_argument("topic")
     p_comp.add_argument("--event-time-order", action="store_true")
 
+    p_create = sub.add_parser("create", help="create a partitioned topic (metadata sidecar)")
+    p_create.add_argument("topic")
+    p_create.add_argument("--partitions", type=int, default=8)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "create":  # no Spark session needed
+        from pulsar_spark.sources.topics import create_topic
+
+        create_topic(args.topic, args.partitions)
+        print(json.dumps({"created": args.topic, "partitions": args.partitions}))
+        return 0
 
     from pyspark.sql import SparkSession
 
