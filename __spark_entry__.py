@@ -318,6 +318,78 @@ def _q_doc_exact_dedup(spark, sf_dir):
     return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_doc_hash_sample(spark, sf_dir):
+    # deterministic Bernoulli sampling by md5-hash threshold
+    # (functions/sampling.py): same (seed, key) -> same decision on any
+    # partitioning/engine; pure narrow filter, no shuffle at any scale.
+    from pulsar_spark.functions import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25, key_col="doc_id", seed=42).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _q_doc_domain_mix(spark, sf_dir):
+    # domain re-weighting ("data mixing"): per-source row budgets from
+    # integer weights, hash-downsampled at min(1, budget/count). One
+    # tiny groupBy + a broadcast rate join; row pass stays narrow.
+    from pulsar_spark.functions import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix(
+        docs, weights={"src0": 4.0, "src1": 2.0}, total_rows=300, seed=7
+    ).select("doc_id", "source")
+
+
+def _q_doc_dup_spans(spark, sf_dir):
+    # cross-document duplicated-span analysis: fraction of each doc's
+    # word 5-grams that also occur in some OTHER document (the
+    # "duplicate span" signal pretraining pipelines use to cut
+    # boilerplate). Explode to grams, count distinct docs per gram,
+    # join back, per-doc ratio.
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("words")).where(
+        F.size("words") >= 5
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 4),"
+                " i -> concat_ws(' ', slice(words, i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    gd = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        grams.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.cast("bigint").alias("n_dup"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def _q_chunk_reassembly(spark, sf_dir):
+    # chunked-message round trip (ProducerImpl.java:633 split,
+    # ConsumerImpl.java:1466-1663 reassembly): split payloads into
+    # 64-char chunks, then reassemble by (id, chunk_id) order. Oracle
+    # is the original table — proves the chunk path is lossless.
+    from pulsar_spark.operators.chunking import assemble_chunks, split_into_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = split_into_chunks(docs, payload_col="text", id_col="doc_id", chunk_size=64)
+    return (
+        assemble_chunks(chunks)
+        .withColumnRenamed("payload", "text")
+        .select("doc_id", "text", "n_chunks")
+    )
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from pulsar_spark.functions import fingerprint
 
@@ -774,6 +846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": _q_top_orders,
         "region_revenue": _q_region_revenue,
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_hash_sample": _q_doc_hash_sample,
+        "doc_domain_mix": _q_doc_domain_mix,
+        "doc_dup_spans": _q_doc_dup_spans,
+        "chunk_reassembly": _q_chunk_reassembly,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,
         "doc_token_stats": _q_doc_token_stats,
@@ -1027,6 +1103,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "doc_hash_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE (('0x' || substr(md5('42:' || doc_id), 1, 8))::UBIGINT)
+                  / 4294967296.0 < 0.25
+        """,
+        "doc_domain_mix": """
+            WITH g AS (
+              SELECT source, count(*) AS cnt,
+                     CASE WHEN source = 'src0' THEN 4.0
+                          WHEN source = 'src1' THEN 2.0
+                          ELSE 1.0 END AS wt
+              FROM documents GROUP BY source
+            ), s AS (SELECT sum(wt) AS wsum FROM g),
+            r AS (
+              SELECT source,
+                     least(1.0, (wt / (SELECT wsum FROM s) * 300.0) / cnt) AS rate
+              FROM g
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE (('0x' || substr(md5('7:' || d.doc_id), 1, 8))::UBIGINT)
+                  / 4294967296.0 < r.rate
+        """,
+        "doc_dup_spans": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+              FROM d, LATERAL unnest(generate_series(1, len(words) - 4)) AS t(i)
+              WHERE len(words) >= 5
+            ), gd AS (
+              SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+            )
+            SELECT g.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   round(CAST(sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS dup_frac
+            FROM g JOIN gd USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "chunk_reassembly": """
+            SELECT doc_id, text,
+                   CAST(ceil(length(text) / 64.0) AS INT) AS n_chunks
+            FROM documents
         """,
         "doc_quality": """
             WITH toks AS (

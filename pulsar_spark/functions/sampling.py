@@ -1,0 +1,120 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Large-scale pretraining pipelines subsample and re-weight corpora by
+domain/source before training ("data mixing"). The reference has no
+analog (it is a log engine), so these are part of the extended
+LLM-pipeline surface (SURVEY.md §7 step 11 / BASELINE north star).
+
+Design constraints, in order:
+
+1. **Deterministic** — the keep/drop decision is a pure function of
+   (seed, key), so re-running the pipeline on new hardware, a different
+   partition count, or after a failure selects the SAME rows.
+   ``df.sample()`` is seeded per-partition and therefore NOT stable
+   under repartitioning; we hash instead.
+2. **Shuffle-free** — the per-row decision is a filter over a
+   column-local expression: no exchange, fully pushed into the scan
+   stage, trivially scales to 100 TB. ``domain_mix`` adds one
+   broadcast join against a tiny per-group rate table.
+3. **Oracle-checkable** — the hash is md5 (identical hex output in
+   Spark and DuckDB), so the driver's DuckDB oracle reproduces the
+   exact selected set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["uniform_hash", "hash_sample", "domain_mix"]
+
+# 2^32: the hash prefix is 8 hex chars = 32 bits.
+_HASH_SPACE = float(1 << 32)
+
+
+def uniform_hash(key: Column | str, seed: int = 0) -> Column:
+    """A deterministic uniform double in [0, 1) from (seed, key).
+
+    ``md5(seed ':' key)`` first 8 hex chars -> 32-bit int -> /2^32.
+    Stays entirely in JVM expressions (md5/conv/substring are
+    codegen'd); the DuckDB mirror is
+    ``(('0x' || substr(md5(seed || ':' || key), 1, 8))::UBIGINT) /
+    4294967296.0``.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)).alias(
+        "u"
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, decided per key.
+
+    Bernoulli sampling by hash threshold: ``uniform_hash(key) <
+    fraction``. Same key + same seed => same decision everywhere, so
+    the sample is reproducible across runs, partitionings and engines
+    (unlike ``DataFrame.sample``). Pure narrow filter — at 100 TB this
+    is a scan-stage predicate with no shuffle.
+    """
+    return df.where(uniform_hash(key_col, seed) < F.lit(float(fraction)))
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_rows: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic domain re-weighting ("data mixing") by downsampling.
+
+    Each group g present in the data gets a row budget
+    ``weight(g) / sum(weights of present groups) * total_rows`` and is
+    hash-sampled at ``rate(g) = min(1, budget(g) / count(g))``. Groups
+    absent from ``weights`` use ``default_weight``. Rates cap at 1 —
+    this operator only downsamples (upsampling is a repeat-read
+    concern, not a selection concern).
+
+    Scale shape: one groupBy(group) count over the corpus (map-side
+    partial agg, tiny result), then a **broadcast** join of the
+    per-group rate table back onto the rows — the row-level pass stays
+    a narrow filter. The expected mix is exact in expectation; actual
+    counts deviate by O(sqrt(n)) like any Bernoulli sampler.
+    """
+    wexpr = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(float(w)))
+            for g, w in sorted(weights.items())
+        ],
+        F.lit(float(default_weight)),
+    )
+    groups = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_wt", wexpr)
+    )
+    # sum of weights over PRESENT groups (driver-free: window-less agg
+    # over the tiny group table, cross-joined back — still tiny).
+    wsum = groups.agg(F.sum("_wt").alias("_wsum"))
+    rates = (
+        groups.crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("_wt") / F.col("_wsum") * F.lit(float(total_rows)))
+                / F.col("_cnt"),
+            ),
+        )
+        .select(group_col, "_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(uniform_hash(key_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -297,3 +297,78 @@ class TestBpeAndRollingHash:
         assert vals[0] == vals[3]  # deterministic
         # matches the arithmetic definition
         assert vals[0] == (ord("a") * 31 + ord("b")) % 1_000_000_007
+
+
+class TestSampling:
+    """functions/sampling.py — deterministic hash sampling + domain mix."""
+
+    def test_hash_sample_stable_under_repartition(self, documents):
+        from pulsar_spark.functions import hash_sample
+
+        base = {r.doc_id for r in hash_sample(documents, 0.25, seed=42).collect()}
+        rep = {
+            r.doc_id
+            for r in hash_sample(documents.repartition(13), 0.25, seed=42).collect()
+        }
+        assert base == rep  # unlike df.sample(), partitioning-independent
+        n = documents.count()
+        assert 0.15 * n < len(base) < 0.35 * n  # ~Bernoulli(0.25)
+
+    def test_hash_sample_seed_changes_selection(self, documents):
+        from pulsar_spark.functions import hash_sample
+
+        a = {r.doc_id for r in hash_sample(documents, 0.25, seed=1).collect()}
+        b = {r.doc_id for r in hash_sample(documents, 0.25, seed=2).collect()}
+        assert a != b
+
+    def test_domain_mix_shifts_composition(self, spark, documents):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions import domain_mix
+
+        n = documents.count()
+        mixed = domain_mix(
+            documents, weights={"src0": 8.0}, total_rows=n // 2, seed=3
+        )
+        rates = {
+            r["source"]: r["rate"]
+            for r in mixed.groupBy("source")
+            .count()
+            .join(documents.groupBy("source").agg(F.count("*").alias("tot")), "source")
+            .selectExpr("source", "count / tot AS rate")
+            .collect()
+        }
+        # the over-weighted source keeps (nearly) everything; the
+        # default-weight sources are sampled well below it
+        others = [v for k, v in rates.items() if k != "src0"]
+        assert rates["src0"] > max(others)
+
+    def test_domain_mix_rate_caps_at_one(self, documents):
+        from pulsar_spark.functions import domain_mix
+
+        n = documents.count()
+        # budget >> corpus: every row survives (no upsampling)
+        assert domain_mix(documents, weights={}, total_rows=n * 10).count() == n
+
+
+class TestChunking:
+    """operators/chunking.py — split/reassemble round trip."""
+
+    def test_round_trip_is_lossless(self, documents):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators.chunking import assemble_chunks, split_into_chunks
+
+        chunks = split_into_chunks(
+            documents, payload_col="text", id_col="doc_id", chunk_size=37
+        )
+        # adversarial delivery order: scramble chunk rows across
+        # partitions before reassembly (ConsumerImpl buffers unordered
+        # chunks too)
+        scrambled = chunks.repartition(11).sortWithinPartitions(F.md5(F.col("chunk")))
+        out = assemble_chunks(scrambled).withColumnRenamed("payload", "text2")
+        joined = documents.join(out, "doc_id")
+        assert joined.where("text != text2").count() == 0
+        assert joined.where(
+            "n_chunks != cast(ceil(length(text) / 37.0) AS INT)"
+        ).count() == 0

@@ -1,0 +1,85 @@
+"""Local Spark-vs-DuckDB parity harness.
+
+Mirrors the driver's correctness gate (CORRECTNESS_r{N}.json): run the
+`__spark_entry__.queries()` entry and its `oracle_sql()` side by side
+at sf0.001 and compare sorted frames. Covers the query keys that have
+no dedicated semantic test elsewhere in the suite, plus the sampling /
+chunking / dup-span additions.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# keys checked here because nothing else in tests/ exercises them
+KEYS = [
+    "doc_hash_sample",
+    "doc_domain_mix",
+    "doc_dup_spans",
+    "chunk_reassembly",
+    "wordcount",
+    "multi_topic_union",
+    "scheduled_messages",
+    "compact_strategic",
+    "schema_json_decode",
+    "user_visible",
+]
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_query_matches_oracle(spark, entry, oracle, key):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    got = _norm(qs[key](spark, SF_DIR).toPandas())
+    want = _norm(oracle.sql(osql[key]).df())
+    assert got.shape == want.shape, f"{key}: {got.shape} != {want.shape}"
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(
+                a.astype(float), b.astype(float), atol=1e-9, equal_nan=True
+            ), f"{key}.{c}"
+        elif a.dtype.kind == "M" or b.dtype.kind == "M":
+            assert (
+                a.astype("datetime64[us]") == b.astype("datetime64[us]")
+            ).all(), f"{key}.{c}"
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), f"{key}.{c}"
