@@ -781,6 +781,31 @@ def _q_schema_json_decode(spark, sf_dir):
     )
 
 
+def _q_schema_kv_decode(spark, sf_dir):
+    # KEY_VALUE schema round trip (SchemaType.java:120 KEY_VALUE(15);
+    # common/schema/KeyValue.java; KeyValueEncodingType.java:33-38):
+    # encode events as key={user_id} / value={event_type, amount}
+    # INLINE JSON, decode back to typed columns, aggregate. The oracle
+    # aggregates the raw table — proving the KV codec is lossless.
+    from pulsar_spark.schema_registry import kv_decode, kv_encode
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").alias("amount")
+    )
+    enc = kv_encode(
+        ev, key_cols=["user_id"], value_cols=["event_type", "amount"], encoding="INLINE"
+    )
+    dec = kv_decode(
+        enc, "user_id BIGINT", "event_type STRING, amount DOUBLE", encoding="INLINE"
+    )
+    return dec.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.min("amount").alias("min_amount"),
+        F.max("amount").alias("max_amount"),
+    )
+
+
 def _q_schema_auto_consume(spark, sf_dir):
     # AUTO_CONSUME + schema evolution (SchemaType.java:175,
     # SchemaRegistryServiceImpl): reader projects rows to the LATEST
@@ -872,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "multi_topic_union": _q_multi_topic_union,
         "schema_json_decode": _q_schema_json_decode,
+        "schema_kv_decode": _q_schema_kv_decode,
         "schema_auto_consume": _q_schema_auto_consume,
         "subscription_stats": _q_subscription_stats,
         "batch_receive": _q_batch_receive,
@@ -1420,6 +1446,12 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "schema_kv_decode": """
+            SELECT user_id, count(*) AS n,
+                   count(DISTINCT event_type) AS n_types,
+                   min(value) AS min_amount, max(value) AS max_amount
+            FROM events GROUP BY user_id
         """,
         "schema_auto_consume": """
             SELECT event_id, event_type, value,

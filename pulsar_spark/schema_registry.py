@@ -160,3 +160,81 @@ class SchemaRegistry:
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
+
+
+# ---------------------------------------------------------------- KEY_VALUE
+
+def kv_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    encoding: str = "INLINE",
+    payload_col: str = "payload",
+    key_col: str = "kv_key_json",
+) -> DataFrame:
+    """KEY_VALUE schema encode (SchemaType.java:120 KEY_VALUE(15);
+    common/schema/KeyValue.java, KeyValueEncodingType.java:33-38).
+
+    INLINE: one JSON payload ``{"key": {...}, "value": {...}}``.
+    SEPARATED: key record rides its own column (the reference puts it
+    in the message key; the payload carries only the value record).
+    All JSON work is ``to_json`` — JVM-side, codegen'd, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    rest = [c for c in df.columns if c not in set(key_cols) | set(value_cols)]
+    if encoding == "INLINE":
+        payload = F.to_json(
+            F.struct(
+                F.struct(*key_cols).alias("key"), F.struct(*value_cols).alias("value")
+            )
+        )
+        return df.select(*rest, payload.alias(payload_col))
+    if encoding == "SEPARATED":
+        return df.select(
+            *rest,
+            F.to_json(F.struct(*key_cols)).alias(key_col),
+            F.to_json(F.struct(*value_cols)).alias(payload_col),
+        )
+    raise ValueError(f"unknown KeyValueEncodingType {encoding}")
+
+
+def kv_decode(
+    df: DataFrame,
+    key_schema: StructType | str,
+    value_schema: StructType | str,
+    encoding: str = "INLINE",
+    payload_col: str = "payload",
+    key_col: str = "kv_key_json",
+) -> DataFrame:
+    """KEY_VALUE schema decode: inverse of :func:`kv_encode`.
+
+    Expands the key/value records back to top-level columns (key fields
+    first). Field-name collisions between key and value schemas raise,
+    mirroring the typed KeyValue<K, V> accessor split.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType as _St
+
+    key_schema = _St.fromDDL(key_schema) if isinstance(key_schema, str) else key_schema
+    value_schema = (
+        _St.fromDDL(value_schema) if isinstance(value_schema, str) else value_schema
+    )
+    overlap = {f.name for f in key_schema.fields} & {f.name for f in value_schema.fields}
+    if overlap:
+        raise ValueError(f"key/value field collision: {sorted(overlap)}")
+    rest = [c for c in df.columns if c not in (payload_col, key_col)]
+    if encoding == "INLINE":
+        kv = F.from_json(
+            F.col(payload_col),
+            _St().add("key", key_schema).add("value", value_schema),
+        )
+        tmp = df.select(*rest, kv.alias("_kv"))
+        return tmp.select(*rest, "_kv.key.*", "_kv.value.*")
+    if encoding == "SEPARATED":
+        return df.select(
+            *rest,
+            F.from_json(F.col(key_col), key_schema).alias("_k"),
+            F.from_json(F.col(payload_col), value_schema).alias("_v"),
+        ).select(*rest, "_k.*", "_v.*")
+    raise ValueError(f"unknown KeyValueEncodingType {encoding}")

@@ -44,8 +44,17 @@ def produce(
     sequence_col: str | None = None,
     codec: str = "lz4",
     registry=None,
+    interceptors=None,
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
+
+    ``interceptors`` is an ordered list of ``DataFrame -> DataFrame``
+    callables applied to the payload before routing/minting — the
+    ProducerInterceptor.beforeSend chain
+    (capi/interceptor/ProducerInterceptor.java:83); each sees the
+    previous one's output. They run as plan transformations, not
+    per-row callbacks, so an interceptor that sticks to built-in
+    expressions costs nothing extra at scale.
 
     Offsets continue from the topic's current per-partition high
     watermark (read cheaply from the parquet footer stats of the
@@ -63,6 +72,8 @@ def produce(
     doesn't match the latest registered version raises before any file
     is written.
     """
+    for icept in interceptors or []:
+        payload = icept(payload)
     if registry is not None:
         registry.validate_produce(topic_path, payload)
     if num_partitions is None:
@@ -183,16 +194,27 @@ def read_topic(
     topic_path: str,
     start_offset: int | None = None,
     start_time: str | None = None,
+    interceptors=None,
 ) -> DataFrame:
     """Batch scan of a topic (Reader analog — capi/Reader.java:116-159:
     scan from explicit position or timestamp). Offset/time predicates
     push down to the parquet scan; the partition column prunes
-    directories."""
+    directories.
+
+    ``interceptors``: ordered ``DataFrame -> DataFrame`` callables
+    applied to the scan before returning — the
+    ConsumerInterceptor.beforeConsume chain
+    (capi/ConsumerInterceptor.java:118). Interceptors that only add
+    filters/projections still push down through them."""
     df = spark.read.parquet(topic_path)
     if start_offset is not None:
         df = df.where(F.col("offset") >= start_offset)
     if start_time is not None:
         df = df.where(F.col("publish_time") >= F.lit(start_time).cast("timestamp"))
+    # interceptors run after cursor positioning, like beforeConsume
+    # fires on messages already selected for delivery
+    for icept in interceptors or []:
+        df = icept(df)
     return df
 
 

@@ -39,6 +39,7 @@ KEYS = [
     "scheduled_messages",
     "compact_strategic",
     "schema_json_decode",
+    "schema_kv_decode",
     "user_visible",
 ]
 

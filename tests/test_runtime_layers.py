@@ -338,3 +338,85 @@ class TestCli:
         with contextlib.redirect_stdout(buf):
             main(["compact", topic])
         assert "compacted_horizon" in json.loads(buf.getvalue())
+
+
+class TestKeyValueSchema:
+    """KEY_VALUE schema (SchemaType.java:120; KeyValueEncodingType
+    INLINE/SEPARATED) encode/decode round trips."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, 10, "click", 1.5), (2, 20, "view", -3.25), (3, 10, "click", 0.0)],
+            "event_id INT, user_id INT, event_type STRING, amount DOUBLE",
+        )
+
+    def test_inline_round_trip(self, spark):
+        from pulsar_spark.schema_registry import kv_decode, kv_encode
+
+        df = self._frame(spark)
+        enc = kv_encode(df, ["user_id"], ["event_type", "amount"], encoding="INLINE")
+        assert set(enc.columns) == {"event_id", "payload"}
+        dec = kv_decode(
+            enc, "user_id INT", "event_type STRING, amount DOUBLE", encoding="INLINE"
+        )
+        got = sorted(dec.select(*df.columns).collect())
+        assert got == sorted(df.collect())
+
+    def test_separated_round_trip(self, spark):
+        from pulsar_spark.schema_registry import kv_decode, kv_encode
+
+        df = self._frame(spark)
+        enc = kv_encode(df, ["user_id"], ["event_type", "amount"], encoding="SEPARATED")
+        # key record rides its own column, payload holds only the value
+        assert set(enc.columns) == {"event_id", "kv_key_json", "payload"}
+        assert enc.where("payload LIKE '%user_id%'").count() == 0
+        dec = kv_decode(
+            enc, "user_id INT", "event_type STRING, amount DOUBLE", encoding="SEPARATED"
+        )
+        assert sorted(dec.select(*df.columns).collect()) == sorted(df.collect())
+
+    def test_field_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from pulsar_spark.schema_registry import kv_decode
+
+        with _pytest.raises(ValueError, match="collision"):
+            kv_decode(
+                self._frame(spark), "user_id INT", "user_id INT", encoding="INLINE"
+            )
+
+
+class TestInterceptors:
+    """Producer beforeSend chain (capi/interceptor/ProducerInterceptor
+    .java:83) and consumer beforeConsume chain
+    (capi/ConsumerInterceptor.java:118) as plan transformations."""
+
+    def test_producer_chain_applies_in_order(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.sources.topics import produce, read_topic
+
+        topic = str(tmp_path / "topic")
+        payload = spark.createDataFrame([("a",), ("b",)], "body STRING")
+        produce(
+            payload,
+            topic,
+            num_partitions=2,
+            interceptors=[
+                lambda df: df.withColumn("body", F.upper("body")),
+                lambda df: df.withColumn("body", F.concat("body", F.lit("!"))),
+            ],
+        )
+        got = sorted(r.body for r in read_topic(spark, topic).collect())
+        assert got == ["A!", "B!"]  # upper ran before the append
+
+    def test_consumer_interceptor_filters_delivery(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce, read_topic
+
+        topic = str(tmp_path / "topic")
+        payload = spark.createDataFrame([(i,) for i in range(10)], "v INT")
+        produce(payload, topic, num_partitions=2)
+        got = read_topic(
+            spark, topic, interceptors=[lambda df: df.where("v % 2 = 0")]
+        )
+        assert sorted(r.v for r in got.collect()) == [0, 2, 4, 6, 8]
