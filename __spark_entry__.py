@@ -597,6 +597,50 @@ def _q_embedding_cosine_near_dups(spark, sf_dir):
     return embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def _q_embedding_dedup_keep_one(spark, sf_dir):
+    # end-to-end embedding-level corpus dedup: exact cosine pairs ->
+    # connected components (iterative hash-min) -> drop every cluster
+    # member except the smallest-id representative. The embedding
+    # analog of dedup_keep_one; oracle is a recursive-CTE closure over
+    # list_cosine pairs.
+    from pulsar_spark.functions import (
+        dedup_keep_representatives,
+        embedding_near_duplicates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.45)
+    return dedup_keep_representatives(emb, pairs, id_col="vec_id").select("vec_id")
+
+
+def _q_doc_pii_scrub(spark, sf_dir):
+    # corpus hygiene pass: inject deterministic synthetic PII (the
+    # fixture corpus has none), then scrub with redact_pii and report
+    # per-doc match counts. Oracle repeats injection+redaction in RE2 —
+    # the patterns are restricted to the regex subset both engines
+    # treat identically.
+    from pulsar_spark.functions import redact_pii
+    from pulsar_spark.functions.text import PII_PATTERNS
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    d = docs.select("doc_id", injected.alias("raw"))
+    counts = [
+        F.size(F.regexp_extract_all("raw", F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return d.select("doc_id", *counts, redact_pii(F.col("raw")).alias("clean"))
+
+
 def _q_embedding_cosine_near_dups_lsh(spark, sf_dir):
     # scale path for the same predicate: LSH candidates only
     from pulsar_spark.functions import embedding_near_duplicates_lsh
@@ -895,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_one": _q_dedup_keep_one,
         "training_set_select": _q_training_set_select,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
+        "embedding_dedup_keep_one": _q_embedding_dedup_keep_one,
+        "doc_pii_scrub": _q_doc_pii_scrub,
         "multi_topic_union": _q_multi_topic_union,
         "schema_json_decode": _q_schema_json_decode,
         "schema_kv_decode": _q_schema_kv_decode,
@@ -1416,6 +1462,47 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
+        """,
+        "embedding_dedup_keep_one": """
+            WITH RECURSIVE vv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM vv a JOIN vv b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+                    >= 0.45
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+            ), reach(v, u) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+            ), labels AS (
+              SELECT v AS id, min(u) AS cluster_id FROM reach GROUP BY v
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)
+        """,
+        "doc_pii_scrub": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' reach user' || doc_id || '@mail.example.com or 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' from 10.0.' || (doc_id % 256) || '.7' AS raw
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(raw,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(raw,
+                        '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(raw, '\\d{3}-\\d{4}')) AS INT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(raw,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g'),
+                       '\\d{3}-\\d{4}', '[PHONE]', 'g') AS clean
+            FROM d
         """,
         "multi_topic_union": f"""
             WITH {_M}

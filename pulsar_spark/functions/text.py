@@ -123,3 +123,26 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, cp: (acc * ROLLING_HASH_BASE + cp) % ROLLING_HASH_MOD,
     )
+
+
+# PII redaction patterns, applied in order (email first — it contains
+# dots and digits that the later patterns would otherwise bite into).
+# Patterns are deliberately restricted to syntax that behaves
+# identically in java.util.regex (Spark) and RE2 (DuckDB oracle): no
+# lookaround, no backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+    ("phone", r"\d{3}-\d{4}", "[PHONE]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub common PII shapes (emails, IPv4s, phone-like digit runs)
+    from a text column — the pre-training corpus hygiene pass. Pure
+    chained ``regexp_replace``: JVM-side, codegen'd, no shuffle; at
+    100 TB this rides the scan stage like any projection."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

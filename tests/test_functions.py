@@ -372,3 +372,23 @@ class TestChunking:
         assert joined.where(
             "n_chunks != cast(ceil(length(text) / 37.0) AS INT)"
         ).count() == 0
+
+
+class TestPiiRedaction:
+    def test_redact_pii_scrubs_all_shapes(self, spark):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                ("mail bob.smith+x@corp.example.co early", "mail [EMAIL] early"),
+                ("host 192.168.001.255 up", "host [IP] up"),
+                ("call 555-0199 now", "call [PHONE] now"),
+                ("a@b.io 10.0.0.1 555-1234", "[EMAIL] [IP] [PHONE]"),
+                ("no pii here", "no pii here"),
+            ],
+            "raw STRING, want STRING",
+        )
+        bad = df.withColumn("got", redact_pii(F.col("raw"))).where("got != want")
+        assert bad.count() == 0

@@ -41,6 +41,8 @@ KEYS = [
     "schema_json_decode",
     "schema_kv_decode",
     "user_visible",
+    "embedding_dedup_keep_one",
+    "doc_pii_scrub",
 ]
 
 
