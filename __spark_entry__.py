@@ -124,6 +124,15 @@ def _q_user_visible(spark, sf_dir):
     return user_visible(_messages(spark, sf_dir)).select("partition", "offset", "event_id")
 
 
+def _q_last_message_id(spark, sf_dir):
+    # getLastMessageId admin analog (Topics.java:2147): highest stored
+    # (partition, offset) per topic partition — the hasMessageAvailable
+    # boundary.
+    from pulsar_spark.operators.seek import last_message_ids
+
+    return last_message_ids(_messages(spark, sf_dir))
+
+
 def _q_peek(spark, sf_dir):
     from pulsar_spark.operators import peek_messages
 
@@ -931,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
         "message_by_id": _q_message_by_id,
+        "last_message_id": _q_last_message_id,
         "examine_message": _q_examine_message,
         "ack_state": _q_ack_state,
         "geo_replication": _q_geo_replication,
@@ -1320,6 +1330,11 @@ def oracle_sql() -> dict[str, str]:
             WITH {_M}
             SELECT partition, "offset", event_id, key, publish_time
             FROM messages WHERE partition = 3 AND "offset" = 7
+        """,
+        "last_message_id": f"""
+            WITH {_M}
+            SELECT topic, partition, max("offset") AS last_offset
+            FROM messages GROUP BY topic, partition
         """,
         "examine_message": f"""
             WITH {_M}

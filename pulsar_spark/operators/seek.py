@@ -181,3 +181,18 @@ def ack_state(
             partition_col, "mark_delete_offset", "max_offset", "total_acked", "individually_acked"
         )
     )
+
+
+def last_message_ids(messages: DataFrame) -> DataFrame:
+    """getLastMessageId analog (pulsar-client-admin-api/.../admin/
+    Topics.java:2147): the highest stored (partition, offset) position
+    per topic partition — what a reader compares against to decide
+    ``hasMessageAvailable`` (capi/Reader.java:116).
+
+    One map-side-combined groupBy over (topic, partition); on a
+    parquet-backed topic the per-partition max comes from footer stats
+    after partition pruning, so this stays metadata-cheap at any scale.
+    """
+    return messages.groupBy("topic", "partition").agg(
+        F.max("offset").alias("last_offset")
+    )

@@ -284,3 +284,25 @@ def topic_metadata(topic_path: str) -> dict | None:
         return None
     with open(f) as fh:
         return json.load(fh)
+
+
+def truncate_topic(topic_path: str) -> None:
+    """Topics.truncate analog (pulsar-client-admin-api/.../admin/
+    Topics.java:4435): delete every stored message but keep the topic
+    itself — the metadata sidecar (partition count, properties)
+    survives, so the next ``produce`` routes over the same key space
+    and offsets restart at 0 per partition.
+
+    Implemented as a directory-level delete of the ``partition=*``
+    subtrees (no job, no scan): truncation is a metadata operation in
+    the reference and stays one here.
+    """
+    import os
+    import shutil
+
+    for name in os.listdir(topic_path):
+        p = os.path.join(topic_path, name)
+        if name.startswith("partition=") and os.path.isdir(p):
+            shutil.rmtree(p)
+        elif name.startswith("_SUCCESS") or name.startswith("part-"):
+            os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)

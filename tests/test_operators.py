@@ -531,3 +531,53 @@ class TestKeySharedAutoSplit:
             F.countDistinct("consumer_id").alias("n")
         ).where("n > 1")
         assert multi.count() == 0
+
+
+class TestAdminTopicLifecycle:
+    """truncate (Topics.java:4435) + getLastMessageId (Topics.java:2147)."""
+
+    def test_truncate_keeps_topic_metadata_and_resets_offsets(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import (
+            create_topic,
+            produce,
+            read_topic,
+            topic_metadata,
+            truncate_topic,
+        )
+
+        topic = str(tmp_path / "t")
+        create_topic(topic, num_partitions=4, properties={"owner": "qa"})
+        payload = spark.createDataFrame([(i,) for i in range(20)], "v INT")
+        produce(payload, topic)
+        assert read_topic(spark, topic).count() == 20
+
+        truncate_topic(topic)
+        # data gone, metadata survives
+        assert topic_metadata(topic) == {
+            "num_partitions": 4,
+            "properties": {"owner": "qa"},
+        }
+        produce(payload, topic)
+        df = read_topic(spark, topic)
+        assert df.count() == 20
+        # offsets restarted at 0 per partition (no stale high watermark)
+        assert df.groupBy("partition").min("offset").agg(
+            {"min(offset)": "max"}
+        ).first()[0] == 0
+
+    def test_last_message_ids_matches_max_offsets(self, spark, messages):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators.seek import last_message_ids
+
+        got = {
+            (r.topic, r.partition): r.last_offset
+            for r in last_message_ids(messages).collect()
+        }
+        want = {
+            (r.topic, r.partition): r.mx
+            for r in messages.groupBy("topic", "partition")
+            .agg(F.max("offset").alias("mx"))
+            .collect()
+        }
+        assert got == want and len(got) > 0

@@ -41,6 +41,7 @@ KEYS = [
     "schema_json_decode",
     "schema_kv_decode",
     "user_visible",
+    "last_message_id",
     "embedding_dedup_keep_one",
     "doc_pii_scrub",
 ]
