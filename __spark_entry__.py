@@ -599,6 +599,19 @@ def _q_training_set_select(spark, sf_dir):
     )
 
 
+def _q_doc_pack_sequences(spark, sf_dir):
+    # sequence-packing manifest (functions/packing.py): per-shard
+    # streaming fill into 512-token bins; docs ordered by id inside
+    # each shard, bin = floor(start_token/512). The window cumsum is
+    # partitioned by source, so shards pack in parallel — no global
+    # sort at any scale.
+    from pulsar_spark.functions import packing_stats
+
+    return packing_stats(
+        load_table(spark, sf_dir, "documents"), seq_len=512, shard_col="source"
+    )
+
+
 def _q_embedding_cosine_near_dups(spark, sf_dir):
     # exact cosine-threshold near-dup pairs over the embedding column
     from pulsar_spark.functions import embedding_near_duplicates
@@ -948,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
         "training_set_select": _q_training_set_select,
+        "doc_pack_sequences": _q_doc_pack_sequences,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "embedding_dedup_keep_one": _q_embedding_dedup_keep_one,
         "doc_pii_scrub": _q_doc_pii_scrub,
@@ -1477,6 +1491,23 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
+        """,
+        "doc_pack_sequences": """
+            WITH tk AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                          - n_tokens AS BIGINT) AS start_token
+              FROM tk
+            )
+            SELECT source, CAST(floor(start_token / 512.0) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM p GROUP BY source, bin_id
         """,
         "embedding_dedup_keep_one": """
             WITH RECURSIVE vv AS (

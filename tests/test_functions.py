@@ -392,3 +392,34 @@ class TestPiiRedaction:
         )
         bad = df.withColumn("got", redact_pii(F.col("raw"))).where("got != want")
         assert bad.count() == 0
+
+
+class TestPacking:
+    """functions/packing.py — streaming-fill sequence packing."""
+
+    def test_bins_fill_contiguously_per_shard(self, spark):
+        from pulsar_spark.functions import pack_sequences
+
+        rows = [(i, "s", "w " * 10) for i in range(10)]  # 10 tokens each
+        docs = spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+        got = {
+            r.doc_id: (r.start_token, r.bin_id)
+            for r in pack_sequences(docs, seq_len=25).collect()
+        }
+        # doc i starts at 10*i; bin = floor(start/25)
+        assert got == {i: (10 * i, (10 * i) // 25) for i in range(10)}
+
+    def test_shards_pack_independently(self, documents):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions import pack_sequences
+
+        packed = pack_sequences(documents, seq_len=512)
+        # every shard's first doc starts at token 0
+        firsts = (
+            packed.groupBy("source").agg(F.min("start_token").alias("st")).collect()
+        )
+        assert all(r.st == 0 for r in firsts)
+        # start_token is the cumsum of preceding docs (spot-check ordering)
+        bad = packed.where("start_token < 0 OR bin_id < 0").count()
+        assert bad == 0

@@ -44,6 +44,7 @@ KEYS = [
     "last_message_id",
     "embedding_dedup_keep_one",
     "doc_pii_scrub",
+    "doc_pack_sequences",
 ]
 
 
