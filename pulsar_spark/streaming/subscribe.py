@@ -30,11 +30,18 @@ def subscribe(
     subscription_type: str = "exclusive",
     num_consumers: int = 1,
     max_files_per_trigger: int | None = None,
+    interceptors=None,
 ) -> DataFrame:
     """Open a streaming scan of a topic (consumer analog).
 
     ``max_files_per_trigger`` is the flow-control permit analog
     (ServerCnx.handleFlow — bound work per micro-batch).
+
+    ``interceptors``: ordered ``DataFrame -> DataFrame`` callables
+    applied to the stream after dispatch partitioning — the
+    ConsumerInterceptor.beforeConsume chain
+    (capi/ConsumerInterceptor.java:118), streaming flavor; the same
+    chain ``read_topic`` applies in batch mode.
     """
     static = spark.read.parquet(topic_path)  # schema discovery only
     reader = spark.readStream.schema(static.schema)
@@ -45,6 +52,8 @@ def subscribe(
     if subscription_type == "key_shared":
         # each "consumer" = one shuffle partition owning a hash range
         stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
+    for icept in interceptors or []:
+        stream = icept(stream)
     return stream
 
 

@@ -345,3 +345,23 @@ class TestFunctionPipelineE2E:
         assert out.where(~F.col("result").endswith("!")).count() == 0
         # per-producer sequence ids stay unique across micro-batch appends
         assert out.select("sequence_id").distinct().count() == out.count()
+
+
+class TestStreamingInterceptors:
+    def test_beforeconsume_chain_applies_per_batch(self, spark, topic_dir, messages):
+        from pulsar_spark.streaming import subscribe
+
+        out = _run(
+            subscribe(
+                spark,
+                topic_dir,
+                interceptors=[
+                    lambda df: df.where("partition % 2 = 0"),
+                    lambda df: df.withColumn("tagged", F.lit(True)),
+                ],
+            ),
+            "sub_icept",
+            spark,
+        )
+        assert out.count() == messages.where("partition % 2 = 0").count()
+        assert out.where("NOT tagged").count() == 0

@@ -61,6 +61,32 @@ def main() -> None:
         t0 = time.perf_counter()
         msgs.where("offset % 3 = 0").count()
         out["scan_filter_rows_per_sec"] = round(n / (time.perf_counter() - t0))
+
+        # corpus paths at scale: replicate documents (ids perturbed so
+        # dedup keys stay realistic) and run the hygiene + packing
+        # pipelines — the narrow stages should scale ~linearly, the
+        # gram join sublinearly in wall time per row
+        from pulsar_spark.functions import hash_sample, packing_stats, redact_pii
+
+        docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+        doc_rep = max(2, rep // 5)
+        bigdocs = (
+            docs.crossJoin(spark.range(doc_rep).withColumnRenamed("id", "rep"))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+            .drop("rep")
+        )
+        nd = bigdocs.count()
+        out["docs"] = nd
+
+        t0 = time.perf_counter()
+        hash_sample(bigdocs, 0.5, seed=1).select(
+            F.sum(F.length(redact_pii(F.col("text"))))
+        ).collect()
+        out["sample_scrub_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
+
+        t0 = time.perf_counter()
+        packing_stats(bigdocs, seq_len=2048).count()
+        out["packing_sec"] = round(time.perf_counter() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
