@@ -64,3 +64,43 @@ def run_to_end(stream_writer, timeout_s: int = 120):
     q = stream_writer.trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
     return q
+
+
+def subscribe_multi(
+    spark: SparkSession,
+    topic_paths: list[str],
+    subscription_type: str = "exclusive",
+    num_consumers: int = 1,
+    max_files_per_trigger: int | None = None,
+    interceptors=None,
+) -> DataFrame:
+    """Multi-topic subscription (client/impl/MultiTopicsConsumerImpl
+    .java; topicsPattern/topics list on capi/ConsumerBuilder.java):
+    one logical consumer over N topics = streaming UNION ALL of the
+    per-topic scans (SURVEY.md §2.7). Each source keeps its own offset
+    tracking in the shared checkpoint; per-partition order holds
+    within each topic, with no cross-topic order (reference behavior).
+
+    Key_Shared repartitioning and interceptors are applied to the
+    UNIONED stream, so key ranges span all topics like a single
+    consumer's hash space does.
+    """
+    if not topic_paths:
+        raise ValueError("subscribe_multi needs at least one topic path")
+    streams = [
+        subscribe(
+            spark,
+            p,
+            subscription_type="exclusive",  # per-topic scan; fanout below
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        for p in topic_paths
+    ]
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    if subscription_type == "key_shared":
+        out = out.repartition(num_consumers, sticky_key_hash(F.col("key")))
+    for icept in interceptors or []:
+        out = icept(out)
+    return out

@@ -365,3 +365,20 @@ class TestStreamingInterceptors:
         )
         assert out.count() == messages.where("partition % 2 = 0").count()
         assert out.where("NOT tagged").count() == 0
+
+
+class TestMultiTopicSubscribe:
+    def test_union_reads_all_topics_once(self, spark, tmp_path, messages):
+        from pulsar_spark.sources.topics import write_topic
+        from pulsar_spark.streaming import subscribe_multi
+
+        a = str(tmp_path / "ta")
+        b = str(tmp_path / "tb")
+        write_topic(messages.where("partition < 4"), a)
+        write_topic(messages.where("partition >= 4"), b)
+        out = _run(subscribe_multi(spark, [a, b]), "sub_multi", spark)
+        assert out.count() == messages.count()
+        # rows keep their origin topic column; both topics present
+        assert out.select("partition").distinct().count() == messages.select(
+            "partition"
+        ).distinct().count()
