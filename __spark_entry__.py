@@ -707,6 +707,20 @@ def _q_ack_state(spark, sf_dir):
     return ack_state(_messages(spark, sf_dir), F.col("event_id") % 13 != 0)
 
 
+def _q_ack_timeout_redelivery(spark, sf_dir):
+    # ack-timeout redelivery (UnAckedMessageTracker.java:45): unacked
+    # rows (acked iff event_id % 5 != 0) older than a 1-day timeout
+    # against a pinned "now" come back with redelivery_count + 1.
+    from pulsar_spark.operators import ack_timeout_redelivery
+
+    return ack_timeout_redelivery(
+        _messages(spark, sf_dir),
+        F.col("event_id") % 5 != 0,
+        ack_timeout_seconds=86400,
+        now=F.to_timestamp(F.lit("2024-01-08 00:00:00")),
+    ).select("partition", "offset", "event_id", "publish_time", "redelivery_count")
+
+
 def _q_geo_replication(spark, sf_dir):
     # loop-avoid filter: replicate to 'west' skips messages originating
     # there (deterministic origin: event_id % 7 == 0 -> 'west')
@@ -956,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_message_id": _q_last_message_id,
         "examine_message": _q_examine_message,
         "ack_state": _q_ack_state,
+        "ack_timeout_redelivery": _q_ack_timeout_redelivery,
         "geo_replication": _q_geo_replication,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "dedup_clusters": _q_dedup_clusters,
@@ -1355,6 +1370,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT partition, "offset", event_id, publish_time
             FROM messages
             QUALIFY row_number() OVER (PARTITION BY partition ORDER BY "offset" DESC) = 5
+        """,
+        "ack_timeout_redelivery": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, publish_time,
+                   CAST(redelivery_count + 1 AS INT) AS redelivery_count
+            FROM messages
+            WHERE event_id % 5 = 0
+              AND publish_time < TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 86400 SECOND
         """,
         "ack_state": f"""
             WITH {_M}, flagged AS (

@@ -24,6 +24,7 @@ from pulsar_spark.operators.subscriptions import (
     key_shared_assignment,
     key_shared_assignment_auto_split,
     hash_range_auto_split,
+    ack_timeout_redelivery,
     dlq_split,
     retry_schedule,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "key_shared_assignment_auto_split",
     "hash_range_auto_split",
     "batch_receive",
+    "ack_timeout_redelivery",
     "dlq_split",
     "retry_schedule",
     "table_view",

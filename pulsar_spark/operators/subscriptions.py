@@ -177,3 +177,31 @@ def batch_receive(
     else:
         df = df.withColumn("batch_id", F.col("_cb").cast("bigint")).drop("_cb")
     return df
+
+
+def ack_timeout_redelivery(
+    messages: DataFrame,
+    acked: Column,
+    ack_timeout_seconds: int,
+    now: Column | None = None,
+    publish_time_col: str = "publish_time",
+) -> DataFrame:
+    """Ack-timeout redelivery candidates — the UnAckedMessageTracker
+    analog (client/impl/UnAckedMessageTracker.java:45: messages not
+    acked within ``ackTimeoutMillis`` of delivery are redelivered).
+    Distinct from negative acks (NegativeAcksTracker / retry_schedule):
+    this path fires on SILENCE, not on an explicit nack.
+
+    Batch form: unacked rows whose delivery (publish) time is older
+    than ``now - ack_timeout`` come back with redelivery_count + 1.
+    A narrow filter + projection — rides the scan at any scale.
+    """
+    now = now if now is not None else F.current_timestamp()
+    cutoff = now - F.make_interval(secs=F.lit(ack_timeout_seconds))
+    return (
+        messages.where(~acked.cast("boolean") & (F.col(publish_time_col) < cutoff))
+        .withColumn(
+            "redelivery_count",
+            (F.coalesce(F.col("redelivery_count"), F.lit(0)) + 1).cast("int"),
+        )
+    )

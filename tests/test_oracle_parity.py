@@ -42,6 +42,7 @@ KEYS = [
     "schema_kv_decode",
     "user_visible",
     "last_message_id",
+    "ack_timeout_redelivery",
     "embedding_dedup_keep_one",
     "doc_pii_scrub",
     "doc_pack_sequences",
