@@ -355,32 +355,11 @@ def _q_doc_dup_spans(spark, sf_dir):
     # cross-document duplicated-span analysis: fraction of each doc's
     # word 5-grams that also occur in some OTHER document (the
     # "duplicate span" signal pretraining pipelines use to cut
-    # boilerplate). Explode to grams, count distinct docs per gram,
-    # join back, per-doc ratio.
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", F.split("text", " ").alias("words")).where(
-        F.size("words") >= 5
-    )
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(words) - 4),"
-                " i -> concat_ws(' ', slice(words, i, 5)))"
-            )
-        ).alias("gram"),
-    )
-    gd = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("nd"))
-    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-    return (
-        grams.join(gd, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            dup.cast("bigint").alias("n_dup"),
-            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
-        )
-    )
+    # boilerplate). Salted exact distinct-doc counts defend against
+    # Zipfian stop-gram skew (functions/dedupe.py dup_span_fraction).
+    from pulsar_spark.functions import dup_span_fraction
+
+    return dup_span_fraction(load_table(spark, sf_dir, "documents"), n=5)
 
 
 def _q_chunk_reassembly(spark, sf_dir):

@@ -147,35 +147,13 @@ def main() -> None:
         # scrub -> cross-doc duplicated-5-gram fraction) — the narrow
         # filter + regex stages ride the scan; the gram agg/join is the
         # only shuffle
-        from pulsar_spark.functions import hash_sample, redact_pii
+        from pulsar_spark.functions import dup_span_fraction, hash_sample, redact_pii
 
         def _hygiene():
             d = hash_sample(docs, 0.5, key_col="doc_id", seed=1).select(
                 "doc_id", redact_pii(F.col("text")).alias("text")
             )
-            words = d.select("doc_id", F.split("text", " ").alias("words")).where(
-                F.size("words") >= 5
-            )
-            grams = words.select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(words) - 4),"
-                        " i -> concat_ws(' ', slice(words, i, 5)))"
-                    )
-                ).alias("gram"),
-            )
-            gd = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("nd"))
-            return (
-                grams.join(gd, "gram")
-                .groupBy("doc_id")
-                .agg(
-                    (F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) / F.count("*")).alias(
-                        "dup_frac"
-                    )
-                )
-                .count()
-            )
+            return dup_span_fraction(d, n=5).count()
 
         timed("x5_corpus_hygiene", _hygiene)
 

@@ -503,3 +503,55 @@ def dedup_keep_representatives(
         F.col("id").alias(id_col)
     )
     return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def dup_span_fraction(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a doc's word
+    n-grams that also occur in at least one OTHER document — the
+    boilerplate/duplication signal pretraining pipelines threshold on.
+
+    Returns (id, n_grams, n_dup, dup_frac).
+
+    Scale shape: the gram table is ~|tokens| rows, and natural-language
+    gram frequencies are Zipfian — a handful of stop-grams can carry a
+    huge share of rows. Two skew defenses, both exact:
+
+    - the distinct-doc count per gram aggregates FIRST on
+      (gram, hash(doc_id) % n_salts) — each doc lands in exactly one
+      salt, so summing per-salt distinct counts is exact while the
+      reduce fan-in per key drops by n_salts;
+    - the gram->nd join back is an equi-join on a unique build side,
+      so AQE's skew-join split handles hot probe keys.
+    """
+    d = docs.select(id_col, F.split(text_col, " ").alias("words")).where(
+        F.size("words") >= n
+    )
+    grams = d.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(words) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(words, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+    per_salt = grams.groupBy(
+        "gram", F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt")
+    ).agg(F.count_distinct(id_col).alias("_nd_salt"))
+    gd = per_salt.groupBy("gram").agg(F.sum("_nd_salt").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        grams.join(gd, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.cast("bigint").alias("n_dup"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
