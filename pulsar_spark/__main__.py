@@ -9,6 +9,8 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark consume <topic_path> -n 10       (peek past cursor 0)
   python -m pulsar_spark stats   <topic_path>
   python -m pulsar_spark compact <topic_path> [--event-time-order]
+  python -m pulsar_spark truncate <topic_path>
+  python -m pulsar_spark last    <topic_path>
 """
 
 from __future__ import annotations
@@ -51,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     p_create.add_argument("topic")
     p_create.add_argument("--partitions", type=int, default=8)
 
+    p_trunc = sub.add_parser("truncate", help="drop stored data, keep the topic")
+    p_trunc.add_argument("topic")
+
+    p_last = sub.add_parser("last", help="highest (partition, offset) per partition")
+    p_last.add_argument("topic")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "create":  # no Spark session needed
@@ -58,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
 
         create_topic(args.topic, args.partitions)
         print(json.dumps({"created": args.topic, "partitions": args.partitions}))
+        return 0
+    if args.cmd == "truncate":  # directory-level metadata op, no session
+        from pulsar_spark.sources.topics import truncate_topic
+
+        truncate_topic(args.topic)
+        print(json.dumps({"truncated": args.topic}))
         return 0
 
     from pyspark.sql import SparkSession
@@ -98,6 +112,16 @@ def main(argv: list[str] | None = None) -> int:
         from pulsar_spark.sources.topics import read_topic
 
         for row in topic_stats(read_topic(spark, args.topic)).collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "last":
+        from pulsar_spark.operators.seek import last_message_ids
+        from pulsar_spark.sources.topics import read_topic
+
+        for row in (
+            last_message_ids(read_topic(spark, args.topic))
+            .orderBy("partition")
+            .collect()
+        ):
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
     elif args.cmd == "compact":
         from pulsar_spark.operators import compact_topic_storage

@@ -126,3 +126,53 @@ class TestAckStateProperties:
         assert row["individually_acked"] == want_holes
         # invariant: everything at or below mark-delete is acked
         assert all(acked_mask[: want_md + 1])
+
+
+class TestSamplingProperties:
+    """hash_sample vs a pure-python md5 oracle, any id set / fraction."""
+
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=10**9), unique=True, max_size=40),
+        fraction=st.floats(min_value=0.0, max_value=1.0),
+        seed=st.integers(min_value=0, max_value=99),
+    )
+    @SPARKY
+    def test_matches_md5_threshold_oracle(self, spark, ids, fraction, seed):
+        import hashlib
+
+        from pulsar_spark.functions import hash_sample
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+        got = {r.doc_id for r in hash_sample(df, fraction, seed=seed).collect()}
+        want = {
+            i
+            for i in ids
+            if int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+            < fraction
+        }
+        assert got == want
+
+
+class TestPackingProperties:
+    """pack_sequences vs a pure-python streaming-fill oracle."""
+
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+        seq_len=st.integers(min_value=2, max_value=64),
+    )
+    @SPARKY
+    def test_matches_streaming_fill_oracle(self, spark, toks, seq_len):
+        from pulsar_spark.functions import pack_sequences
+
+        rows = [(i, "s", "w " * n) for i, n in enumerate(toks)]  # n tokens each
+        df = spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+        got = {
+            r.doc_id: (r.n_tokens, r.start_token, r.bin_id)
+            for r in pack_sequences(df, seq_len=seq_len).collect()
+        }
+        start = 0
+        want = {}
+        for i, n in enumerate(toks):
+            want[i] = (n, start, start // seq_len)
+            start += n
+        assert got == want

@@ -420,3 +420,32 @@ class TestInterceptors:
             spark, topic, interceptors=[lambda df: df.where("v % 2 = 0")]
         )
         assert sorted(r.v for r in got.collect()) == [0, 2, 4, 6, 8]
+
+    def test_truncate_and_last_subcommands(self, spark, tmp_path):
+        import contextlib
+        import io as _io
+        import json
+
+        from pulsar_spark.__main__ import main
+
+        src = str(tmp_path / "in2.parquet")
+        spark.range(30).selectExpr("id", "id % 3 AS k").write.parquet(src)
+        topic = str(tmp_path / "topic2")
+        with contextlib.redirect_stdout(_io.StringIO()):
+            main(["create", topic, "--partitions", "3"])
+            main(["produce", topic, "--input", src, "--key-col", "k"])
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["last", topic])
+        rows = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+        assert rows and all(int(r["last_offset"]) >= 0 for r in rows)
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["truncate", topic])
+        assert json.loads(buf.getvalue()) == {"truncated": topic}
+        import os
+
+        assert os.path.exists(os.path.join(topic, "_topic.json"))
+        assert not any(n.startswith("partition=") for n in os.listdir(topic))
