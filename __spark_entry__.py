@@ -591,6 +591,34 @@ def _q_doc_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_doc_embedding_join(spark, sf_dir):
+    # cross-table equi-join over the extended tables: documents meta x
+    # embedding norms (vec_id == doc_id in the fixtures). Per-source
+    # rollup keeps aggregates order-independent (count + min/max of the
+    # rounded norm — no float-sum ordering hazard). The doc side is
+    # the smaller projected relation; Catalyst broadcasts it under AQE.
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ),
+        4,
+    )
+    j = emb.select(F.col("vec_id").alias("doc_id"), norm.alias("nrm")).join(
+        F.broadcast(docs), "doc_id"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
 def _q_embedding_cosine_near_dups(spark, sf_dir):
     # exact cosine-threshold near-dup pairs over the embedding column
     from pulsar_spark.functions import embedding_near_duplicates
@@ -956,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_one": _q_dedup_keep_one,
         "training_set_select": _q_training_set_select,
         "doc_pack_sequences": _q_doc_pack_sequences,
+        "doc_embedding_join": _q_doc_embedding_join,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "embedding_dedup_keep_one": _q_embedding_dedup_keep_one,
         "doc_pii_scrub": _q_doc_pii_scrub,
@@ -1493,6 +1522,15 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
+        """,
+        "doc_embedding_join": """
+            SELECT d.source, count(*) AS n,
+                   min(round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[]))), 4)) AS min_norm,
+                   max(round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[]))), 4)) AS max_norm
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            GROUP BY d.source
         """,
         "doc_pack_sequences": """
             WITH tk AS (

@@ -46,6 +46,7 @@ KEYS = [
     "embedding_dedup_keep_one",
     "doc_pii_scrub",
     "doc_pack_sequences",
+    "doc_embedding_join",
 ]
 
 
