@@ -591,6 +591,19 @@ def _q_doc_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_doc_contamination(spark, sf_dir):
+    # benchmark decontamination (eval-set leakage): docs sharing any
+    # word 5-gram with the "benchmark" split (doc_id % 97 == 0) get
+    # flagged. Benchmark grams are tiny -> broadcast semi-join; the
+    # corpus side never shuffles.
+    from pulsar_spark.functions import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_check(corpus, bench, n=5)
+
+
 def _q_doc_embedding_join(spark, sf_dir):
     # cross-table equi-join over the extended tables: documents meta x
     # embedding norms (vec_id == doc_id in the fixtures). Per-source
@@ -985,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set_select": _q_training_set_select,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_embedding_join": _q_doc_embedding_join,
+        "doc_contamination": _q_doc_contamination,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
         "embedding_dedup_keep_one": _q_embedding_dedup_keep_one,
         "doc_pii_scrub": _q_doc_pii_scrub,
@@ -1522,6 +1536,25 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
+        """,
+        "doc_contamination": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+              FROM d, LATERAL unnest(generate_series(1, len(words) - 4)) AS t(i)
+              WHERE len(words) >= 5
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), cg AS (
+              SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                   sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                       THEN 1 ELSE 0 END) > 0 AS contaminated
+            FROM cg GROUP BY doc_id
         """,
         "doc_embedding_join": """
             SELECT d.source, count(*) AS n,

@@ -555,3 +555,46 @@ def dup_span_fraction(
             F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
         )
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    word n-gram positions also occur in the BENCHMARK set (eval-set
+    leakage check before pretraining). Returns (id, n_grams, n_hits,
+    contaminated).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (an eval suite, not a second corpus) — distinct it and broadcast;
+    the corpus side stays a narrow explode + broadcast left-semi-style
+    join, no corpus shuffle. Docs shorter than n grams report 0.
+    """
+
+    def grams_of(df):
+        d = df.select(id_col, F.split(text_col, " ").alias("words"))
+        return d.where(F.size("words") >= n).select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+
+    bench = grams_of(benchmark).select("gram").distinct()
+    cg = grams_of(corpus)
+    hits = cg.join(F.broadcast(bench), "gram", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("n_hits")
+    )
+    totals = cg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

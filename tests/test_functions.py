@@ -423,3 +423,26 @@ class TestPacking:
         # start_token is the cumsum of preceding docs (spot-check ordering)
         bad = packed.where("start_token < 0 OR bin_id < 0").count()
         assert bad == 0
+
+
+class TestContamination:
+    def test_flags_only_docs_sharing_benchmark_grams(self, spark):
+        from pulsar_spark.functions import contamination_check
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id INT, text STRING",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "x alpha beta gamma delta epsilon y"),  # shares a 5-gram
+                (2, "totally different words here now ok"),  # clean
+                (3, "too short"),  # < 5 grams -> absent
+            ],
+            "doc_id INT, text STRING",
+        )
+        got = {r.doc_id: (r.n_hits, r.contaminated) for r in
+               contamination_check(corpus, bench, n=5).collect()}
+        assert got[1][1] is True and got[1][0] >= 1
+        assert got[2] == (0, False)
+        assert 3 not in got

@@ -47,6 +47,7 @@ KEYS = [
     "doc_pii_scrub",
     "doc_pack_sequences",
     "doc_embedding_join",
+    "doc_contamination",
 ]
 
 
