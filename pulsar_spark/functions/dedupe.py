@@ -570,9 +570,11 @@ def contamination_check(
     contaminated).
 
     Scale shape: the benchmark gram set is tiny relative to the corpus
-    (an eval suite, not a second corpus) — distinct it and broadcast;
-    the corpus side stays a narrow explode + broadcast left-semi-style
-    join, no corpus shuffle. Docs shorter than n grams report 0.
+    (an eval suite, not a second corpus) — distinct it and broadcast.
+    The corpus side is a narrow explode + broadcast left join, then ONE
+    aggregation shuffle keyed by doc (count + conditional sum fused in
+    the same pass — no second groupBy, no agg-vs-agg join). Docs
+    shorter than n grams report 0.
     """
 
     def grams_of(df):
@@ -587,14 +589,14 @@ def contamination_check(
             ).alias("gram"),
         )
 
-    bench = grams_of(benchmark).select("gram").distinct()
+    bench = grams_of(benchmark).select("gram").distinct().withColumn("_hit", F.lit(1))
     cg = grams_of(corpus)
-    hits = cg.join(F.broadcast(bench), "gram", "left_semi").groupBy(id_col).agg(
-        F.count("*").alias("n_hits")
-    )
-    totals = cg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     return (
-        totals.join(hits, id_col, "left")
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        cg.join(F.broadcast(bench), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
