@@ -47,3 +47,41 @@ class TestPlanAudit:
         s = plan_summary(sigs)
         assert s["python_stages"] >= 1  # the vectorized signature UDF
         assert s["exchanges"] == 0  # signatures are embarrassingly parallel
+
+
+class TestCorpusOpPlanBudgets:
+    """Exchange budgets for the corpus-hygiene operators — regressions
+    here mean an accidental extra shuffle at 100 TB."""
+
+    def test_hash_sample_is_narrow(self, spark, documents):
+        from pulsar_spark.functions import hash_sample
+
+        df = hash_sample(documents, 0.25, seed=7)
+        df.collect()
+        assert exchange_count(df) == 0
+
+    def test_redact_pii_is_narrow(self, spark, documents):
+        from pulsar_spark.functions import redact_pii
+
+        df = documents.select(redact_pii(F.col("text")).alias("t"))
+        df.collect()
+        assert exchange_count(df) == 0
+
+    def test_contamination_single_corpus_shuffle(self, spark, documents):
+        from pulsar_spark.functions import contamination_check
+
+        bench = documents.where("doc_id % 97 = 0")
+        corpus = documents.where("doc_id % 97 != 0")
+        df = contamination_check(corpus, bench, n=5)
+        df.collect()
+        # 1 tiny bench-distinct + 1 doc-keyed agg; bench side broadcasts
+        assert exchange_count(df) <= 2
+        assert broadcast_join_count(df) == 1
+
+    def test_packing_shuffles_once_per_window(self, spark, documents):
+        from pulsar_spark.functions import packing_stats
+
+        df = packing_stats(documents, seq_len=512)
+        df.collect()
+        # window by shard + final group; AQE may fuse to the same exchange
+        assert exchange_count(df) <= 2
