@@ -176,3 +176,42 @@ class TestPackingProperties:
             want[i] = (n, start, start // seq_len)
             start += n
         assert got == want
+
+
+class TestContaminationProperties:
+    """contamination_check vs a pure-python n-gram overlap oracle."""
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+            ).map(" ".join),
+            min_size=1,
+            max_size=12,
+        ),
+        n=st.integers(min_value=2, max_value=4),
+    )
+    @SPARKY
+    def test_matches_python_overlap_oracle(self, spark, texts, n):
+        from pulsar_spark.functions import contamination_check
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        bench_df = df.where("doc_id % 3 = 0")
+        corpus_df = df.where("doc_id % 3 != 0")
+
+        def grams(t):
+            w = t.split(" ")
+            return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+        bench = {g for i, t in rows if i % 3 == 0 for g in grams(t)}
+        want = {
+            i: (len(grams(t)), sum(g in bench for g in grams(t)))
+            for i, t in rows
+            if i % 3 != 0 and len(t.split(" ")) >= n
+        }
+        got = {
+            r.doc_id: (r.n_grams, r.n_hits)
+            for r in contamination_check(corpus_df, bench_df, n=n).collect()
+        }
+        assert got == want
