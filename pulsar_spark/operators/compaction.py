@@ -13,8 +13,11 @@ Spark-first design: compaction is a single aggregation,
 partial (map-side) + final hash aggregate, so at 100 TB it is one
 shuffle of (num distinct keys) rows, not a sort of the whole log. No
 two-phase scan is needed because the agg *is* phase one and the rewrite
-is the output. Rows with null keys are passed through untouched, like
-the reference compactor (messages without a key are never compacted).
+is the output. Rows with null keys are DROPPED from compacted output —
+the reference's modern default (topicCompactionRetainNullKey=false;
+AbstractTwoPhaseCompactor.java:323 retains them only when that config
+is flipped on). Callers who need the legacy retain-null-key behavior
+can union ``messages.where(col(key).isNull())`` back themselves.
 """
 
 from __future__ import annotations

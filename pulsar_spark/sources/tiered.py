@@ -34,6 +34,17 @@ def offload_partitions(
     dir is rewritten without them (the reference offloads whole sealed
     ledgers; parquet's unit is the file/row-group, so the rewrite is the
     honest equivalent).
+
+    Crash ordering: the hot rewrite lands in a side directory FIRST,
+    then cold rows are appended, then the directory swap happens last.
+    A failure before the swap leaves the original hot dir intact (the
+    cold tier may hold a duplicate copy of the offloaded rows, which
+    ``tiered_view`` readers should treat as at-least-once until the next
+    successful offload re-runs — same contract as the reference's
+    offload-then-trim, where the ledger stays readable in BookKeeper
+    until offload completes and trimming is a separate step). The
+    ``_topic.json`` metadata sidecar is copied into the rewrite dir
+    before the swap so topic identity survives.
     """
     hot = spark.read.parquet(hot_path)
     cutoff = F.lit(cutoff_ts).cast("timestamp")
@@ -44,11 +55,14 @@ def offload_partitions(
     if n_cold == 0:
         return {"offloaded": 0, "hot": keep_rows.count()}
 
+    tmp = hot_path.rstrip("/") + "__rewrite"
+    keep_rows.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(tmp)
+    sidecar = os.path.join(hot_path, "_topic.json")
+    if os.path.exists(sidecar):
+        shutil.copy2(sidecar, os.path.join(tmp, "_topic.json"))
     cold_rows.repartition("partition").write.mode("append").partitionBy("partition").parquet(
         cold_path
     )
-    tmp = hot_path.rstrip("/") + "__rewrite"
-    keep_rows.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(tmp)
     shutil.rmtree(hot_path)
     os.rename(tmp, hot_path)
     return {"offloaded": n_cold, "hot": spark.read.parquet(hot_path).count()}

@@ -101,7 +101,26 @@ def produce(
                 .where(F.col("_hiseq").isNull() | (F.col("sequence_id") > F.col("_hiseq")))
                 .drop("_hiseq")
             )
-        df = df.dropDuplicates(["producer_name", "sequence_id"])
+        # In-batch duplicate sequences keep the FIRST row in send order —
+        # the reference's MessageDeduplication admits the first message
+        # with a given sequence and rejects later repeats, so collisions
+        # must resolve deterministically across runs, not to an arbitrary
+        # survivor. _send_order is monotonic within each input partition
+        # in arrival order, giving a stable min_by tiebreak in one
+        # aggregation (no extra shuffle beyond the dedup itself).
+        seq_cols = [c for c in df.columns]
+        df = (
+            df.withColumn("_send_order", F.monotonically_increasing_id())
+            .groupBy("producer_name", "sequence_id")
+            .agg(
+                F.min_by(
+                    F.struct(*[c for c in seq_cols if c not in ("producer_name", "sequence_id")]),
+                    F.col("_send_order"),
+                ).alias("_m")
+            )
+            .select("producer_name", "sequence_id", "_m.*")
+            .select(*seq_cols)
+        )
     else:
         df = df.withColumn("producer_name", F.lit(producer_name))
 
@@ -148,12 +167,23 @@ def produce(
     # codec choice on the producer): encode cost sits on the ingest
     # critical path, while compaction / tiered offload rewrite cold data
     # to zstd where ratio matters more than speed.
+    # An overwrite clears the whole topic directory including the
+    # _topic.json metadata sidecar; capture it first and restore after so
+    # partition count / properties survive (truncate_topic keeps it too —
+    # the sidecar is topic identity, not data).
+    preserved_meta = topic_metadata(topic_path) if mode != "append" else None
     (
         df.write.mode("append" if mode == "append" else "overwrite")
         .option("compression", codec)
         .partitionBy("partition")
         .parquet(topic_path)
     )
+    if preserved_meta is not None:
+        create_topic(
+            topic_path,
+            num_partitions=preserved_meta["num_partitions"],
+            properties=preserved_meta.get("properties"),
+        )
 
 
 def _existing_offsets(spark: SparkSession, topic_path: str, num_partitions: int) -> DataFrame | None:

@@ -42,9 +42,13 @@ def delayed_release_stream(
     in state. ``now_us`` pins "now" for deterministic tests; production
     leaves it None (wall clock per micro-batch).
 
-    Immediate (deliver_at IS NULL) messages pass through untouched —
-    they never enter the state store (the reference tracker also only
-    tracks delayed messages).
+    The output stream contains ONLY delayed messages (deliver_at IS NOT
+    NULL) as they come due. Immediate messages never enter this operator
+    — the reference tracker likewise only tracks delayed messages — so
+    callers must union the immediate stream
+    (``messages.where(col("deliver_at").isNull())``) with this output
+    themselves to get the full delivery stream (see
+    tests/test_streaming.py::TestDelayedRelease for the pattern).
     """
 
     def fn(key, pdfs: Iterator, state: GroupState):

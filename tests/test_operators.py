@@ -485,6 +485,20 @@ class TestEffectivelyOnceProduce:
         produce(dup, d, sequence_col="seq", mode="overwrite")
         assert spark.read.parquet(d).count() == 2
 
+    def test_in_batch_duplicates_keep_first_in_send_order(self, spark, tmp_path):
+        """Colliding sequences resolve to the FIRST message in send
+        order (MessageDeduplication admits the first, rejects repeats) —
+        deterministically across runs, not an arbitrary survivor."""
+        from pulsar_spark.sources.topics import produce
+
+        d = str(tmp_path / "t2b")
+        rows = [(7, "first"), (7, "second"), (7, "third"), (8, "only")]
+        dup = spark.createDataFrame(rows, "seq long, v string").coalesce(1)
+        for run in range(3):
+            produce(dup, d, sequence_col="seq", mode="overwrite")
+            got = {r["sequence_id"]: r["v"] for r in spark.read.parquet(d).collect()}
+            assert got == {7: "first", 8: "only"}, f"run {run}: {got}"
+
     def test_minted_sequences_monotonic_across_appends(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
@@ -564,6 +578,30 @@ class TestAdminTopicLifecycle:
         assert df.groupBy("partition").min("offset").agg(
             {"min(offset)": "max"}
         ).first()[0] == 0
+
+    def test_overwrite_produce_preserves_topic_metadata(self, spark, tmp_path):
+        """produce(mode="overwrite") clears the topic dir — the
+        _topic.json sidecar must be restored so later appends without an
+        explicit num_partitions keep routing over the created count."""
+        from pulsar_spark.sources.topics import (
+            create_topic,
+            produce,
+            read_topic,
+            topic_metadata,
+        )
+
+        topic = str(tmp_path / "tov")
+        create_topic(topic, num_partitions=4, properties={"owner": "qa"})
+        payload = spark.createDataFrame([(i,) for i in range(64)], "v INT")
+        produce(payload, topic, key_col="v", mode="overwrite")
+        assert topic_metadata(topic) == {
+            "num_partitions": 4,
+            "properties": {"owner": "qa"},
+        }
+        # subsequent append (no num_partitions arg) routes over 4, not 8
+        produce(payload, topic, key_col="v", mode="append")
+        parts = read_topic(spark, topic).select("partition").distinct().collect()
+        assert {r.partition for r in parts} <= set(range(4))
 
     def test_last_message_ids_matches_max_offsets(self, spark, messages):
         from pyspark.sql import functions as F

@@ -248,6 +248,29 @@ class TestTieredStorage:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def test_offload_preserves_topic_sidecar(self, spark, messages):
+        """The hot-tier rewrite swap must not destroy _topic.json —
+        topic identity (partition count) survives offload."""
+        import os
+
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.sources.tiered import offload_partitions
+        from pulsar_spark.sources.topics import create_topic, topic_metadata
+
+        d = tempfile.mkdtemp(prefix="ps_tier_meta_")
+        try:
+            hot, cold = f"{d}/hot", f"{d}/cold"
+            create_topic(hot, num_partitions=8, properties={"owner": "t"})
+            write_topic(messages, hot, mode="append")
+            stats = offload_partitions(spark, hot, cold, "2024-01-15 00:00:00")
+            assert stats["offloaded"] > 0
+            assert os.path.exists(os.path.join(hot, "_topic.json"))
+            meta = topic_metadata(hot)
+            assert meta["num_partitions"] == 8
+            assert meta["properties"] == {"owner": "t"}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
 
 class TestMultimodal:
     def test_decode_plumbing(self, spark, documents):
