@@ -210,6 +210,25 @@ def _q_retry_schedule(spark, sf_dir):
     ).select("event_id", "publish_time", "deliver_at", "redelivery_count")
 
 
+def _q_retry_schedule_backoff(spark, sf_dir):
+    # negative-ack EXPONENTIAL backoff (MultiplierRedeliveryBackoff.java:
+    # delay = min(base * multiplier^redeliveryCount, max)). The fixture
+    # mints redelivery_count = event_id % 5 so every power of the
+    # multiplier (and the max-backoff cap) is exercised.
+    from pulsar_spark.operators import retry_schedule
+
+    m = _messages(spark, sf_dir).withColumn(
+        "redelivery_count", (F.col("event_id") % 5).cast("int")
+    )
+    return retry_schedule(
+        m,
+        (F.col("event_id") % DLQ_MOD) == 0,
+        backoff_seconds=10,
+        backoff_multiplier=2.0,
+        max_backoff_seconds=120,
+    ).select("event_id", "publish_time", "deliver_at", "redelivery_count")
+
+
 def _q_window_tumbling_1h(spark, sf_dir):
     from pulsar_spark.operators import tumbling_window
 
@@ -509,9 +528,40 @@ def _q_media_decode(spark, sf_dir):
 
 
 def _q_minhash_near_dups(spark, sf_dir):
+    # max_bucket_size=512 keeps the mega-bucket star guard ON in the
+    # checked path — the configuration you'd run on a corpus, where one
+    # degenerate boilerplate bucket must not go quadratic.
     from pulsar_spark.functions import minhash_near_duplicates
 
-    return minhash_near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_bucket_size=512
+    )
+
+
+def _q_dedup_keep_one_lsh(spark, sf_dir):
+    # SCALE-path composition of corpus dedup: near-dup pairs from
+    # banded MinHash LSH (bucketed equi-join, star guard on) instead of
+    # the quadratic exact n-gram pair oracle, then connected-components
+    # keep-one. This is the plan that runs at 100 TB; dedup_keep_one is
+    # its ground-truth twin (rows-only driver check; recall vs the
+    # exact composition is asserted in tests).
+    from pulsar_spark.functions import dedup_keep_representatives, minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, max_bucket_size=512)
+    return dedup_keep_representatives(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_dedup_clusters_lsh(spark, sf_dir):
+    # scale-path near-dup clustering over LSH candidates (see
+    # _q_dedup_keep_one_lsh)
+    from pulsar_spark.functions import minhash_near_duplicates, near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, max_bucket_size=512)
+    return near_dup_clusters(pairs)
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -554,28 +604,38 @@ def _q_dedup_keep_one(spark, sf_dir):
     )
 
 
-def _q_training_set_select(spark, sf_dir):
-    # the composed pretraining-data pipeline: exact-dedup -> quality
-    # gate (>=5 tokens) -> score = distinct_ratio * (1-stopword_ratio)
-    # -> greedy token-budget selection (20k tokens, best-score-first).
-    # The global ordered cumsum is fine here because the SELECTED set is
-    # small; at 100 TB the same selection runs as approx-quantile score
-    # threshold + one filter, refined once (no global sort of the corpus).
-    from pyspark.sql.window import Window
-
+def _scored_docs(spark, sf_dir):
+    # shared scoring pipeline for training-set selection: exact-dedup ->
+    # quality gate (>=5 tokens) -> score = distinct_ratio *
+    # (1 - stopword_ratio), rounded to 6 decimals (bounded cardinality —
+    # that rounding is what makes the group-wise scale variant possible)
     from pulsar_spark.functions import exact_dedup, quality_metrics
 
     docs = exact_dedup(load_table(spark, sf_dir, "documents"))
     q = quality_metrics(docs).where(F.col("n_tokens") >= 5)
-    scored = q.withColumn(
+    return q.withColumn(
         "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
     )
-    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
-    return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= 20000)
-        .select("doc_id", "n_tokens", "score", "cum_tokens")
-    )
+
+
+def _q_training_set_select(spark, sf_dir):
+    # greedy token-budget selection (20k tokens, best-score-first) —
+    # ORACLE variant: global ordered cumsum, single-task sort. Kept as
+    # the ground-truth definition; training_set_select_scalable is the
+    # plan you'd run on a corpus.
+    from pulsar_spark.functions import select_by_token_budget_exact
+
+    return select_by_token_budget_exact(_scored_docs(spark, sf_dir), budget=20000)
+
+
+def _q_training_set_select_scalable(spark, sf_dir):
+    # same selection, SCALE path: per-score-group cumsum (score is
+    # rounded -> bounded distinct values) + partitioned boundary window.
+    # No global row sort anywhere in the plan; identical output to the
+    # exact variant, so it shares the same SQL oracle.
+    from pulsar_spark.functions import select_by_token_budget
+
+    return select_by_token_budget(_scored_docs(spark, sf_dir), budget=20000)
 
 
 def _q_doc_pack_sequences(spark, sf_dir):
@@ -943,6 +1003,57 @@ def _q_schema_auto_consume(spark, sf_dir):
     return reg.read_with_latest(ev, "events")
 
 
+def _q_schema_avro_decode(spark, sf_dir):
+    # AVRO SchemaType (SchemaType.java:61; Schema.java:346 AVRO): encode
+    # typed event records to Avro binary payloads (produce path), decode
+    # them back schema-on-read (consume path), aggregate. The oracle
+    # aggregates the raw table — proving the Avro codec is lossless
+    # through the full wire round-trip (SchemaTest.java's round-trip
+    # conformance model).
+    from pulsar_spark.schema_codecs import avro_decode, avro_encode, struct_to_avro_schema
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").alias("amount")
+    )
+    schema = struct_to_avro_schema(ev.schema, name="Event")
+    enc = avro_encode(ev, ["event_id", "event_type", "amount"], record_name="Event")
+    dec = avro_decode(enc, schema)
+    return dec.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+        F.round(F.min("amount"), 6).alias("min_amount"),
+        F.round(F.max("amount"), 6).alias("max_amount"),
+    )
+
+
+def _q_schema_protobuf_decode(spark, sf_dir):
+    # PROTOBUF SchemaType (SchemaType.java:56, :145 PROTOBUF_NATIVE;
+    # Schema.java:303): same round-trip proof over the protobuf wire
+    # format — varint/zigzag/length-delimited field encoding.
+    from pulsar_spark.schema_codecs import proto_decode, proto_encode
+
+    desc = {
+        "name": "Event",
+        "fields": [
+            {"num": 1, "name": "event_id", "type": "int64"},
+            {"num": 2, "name": "user_id", "type": "sint64"},
+            {"num": 3, "name": "event_type", "type": "string"},
+            {"num": 4, "name": "amount", "type": "double"},
+        ],
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").alias("amount")
+    )
+    enc = proto_encode(ev, desc, ["event_id", "user_id", "event_type", "amount"])
+    dec = proto_decode(enc, desc)
+    return dec.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+        F.round(F.min("amount"), 6).alias("min_amount"),
+        F.round(F.max("amount"), 6).alias("max_amount"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "compact_publish_order": _q_compact_publish_order,
@@ -963,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_shared_auto_split": _q_key_shared_auto_split,
         "dlq": _q_dlq,
         "retry_schedule": _q_retry_schedule,
+        "retry_schedule_backoff": _q_retry_schedule_backoff,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
         "window_count_100": _q_window_count_100,
@@ -996,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
         "training_set_select": _q_training_set_select,
+        "training_set_select_scalable": _q_training_set_select_scalable,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_embedding_join": _q_doc_embedding_join,
         "doc_contamination": _q_doc_contamination,
@@ -1006,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_json_decode": _q_schema_json_decode,
         "schema_kv_decode": _q_schema_kv_decode,
         "schema_auto_consume": _q_schema_auto_consume,
+        "schema_avro_decode": _q_schema_avro_decode,
+        "schema_protobuf_decode": _q_schema_protobuf_decode,
         "subscription_stats": _q_subscription_stats,
         "batch_receive": _q_batch_receive,
         "key_skew": _q_key_skew,
@@ -1016,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
         "embedding_ivf_knn": _q_embedding_ivf_knn,
         "minhash_near_dups": _q_minhash_near_dups,
+        "dedup_keep_one_lsh": _q_dedup_keep_one_lsh,
+        "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_lsh_knn": _q_embedding_lsh_knn,
         "datagen_people": _q_datagen,
@@ -1049,7 +1166,7 @@ def _key_shared_auto_split_oracle(num_consumers: int = 3) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "compact_publish_order": f"""
             WITH {_M}
             SELECT key, partition, "offset", event_id, event_type, val, props, publish_time
@@ -1160,6 +1277,13 @@ def oracle_sql() -> dict[str, str]:
             WITH {_M}
             SELECT event_id, publish_time, publish_time + INTERVAL 60 SECOND AS deliver_at,
                    CAST(1 AS INT) AS redelivery_count
+            FROM messages WHERE event_id % {DLQ_MOD} = 0
+        """,
+        "retry_schedule_backoff": f"""
+            WITH {_M}
+            SELECT event_id, publish_time,
+                   publish_time + to_seconds(CAST(least(10 * power(2, event_id % 5), 120) AS BIGINT)) AS deliver_at,
+                   CAST(event_id % 5 + 1 AS INT) AS redelivery_count
             FROM messages WHERE event_id % {DLQ_MOD} = 0
         """,
         "window_tumbling_1h": f"""
@@ -1664,6 +1788,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS quality_tier
             FROM events
         """,
+        "schema_avro_decode": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(min(value), 6) AS min_amount,
+                   round(max(value), 6) AS max_amount
+            FROM events GROUP BY event_type
+        """,
+        "schema_protobuf_decode": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(user_id) AS BIGINT) AS sum_user,
+                   round(min(value), 6) AS min_amount,
+                   round(max(value), 6) AS max_amount
+            FROM events GROUP BY event_type
+        """,
         "key_skew": f"""
             WITH {_M}, counts AS (
               SELECT key, count(*) AS msg_count FROM messages
@@ -1755,3 +1893,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
     }
+    # the scalable selection produces byte-identical output to the exact
+    # greedy definition (see functions/selection.py), so it shares the
+    # same ground-truth SQL
+    sql["training_set_select_scalable"] = sql["training_set_select"]
+    return sql

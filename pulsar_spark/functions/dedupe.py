@@ -493,16 +493,27 @@ def dedup_keep_representatives(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Corpus-level dedup: drop every document that belongs to a
     near-dup cluster except its smallest-id representative. Documents
-    in no pair survive untouched (left-anti on the non-representative
-    member set, which is small — it broadcasts)."""
+    in no pair survive untouched.
+
+    The loser (non-representative) set is broadcast only while it is
+    provably small: on a near-dup-heavy corpus the loser set is
+    O(corpus), not broadcastable, so above ``broadcast_threshold`` ids
+    the anti-join falls back to a plain shuffled ``left_anti`` — AQE
+    still converts it back to a broadcast join at runtime if the
+    measured build side turns out small. The threshold check is one
+    scalar ``count`` on an already-computed aggregate, not a collect.
+    """
     clusters = near_dup_clusters(pairs, id_a, id_b)
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+    if losers.count() <= broadcast_threshold:
+        losers = F.broadcast(losers)
+    return docs.join(losers, on=id_col, how="left_anti")
 
 
 def dup_span_fraction(

@@ -78,14 +78,33 @@ def retry_schedule(
     fail_predicate: Column,
     backoff_seconds: int,
     publish_time_col: str = "publish_time",
+    backoff_multiplier: float | None = None,
+    max_backoff_seconds: int | None = None,
 ) -> DataFrame:
     """reconsumeLater analog: failed rows scheduled on the retry topic
-    with deliver_at = publish_time + backoff."""
+    with deliver_at = publish_time + backoff.
+
+    With ``backoff_multiplier`` the delay grows exponentially with the
+    redelivery count — the MultiplierRedeliveryBackoff contract
+    (capi/RedeliveryBackoff.java; client/impl/MultiplierRedeliveryBackoff.java;
+    NegativeAcksTracker.java:45): ``delay = min(backoff_seconds *
+    multiplier^redelivery_count, max_backoff_seconds)``. A closed-form
+    column expression — no state, rides the scan at any scale.
+    """
+    if backoff_multiplier is None:
+        delay = F.lit(backoff_seconds).cast("double")
+    else:
+        delay = F.lit(float(backoff_seconds)) * F.pow(
+            F.lit(float(backoff_multiplier)),
+            F.coalesce(F.col("redelivery_count"), F.lit(0)).cast("double"),
+        )
+        if max_backoff_seconds is not None:
+            delay = F.least(delay, F.lit(float(max_backoff_seconds)))
     return (
         messages.where(fail_predicate)
         .withColumn(
             "deliver_at",
-            F.col(publish_time_col) + F.make_interval(secs=F.lit(backoff_seconds)),
+            F.col(publish_time_col) + F.make_interval(secs=delay),
         )
         .withColumn("redelivery_count", (F.col("redelivery_count") + 1).cast("int"))
     )

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Topic parquet must round-trip publish_time/event_time as
+        # TIMESTAMP (with zone), never TIMESTAMP_NTZ: withWatermark
+        # rejects NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), which would
+        # poison every streaming watermark path on re-read.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # InferFiltersFromGenerate inlines the full generator expression
         # into a pre-explode filter; with higher-order-function pipelines
         # (shingling, tokenization) that re-evaluates an O(n^2) expression

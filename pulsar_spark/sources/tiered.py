@@ -37,15 +37,23 @@ def offload_partitions(
 
     Crash ordering: the hot rewrite lands in a side directory FIRST,
     then cold rows are appended, then the directory swap happens last.
-    A failure before the swap leaves the original hot dir intact (the
-    cold tier may hold a duplicate copy of the offloaded rows, which
-    ``tiered_view`` readers should treat as at-least-once until the next
-    successful offload re-runs — same contract as the reference's
-    offload-then-trim, where the ledger stays readable in BookKeeper
-    until offload completes and trimming is a separate step). The
-    ``_topic.json`` metadata sidecar is copied into the rewrite dir
+    The offload is crash-idempotent end to end:
+
+    - The cold append anti-joins against (partition, offset) pairs
+      already in the cold tier, so a re-run after a failure between the
+      cold append and the swap re-offloads nothing — duplicates never
+      accumulate in cold (the reference cleans partial offloads by
+      ledger UUID via OffloadUtils.cleanupOffloaded; the anti-join is
+      the storage-level equivalent).
+    - The swap is two renames (hot -> hot__old, rewrite -> hot) plus a
+      cleanup rmtree, so the hot tier is readable under one of the two
+      names at every instant; ``_recover_swap`` (run on entry here and
+      by ``tiered_view``) completes or rolls back an interrupted swap.
+
+    The ``_topic.json`` metadata sidecar is copied into the rewrite dir
     before the swap so topic identity survives.
     """
+    _recover_swap(hot_path)
     hot = spark.read.parquet(hot_path)
     cutoff = F.lit(cutoff_ts).cast("timestamp")
     cold_rows = hot.where(F.col(time_col) < cutoff)
@@ -56,21 +64,55 @@ def offload_partitions(
         return {"offloaded": 0, "hot": keep_rows.count()}
 
     tmp = hot_path.rstrip("/") + "__rewrite"
+    old = hot_path.rstrip("/") + "__old"
     keep_rows.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(tmp)
     sidecar = os.path.join(hot_path, "_topic.json")
     if os.path.exists(sidecar):
         shutil.copy2(sidecar, os.path.join(tmp, "_topic.json"))
+    # Idempotent cold append: a prior run may have appended these rows
+    # already (crash before the swap); (partition, offset) identifies a
+    # message, so an anti-join drops the already-offloaded ones. The
+    # existing-cold side reads only two columns (footer-stat-cheap) and
+    # the join is per-partition-keyed.
+    try:
+        cold_existing = spark.read.parquet(cold_path).select("partition", "offset")
+        cold_rows = cold_rows.join(cold_existing, on=["partition", "offset"], how="left_anti")
+    except Exception:
+        pass  # no cold tier yet
     cold_rows.repartition("partition").write.mode("append").partitionBy("partition").parquet(
         cold_path
     )
-    shutil.rmtree(hot_path)
+    os.rename(hot_path, old)
     os.rename(tmp, hot_path)
+    shutil.rmtree(old)
     return {"offloaded": n_cold, "hot": spark.read.parquet(hot_path).count()}
+
+
+def _recover_swap(hot_path: str) -> None:
+    """Complete or roll back an interrupted offload directory swap.
+
+    Invariants after the two-rename protocol: the hot data is always
+    fully present under ``hot_path``, ``hot_path + '__old'`` or
+    ``hot_path + '__rewrite'``. Cold rows are appended BEFORE the swap
+    begins, so completing the swap forward (preferring the rewrite dir)
+    is always correct; rolling back to ``__old`` is only needed when the
+    rewrite dir is absent.
+    """
+    tmp = hot_path.rstrip("/") + "__rewrite"
+    old = hot_path.rstrip("/") + "__old"
+    if not os.path.exists(hot_path):
+        if os.path.exists(tmp):
+            os.rename(tmp, hot_path)  # crash between the two renames
+        elif os.path.exists(old):
+            os.rename(old, hot_path)  # defensive: rewrite lost, roll back
+    if os.path.exists(hot_path) and os.path.exists(old):
+        shutil.rmtree(old)  # swap done, cleanup didn't run
 
 
 def tiered_view(spark: SparkSession, hot_path: str, cold_path: str) -> DataFrame:
     """Read-through union of hot + cold tiers (time predicates prune
     whole tiers via partition/file statistics)."""
+    _recover_swap(hot_path)
     hot = spark.read.parquet(hot_path)
     try:
         cold = spark.read.parquet(cold_path)

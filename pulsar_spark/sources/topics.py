@@ -94,7 +94,11 @@ def produce(
         df = df.withColumn("sequence_id", F.col(sequence_col).cast("bigint")).withColumn(
             "producer_name", F.lit(producer_name)
         )
-        high = _existing_sequences(spark, topic_path)
+        # The high-water anti-filter only applies on append: an overwrite
+        # discards the stored log (and with it the dedup high-water map),
+        # so filtering the new batch against the data it is about to
+        # replace would drop every row and write an empty topic.
+        high = _existing_sequences(spark, topic_path) if mode == "append" else None
         if high is not None:
             df = (
                 df.join(F.broadcast(high), on="producer_name", how="left")
@@ -172,18 +176,27 @@ def produce(
     # partition count / properties survive (truncate_topic keeps it too —
     # the sidecar is topic identity, not data).
     preserved_meta = topic_metadata(topic_path) if mode != "append" else None
-    (
-        df.write.mode("append" if mode == "append" else "overwrite")
-        .option("compression", codec)
-        .partitionBy("partition")
-        .parquet(topic_path)
-    )
-    if preserved_meta is not None:
-        create_topic(
-            topic_path,
-            num_partitions=preserved_meta["num_partitions"],
-            properties=preserved_meta.get("properties"),
+    try:
+        (
+            df.write.mode("append" if mode == "append" else "overwrite")
+            .option("compression", codec)
+            .partitionBy("partition")
+            .parquet(topic_path)
         )
+    finally:
+        # Restore the sidecar even if the data write failed partway —
+        # topic identity (partition count, properties) must survive a
+        # botched overwrite. The restored partition count is the RESOLVED
+        # one the data was actually routed over: a caller-supplied count
+        # that differs from the old sidecar must win, or later appends
+        # would route keys over a different key space than the data on
+        # disk.
+        if preserved_meta is not None:
+            create_topic(
+                topic_path,
+                num_partitions=num_partitions,
+                properties=preserved_meta.get("properties"),
+            )
 
 
 def _existing_offsets(spark: SparkSession, topic_path: str, num_partitions: int) -> DataFrame | None:

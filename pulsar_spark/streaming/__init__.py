@@ -1,4 +1,9 @@
-from pulsar_spark.streaming.subscribe import subscribe, subscribe_multi, run_to_end
+from pulsar_spark.streaming.subscribe import (
+    subscribe,
+    subscribe_multi,
+    subscribe_pattern,
+    run_to_end,
+)
 from pulsar_spark.streaming.tableview import table_view_stream, table_view_merge_sink
 from pulsar_spark.streaming.dedup import dedup_stream
 from pulsar_spark.streaming.windows import windowed_agg_stream, late_data_split
@@ -8,6 +13,7 @@ from pulsar_spark.streaming.delayed import delayed_release_stream
 __all__ = [
     "subscribe",
     "subscribe_multi",
+    "subscribe_pattern",
     "run_to_end",
     "table_view_stream",
     "table_view_merge_sink",

@@ -31,11 +31,23 @@ def subscribe(
     num_consumers: int = 1,
     max_files_per_trigger: int | None = None,
     interceptors=None,
+    start_offset: int | None = None,
+    start_time: str | None = None,
 ) -> DataFrame:
     """Open a streaming scan of a topic (consumer analog).
 
     ``max_files_per_trigger`` is the flow-control permit analog
     (ServerCnx.handleFlow — bound work per micro-batch).
+
+    ``start_offset`` / ``start_time`` are the streaming seek analog —
+    Consumer.seek(MessageId)/seek(timestamp) (capi/Consumer.java:523)
+    and Reader.startMessageId/startMessageFromRollbackDuration
+    (capi/Reader.java:148-:159): the subscription's cursor starts past
+    the given per-partition offset / publish timestamp instead of the
+    topic's beginning (resetCursor + resubscribe). Both are plain
+    predicates on envelope columns, so they push down into the file
+    scan (row-group pruning on publish_time/offset stats) rather than
+    reading-then-dropping.
 
     ``interceptors``: ordered ``DataFrame -> DataFrame`` callables
     applied to the stream after dispatch partitioning — the
@@ -49,6 +61,12 @@ def subscribe(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(topic_path)
 
+    if start_offset is not None:
+        stream = stream.where(F.col("offset") >= start_offset)
+    if start_time is not None:
+        stream = stream.where(
+            F.col("publish_time") >= F.lit(start_time).cast("timestamp")
+        )
     if subscription_type == "key_shared":
         # each "consumer" = one shuffle partition owning a hash range
         stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
@@ -104,3 +122,39 @@ def subscribe_multi(
     for icept in interceptors or []:
         out = icept(out)
     return out
+
+
+def subscribe_pattern(
+    spark: SparkSession,
+    pattern: str,
+    subscription_type: str = "exclusive",
+    num_consumers: int = 1,
+    max_files_per_trigger: int | None = None,
+    interceptors=None,
+) -> DataFrame:
+    """Pattern-based multi-topic subscription with runtime
+    auto-discovery (client/impl/PatternMultiTopicsConsumerImpl.java:
+    the consumer re-evaluates ``topicsPattern`` periodically and starts
+    consuming topics created after subscribe).
+
+    Spark-first: the file streaming source re-LISTS the glob on every
+    micro-batch, so a topic directory created mid-stream starts being
+    consumed on the next trigger with no restart — the re-glob IS the
+    reference's discovery timer. ``pattern`` is a filesystem glob over
+    topic directories (e.g. ``/data/topics/events-*``); at least one
+    topic must exist up front for schema discovery (the reference
+    likewise resolves the schema from an existing topic).
+
+    The envelope's ``topic`` column identifies each row's origin, so
+    downstream routing stays per-topic even though the scan is unified.
+    """
+    static = spark.read.parquet(pattern)  # schema discovery only
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pattern)
+    if subscription_type == "key_shared":
+        stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
+    for icept in interceptors or []:
+        stream = icept(stream)
+    return stream

@@ -48,6 +48,16 @@ KEYS = [
     "doc_pack_sequences",
     "doc_embedding_join",
     "doc_contamination",
+    "batch_receive",
+    "embedding_cosine_near_dups",
+    "key_skew",
+    "retention_budget",
+    "skip_messages",
+    "subscription_stats",
+    "tiered_storage",
+    "schema_auto_consume",
+    "training_set_select",
+    "training_set_select_scalable",
 ]
 
 
