@@ -146,6 +146,11 @@ def avro_to_struct_schema(schema: dict | str) -> StructType:
     return st
 
 
+def _is_na(v) -> bool:
+    """True for None / float NaN scalars only (array cells are values)."""
+    return v is None or (isinstance(v, float) and v != v)
+
+
 # ------------------------------------------------------- Avro binary codec
 #
 # Implements the Avro 1.x binary encoding spec (public): zigzag varint
@@ -192,14 +197,16 @@ class _AvroWriter:
                     self._write(f["type"], None if v is None else v.get(f["name"]), out)
                 return
             if kind == "array":
-                if v:
+                # len() not truthiness: array cells arrive as numpy
+                # arrays through Arrow, which refuse bool()
+                if v is not None and len(v) > 0:
                     out += _zigzag_encode(len(v))
                     for item in v:
                         self._write(t["items"], item, out)
                 out += _zigzag_encode(0)
                 return
             if kind == "map":
-                if v:
+                if v is not None and len(v) > 0:
                     out += _zigzag_encode(len(v))
                     for k, item in v.items():
                         self._write("string", k, out)
@@ -332,9 +339,13 @@ def avro_encode(
         import pandas as pd
 
         w = _AvroWriter(json.loads(schema_json))
-        # a struct argument arrives as a pandas DataFrame; NaN -> None so
-        # nullable fields encode as the union's null branch
-        records = s.astype(object).where(pd.notnull(s), None).to_dict("records")
+        # a struct argument arrives as a pandas DataFrame; scalar NaN ->
+        # None (union null branch). Per-cell, because pd.notnull is
+        # ambiguous on array-valued cells.
+        records = [
+            {k: (None if _is_na(v) else v) for k, v in r.items()}
+            for r in s.to_dict("records")
+        ]
         return pd.Series([w.encode(r) for r in records])
 
     rest = [c for c in df.columns if c not in set(cols)]
@@ -542,9 +553,12 @@ def proto_encode(
         import pandas as pd
 
         codec = _ProtoCodec(json.loads(desc_json))
-        # struct argument arrives as a pandas DataFrame; NaN -> None so
-        # absent proto3 fields are simply not serialized
-        records = s.astype(object).where(pd.notnull(s), None).to_dict("records")
+        # struct argument arrives as a pandas DataFrame; scalar NaN ->
+        # None so absent proto3 fields are simply not serialized
+        records = [
+            {k: (None if _is_na(v) else v) for k, v in r.items()}
+            for r in s.to_dict("records")
+        ]
         return pd.Series([codec.encode(r) for r in records])
 
     rest = [c for c in df.columns if c not in set(cols)]

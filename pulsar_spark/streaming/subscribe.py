@@ -148,11 +148,24 @@ def subscribe_pattern(
     The envelope's ``topic`` column identifies each row's origin, so
     downstream routing stays per-topic even though the scan is unified.
     """
-    static = spark.read.parquet(pattern)  # schema discovery only
-    reader = spark.readStream.schema(static.schema)
+    # Hive partition discovery refuses multiple glob-matched topic
+    # roots (CONFLICTING_DIRECTORY_STRUCTURES — each topic dir is its
+    # own table root), so discovery is disabled via recursiveFileLookup
+    # and the `partition` envelope column is recovered from the file
+    # path (`_metadata.file_path` is populated by the file source in
+    # both batch and streaming) — a narrow projection, no extra I/O.
+    static = spark.read.option("recursiveFileLookup", "true").parquet(pattern)
+    reader = spark.readStream.schema(static.schema).option(
+        "recursiveFileLookup", "true"
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(pattern)
+    stream = reader.parquet(pattern).withColumn(
+        "partition",
+        F.regexp_extract(F.col("_metadata.file_path"), r"partition=(\d+)", 1).cast(
+            "int"
+        ),
+    )
     if subscription_type == "key_shared":
         stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
     for icept in interceptors or []:

@@ -1,0 +1,344 @@
+"""Round-3 additions: Avro/Protobuf codecs, scalable training-set
+selection, streaming seek, pattern topic discovery, nack backoff,
+tiered-offload crash safety.
+
+Golden semantics: SchemaTest.java round-trips (Avro/Protobuf),
+Consumer.seek (Consumer.java:523), PatternMultiTopicsConsumerImpl
+(runtime topic discovery), MultiplierRedeliveryBackoff.java.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class TestAvroCodec:
+    def test_round_trip_events(self, spark, messages):
+        from pulsar_spark.schema_codecs import (
+            avro_decode,
+            avro_encode,
+            struct_to_avro_schema,
+        )
+
+        src = messages.select("event_id", "event_type", "val").limit(200)
+        schema = struct_to_avro_schema(src.schema, name="Ev")
+        enc = avro_encode(src, ["event_id", "event_type", "val"], record_name="Ev")
+        assert enc.schema["payload"].dataType.simpleString() == "binary"
+        dec = avro_decode(enc, schema)
+        a = {tuple(r) for r in src.collect()}
+        b = {tuple(r) for r in dec.collect()}
+        assert a == b
+
+    def test_nested_and_nullable(self, spark):
+        from pulsar_spark.schema_codecs import (
+            avro_decode,
+            avro_encode,
+            struct_to_avro_schema,
+        )
+
+        st = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("name", StringType(), True),
+                StructField("scores", ArrayType(DoubleType()), True),
+            ]
+        )
+        rows = [(1, "a", [1.0, 2.5]), (2, None, None), (3, "c", [])]
+        df = spark.createDataFrame(rows, st)
+        enc = avro_encode(df, ["id", "name", "scores"])
+        dec = avro_decode(enc, struct_to_avro_schema(st))
+        got = sorted([tuple(r) for r in dec.collect()])
+        # empty array and null both encode; [] round-trips as []
+        assert got == [(1, "a", [1.0, 2.5]), (2, None, None), (3, "c", [])]
+
+    def test_registry_integration(self, spark):
+        from pulsar_spark.schema_codecs import avro_to_struct_schema, register_avro
+        from pulsar_spark.schema_registry import (
+            IncompatibleSchemaError,
+            SchemaRegistry,
+        )
+
+        reg = SchemaRegistry(tempfile.mkdtemp(prefix="psavro_"))
+        v1 = {
+            "type": "record",
+            "name": "E",
+            "fields": [{"name": "a", "type": "long"}],
+        }
+        v2 = {
+            "type": "record",
+            "name": "E",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"]},
+            ],
+        }
+        assert register_avro(reg, "t", v1, "BACKWARD") == 0
+        assert register_avro(reg, "t", v2, "BACKWARD") == 1
+        # dropping a non-nullable field is FORWARD-incompatible
+        with pytest.raises(IncompatibleSchemaError):
+            register_avro(
+                reg,
+                "t",
+                {"type": "record", "name": "E", "fields": [{"name": "b", "type": ["null", "string"]}]},
+                "FULL",
+            )
+        assert avro_to_struct_schema(v2).fieldNames() == ["a", "b"]
+
+
+class TestProtoCodec:
+    def test_round_trip_events(self, spark, messages):
+        from pulsar_spark.schema_codecs import proto_decode, proto_encode
+
+        desc = {
+            "name": "Ev",
+            "fields": [
+                {"num": 1, "name": "event_id", "type": "int64"},
+                {"num": 2, "name": "event_type", "type": "string"},
+                {"num": 3, "name": "val", "type": "double"},
+            ],
+        }
+        src = messages.select("event_id", "event_type", "val").limit(200)
+        enc = proto_encode(src, desc, ["event_id", "event_type", "val"])
+        dec = proto_decode(enc, desc)
+        assert {tuple(r) for r in src.collect()} == {tuple(r) for r in dec.collect()}
+
+    def test_unknown_fields_skipped(self, spark):
+        # forward compat: a reader with a narrower descriptor skips
+        # unknown field numbers instead of failing (proto contract)
+        from pulsar_spark.schema_codecs import proto_decode, proto_encode
+
+        full = {
+            "name": "M",
+            "fields": [
+                {"num": 1, "name": "a", "type": "int64"},
+                {"num": 2, "name": "b", "type": "string"},
+            ],
+        }
+        narrow = {"name": "M", "fields": [{"num": 1, "name": "a", "type": "int64"}]}
+        df = spark.createDataFrame([(7, "x")], "a BIGINT, b STRING")
+        enc = proto_encode(df, full, ["a", "b"])
+        got = proto_decode(enc, narrow).collect()
+        assert [tuple(r) for r in got] == [(7,)]
+
+
+class TestScalableSelection:
+    def test_matches_exact(self, spark, documents):
+        from pulsar_spark.functions import (
+            quality_metrics,
+            select_by_token_budget,
+            select_by_token_budget_exact,
+        )
+
+        q = quality_metrics(documents).where(F.col("n_tokens") >= 5)
+        scored = q.withColumn(
+            "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
+        )
+        for budget in (5000, 20000):
+            exact = {
+                tuple(r)
+                for r in select_by_token_budget_exact(scored, budget).collect()
+            }
+            scal = {tuple(r) for r in select_by_token_budget(scored, budget).collect()}
+            assert scal == exact
+
+    def test_no_global_row_sort(self, spark, documents):
+        from pulsar_spark.functions import quality_metrics, select_by_token_budget
+
+        scored = (
+            quality_metrics(documents)
+            .where(F.col("n_tokens") >= 5)
+            .withColumn("score", F.round(F.col("distinct_ratio"), 6))
+        )
+        plan = (
+            select_by_token_budget(scored, 10000)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every Sort node must be non-global (", false, 0" suffix)
+        for line in plan.splitlines():
+            if "Sort [" in line:
+                assert ", false, 0" in line, f"global sort in plan: {line.strip()}"
+
+
+class TestStreamingSeek:
+    def test_start_time_skips_earlier_rows(self, spark, messages, tmp_path):
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        topic = str(tmp_path / "t")
+        write_topic(messages, topic)
+        cutoff = messages.agg(
+            F.percentile_approx("publish_time", 0.5).alias("m")
+        ).collect()[0]["m"]
+        stream = subscribe(spark, topic, start_time=str(cutoff))
+        q = run_to_end(
+            stream.writeStream.format("memory").queryName("seek_time").outputMode("append")
+        )
+        got = spark.table("seek_time").count()
+        want = messages.where(F.col("publish_time") >= F.lit(cutoff)).count()
+        assert got == want
+        assert got < messages.count()
+
+    def test_start_offset_resubscribe(self, spark, messages, tmp_path):
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        topic = str(tmp_path / "t2")
+        write_topic(messages, topic)
+        stream = subscribe(spark, topic, start_offset=100)
+        run_to_end(
+            stream.writeStream.format("memory").queryName("seek_off").outputMode("append")
+        )
+        got = spark.table("seek_off")
+        assert got.agg(F.min("offset")).collect()[0][0] >= 100
+        assert got.count() == messages.where(F.col("offset") >= 100).count()
+
+
+class TestPatternDiscovery:
+    def test_topic_created_mid_stream_is_consumed(self, spark, messages, tmp_path):
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.streaming import run_to_end, subscribe_pattern
+
+        base = str(tmp_path / "topics")
+        os.makedirs(base)
+        m = messages.limit(500)
+        write_topic(m, f"{base}/events-a")
+        ckpt = str(tmp_path / "ckpt")
+        pattern = f"{base}/events-*"
+
+        seen: list[tuple[str, int]] = []
+
+        def sink(run):
+            def _each(df, bid):
+                for r in df.groupBy("topic").count().collect():
+                    seen.append((run, r["topic"], r["count"]))
+
+            return _each
+
+        stream = subscribe_pattern(spark, pattern)
+        run_to_end(
+            stream.writeStream.foreachBatch(sink("r1")).option(
+                "checkpointLocation", ckpt
+            )
+        )
+        first = sum(n for run, _, n in seen if run == "r1")
+        assert first == 500
+
+        # topic created AFTER the subscription started; the re-glob on
+        # the next trigger discovers it (PatternMultiTopicsConsumerImpl
+        # discovery-timer semantics) — same checkpoint, so only the new
+        # topic's rows arrive
+        write_topic(m.withColumn("topic", F.lit("events-b")), f"{base}/events-b")
+        stream2 = subscribe_pattern(spark, pattern)
+        run_to_end(
+            stream2.writeStream.foreachBatch(sink("r2")).option(
+                "checkpointLocation", ckpt
+            )
+        )
+        r2 = [(t, n) for run, t, n in seen if run == "r2"]
+        assert sum(n for _, n in r2) == 500, f"expected only new topic rows, got {r2}"
+        assert all(t == "events-b" for t, _ in r2)
+
+
+class TestRetryBackoff:
+    def test_exponential_closed_form(self, spark, messages):
+        from pulsar_spark.operators import retry_schedule
+
+        m = messages.withColumn(
+            "redelivery_count", (F.col("event_id") % 4).cast("int")
+        )
+        out = retry_schedule(
+            m,
+            F.col("event_id") % 10 == 0,
+            backoff_seconds=10,
+            backoff_multiplier=3.0,
+            max_backoff_seconds=100,
+        )
+        rows = out.select(
+            "event_id",
+            "redelivery_count",
+            (F.unix_timestamp("deliver_at") - F.unix_timestamp("publish_time")).alias(
+                "delay"
+            ),
+        ).collect()
+        assert rows
+        for r in rows:
+            prior = r["redelivery_count"] - 1  # count was incremented on nack
+            assert r["delay"] == min(10 * 3**prior, 100)
+
+    def test_fixed_delay_unchanged(self, spark, messages):
+        from pulsar_spark.operators import retry_schedule
+
+        out = retry_schedule(messages, F.col("event_id") % 10 == 0, 60)
+        d = out.select(
+            (F.unix_timestamp("deliver_at") - F.unix_timestamp("publish_time")).alias("s")
+        ).distinct().collect()
+        assert [r["s"] for r in d] == [60]
+
+
+class TestTieredCrashSafety:
+    def _write(self, spark, messages, tmp_path):
+        from pulsar_spark.sources import write_topic
+
+        hot, cold = str(tmp_path / "hot"), str(tmp_path / "cold")
+        write_topic(messages, hot)
+        return hot, cold
+
+    def test_reoffload_after_partial_cold_append(self, spark, messages, tmp_path):
+        # crash between cold append and hot swap: cold already holds the
+        # offloaded rows, hot still holds everything. A re-run must NOT
+        # duplicate them in cold (OffloadUtils.cleanupOffloaded analog).
+        from pulsar_spark.sources.tiered import offload_partitions, tiered_view
+
+        hot, cold = self._write(spark, messages, tmp_path)
+        cutoff = str(
+            messages.agg(F.percentile_approx("publish_time", 0.4)).collect()[0][0]
+        )
+        n_total = messages.count()
+        # simulate the partial run: cold append happened, swap didn't
+        cold_rows = spark.read.parquet(hot).where(F.col("publish_time") < cutoff)
+        n_cold = cold_rows.count()
+        cold_rows.write.mode("append").partitionBy("partition").parquet(cold)
+
+        stats = offload_partitions(spark, hot, cold, cutoff)
+        assert stats["offloaded"] == n_cold
+        assert spark.read.parquet(cold).count() == n_cold, "cold tier duplicated rows"
+        view = tiered_view(spark, hot, cold)
+        assert view.count() == n_total
+
+    def test_recover_interrupted_swap(self, spark, messages, tmp_path):
+        # crash between the two renames: hot dir is gone, the rewrite
+        # dir holds the kept rows. Recovery completes the swap forward.
+        from pulsar_spark.sources.tiered import offload_partitions, tiered_view
+
+        hot, cold = self._write(spark, messages, tmp_path)
+        cutoff = str(
+            messages.agg(F.percentile_approx("publish_time", 0.4)).collect()[0][0]
+        )
+        keep = spark.read.parquet(hot).where(F.col("publish_time") >= cutoff)
+        n_keep, n_total = keep.count(), messages.count()
+        # simulate: rewrite dir written, cold appended, hot renamed away
+        keep.write.mode("overwrite").partitionBy("partition").parquet(hot + "__rewrite")
+        spark.read.parquet(hot).where(F.col("publish_time") < cutoff).write.mode(
+            "append"
+        ).partitionBy("partition").parquet(cold)
+        os.rename(hot, hot + "__old")
+
+        view = tiered_view(spark, hot, cold)  # triggers _recover_swap
+        assert os.path.exists(hot) and not os.path.exists(hot + "__old")
+        assert view.count() == n_total
+        assert spark.read.parquet(hot).count() == n_keep

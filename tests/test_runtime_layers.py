@@ -226,6 +226,31 @@ class TestIORegistry:
         c = list_connectors()
         assert "datagen" in c["sources"] and "topic" in c["sinks"]
 
+    def test_batch_source_two_cycle_discovery(self, spark):
+        # BatchSource.java:62 discover -> read -> commit: trigger 1
+        # ingests the files present, trigger 2 is a no-op (all
+        # committed), trigger 3 picks up ONLY a file added in between.
+        from pulsar_spark.sources.io import file_batch_source, open_sink, open_source
+
+        d = tempfile.mkdtemp(prefix="ps_batchsrc_")
+        try:
+            open_source("datagen", spark, rows=30).write.parquet(f"{d}/in/f1")
+            runner = file_batch_source(
+                pattern=f"{d}/in/f*",
+                sink=open_sink("parquet", path=f"{d}/out", mode="append"),
+                ledger_path=f"{d}/ledger.json",
+            )
+            r1 = runner.trigger(spark)
+            assert (r1["discovered"], r1["ingested_rows"]) == (1, 30)
+            r2 = runner.trigger(spark)
+            assert (r2["discovered"], r2["ingested_rows"]) == (0, 0)
+            open_source("datagen", spark, rows=20, seed=7).write.parquet(f"{d}/in/f2")
+            r3 = runner.trigger(spark)
+            assert (r3["discovered"], r3["ingested_rows"]) == (1, 20)
+            assert spark.read.parquet(f"{d}/out").count() == 50
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
 
 class TestTieredStorage:
     def test_offload_and_readthrough(self, spark, messages):
