@@ -342,3 +342,111 @@ class TestTieredCrashSafety:
         assert os.path.exists(hot) and not os.path.exists(hot + "__old")
         assert view.count() == n_total
         assert spark.read.parquet(hot).count() == n_keep
+
+
+class TestExampleCatalog:
+    """Conformance vs pulsar-functions/java-examples — each assertion is
+    the example's literal contract."""
+
+    @pytest.fixture(scope="class")
+    def vals(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")], ["event_id", "val"]
+        )
+
+    def test_catalog_lists_examples(self):
+        from pulsar_spark.functions.examples import function_examples
+
+        ex = function_examples()
+        for name in [
+            "exclamation", "integer_addition", "config_based_append",
+            "user_config", "instance_id_appender", "logging", "user_metric",
+            "void", "record_function", "merge_topic", "add_window",
+            "comma_window", "word_count",
+        ]:
+            assert name in ex, name
+
+    def test_integer_addition(self, spark):
+        from pulsar_spark.functions.examples import function_examples
+
+        df = spark.createDataFrame([(1,), (41,)], ["val"])
+        out = function_examples()["integer_addition"](df)
+        assert {r["result"] for r in out.collect()} == {101, 141}
+
+    def test_config_based_append_and_default(self, spark, vals):
+        from pulsar_spark.functions.examples import function_examples
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        fn = function_examples()["config_based_append"]
+        with_cfg = fn(vals, FunctionContext({"config-key": "-x"}))
+        assert {r["result"] for r in with_cfg.collect()} == {"alpha-x", "beta-x", "gamma-x"}
+        no_cfg = fn(vals, FunctionContext())
+        assert {r["result"] for r in no_cfg.collect()} == {"alpha!", "beta!", "gamma!"}
+
+    def test_user_config_ignores_input(self, spark, vals):
+        from pulsar_spark.functions.examples import function_examples
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        fn = function_examples()["user_config"]
+        out = fn(vals, FunctionContext({"WhatToWrite": "hi"}))
+        assert {r["result"] for r in out.collect()} == {"hi"}
+        out2 = fn(vals, FunctionContext())
+        assert {r["result"] for r in out2.collect()} == {"Not a nice way"}
+
+    def test_void_and_user_metric_emit_nothing(self, spark, vals):
+        from pulsar_spark.functions.examples import function_examples
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        assert function_examples()["void"](vals).count() == 0
+        ctx = FunctionContext()
+        out = function_examples()["user_metric"](vals, ctx)
+        assert out.count() == 0
+        # LetterCount = len("alpha")+len("beta")+len("gamma") = 14
+        assert ctx.get_metric("LetterCount") == 14
+
+    def test_record_function_properties(self, spark):
+        from pulsar_spark.functions.examples import function_examples
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        df = spark.createDataFrame([("in-topic", "x")], ["topic", "val"])
+        out = function_examples()["record_function"](
+            df, FunctionContext({"publish-topic": "dest"})
+        ).collect()[0]
+        assert out["result"] == "x!"
+        assert out["destination_topic"] == "dest"
+        assert out["prop_input_topic"] == "in-topic"
+
+    def test_add_and_comma_windows(self, spark, messages):
+        from pulsar_spark.functions.examples import function_examples
+
+        m = messages.select("partition", "offset", F.col("event_id").alias("val"))
+        added = function_examples()["add_window"](m, window_size=10)
+        # every full window sums 10 event ids; totals match a manual chunk
+        one = added.where((F.col("partition") == 0) & (F.col("window_seq") == 0)).collect()[0]
+        manual = [
+            r["val"]
+            for r in m.where(F.col("partition") == 0).orderBy("offset").limit(10).collect()
+        ]
+        assert one["result"] == sum(manual)
+
+        joined = function_examples()["comma_window"](
+            m.withColumn("val", F.col("val").cast("string")), window_size=10
+        )
+        got = joined.where((F.col("partition") == 0) & (F.col("window_seq") == 0)).collect()[0]
+        assert got["result"] == ",".join(str(v) for v in manual)
+
+    def test_merge_topic_properties(self, spark, messages):
+        from pulsar_spark.functions.examples import function_examples
+
+        out = function_examples()["merge_topic"](messages)
+        assert out.count() == messages.count()
+        r = out.limit(1).collect()[0]
+        assert r["__original_topic"].startswith("persistent://")
+        assert r["__publish_time"].isdigit()
+
+    def test_word_count_counters(self, spark):
+        from pulsar_spark.functions.examples import function_examples
+
+        df = spark.createDataFrame([("a.b.a",), ("b",)], ["val"])
+        out = {r["word"]: r["counter"] for r in function_examples()["word_count"](df).collect()}
+        assert out == {"a": 2, "b": 2}
