@@ -524,6 +524,65 @@ def _q_txn_visibility(spark, sf_dir):
     return committed_view(m, txn_state).select("partition", "offset", "event_id", "txn_id")
 
 
+def _q_txn_pending_acks(spark, sf_dir):
+    # acks under transactions (PendingAckHandleImpl): events with
+    # event_id%7==1 ack non-transactionally (ACKED); event_id%7==0 ack
+    # inside txn event_id%3 where txn 0 COMMITTED (ACKED), 1 OPEN
+    # (PENDING - locked), 2 ABORTED (released -> UNACKED/redeliverable);
+    # everything else was never acked
+    from pulsar_spark.operators.transactions import pending_ack_state
+
+    m = _messages(spark, sf_dir)
+    acks = (
+        m.where((F.col("event_id") % 7).isin(0, 1))
+        .select(
+            "partition",
+            "offset",
+            F.when(F.col("event_id") % 7 == 0, F.col("event_id") % 3).alias("txn_id"),
+        )
+    )
+    txn_state = spark.range(3).select(
+        F.col("id").alias("txn_id"),
+        F.element_at(
+            F.array(F.lit("COMMITTED"), F.lit("OPEN"), F.lit("ABORTED")),
+            (F.col("id") + 1).cast("int"),
+        ).alias("status"),
+    )
+    return pending_ack_state(m, acks, txn_state).select(
+        "partition", "offset", "event_id", "ack_status", "redeliverable"
+    )
+
+
+_CRYPTO_KEYS = None
+
+
+def _q_crypto_roundtrip(spark, sf_dir):
+    # MessageCrypto end-to-end: payload -> AES-256-GCM encrypt (data key
+    # wrapped RSA-OAEP per recipient) -> decrypt -> aggregate. The
+    # oracle aggregates raw events: equality proves the crypto layer is
+    # lossless and authenticated (GCM tag verifies on every row).
+    global _CRYPTO_KEYS
+    from pulsar_spark.crypto import decrypt_messages, encrypt_messages, generate_rsa_keypair
+
+    if _CRYPTO_KEYS is None:
+        _CRYPTO_KEYS = generate_rsa_keypair()
+    priv, pub = _CRYPTO_KEYS
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.encode(F.col("props"), "utf-8").alias("payload")
+    )
+    enc = encrypt_messages(ev, {"app-key": pub})
+    dec = decrypt_messages(enc, "app-key", priv)
+    return (
+        dec.withColumn("props", F.decode(F.col("payload"), "utf-8"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("props")).cast("bigint").alias("total_chars"),
+            F.sum("event_id").cast("bigint").alias("sum_id"),
+        )
+    )
+
+
 def _q_media_byte_stats(spark, sf_dir):
     # multimodal metadata query: payload bytes never deserialized, only
     # length stats per language (column pruning keeps the scan narrow)
@@ -1154,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver-green r01+r02, rotated out of the prefix; every one
         #    is also value-checked locally (test_oracle_parity KEYS or a
         #    dedicated semantic test)
+        "txn_pending_acks": _q_txn_pending_acks,
+        "crypto_roundtrip": _q_crypto_roundtrip,
         "geo_replication": _q_geo_replication,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1559,6 +1620,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sequence_id AS VARCHAR) AS __sequence_id,
                    producer_name AS __producer_name
             FROM messages
+        """,
+        "crypto_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(length(props)) AS BIGINT) AS total_chars,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id
+            FROM events GROUP BY event_type
+        """,
+        "txn_pending_acks": f"""
+            WITH {_M}, ack AS (
+              SELECT partition, "offset",
+                     CASE WHEN event_id % 7 = 0 THEN
+                       CASE event_id % 3 WHEN 0 THEN 'ACKED'    -- txn COMMITTED
+                                         WHEN 1 THEN 'PENDING'  -- txn OPEN (locked)
+                                         ELSE 'UNACKED' END     -- txn ABORTED (released)
+                     ELSE 'ACKED' END AS st                      -- non-txn ack
+              FROM messages WHERE event_id % 7 IN (0, 1)
+            )
+            SELECT m.partition, m."offset", m.event_id,
+                   coalesce(a.st, 'UNACKED') AS ack_status,
+                   coalesce(a.st, 'UNACKED') = 'UNACKED' AS redeliverable
+            FROM messages m LEFT JOIN ack a
+              ON m.partition = a.partition AND m."offset" = a."offset"
         """,
         "txn_visibility": f"""
             WITH {_M}, with_txn AS (

@@ -107,6 +107,55 @@ def committed_view(messages: DataFrame, txn_state: DataFrame) -> DataFrame:
     )
 
 
+def pending_ack_state(
+    messages: DataFrame,
+    acks: DataFrame,
+    txn_state: DataFrame,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Acknowledgements under transactions — the PendingAckHandle analog
+    (pulsar-broker/.../transaction/pendingack/impl/PendingAckHandleImpl.java):
+    an ack performed inside a txn only becomes durable on COMMIT; while
+    the txn is OPEN the message is locked (PENDING — not acked, but no
+    other consumer/txn may ack it, TransactionConflictException); on
+    ABORT the pending ack releases and the message is redeliverable
+    again.
+
+    ``acks``: (partition, offset, txn_id nullable) ack events.
+    ``txn_state``: (txn_id, status) — tiny, broadcast (the reference
+    keeps it in the coordinator's in-memory map).
+
+    Returns messages + ``ack_status`` in {ACKED, PENDING, UNACKED} and
+    ``redeliverable``. When several acks target one message the lock
+    precedence is ACKED > PENDING > UNACKED (first durable ack wins,
+    matching the conflict rule). One broadcast join against the ack set
+    keyed on (partition, offset) — messages never shuffle.
+    """
+    a = acks.join(
+        F.broadcast(txn_state), on="txn_id", how="left"
+    ).select(
+        partition_col,
+        offset_col,
+        F.when(F.col("txn_id").isNull() | (F.col("status") == COMMITTED), "ACKED")
+        .when(F.col("status") == OPEN, "PENDING")
+        .otherwise("UNACKED")  # ABORTED -> pending ack released
+        .alias("_st"),
+    )
+    # precedence fold: ACKED beats PENDING beats UNACKED for a message
+    # with multiple ack attempts
+    rank = F.when(F.col("_st") == "ACKED", 2).when(F.col("_st") == "PENDING", 1).otherwise(0)
+    per_msg = a.groupBy(partition_col, offset_col).agg(
+        F.max(F.struct(rank.alias("_r"), F.col("_st"))).alias("_m")
+    ).select(partition_col, offset_col, F.col("_m._st").alias("_st"))
+    out = messages.join(
+        F.broadcast(per_msg), on=[partition_col, offset_col], how="left"
+    )
+    return out.withColumn(
+        "ack_status", F.coalesce(F.col("_st"), F.lit("UNACKED"))
+    ).drop("_st").withColumn("redeliverable", F.col("ack_status") == "UNACKED")
+
+
 def produce_transactional(
     payload: DataFrame,
     topic_path: str,

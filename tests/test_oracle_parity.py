@@ -58,6 +58,9 @@ KEYS = [
     "schema_auto_consume",
     "training_set_select",
     "training_set_select_scalable",
+    "txn_pending_acks",
+    "fn_merge_topic",
+    "crypto_roundtrip",
 ]
 
 

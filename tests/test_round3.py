@@ -450,3 +450,119 @@ class TestExampleCatalog:
         df = spark.createDataFrame([("a.b.a",), ("b",)], ["val"])
         out = {r["word"]: r["counter"] for r in function_examples()["word_count"](df).collect()}
         assert out == {"a": 2, "b": 2}
+
+
+class TestPendingAcks:
+    def test_lifecycle(self, spark, messages):
+        # PendingAckHandleImpl: txn-ack commit -> durable; open ->
+        # locked (PENDING); abort -> released (redeliverable)
+        from pulsar_spark.operators.transactions import pending_ack_state
+
+        m = messages.limit(400)
+        acks = m.where(F.col("event_id") % 2 == 0).select(
+            "partition", "offset", (F.col("event_id") % 3).alias("txn_id")
+        )
+        txn_state = spark.createDataFrame(
+            [(0, "COMMITTED"), (1, "OPEN"), (2, "ABORTED")], "txn_id bigint, status string"
+        )
+        out = pending_ack_state(m, acks, txn_state)
+        rows = out.select("event_id", "ack_status", "redeliverable").collect()
+        for r in rows:
+            eid = r["event_id"]
+            if eid % 2 == 1:
+                assert r["ack_status"] == "UNACKED" and r["redeliverable"]
+            elif eid % 3 == 0:
+                assert r["ack_status"] == "ACKED" and not r["redeliverable"]
+            elif eid % 3 == 1:
+                assert r["ack_status"] == "PENDING" and not r["redeliverable"]
+            else:
+                assert r["ack_status"] == "UNACKED" and r["redeliverable"]
+
+    def test_ack_conflict_precedence(self, spark, messages):
+        # two acks on one message: the durable (committed) ack wins the
+        # lock over the open txn's pending ack
+        from pulsar_spark.operators.transactions import pending_ack_state
+
+        m = messages.limit(10)
+        one = m.limit(1).select("partition", "offset")
+        acks = one.withColumn("txn_id", F.lit(0)).unionByName(
+            one.withColumn("txn_id", F.lit(1))
+        )
+        txn_state = spark.createDataFrame(
+            [(0, "COMMITTED"), (1, "OPEN")], "txn_id bigint, status string"
+        )
+        out = pending_ack_state(m, acks, txn_state)
+        assert out.where(F.col("ack_status") == "ACKED").count() == 1
+
+
+class TestMessageCrypto:
+    @pytest.fixture(scope="class")
+    def keys(self):
+        from pulsar_spark.crypto import generate_rsa_keypair
+
+        return generate_rsa_keypair()
+
+    def test_round_trip(self, spark, messages, keys):
+        from pulsar_spark.crypto import decrypt_messages, encrypt_messages
+
+        priv, pub = keys
+        src = messages.limit(100).select(
+            "event_id", F.encode(F.col("props"), "utf-8").alias("payload")
+        )
+        enc = encrypt_messages(src, {"k1": pub})
+        assert "encryption_param" in enc.columns
+        # ciphertext differs from plaintext and carries the GCM tag
+        sample = enc.limit(1).collect()[0]
+        assert sample["payload"] is not None and len(sample["encryption_param"]) == 12
+        dec = decrypt_messages(enc, "k1", priv)
+        got = {
+            (r["event_id"], bytes(r["payload"]).decode()) for r in dec.collect()
+        }
+        want = {(r["event_id"], bytes(r["payload"]).decode()) for r in src.collect()}
+        assert got == want
+
+    def test_multi_recipient(self, spark, messages, keys):
+        from pulsar_spark.crypto import (
+            decrypt_messages,
+            encrypt_messages,
+            generate_rsa_keypair,
+        )
+
+        priv1, pub1 = keys
+        priv2, pub2 = generate_rsa_keypair()
+        src = messages.limit(20).select(
+            "event_id", F.encode(F.col("event_type"), "utf-8").alias("payload")
+        )
+        enc = encrypt_messages(src, {"a": pub1, "b": pub2})
+        for name, priv in (("a", priv1), ("b", priv2)):
+            dec = decrypt_messages(enc, name, priv)
+            assert dec.count() == 20
+
+    def test_tamper_detection(self, spark, messages, keys):
+        # GCM is authenticated: flipping ciphertext bytes fails loudly
+        from pulsar_spark.crypto import decrypt_messages, encrypt_messages
+
+        priv, pub = keys
+        src = messages.limit(5).select(
+            "event_id", F.encode(F.col("props"), "utf-8").alias("payload")
+        )
+        enc = encrypt_messages(src, {"k": pub})
+        tampered = enc.withColumn(
+            "payload",
+            F.concat(
+                F.expr("substring(payload, 1, length(payload) - 1)"), F.lit(b"\x00")
+            ),
+        )
+        with pytest.raises(Exception):
+            decrypt_messages(tampered, "k", priv).collect()
+
+    def test_wrong_key_name_raises(self, spark, messages, keys):
+        from pulsar_spark.crypto import decrypt_messages, encrypt_messages
+
+        priv, pub = keys
+        src = messages.limit(5).select(
+            "event_id", F.encode(F.col("props"), "utf-8").alias("payload")
+        )
+        enc = encrypt_messages(src, {"k": pub})
+        with pytest.raises(KeyError):
+            decrypt_messages(enc, "other", priv)

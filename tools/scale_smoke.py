@@ -87,6 +87,28 @@ def main() -> None:
         t0 = time.perf_counter()
         packing_stats(bigdocs, seq_len=2048).count()
         out["packing_sec"] = round(time.perf_counter() - t0, 2)
+
+        # token-budget selection at scale: the per-score-group variant
+        # (no global row sort) vs the exact global-sort oracle — the
+        # scale path should stay flat-ish while the exact one pays a
+        # single-task sort of the whole corpus
+        from pulsar_spark.functions import (
+            quality_metrics,
+            select_by_token_budget,
+            select_by_token_budget_exact,
+        )
+
+        scored = (
+            quality_metrics(bigdocs)
+            .where(F.col("n_tokens") >= 5)
+            .withColumn("score", F.round(F.col("distinct_ratio"), 6))
+        )
+        t0 = time.perf_counter()
+        select_by_token_budget(scored, 10_000_000).count()
+        out["select_scalable_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        select_by_token_budget_exact(scored, 10_000_000).count()
+        out["select_exact_sec"] = round(time.perf_counter() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
