@@ -461,6 +461,46 @@ def _q_embedding_knn(spark, sf_dir):
     return cosine_topk(emb, list(qvec), k=10, exclude_id=0)
 
 
+def _q_embedding_quantize_error(spark, sf_dir):
+    # int8 symmetric quantization of the embedding store (the 4x-I/O
+    # ANN lever): per-vector scale + max absolute dequantization error.
+    # Pure elementwise arithmetic -> bit-identical across engines, so
+    # the oracle checks the quantizer itself, not a tolerance.
+    from pulsar_spark.functions import dequantize_col, quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    deq = dequantize_col(F.col("q_embedding"), F.col("q_scale"))
+    err = F.array_max(
+        F.zip_with(
+            deq, F.col("embedding").cast("array<double>"), lambda a, b: F.abs(a - b)
+        )
+    )
+    # err is materialized BEFORE the q_scale output alias: a select that
+    # both aliases `q_scale` (rounded) and references it inside err
+    # would resolve the reference against the LATERAL alias (Spark
+    # lateral column aliases prefer the projection's own output) and
+    # silently dequantize with the rounded scale
+    return (
+        q.withColumn("max_abs_err", F.round(err, 6))
+        .select(
+            "vec_id",
+            F.round(F.col("q_scale").cast("double"), 6).alias("q_scale"),
+            "max_abs_err",
+        )
+    )
+
+
+def _q_embedding_knn_quantized(spark, sf_dir):
+    # brute cosine top-10 over the int8 store (dequantize-on-the-fly);
+    # rows-only driver check — recall vs the float path is asserted in
+    # tests (expected identical top-k on this corpus)
+    from pulsar_spark.functions import cosine_topk_quantized, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk_quantized(quantize_embeddings(emb), list(qvec), k=10, exclude_id=0)
+
+
 def _q_embedding_knn_all(spark, sf_dir):
     from pulsar_spark.functions import cosine_all_pairs_topk
 
@@ -1215,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedicated semantic test)
         "txn_pending_acks": _q_txn_pending_acks,
         "crypto_roundtrip": _q_crypto_roundtrip,
+        "embedding_quantize_error": _q_embedding_quantize_error,
         "geo_replication": _q_geo_replication,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1247,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_lsh_knn": _q_embedding_lsh_knn,
+        "embedding_knn_quantized": _q_embedding_knn_quantized,
         "datagen_people": _q_datagen,
         "media_decode": _q_media_decode,
     }
@@ -1620,6 +1662,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sequence_id AS VARCHAR) AS __sequence_id,
                    producer_name AS __producer_name
             FROM messages
+        """,
+        "embedding_quantize_error": """
+            WITH q AS (
+              SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     CAST(CAST(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> abs(x))) / 127.0 AS FLOAT) AS DOUBLE) AS scale
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   round(scale, 6) AS q_scale,
+                   CASE WHEN scale > 0 THEN
+                     round(list_max(list_transform(range(1, len(v) + 1),
+                           i -> abs(round(v[i] / scale) * scale - v[i]))), 6)
+                   ELSE 0.0 END AS max_abs_err
+            FROM q
         """,
         "crypto_roundtrip": """
             SELECT event_type, count(*) AS n,

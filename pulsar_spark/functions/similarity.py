@@ -399,3 +399,69 @@ def ivf_topk_indexed(
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    ``scale = max(|x|) / 127``, ``q_i = round(x_i / scale)`` in
+    [-127, 127].
+
+    The 100 TB lever for the ANN store: a 64-dim float32 corpus drops
+    4x in storage/shuffle/scan I/O (the dominant ANN cost is bytes
+    moved, not arithmetic), at a recall cost measured in tenths of a
+    percent for cosine ranking. Pure built-in array expressions — no
+    Python, rides whole-stage codegen; keeps every other column.
+    Zero vectors get scale 0 and quantize to all-zero (dequantizes to
+    the same zero vector).
+    """
+    v = _as_double(F.col(vec_col))
+    # quantize against the float32-ROUNDED scale — that is the value a
+    # reader will dequantize with (q_scale is stored as float), so using
+    # it here keeps round-trip error minimal and reproducible
+    scale = (
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0))
+        .cast("float")
+        .cast("double")
+    )
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return emb.withColumn("q_embedding", q).withColumn(
+        "q_scale", scale.cast("float")
+    )
+
+
+def dequantize_col(q_col: Column, scale_col: Column) -> Column:
+    """Inverse of :func:`quantize_embeddings` as a column expression:
+    ``x_i ~ q_i * scale`` (array<double>)."""
+    return F.transform(q_col, lambda x: x.cast("double") * scale_col.cast("double"))
+
+
+def cosine_topk_quantized(
+    emb_q: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k over a QUANTIZED corpus (the int8 store
+    from :func:`quantize_embeddings`): dequantize-on-the-fly inside the
+    scan expression, same plan shape as ``cosine_topk`` but reading a
+    quarter of the bytes. Use as the shortlist stage of a two-phase
+    (quantized scan -> float rerank) pipeline at scale."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    deq = dequantize_col(F.col(q_col), F.col(scale_col))
+    scored = emb_q.select(
+        F.col(id_col),
+        F.round(cosine_similarity(deq, qlit), 6).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

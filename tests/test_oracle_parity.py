@@ -61,6 +61,7 @@ KEYS = [
     "txn_pending_acks",
     "fn_merge_topic",
     "crypto_roundtrip",
+    "embedding_quantize_error",
 ]
 
 

@@ -566,3 +566,43 @@ class TestMessageCrypto:
         enc = encrypt_messages(src, {"k": pub})
         with pytest.raises(KeyError):
             decrypt_messages(enc, "other", priv)
+
+
+class TestQuantization:
+    def test_error_bounded_by_half_scale(self, spark, embeddings):
+        from pulsar_spark.functions import dequantize_col, quantize_embeddings
+
+        q = quantize_embeddings(embeddings)
+        deq = dequantize_col(F.col("q_embedding"), F.col("q_scale"))
+        err = F.array_max(
+            F.zip_with(
+                deq, F.col("embedding").cast("array<double>"), lambda a, b: F.abs(a - b)
+            )
+        )
+        # symmetric rounding: per-element error <= scale/2 (+ float fuzz)
+        bad = q.where(err > F.col("q_scale").cast("double") / 2 * 1.0001).count()
+        assert bad == 0
+        # int8 range respected
+        rng = q.select(
+            F.min(F.array_min("q_embedding")).alias("lo"),
+            F.max(F.array_max("q_embedding")).alias("hi"),
+        ).collect()[0]
+        assert -127 <= rng["lo"] and rng["hi"] <= 127
+
+    def test_quantized_topk_recall(self, spark, embeddings):
+        from pulsar_spark.functions import (
+            cosine_topk,
+            cosine_topk_quantized,
+            quantize_embeddings,
+        )
+
+        qvec = list(embeddings.where(F.col("vec_id") == 0).head()["embedding"])
+        exact = [r["vec_id"] for r in cosine_topk(embeddings, qvec, k=10, exclude_id=0).collect()]
+        quant = [
+            r["vec_id"]
+            for r in cosine_topk_quantized(
+                quantize_embeddings(embeddings), qvec, k=10, exclude_id=0
+            ).collect()
+        ]
+        # int8 cosine ranking: >= 8/10 overlap with the float top-10
+        assert len(set(exact) & set(quant)) >= 8
