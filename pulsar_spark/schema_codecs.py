@@ -353,26 +353,72 @@ def avro_encode(
 
 
 def avro_decode(
-    df: DataFrame, schema: dict | str, payload_col: str = "payload"
+    df: DataFrame,
+    schema: dict | str,
+    payload_col: str = "payload",
+    reader_schema: dict | str | None = None,
 ) -> DataFrame:
     """Deserialize an Avro-binary payload column back into typed
-    top-level columns (Schema.AVRO / AUTO_CONSUME consume path)."""
+    top-level columns (Schema.AVRO / AUTO_CONSUME consume path).
+
+    ``schema`` is the WRITER schema (what the bytes were produced
+    with). Pass ``reader_schema`` to apply Avro schema resolution — the
+    AUTO_CONSUME evolution path (SchemaType.java:175 +
+    SchemaRegistryServiceImpl versioning): fields are matched by name,
+    writer-only fields are decoded and discarded, reader-only fields
+    take their declared ``default`` (or null for a nullable union), per
+    the public Avro spec's resolution rules.
+    """
     schema_json = schema if isinstance(schema, str) else json.dumps(schema)
-    st = avro_to_struct_schema(schema_json)
+    reader_json = (
+        None
+        if reader_schema is None
+        else (reader_schema if isinstance(reader_schema, str) else json.dumps(reader_schema))
+    )
+    st = avro_to_struct_schema(reader_json or schema_json)
 
     @F.pandas_udf(st)
     def _dec(s):
         import pandas as pd
 
         r = _AvroReader(json.loads(schema_json))
-        return pd.DataFrame(
-            [r.decode(bytes(b)) if b is not None else {f.name: None for f in st.fields} for b in s]
-        )
+        reader = None if reader_json is None else json.loads(reader_json)
+        rows = []
+        for b in s:
+            if b is None:
+                rows.append({f.name: None for f in st.fields})
+                continue
+            rec = r.decode(bytes(b))
+            if reader is not None:
+                rec = _resolve_record(rec, reader)
+            rows.append(rec)
+        return pd.DataFrame(rows)
 
     rest = [c for c in df.columns if c != payload_col]
     return df.select(*rest, _dec(F.col(payload_col)).alias("_rec")).select(
         *rest, "_rec.*"
     )
+
+
+def _resolve_record(rec: dict, reader: dict) -> dict:
+    """Avro schema resolution, record case: project the writer-decoded
+    dict onto the reader's field list — match by name, apply reader
+    defaults for missing fields (null for [null, T] unions without an
+    explicit default), drop writer-only fields."""
+    out = {}
+    for f in reader["fields"]:
+        name = f["name"]
+        if name in rec:
+            out[name] = rec[name]
+        elif "default" in f:
+            out[name] = f["default"]
+        elif isinstance(f["type"], list) and "null" in f["type"]:
+            out[name] = None
+        else:
+            raise ValueError(
+                f"reader field '{name}' absent from writer data and has no default"
+            )
+    return out
 
 
 def register_avro(

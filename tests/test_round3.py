@@ -606,3 +606,54 @@ class TestQuantization:
         ]
         # int8 cosine ranking: >= 8/10 overlap with the float top-10
         assert len(set(exact) & set(quant)) >= 8
+
+
+class TestAvroSchemaResolution:
+    def test_reader_evolution(self, spark):
+        # AUTO_CONSUME evolution: v1-written payloads read under the v2
+        # reader schema — new nullable field -> null, new defaulted
+        # field -> default, writer-only field dropped (Avro resolution)
+        from pulsar_spark.schema_codecs import avro_decode, avro_encode
+
+        # writer schema must match avro_encode's generated one: DDL
+        # columns are nullable -> [null, T] unions
+        v1 = {
+            "type": "record",
+            "name": "E",
+            "fields": [
+                {"name": "a", "type": ["null", "long"]},
+                {"name": "legacy", "type": ["null", "string"]},
+            ],
+        }
+        v2 = {
+            "type": "record",
+            "name": "E",
+            "fields": [
+                {"name": "a", "type": ["null", "long"]},
+                {"name": "b", "type": ["null", "string"]},
+                {"name": "c", "type": "long", "default": 42},
+            ],
+        }
+        df = spark.createDataFrame([(1, "old"), (2, "rows")], "a BIGINT, legacy STRING")
+        enc = avro_encode(df, ["a", "legacy"])
+        dec = avro_decode(enc, v1, reader_schema=v2)
+        got = sorted(tuple(r) for r in dec.collect())
+        assert got == [(1, None, 42), (2, None, 42)]
+        assert dec.columns == ["a", "b", "c"]
+
+    def test_missing_field_without_default_raises(self, spark):
+        from pulsar_spark.schema_codecs import avro_decode, avro_encode
+
+        v1 = {"type": "record", "name": "E", "fields": [{"name": "a", "type": ["null", "long"]}]}
+        v2 = {
+            "type": "record",
+            "name": "E",
+            "fields": [
+                {"name": "a", "type": ["null", "long"]},
+                {"name": "req", "type": "string"},
+            ],
+        }
+        df = spark.createDataFrame([(1,)], "a BIGINT")
+        enc = avro_encode(df, ["a"])
+        with pytest.raises(Exception):
+            avro_decode(enc, v1, reader_schema=v2).collect()
