@@ -2,6 +2,7 @@ from pulsar_spark.streaming.subscribe import (
     subscribe,
     subscribe_multi,
     subscribe_pattern,
+    subscribe_typed,
     run_to_end,
 )
 from pulsar_spark.streaming.tableview import table_view_stream, table_view_merge_sink
@@ -14,6 +15,7 @@ __all__ = [
     "subscribe",
     "subscribe_multi",
     "subscribe_pattern",
+    "subscribe_typed",
     "run_to_end",
     "table_view_stream",
     "table_view_merge_sink",

@@ -75,6 +75,29 @@ def subscribe(
     return stream
 
 
+def subscribe_typed(
+    spark: SparkSession,
+    topic_path: str,
+    registry,
+    topic: str | None = None,
+    **subscribe_kwargs,
+) -> DataFrame:
+    """Typed consumer: subscription + schema-on-read against the
+    topic's LATEST registered schema version (AUTO_CONSUME streaming
+    flavor — SchemaType.java:175; the registry's projection/cast rules
+    are the same ones the batch ``read_with_latest`` applies, and they
+    are select/cast-only so they compose with a streaming frame).
+
+    ``registry`` is a ``pulsar_spark.schema_registry.SchemaRegistry``;
+    ``topic`` defaults to the topic path's basename (the registry key).
+    """
+    import os
+
+    stream = subscribe(spark, topic_path, **subscribe_kwargs)
+    key = topic or os.path.basename(topic_path.rstrip("/"))
+    return registry.read_with_latest(stream, key)
+
+
 def run_to_end(stream_writer, timeout_s: int = 120):
     """Run a streaming query with Trigger.AvailableNow to the current
     end of the topic and wait (the reference's ``reachedEndOfTopic``

@@ -657,3 +657,44 @@ class TestAvroSchemaResolution:
         enc = avro_encode(df, ["a"])
         with pytest.raises(Exception):
             avro_decode(enc, v1, reader_schema=v2).collect()
+
+
+class TestTypedSubscribe:
+    def test_auto_consume_latest_version(self, spark, messages, tmp_path):
+        # streaming AUTO_CONSUME: the subscription projects rows to the
+        # topic's latest registered schema (v2 adds a nullable column
+        # the data lacks -> reads as null)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from pulsar_spark.schema_registry import SchemaRegistry
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.streaming import run_to_end, subscribe_typed
+
+        topic = str(tmp_path / "typed-topic")
+        write_topic(messages.limit(300), topic)
+        reg = SchemaRegistry(str(tmp_path / "reg"))
+        v1 = StructType(
+            [
+                StructField("event_id", LongType(), False),
+                StructField("event_type", StringType(), True),
+            ]
+        )
+        v2 = StructType(
+            v1.fields + [StructField("annotation", StringType(), True)]
+        )
+        reg.register("typed-topic", v1, "BACKWARD")
+        reg.register("typed-topic", v2, "BACKWARD")
+
+        stream = subscribe_typed(spark, topic, reg)
+        run_to_end(
+            stream.writeStream.format("memory").queryName("typed").outputMode("append")
+        )
+        out = spark.table("typed")
+        assert out.columns == ["event_id", "event_type", "annotation"]
+        assert out.count() == 300
+        assert out.where(F.col("annotation").isNotNull()).count() == 0
