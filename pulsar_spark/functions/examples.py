@@ -225,3 +225,133 @@ def word_count(df: DataFrame, ctx=None, input_col: str = "val") -> DataFrame:
         .count()
         .withColumnRenamed("count", "counter")
     )
+
+
+@_example("publish")
+def publish_fn(
+    df: DataFrame, ctx: FunctionContext | None = None, input_col: str = "val"
+) -> "tuple[DataFrame, object]":
+    """PublishFunction.java: Void return, but input + '!' is published
+    to userConfig['publish-topic'] (default 'publishtopic') as a side
+    output. Returns (main_output_empty, SideOutputs) — call
+    ``side.write_all(df, base)`` to materialize, the batch analog of
+    newOutputMessage().sendAsync()."""
+    from pulsar_spark.functions.runtime import SideOutputs
+
+    topic = (
+        ctx.get_user_config_value("publish-topic") if ctx else None
+    ) or "publishtopic"
+    side = SideOutputs()
+    side.publish(topic, F.lit(True), None)
+    transformed = df.withColumn(
+        "result", F.concat(F.col(input_col).cast("string"), F.lit("!"))
+    )
+    return transformed.where(F.lit(False)), side
+
+
+@_example("user_publish")
+def user_publish(
+    df: DataFrame, ctx: FunctionContext | None = None, input_col: str = "val"
+) -> "tuple[DataFrame, object]":
+    """UserPublishFunction.java: publish the raw input to
+    userConfig['topic'] when configured; publish nothing otherwise."""
+    from pulsar_spark.functions.runtime import SideOutputs
+
+    side = SideOutputs()
+    topic = ctx.get_user_config_value("topic") if ctx else None
+    if topic:
+        side.publish(topic, F.lit(True), None)
+    return df.where(F.lit(False)), side
+
+
+@_example("context_function")
+def context_function(
+    df: DataFrame,
+    ctx: FunctionContext | None = None,
+    input_col: str = "val",
+    function_name: str = "fn",
+) -> DataFrame:
+    """ContextFunction.java: Void return; logs arrivals and bumps the
+    per-function received-messages metric — observable through the
+    Context counter table."""
+    if ctx is not None:
+        ctx.record_metric(f"function-{function_name}-messages-received", df.count())
+    return df.where(F.lit(False))
+
+
+@_example("auto_schema")
+def auto_schema(
+    df: DataFrame, ctx=None, value_field: str = "val"
+) -> DataFrame:
+    """AutoSchemaFunction.java: consume GenericRecord (schema-on-read
+    struct), emit 'value-' + record.getField('value') — generic field
+    access is just a column reference once the payload is typed."""
+    return df.withColumn(
+        "result", F.concat(F.lit("value-"), F.col(value_field).cast("string"))
+    )
+
+
+@_example("custom_object")
+def custom_object(
+    df: DataFrame, ctx=None, struct_col: str = "obj"
+) -> DataFrame:
+    """CustomObjectFunction.java: POJO -> POJO (value + 100). Typed
+    objects are struct columns; the POJO transform is a struct rebuild."""
+    return df.withColumn(
+        struct_col,
+        F.struct((F.col(f"{struct_col}.value") + 100).alias("value")),
+    )
+
+
+@_example("window_duration")
+def window_duration(
+    df: DataFrame,
+    ctx=None,
+    input_col: str = "val",
+    length: str = "1 hour",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """WindowDurationFunction.java: join each DURATION window's contents
+    with ',' (the reference appends wall-clock millis; here the window
+    end is the deterministic equivalent of 'when this window fired')."""
+    win = F.window(F.col(time_col), length)
+    return (
+        df.groupBy(win.alias("_w"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(time_col), F.col(input_col).cast("string").alias("_v"))
+                        )
+                    ),
+                    lambda s: s.getField("_v"),
+                ),
+            ).alias("joined")
+        )
+        .select(
+            F.col("_w.end").alias("window_end"),
+            F.concat(
+                F.col("joined"), F.lit(":"), F.unix_millis(F.col("_w.end")).cast("string")
+            ).alias("result"),
+        )
+    )
+
+
+@_example("thumbnailer")
+def thumbnailer(df: DataFrame, ctx=None, media_col: str = "media_bytes") -> DataFrame:
+    """python-examples/thumbnailer.py: decode image bytes, thumbnail to
+    128x128, re-emit bytes. Runs on the multimodal plumbing — the
+    decode/resize kernel is the documented stub (no image libs in this
+    container); schema, batching, and partitioning are real."""
+    from pulsar_spark.functions.multimodal import decode_media
+
+    prepared = df.withColumnRenamed(media_col, "payload")
+    if "modality" not in prepared.columns:
+        prepared = prepared.withColumn("modality", F.lit("image"))
+    if "media_id" not in prepared.columns:
+        prepared = prepared.withColumn(
+            "media_id", F.monotonically_increasing_id()
+        )
+    return decode_media(prepared)

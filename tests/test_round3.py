@@ -698,3 +698,81 @@ class TestTypedSubscribe:
         assert out.columns == ["event_id", "event_type", "annotation"]
         assert out.count() == 300
         assert out.where(F.col("annotation").isNotNull()).count() == 0
+
+
+class TestExampleCatalogRound2:
+    """Second batch of example-catalog conformance entries."""
+
+    def test_publish_side_output(self, spark, tmp_path):
+        from pulsar_spark.functions.examples import function_examples
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        df = spark.createDataFrame([("a",), ("b",)], ["val"])
+        main, side = function_examples()["publish"](
+            df, FunctionContext({"publish-topic": "side-t"})
+        )
+        assert main.count() == 0
+        written = side.write_all(
+            df.withColumn("result", F.concat(F.col("val"), F.lit("!"))),
+            str(tmp_path / "out"),
+        )
+        assert written == {"side-t": 2}
+        back = spark.read.parquet(str(tmp_path / "out" / "side-t"))
+        assert {r["result"] for r in back.collect()} == {"a!", "b!"}
+
+    def test_user_publish_only_when_configured(self, spark):
+        from pulsar_spark.functions.examples import function_examples
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        df = spark.createDataFrame([("a",)], ["val"])
+        _, side_off = function_examples()["user_publish"](df, FunctionContext())
+        assert side_off.routes == {}
+        _, side_on = function_examples()["user_publish"](
+            df, FunctionContext({"topic": "t2"})
+        )
+        assert list(side_on.routes) == ["t2"]
+
+    def test_context_function_metric(self, spark):
+        from pulsar_spark.functions.examples import function_examples
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        df = spark.createDataFrame([("x",), ("y",), ("z",)], ["val"])
+        ctx = FunctionContext()
+        out = function_examples()["context_function"](df, ctx, function_name="myfn")
+        assert out.count() == 0
+        assert ctx.get_metric("function-myfn-messages-received") == 3
+
+    def test_auto_schema_and_custom_object(self, spark):
+        from pulsar_spark.functions.examples import function_examples
+
+        df = spark.createDataFrame([(7,)], ["val"])
+        out = function_examples()["auto_schema"](df).collect()[0]
+        assert out["result"] == "value-7"
+
+        obj = spark.createDataFrame([((5,),)], "obj struct<value: bigint>")
+        got = function_examples()["custom_object"](obj).collect()[0]
+        assert got["obj"]["value"] == 105
+
+    def test_window_duration(self, spark, messages):
+        from pulsar_spark.functions.examples import function_examples
+
+        m = messages.select("event_time", F.col("event_id").cast("string").alias("val"))
+        out = function_examples()["window_duration"](m, length="1 hour")
+        row = out.limit(1).collect()[0]
+        joined, millis = row["result"].rsplit(":", 1)
+        assert millis.isdigit()
+        assert int(millis) == int(row["window_end"].timestamp() * 1000)
+        assert joined  # non-empty comma-joined contents
+
+    def test_thumbnailer_plumbing(self, spark):
+        from pulsar_spark.functions.examples import function_examples
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNGfake"), "image/png")],
+            "media_id BIGINT, media_bytes BINARY, mime STRING",
+        )
+        out = function_examples()["thumbnailer"](df)
+        # stub decode: plumbing produces the decode schema without
+        # raising (kernel is the documented NotImplementedError stub
+        # behind strict=False)
+        assert out.count() == 1
