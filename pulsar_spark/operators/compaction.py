@@ -43,6 +43,7 @@ def compact_publish_order(
     key_col: str = "key",
     offset_col: str = "offset",
     tombstone_col: str = "tombstone",
+    strategy: str = "max_by",
 ) -> DataFrame:
     """Publish-order compaction: keep the highest-offset entry per key,
     then drop keys whose latest entry is a tombstone.
@@ -53,8 +54,24 @@ def compact_publish_order(
     A topic without a tombstone column (nothing ever published a null
     value) compacts as if every row were live — the reference behaves
     the same way, a tombstone being just a null-payload message.
+
+    ``strategy``:
+    - ``"max_by"`` (default): one-pass ``max_by(struct(*), offset)`` —
+      a single shuffle, but the wide-struct aggregate runs sort-based
+      (not hash-aggregable), which spills sooner on huge partitions.
+    - ``"two_phase"``: ``groupBy(key).agg(max(offset))`` (pure hash
+      agg, tiny fixed-size buffers) then a left-semi join back on
+      ``(key, offset)``. Reads the input twice but never sorts it; the
+      better shape when rows are wide and keys are many. Exact because
+      key-hash routing makes ``key -> partition`` functional, so
+      ``(key, offset)`` identifies one row.
     """
-    latest = _compact(messages, F.col(offset_col), key_col)
+    if strategy == "two_phase":
+        live = messages.where(F.col(key_col).isNotNull())
+        tops = live.groupBy(key_col).agg(F.max(offset_col).alias(offset_col))
+        latest = live.join(tops, on=[key_col, offset_col], how="left_semi")
+    else:
+        latest = _compact(messages, F.col(offset_col), key_col)
     if tombstone_col in messages.columns:
         latest = latest.where(~F.col(tombstone_col))
     return latest

@@ -776,3 +776,26 @@ class TestExampleCatalogRound2:
         # raising (kernel is the documented NotImplementedError stub
         # behind strict=False)
         assert out.count() == 1
+
+
+class TestTwoPhaseCompaction:
+    def test_equivalent_to_max_by(self, spark, messages):
+        from pulsar_spark.operators import compact_publish_order
+
+        a = compact_publish_order(messages)
+        b = compact_publish_order(messages, strategy="two_phase")
+        ka = {tuple(r) for r in a.select("key", "offset", "event_id").collect()}
+        kb = {tuple(r) for r in b.select("key", "offset", "event_id").collect()}
+        assert ka == kb
+
+    def test_two_phase_plan_uses_hash_agg(self, spark, messages):
+        from pulsar_spark.operators import compact_publish_order
+
+        plan = (
+            compact_publish_order(messages, strategy="two_phase")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "HashAggregate" in plan
+        assert "SortAggregate" not in plan
