@@ -771,6 +771,16 @@ def _q_training_set_select_scalable(spark, sf_dir):
     return select_by_token_budget(_scored_docs(spark, sf_dir), budget=20000)
 
 
+def _q_doc_repetition(spark, sf_dir):
+    # Gopher-rule repetition filters: per-doc duplicated n-gram
+    # fractions for n in {1,2,3} — boilerplate/spam documents score
+    # high and get cut before training. Pure array expressions, no
+    # shuffle: rides the scan at corpus size.
+    from pulsar_spark.functions import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
 def _q_doc_pack_sequences(spark, sf_dir):
     # sequence-packing manifest (functions/packing.py): per-shard
     # streaming fill into 512-token bins; docs ordered by id inside
@@ -1280,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "examine_message": _q_examine_message,
         "ack_timeout_redelivery": _q_ack_timeout_redelivery,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "doc_repetition": _q_doc_repetition,
         # non-SQL-expressible / approximate ops (rows-only driver check):
         "embedding_cosine_near_dups_lsh": _q_embedding_cosine_near_dups_lsh,
         "embedding_ivf_knn": _q_embedding_ivf_knn,
@@ -1678,6 +1689,30 @@ def oracle_sql() -> dict[str, str]:
                            i -> abs(round(v[i] / scale) * scale - v[i]))), 6)
                    ELSE 0.0 END AS max_abs_err
             FROM q
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, w,
+                list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                    i -> concat_ws(' ', w[i], w[i+1])) AS g2,
+                list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
+              FROM toks
+            )
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              CASE WHEN len(w) > 0
+                   THEN round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                   ELSE 0.0 END AS dup_ngram_frac_1,
+              CASE WHEN len(g2) > 0
+                   THEN round(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                   ELSE 0.0 END AS dup_ngram_frac_2,
+              CASE WHEN len(g3) > 0
+                   THEN round(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                   ELSE 0.0 END AS dup_ngram_frac_3
+            FROM g
         """,
         "crypto_roundtrip": """
             SELECT event_type, count(*) AS n,

@@ -146,3 +146,39 @@ def redact_pii(text: Column) -> Column:
     for _, pat, rep in PII_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family of
+    quality filters: documents dominated by repeated fragments are
+    boilerplate/spam): for n in {1, 2, 3}, ``dup_ngram_frac_n`` = the
+    fraction of the doc's word n-grams that are repeats of an n-gram
+    already seen in the same doc (1 - distinct/total).
+
+    All built-in array expressions over one tokenization — no shuffle,
+    no Python; rides the scan at any corpus size. Returns
+    (id, n_tokens, dup_ngram_frac_1..3).
+    """
+    toks = F.col("_toks")
+
+    def frac(n: int):
+        if n == 1:
+            grams = toks
+        else:
+            grams = F.expr(
+                f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+            )
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.round(1 - F.size(F.array_distinct(grams)) / total, 6),
+        ).otherwise(0.0)
+
+    return docs.withColumn("_toks", tokenize(F.col(text_col))).select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        frac(1).alias("dup_ngram_frac_1"),
+        frac(2).alias("dup_ngram_frac_2"),
+        frac(3).alias("dup_ngram_frac_3"),
+    )

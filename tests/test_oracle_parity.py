@@ -62,6 +62,7 @@ KEYS = [
     "fn_merge_topic",
     "crypto_roundtrip",
     "embedding_quantize_error",
+    "doc_repetition",
 ]
 
 
