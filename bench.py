@@ -49,7 +49,7 @@ def main() -> None:
         # slice first: B1 measures steady-state produce throughput, not
         # one-time local-JVM initialization (on a real cluster the
         # executors are long-lived).
-        write_topic(events_to_messages(events), f"{tmp}/warmup", repartition=False)
+        write_topic(events_to_messages(events), f"{tmp}/warmup", repartition=False, codec="snappy")
         from pulsar_spark.functions import minhash_near_duplicates
 
         docs = load_table(spark, sf_dir, "documents")
@@ -80,7 +80,9 @@ def main() -> None:
         # round-over-round comparability
         timed(
             "b1b_fixture_envelope",
-            lambda: write_topic(events_to_messages(events), f"{tmp}/topic", repartition=False),
+            lambda: write_topic(
+                events_to_messages(events), f"{tmp}/topic", repartition=False, codec="snappy"
+            ),
         )
         messages = spark.read.parquet(f"{tmp}/topic").cache()
         messages.count()

@@ -152,7 +152,11 @@ def decrypt_messages(
         raise KeyError(f"no wrapped data key for consumer key '{key_name}'")
     wrapped = df.select(col).limit(1).collect()
     if not wrapped:
-        return df
+        # empty frame: no data key to unwrap, but the OUTPUT SCHEMA must
+        # not depend on row count — drop the encryption columns exactly
+        # like the non-empty path does
+        drop = [c for c in df.columns if c.startswith("encryption_key__")]
+        return df.drop("encryption_param", "encryption_algo", *drop)
     data_key = _unwrap_data_key(bytes(wrapped[0][0]), private_pem)
 
     @F.pandas_udf(BinaryType())

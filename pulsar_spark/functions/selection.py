@@ -69,14 +69,24 @@ def select_by_token_budget(
     )
     # Groups whose better-scored predecessors already exhausted the
     # budget contribute nothing — prune them before the corpus join.
-    admitted = cum.where(F.col("_cum_before") < budget).select(score_col, "_cum_before")
+    # <= (not <): a group whose predecessors hit the budget EXACTLY can
+    # still contribute zero-token rows (cum == budget passes the final
+    # filter), matching the exact variant at the boundary.
+    admitted = cum.where(F.col("_cum_before") <= budget).select(
+        F.col(score_col).alias("_adm_score"), "_cum_before"
+    )
 
     # Within-group running total in id order (partitioned window —
     # parallel), offset by the cross-group total: identical inclusive
-    # cum_tokens to the exact global-sort variant.
+    # cum_tokens to the exact global-sort variant. Null-safe join so
+    # null-scored rows (sorted last by the exact variant's DESC NULLS
+    # LAST window) are not silently dropped by equi-join null semantics.
     ww = Window.partitionBy(score_col).orderBy(F.col(id_col))
     return (
-        scored.join(admitted, on=score_col, how="inner")
+        scored.join(
+            admitted, on=F.col(score_col).eqNullSafe(F.col("_adm_score")), how="inner"
+        )
+        .drop("_adm_score")
         .withColumn(
             "cum_tokens", F.col("_cum_before") + F.sum(token_col).over(ww)
         )

@@ -59,17 +59,40 @@ def compact_publish_order(
     - ``"max_by"`` (default): one-pass ``max_by(struct(*), offset)`` —
       a single shuffle, but the wide-struct aggregate runs sort-based
       (not hash-aggregable), which spills sooner on huge partitions.
-    - ``"two_phase"``: ``groupBy(key).agg(max(offset))`` (pure hash
-      agg, tiny fixed-size buffers) then a left-semi join back on
-      ``(key, offset)``. Reads the input twice but never sorts it; the
-      better shape when rows are wide and keys are many. Exact because
-      key-hash routing makes ``key -> partition`` functional, so
-      ``(key, offset)`` identifies one row.
+    - ``"two_phase"``: ``groupBy(key).agg(max(offset*2^20 +
+      partition))`` — the winner (offset, partition) packed into ONE
+      long keeps the aggregate a TRUE HashAggregate (a ``max(struct)``
+      would run as ObjectHashAggregate, which falls back to sort-based
+      past its tiny fallback threshold) — then a left-semi join back on
+      ``(key, offset, partition)``. Reads the input twice but never
+      sorts it; the better shape when rows are wide and keys are many.
+      Including ``partition`` in the winner makes the join exact even
+      when a key appears in several partitions (non-key-routed input).
+      Bounds: per-partition offsets < 2^43 and partition ids < 2^20
+      (both far above any real topic). On a UNIONED multi-topic frame
+      where (partition, offset) can repeat across topics, compact per
+      topic before unioning.
     """
     if strategy == "two_phase":
+        PACK = 1 << 20
         live = messages.where(F.col(key_col).isNotNull())
-        tops = live.groupBy(key_col).agg(F.max(offset_col).alias(offset_col))
-        latest = live.join(tops, on=[key_col, offset_col], how="left_semi")
+        has_part = "partition" in messages.columns
+        packed = (
+            F.col(offset_col) * PACK + F.col("partition")
+            if has_part
+            else F.col(offset_col) * PACK
+        )
+        tops = (
+            live.groupBy(key_col)
+            .agg(F.max(packed).alias("_p"))
+            .select(
+                F.col(key_col),
+                F.floor(F.col("_p") / PACK).cast("bigint").alias(offset_col),
+                *([F.pmod(F.col("_p"), F.lit(PACK)).cast("int").alias("partition")] if has_part else []),
+            )
+        )
+        join_keys = [key_col, offset_col] + (["partition"] if has_part else [])
+        latest = live.join(tops, on=join_keys, how="left_semi")
     else:
         latest = _compact(messages, F.col(offset_col), key_col)
     if tombstone_col in messages.columns:

@@ -129,8 +129,10 @@ def pending_ack_state(
     Returns messages + ``ack_status`` in {ACKED, PENDING, UNACKED} and
     ``redeliverable``. When several acks target one message the lock
     precedence is ACKED > PENDING > UNACKED (first durable ack wins,
-    matching the conflict rule). One broadcast join against the ack set
-    keyed on (partition, offset) — messages never shuffle.
+    matching the conflict rule). Only ``txn_state`` is force-broadcast
+    (it mirrors the coordinator's tiny in-memory map); the per-message
+    ack set is O(topic), so its join is left to AQE — broadcast when
+    the measured build side is small, shuffled equi-join otherwise.
     """
     a = acks.join(
         F.broadcast(txn_state), on="txn_id", how="left"
@@ -148,9 +150,7 @@ def pending_ack_state(
     per_msg = a.groupBy(partition_col, offset_col).agg(
         F.max(F.struct(rank.alias("_r"), F.col("_st"))).alias("_m")
     ).select(partition_col, offset_col, F.col("_m._st").alias("_st"))
-    out = messages.join(
-        F.broadcast(per_msg), on=[partition_col, offset_col], how="left"
-    )
+    out = messages.join(per_msg, on=[partition_col, offset_col], how="left")
     return out.withColumn(
         "ack_status", F.coalesce(F.col("_st"), F.lit("UNACKED"))
     ).drop("_st").withColumn("redeliverable", F.col("ack_status") == "UNACKED")

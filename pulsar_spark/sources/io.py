@@ -134,8 +134,19 @@ class BatchSourceRunner:
         with open(self.ledger_path) as fh:
             return json.load(fh)
 
-    def trigger(self, spark: SparkSession) -> dict[str, int]:
-        """Run one discovery cycle; returns counts for observability."""
+    def trigger(self, spark: SparkSession, count_rows: bool = False) -> dict[str, int]:
+        """Run one discovery cycle; returns counts for observability.
+
+        ``count_rows=True`` adds an ``ingested_rows`` count — a SECOND
+        read of the batch purely for observability, off by default so
+        the ingest path stays one pass (``-1`` when disabled).
+
+        The ledger commit is atomic (temp file + ``os.replace``): a
+        crash mid-commit leaves the previous ledger intact, so the
+        worst case is re-reading the current batch (the documented
+        at-least-once contract), never a corrupt ledger or a re-ingest
+        of history.
+        """
         import json
         import os
 
@@ -144,11 +155,13 @@ class BatchSourceRunner:
         if not tasks:
             return {"discovered": 0, "ingested_rows": 0}
         df = self.read_tasks(spark, tasks)
-        n = df.count()
+        n = df.count() if count_rows else -1
         self.sink(df)
         os.makedirs(os.path.dirname(self.ledger_path) or ".", exist_ok=True)
-        with open(self.ledger_path, "w") as fh:
+        tmp = self.ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(committed + tasks, fh)
+        os.replace(tmp, self.ledger_path)
         return {"discovered": len(tasks), "ingested_rows": n}
 
 

@@ -73,12 +73,15 @@ def offload_partitions(
     # already (crash before the swap); (partition, offset) identifies a
     # message, so an anti-join drops the already-offloaded ones. The
     # existing-cold side reads only two columns (footer-stat-cheap) and
-    # the join is per-partition-keyed.
-    try:
+    # the join is per-partition-keyed. Only a genuinely ABSENT cold tier
+    # skips the anti-join — a read error on an existing cold dir must
+    # propagate, not silently disable the dedup (a swallowed error here
+    # would cause the exact duplicate accumulation this join prevents).
+    if os.path.exists(cold_path):
         cold_existing = spark.read.parquet(cold_path).select("partition", "offset")
-        cold_rows = cold_rows.join(cold_existing, on=["partition", "offset"], how="left_anti")
-    except Exception:
-        pass  # no cold tier yet
+        cold_rows = cold_rows.join(
+            cold_existing, on=["partition", "offset"], how="left_anti"
+        )
     cold_rows.repartition("partition").write.mode("append").partitionBy("partition").parquet(
         cold_path
     )
@@ -88,7 +91,7 @@ def offload_partitions(
     return {"offloaded": n_cold, "hot": spark.read.parquet(hot_path).count()}
 
 
-def _recover_swap(hot_path: str) -> None:
+def _recover_swap(hot_path: str, cleanup: bool = True) -> None:
     """Complete or roll back an interrupted offload directory swap.
 
     Invariants after the two-rename protocol: the hot data is always
@@ -97,6 +100,12 @@ def _recover_swap(hot_path: str) -> None:
     begins, so completing the swap forward (preferring the rewrite dir)
     is always correct; rolling back to ``__old`` is only needed when the
     rewrite dir is absent.
+
+    ``cleanup=False`` (the read path) skips the ``__old`` rmtree — a
+    reader only renames when the hot dir is otherwise unreadable, and
+    never deletes. Single-writer assumption as in the reference: one
+    offloader per topic at a time (concurrent offloads of the same topic
+    are the caller's responsibility to serialize).
     """
     tmp = hot_path.rstrip("/") + "__rewrite"
     old = hot_path.rstrip("/") + "__old"
@@ -105,14 +114,17 @@ def _recover_swap(hot_path: str) -> None:
             os.rename(tmp, hot_path)  # crash between the two renames
         elif os.path.exists(old):
             os.rename(old, hot_path)  # defensive: rewrite lost, roll back
-    if os.path.exists(hot_path) and os.path.exists(old):
+    if cleanup and os.path.exists(hot_path) and os.path.exists(old):
         shutil.rmtree(old)  # swap done, cleanup didn't run
 
 
 def tiered_view(spark: SparkSession, hot_path: str, cold_path: str) -> DataFrame:
     """Read-through union of hot + cold tiers (time predicates prune
-    whole tiers via partition/file statistics)."""
-    _recover_swap(hot_path)
+    whole tiers via partition/file statistics). Reads repair an
+    interrupted swap only when the hot dir is otherwise unreadable, and
+    never delete anything (no storage mutation on the happy path)."""
+    if not os.path.exists(hot_path):
+        _recover_swap(hot_path, cleanup=False)
     hot = spark.read.parquet(hot_path)
     try:
         cold = spark.read.parquet(cold_path)

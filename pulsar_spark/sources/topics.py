@@ -177,6 +177,7 @@ def produce(
     # partition count / properties survive (truncate_topic keeps it too —
     # the sidecar is topic identity, not data).
     preserved_meta = topic_metadata(topic_path) if mode != "append" else None
+    wrote_ok = False
     try:
         (
             df.write.mode("append" if mode == "append" else "overwrite")
@@ -184,18 +185,23 @@ def produce(
             .partitionBy("partition")
             .parquet(topic_path)
         )
+        wrote_ok = True
     finally:
         # Restore the sidecar even if the data write failed partway —
         # topic identity (partition count, properties) must survive a
-        # botched overwrite. The restored partition count is the RESOLVED
-        # one the data was actually routed over: a caller-supplied count
-        # that differs from the old sidecar must win, or later appends
-        # would route keys over a different key space than the data on
-        # disk.
+        # botched overwrite. The restored partition count must describe
+        # the data actually ON DISK: after a successful overwrite that
+        # is the resolved count the new data was routed over; after a
+        # FAILED overwrite (e.g. analysis error before any file was
+        # deleted) the old data may be fully intact, so the ORIGINAL
+        # count is restored — stamping the caller's new count there
+        # would desynchronize routing from storage.
         if preserved_meta is not None:
             create_topic(
                 topic_path,
-                num_partitions=num_partitions,
+                num_partitions=(
+                    num_partitions if wrote_ok else preserved_meta["num_partitions"]
+                ),
                 properties=preserved_meta.get("properties"),
             )
 
@@ -223,7 +229,7 @@ def write_topic(
     topic_path: str,
     mode: str = "overwrite",
     repartition: bool = True,
-    codec: str = "snappy",
+    codec: str | None = None,
 ) -> None:
     """Write an already-enveloped message DataFrame as a topic table.
 
@@ -231,13 +237,18 @@ def write_topic(
     partition, one file per append per partition. Pass
     ``repartition=False`` when the input is already hash-partitioned by
     ``partition`` (e.g. straight out of the envelope window) to skip
-    the redundant shuffle. Hot-tier default codec is snappy (ingest
-    path); cold rewrites pick zstd via the session default.
+    the redundant shuffle.
+
+    ``codec=None`` (default) inherits the session parquet codec (zstd)
+    — right for cold rewrites (compaction's ``__compacted`` side table,
+    fixtures) where ratio beats encode speed. Pass ``codec='snappy'``
+    on the hot ingest path, as ``produce`` does.
     """
     df = messages.repartition("partition") if repartition else messages
-    df.write.mode(mode).option("compression", codec).partitionBy("partition").parquet(
-        topic_path
-    )
+    w = df.write.mode(mode)
+    if codec is not None:
+        w = w.option("compression", codec)
+    w.partitionBy("partition").parquet(topic_path)
 
 
 def read_topic(

@@ -338,10 +338,15 @@ class TestTieredCrashSafety:
         ).partitionBy("partition").parquet(cold)
         os.rename(hot, hot + "__old")
 
-        view = tiered_view(spark, hot, cold)  # triggers _recover_swap
-        assert os.path.exists(hot) and not os.path.exists(hot + "__old")
+        view = tiered_view(spark, hot, cold)  # read path completes the swap
+        assert os.path.exists(hot)
         assert view.count() == n_total
         assert spark.read.parquet(hot).count() == n_keep
+        # the reader never DELETES — __old lingers until the next
+        # offload's writer-side recovery sweeps it
+        assert os.path.exists(hot + "__old")
+        offload_partitions(spark, hot, cold, cutoff)
+        assert not os.path.exists(hot + "__old")
 
 
 class TestExampleCatalog:

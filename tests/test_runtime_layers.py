@@ -240,12 +240,12 @@ class TestIORegistry:
                 sink=open_sink("parquet", path=f"{d}/out", mode="append"),
                 ledger_path=f"{d}/ledger.json",
             )
-            r1 = runner.trigger(spark)
+            r1 = runner.trigger(spark, count_rows=True)
             assert (r1["discovered"], r1["ingested_rows"]) == (1, 30)
-            r2 = runner.trigger(spark)
+            r2 = runner.trigger(spark, count_rows=True)
             assert (r2["discovered"], r2["ingested_rows"]) == (0, 0)
             open_source("datagen", spark, rows=20, seed=7).write.parquet(f"{d}/in/f2")
-            r3 = runner.trigger(spark)
+            r3 = runner.trigger(spark, count_rows=True)
             assert (r3["discovered"], r3["ingested_rows"]) == (1, 20)
             assert spark.read.parquet(f"{d}/out").count() == 50
         finally:
