@@ -130,6 +130,7 @@ def compact_topic_storage(
     topic_path: str,
     event_time_order: bool = False,
     key_col: str = "key",
+    strategy: str = "max_by",
 ) -> dict[int, int]:
     """Background compaction maintenance job — the storage analog of the
     two-phase compactor (AbstractTwoPhaseCompactor.java:100 phaseTwo
@@ -149,10 +150,13 @@ def compact_topic_storage(
         r["partition"]: r["mx"]
         for r in m.groupBy("partition").agg(F.max("offset").alias("mx")).collect()
     }
+    # publish-order rewrites can pick the hash-agg two_phase plan (see
+    # compact_publish_order); event-time order keeps max_by (its winner
+    # key is a timestamp tuple, not pack-able into one long)
     compacted = (
         compact_event_time_order(m, key_col=key_col)
         if event_time_order
-        else compact_publish_order(m, key_col=key_col)
+        else compact_publish_order(m, key_col=key_col, strategy=strategy)
     )
     write_topic(compacted, topic_path.rstrip("/") + "__compacted", mode="overwrite")
     hdf = spark.createDataFrame(
