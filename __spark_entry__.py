@@ -904,6 +904,22 @@ def _q_embedding_ivf_knn(spark, sf_dir):
     return ivf_topk(emb, list(qvec), dim=64, k=10, n_probe=4, exclude_id=0)
 
 
+def _q_embedding_ivf_knn_quantized(spark, sf_dir):
+    # the full 100 TB ANN layout in one query: materialized IVF store
+    # with int8-quantized lists (storage-level partition pruning picks
+    # the probed lists, quantization quarters the bytes per list), probe
+    # auto-detects the store flavor
+    import tempfile
+
+    from pulsar_spark.functions import ivf_topk_indexed, ivf_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    path = tempfile.mkdtemp(prefix="psivfq_") + "/ivf"
+    ivf_write_index(emb, path, dim=64, n_centroids=8, iters=2, quantize=True)
+    return ivf_topk_indexed(spark, path, qvec, k=10, n_probe=4, exclude_id=0)
+
+
 def _q_message_by_id(spark, sf_dir):
     # getMessageById admin lookup (Topics.java:1746)
     from pulsar_spark.operators import get_message_by_id
@@ -1300,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_lsh_knn": _q_embedding_lsh_knn,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
+        "embedding_ivf_knn_quantized": _q_embedding_ivf_knn_quantized,
         "datagen_people": _q_datagen,
         "media_decode": _q_media_decode,
     }

@@ -186,7 +186,12 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    # headline_total sums the ROUND-1/2-COMPARABLE query set so the
+    # round-over-round trend stays meaningful; queries added in later
+    # rounds (x4b) are timed and reported but listed under extras —
+    # adding a brand-new query must not read as a perf regression.
+    extras = ["x4b_training_select_scalable"]
+    total = round(sum(v for k, v in timings.items() if k not in extras), 3)
     print(
         json.dumps(
             {
@@ -194,6 +199,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras_not_in_total": extras,
                 "sf": float(sf),
                 "rows_events": n_events,
                 "ingest_rows_per_sec": round(n_events / timings["b1_ingest"]),

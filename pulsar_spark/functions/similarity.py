@@ -346,15 +346,28 @@ def ivf_write_index(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: bool = False,
 ) -> "np.ndarray":
     """Materialize an IVF index as a parquet store hive-partitioned by
     ``centroid_id``, with the centroid matrix saved alongside. At 100 TB
     this is THE layout: a probe of n_probe lists touches only those
     directories — partition pruning at the storage layer, not a row
     filter — so query cost is ~n_probe/n_centroids of the corpus
-    regardless of corpus size. Returns the centroids."""
+    regardless of corpus size. Returns the centroids.
+
+    ``quantize=True`` stores int8-quantized vectors (``q_embedding`` +
+    ``q_scale`` via :func:`quantize_embeddings`) instead of the float
+    column — the two scale levers compose: partition pruning cuts WHICH
+    lists are read, quantization cuts the BYTES per list read, for a
+    combined ~4x(n_centroids/n_probe) I/O reduction per probe.
+    ``ivf_topk_indexed`` detects the store flavor automatically.
+    """
     centroids = ivf_fit(embeddings, dim, n_centroids, iters, vec_col, id_col)
     assigned = ivf_assign(embeddings, centroids, vec_col)
+    if quantize:
+        assigned = quantize_embeddings(assigned, vec_col=vec_col, id_col=id_col).drop(
+            vec_col
+        )
     assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(path.rstrip("/") + "/vectors")
@@ -380,7 +393,9 @@ def ivf_topk_indexed(
     """Probe a materialized IVF store: rank centroids driver-side (the
     centroid table is KBs), scan ONLY the probed ``centroid_id=``
     partitions (check .explain: PartitionFilters prunes the rest), exact
-    cosine top-k within."""
+    cosine top-k within. A quantized store (written with
+    ``ivf_write_index(quantize=True)``) is detected from its columns and
+    dequantized on the fly inside the scan expression."""
     crows = spark.read.parquet(path.rstrip("/") + "/centroids").collect()
     cents = np.zeros((len(crows), len(crows[0]["centroid"])), dtype=np.float64)
     for r in crows:
@@ -392,9 +407,14 @@ def ivf_topk_indexed(
     vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
     shortlist = vectors.where(F.col("centroid_id").isin(probe))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = (
+        dequantize_col(F.col("q_embedding"), F.col("q_scale"))
+        if "q_embedding" in vectors.columns
+        else F.col(vec_col)
+    )
     scored = shortlist.select(
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cosine"),
+        F.round(cosine_similarity(vec, qlit), 6).alias("cosine"),
     )
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)

@@ -276,6 +276,28 @@ class TestSimilarity:
         want = [(r["vec_id"], r["cosine"]) for r in inline.collect()]
         assert got == want
 
+    def test_ivf_quantized_store(self, spark, embeddings, tmp_path):
+        # quantize=True composes the two scale levers: partition pruning
+        # picks the lists, int8 storage quarters the bytes per list; the
+        # probe auto-detects the store flavor and top-k recall vs the
+        # float store stays >= 8/10
+        from pulsar_spark.functions import ivf_topk_indexed, ivf_write_index
+        from pulsar_spark.plans import partition_filters
+
+        fpath, qpath = str(tmp_path / "ivf_f"), str(tmp_path / "ivf_q")
+        ivf_write_index(embeddings, fpath, dim=64, n_centroids=8, iters=2)
+        ivf_write_index(embeddings, qpath, dim=64, n_centroids=8, iters=2, quantize=True)
+        cols = spark.read.parquet(qpath + "/vectors").columns
+        assert "q_embedding" in cols and "embedding" not in cols
+        q = list(embeddings.where("vec_id = 0").select("embedding").head()[0])
+
+        qtop = ivf_topk_indexed(spark, qpath, q, k=10, n_probe=2, exclude_id=0)
+        assert any("centroid_id" in f for f in partition_filters(qtop))
+        ftop = ivf_topk_indexed(spark, fpath, q, k=10, n_probe=2, exclude_id=0)
+        fids = {r["vec_id"] for r in ftop.collect()}
+        qids = {r["vec_id"] for r in qtop.collect()}
+        assert len(fids & qids) >= 8
+
 
 class TestBpeAndRollingHash:
     def test_bpe_tokenize_splits_contractions_and_runs(self, spark):

@@ -804,3 +804,33 @@ class TestTwoPhaseCompaction:
         )
         assert "HashAggregate" in plan
         assert "SortAggregate" not in plan
+
+
+class TestStreamingDlq:
+    def test_foreachbatch_dual_write(self, spark, messages, tmp_path):
+        # streaming DLQ routing: one foreachBatch computes the scan once
+        # and writes delivered + dead-letter sinks per micro-batch (the
+        # dual-write pattern dlq_split's module docstring prescribes)
+        from pulsar_spark.operators import dlq_split
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        topic = str(tmp_path / "t")
+        write_topic(messages.limit(1000), topic)
+        delivered_path = str(tmp_path / "delivered")
+        dlq_path = str(tmp_path / "dlq")
+
+        def route(batch_df, bid):
+            delivered, dlq = dlq_split(
+                batch_df, (F.col("event_id") % 10) == 0, max_redeliver_count=3
+            )
+            delivered.write.mode("append").parquet(delivered_path)
+            dlq.write.mode("append").parquet(dlq_path)
+
+        run_to_end(subscribe(spark, topic).writeStream.foreachBatch(route))
+        delivered = spark.read.parquet(delivered_path)
+        dlq = spark.read.parquet(dlq_path)
+        assert delivered.count() + dlq.count() == 1000
+        assert dlq.where(F.col("event_id") % 10 != 0).count() == 0
+        # DLQ rows carry the terminal redelivery count
+        assert {r["redelivery_count"] for r in dlq.select("redelivery_count").distinct().collect()} == {3}
