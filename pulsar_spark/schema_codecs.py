@@ -91,6 +91,11 @@ def struct_to_avro_schema(st: StructType, name: str = "Record") -> dict:
             t = {"type": "map", "values": conv(dt.valueType, False, field_name)}
         elif s in _SPARK_TO_PRIMITIVE:
             t = _SPARK_TO_PRIMITIVE[s]
+        elif s == "timestamp":
+            # SchemaType.TIMESTAMP / INSTANT (SchemaType.java:115, :125)
+            t = {"type": "long", "logicalType": "timestamp-micros"}
+        elif s == "date":
+            t = {"type": "int", "logicalType": "date"}
         else:
             raise ValueError(f"no Avro mapping for Spark type {s}")
         return ["null", t] if nullable else t
@@ -135,7 +140,16 @@ def avro_to_struct_schema(schema: dict | str) -> StructType:
                 return StringType(), False
             if kind == "fixed":
                 return BinaryType(), False
-            return conv(kind)  # {"type": "long", "logicalType": ...}
+            lt = t.get("logicalType")
+            if lt in ("timestamp-micros", "timestamp-millis"):
+                from pyspark.sql.types import TimestampType
+
+                return TimestampType(), False
+            if lt == "date":
+                from pyspark.sql.types import DateType
+
+                return DateType(), False
+            return conv(kind)  # plain {"type": "long"} wrapper
         if t in _PRIMITIVE_TO_SPARK:
             return _PRIMITIVE_TO_SPARK[t], False
         raise ValueError(f"unsupported Avro type {t}")
@@ -219,6 +233,23 @@ class _AvroWriter:
             if kind == "fixed":
                 out += bytes(v)
                 return
+            lt = t.get("logicalType")
+            if lt in ("timestamp-micros", "timestamp-millis"):
+                import datetime as _dt
+
+                if isinstance(v, _dt.datetime):
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                    us = round((v - epoch).total_seconds() * 1_000_000)
+                    v = us if lt == "timestamp-micros" else us // 1000
+                self._write(kind, int(v), out)
+                return
+            if lt == "date":
+                import datetime as _dt
+
+                if isinstance(v, _dt.date):
+                    v = (v - _dt.date(1970, 1, 1)).days
+                self._write(kind, int(v), out)
+                return
             self._write(kind, v, out)
             return
         if t in ("int", "long"):
@@ -292,6 +323,17 @@ class _AvroReader:
                 v = bytes(self.buf[self.pos : self.pos + t["size"]])
                 self.pos += t["size"]
                 return v
+            lt = t.get("logicalType")
+            if lt in ("timestamp-micros", "timestamp-millis"):
+                import datetime as _dt
+
+                raw = self._read(kind)
+                us = raw if lt == "timestamp-micros" else raw * 1000
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            if lt == "date":
+                import datetime as _dt
+
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=self._read(kind))
             return self._read(kind)
         if t in ("int", "long"):
             return self._varint()

@@ -834,3 +834,22 @@ class TestStreamingDlq:
         assert dlq.where(F.col("event_id") % 10 != 0).count() == 0
         # DLQ rows carry the terminal redelivery count
         assert {r["redelivery_count"] for r in dlq.select("redelivery_count").distinct().collect()} == {3}
+
+
+class TestAvroLogicalTypes:
+    def test_timestamp_date_round_trip(self, spark, messages):
+        # Avro logical types (SchemaType TIMESTAMP/INSTANT/DATE):
+        # envelope timestamps survive the binary codec
+        from pulsar_spark.schema_codecs import (
+            avro_decode,
+            avro_encode,
+            struct_to_avro_schema,
+        )
+
+        src = messages.select(
+            "event_id", "publish_time", F.to_date("event_time").alias("day")
+        ).limit(100)
+        schema = struct_to_avro_schema(src.schema, name="Tm")
+        assert "timestamp-micros" in str(schema) and "date" in str(schema)
+        dec = avro_decode(avro_encode(src, src.columns), schema)
+        assert {tuple(r) for r in dec.collect()} == {tuple(r) for r in src.collect()}
