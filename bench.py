@@ -34,11 +34,23 @@ def main() -> None:
     n_events = events.count()  # warm the JVM + file listing before timing
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
+    def timed(name: str, fn, remeasure: bool = False) -> None:
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if remeasure:
+            # second run after plan compilation/codegen is cached —
+            # recorded SEPARATELY (steady map) so headline_total stays
+            # methodology-comparable with earlier rounds' cold runs.
+            # Profiling shows the corpus x-queries spend ~2/3 of their
+            # cold wall time in driver-side analysis/codegen of the
+            # wide higher-order-function expression trees, which a
+            # long-lived cluster pays once.
+            t0 = time.perf_counter()
+            fn()
+            steady[name] = round(time.perf_counter() - t0, 3)
 
     tmp = tempfile.mkdtemp(prefix="pulsar_spark_bench_")
     try:
@@ -141,6 +153,7 @@ def main() -> None:
             lambda: minhash_near_duplicates(
                 docs, threshold=0.5, max_bucket_size=512
             ).count(),
+            remeasure=True,
         )
 
         # x4: composed pretraining pipeline (exact-dedup -> quality gate
@@ -150,6 +163,7 @@ def main() -> None:
         timed(
             "x4_training_select",
             lambda: _entry.queries()["training_set_select"](spark, sf_dir).count(),
+            remeasure=True,
         )
         # the no-global-sort selection (per-score-group cumsum) — the
         # plan that runs at corpus scale; identical output to x4
@@ -158,6 +172,7 @@ def main() -> None:
             lambda: _entry.queries()["training_set_select_scalable"](
                 spark, sf_dir
             ).count(),
+            remeasure=True,
         )
 
         # x5: corpus-hygiene pass (deterministic half-sample -> PII
@@ -172,7 +187,7 @@ def main() -> None:
             )
             return dup_span_fraction(d, n=5).count()
 
-        timed("x5_corpus_hygiene", _hygiene)
+        timed("x5_corpus_hygiene", _hygiene, remeasure=True)
 
         # x3: brute-force cosine top-10 over the embedding corpus
         from pulsar_spark.functions import cosine_topk
@@ -199,6 +214,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "steady_second_run": steady,
                 "extras_not_in_total": extras,
                 "sf": float(sf),
                 "rows_events": n_events,
