@@ -128,6 +128,28 @@ class SchemaRegistry:
             problems += [f"FORWARD: {p}" for p in _forward_compatible(new, old)]
         return problems
 
+    def version_by_schema(self, topic: str, schema: StructType) -> int | None:
+        """Schemas.getVersionBySchema analog
+        (pulsar-client-admin-api/.../admin/Schemas.java:179/:213): the
+        version a schema was registered under, or None when never
+        registered."""
+        for i, v in enumerate(self.versions(topic)):
+            if v == schema:
+                return i
+        return None
+
+    def delete(self, topic: str) -> int:
+        """Schemas.deleteSchema analog (Schemas.java:93): drop every
+        registered version for the topic; returns how many were
+        removed. Subsequent reads are schema-on-read raw (AUTO_CONSUME
+        with no registry entry = pass-through), and the next
+        ``register`` starts again at version 0."""
+        n = len(self.versions(topic))
+        f = self._file(topic)
+        if os.path.exists(f):
+            os.remove(f)
+        return n
+
     def validate_produce(self, topic: str, df: DataFrame) -> None:
         """AUTO_PRODUCE analog: refuse an append whose frame does not
         match the topic's latest registered schema."""

@@ -853,3 +853,25 @@ class TestAvroLogicalTypes:
         assert "timestamp-micros" in str(schema) and "date" in str(schema)
         dec = avro_decode(avro_encode(src, src.columns), schema)
         assert {tuple(r) for r in dec.collect()} == {tuple(r) for r in src.collect()}
+
+
+class TestSchemaAdmin:
+    def test_version_by_schema_and_delete(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from pulsar_spark.schema_registry import SchemaRegistry
+
+        reg = SchemaRegistry(str(tmp_path / "reg"))
+        v1 = StructType([StructField("a", LongType(), False)])
+        v2 = StructType(v1.fields + [StructField("b", StringType(), True)])
+        reg.register("t", v1, "BACKWARD")
+        reg.register("t", v2, "BACKWARD")
+        assert reg.version_by_schema("t", v1) == 0
+        assert reg.version_by_schema("t", v2) == 1
+        assert reg.version_by_schema("t", StructType([])) is None
+
+        assert reg.delete("t") == 2
+        assert reg.versions("t") == []
+        # post-delete: registration restarts at version 0
+        assert reg.register("t", v2, "BACKWARD") == 0
+        assert reg.delete("missing") == 0
