@@ -268,18 +268,21 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, k, bands=bands)
-    # Materialize the candidate pairs once (localCheckpoint: the frame
-    # is tiny and flat — that's the LSH premise — and it is consumed
-    # three times below; without the checkpoint each consumer re-runs
-    # the whole signature pipeline). Then shingle ONLY documents that
-    # appear in some candidate pair: at corpus scale the candidate set
-    # is a sliver of the corpus, so the exact-Jaccard verify stage stops
-    # paying for shingling everything. Measured wall-neutral at sf0.1
-    # (5k docs: the saved shingling ~= the extra checkpoint job); the
-    # win grows with corpus/candidate ratio, which is what 100 TB has.
+    # Cache the candidate pairs (persist, not localCheckpoint: persist
+    # stays LAZY — building the frame costs nothing until an action —
+    # and keeps lineage, so a lost executor recomputes instead of
+    # failing the job; the frame is tiny and FLAT, so the known
+    # nested-array cache slowness does not apply). The pairs are
+    # consumed three times below; without the cache each consumer
+    # re-runs the whole signature pipeline. Then shingle ONLY documents
+    # that appear in some candidate pair: at corpus scale the candidate
+    # set is a sliver of the corpus, so the exact-Jaccard verify stage
+    # stops paying for shingling everything. Measured wall-neutral at
+    # sf0.1 (5k docs: the saved shingling ~= the cache materialization);
+    # the win grows with corpus/candidate ratio, which is what 100 TB has.
     cand = minhash_lsh_candidates(
         sigs, id_col, bands, rows_per_band, max_bucket_size
-    ).localCheckpoint()
+    ).persist()
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))

@@ -407,8 +407,12 @@ def ivf_topk_indexed(
     vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
     shortlist = vectors.where(F.col("centroid_id").isin(probe))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    # cosine is invariant to the per-vector positive scale, so the
+    # quantized store scores RAW int8 values (no dequantize multiply,
+    # no q_scale column read in the probe hot path); the zero vector
+    # yields null either way
     vec = (
-        dequantize_col(F.col("q_embedding"), F.col("q_scale"))
+        F.col("q_embedding").cast("array<double>")
         if "q_embedding" in vectors.columns
         else F.col(vec_col)
     )
@@ -472,15 +476,18 @@ def cosine_topk_quantized(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k over a QUANTIZED corpus (the int8 store
-    from :func:`quantize_embeddings`): dequantize-on-the-fly inside the
-    scan expression, same plan shape as ``cosine_topk`` but reading a
-    quarter of the bytes. Use as the shortlist stage of a two-phase
-    (quantized scan -> float rerank) pipeline at scale."""
+    from :func:`quantize_embeddings`): same plan shape as
+    ``cosine_topk`` but reading a quarter of the bytes. Cosine is
+    invariant to the per-vector positive scale, so the int8 values are
+    scored RAW — no dequantize multiply and no scale-column read in the
+    scan. Use as the shortlist stage of a two-phase (quantized scan ->
+    float rerank) pipeline at scale."""
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    deq = dequantize_col(F.col(q_col), F.col(scale_col))
     scored = emb_q.select(
         F.col(id_col),
-        F.round(cosine_similarity(deq, qlit), 6).alias("cosine"),
+        F.round(cosine_similarity(F.col(q_col).cast("array<double>"), qlit), 6).alias(
+            "cosine"
+        ),
     )
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)

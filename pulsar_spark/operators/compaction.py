@@ -152,7 +152,13 @@ def compact_topic_storage(
     }
     # publish-order rewrites can pick the hash-agg two_phase plan (see
     # compact_publish_order); event-time order keeps max_by (its winner
-    # key is a timestamp tuple, not pack-able into one long)
+    # key is a timestamp tuple, not pack-able into one long) — an
+    # explicit two_phase request there is a misconfiguration, surfaced
+    # rather than silently downgraded
+    if event_time_order and strategy != "max_by":
+        raise ValueError(
+            "event_time_order compaction supports only strategy='max_by'"
+        )
     compacted = (
         compact_event_time_order(m, key_col=key_col)
         if event_time_order

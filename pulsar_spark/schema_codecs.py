@@ -161,8 +161,13 @@ def avro_to_struct_schema(schema: dict | str) -> StructType:
 
 
 def _is_na(v) -> bool:
-    """True for None / float NaN scalars only (array cells are values)."""
-    return v is None or (isinstance(v, float) and v != v)
+    """True for None / float NaN / pandas NaT scalars only (array cells
+    are values; NaT is how a null timestamp reaches the pandas UDF)."""
+    if v is None:
+        return True
+    if isinstance(v, float) and v != v:
+        return True
+    return v.__class__.__name__ == "NaTType"
 
 
 # ------------------------------------------------------- Avro binary codec
@@ -238,8 +243,16 @@ class _AvroWriter:
                 import datetime as _dt
 
                 if isinstance(v, _dt.datetime):
-                    epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                    us = round((v - epoch).total_seconds() * 1_000_000)
+                    # UTC-anchored: tz-aware values convert to UTC; naive
+                    # values are interpreted AS UTC (the engine pins
+                    # spark.sql.session.timeZone=UTC, so that is what a
+                    # pandas UDF receives). Integer timedelta arithmetic
+                    # keeps exact microseconds (float .timestamp() would
+                    # round).
+                    if v.tzinfo is None:
+                        v = v.replace(tzinfo=_dt.timezone.utc)
+                    d = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                    us = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
                     v = us if lt == "timestamp-micros" else us // 1000
                 self._write(kind, int(v), out)
                 return

@@ -100,9 +100,9 @@ class SchemaRegistry:
         if strategy not in STRATEGIES:
             raise ValueError(f"unknown strategy {strategy}")
         versions = self.versions(topic)
-        for i, v in enumerate(versions):
-            if v == schema:
-                return i
+        existing = self.version_by_schema(topic, schema)
+        if existing is not None:
+            return existing
         check_against = versions if strategy.endswith("_TRANSITIVE") else versions[-1:]
         for prior in check_against:
             problems = self._check(schema, prior, strategy)

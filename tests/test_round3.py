@@ -875,3 +875,49 @@ class TestSchemaAdmin:
         # post-delete: registration restarts at version 0
         assert reg.register("t", v2, "BACKWARD") == 0
         assert reg.delete("missing") == 0
+
+    def test_null_timestamp_encodes_union_null(self, spark):
+        # NaT reaches the pandas UDF for null timestamps; must take the
+        # union null branch, not crash in the logical-type encoder
+        from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+        from pulsar_spark.schema_codecs import (
+            avro_decode,
+            avro_encode,
+            struct_to_avro_schema,
+        )
+
+        st = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("ts", TimestampType(), True),
+            ]
+        )
+        import datetime
+
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 5, 1, 6, 30)), (2, None)], st
+        )
+        dec = avro_decode(avro_encode(df, ["id", "ts"]), struct_to_avro_schema(st))
+        got = {tuple(r) for r in dec.collect()}
+        assert got == {(1, datetime.datetime(2024, 5, 1, 6, 30)), (2, None)}
+
+    def test_tz_aware_encodes_utc_instant(self):
+        # pure-codec check: a +05:00 datetime must encode the true UTC
+        # instant, not the local wall-clock stamped as UTC
+        import datetime as dt
+
+        from pulsar_spark.schema_codecs import _AvroReader, _AvroWriter
+
+        sc = {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}}
+            ],
+        }
+        plus5 = dt.timezone(dt.timedelta(hours=5))
+        aware = dt.datetime(2020, 1, 1, 0, 0, tzinfo=plus5)  # 2019-12-31T19:00Z
+        w, r = _AvroWriter(sc), _AvroReader(sc)
+        decoded = r.decode(w.encode({"ts": aware}))["ts"]
+        assert decoded == dt.datetime(2019, 12, 31, 19, 0)  # naive == UTC
