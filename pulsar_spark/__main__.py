@@ -11,6 +11,8 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark compact <topic_path> [--event-time-order]
   python -m pulsar_spark truncate <topic_path>
   python -m pulsar_spark last    <topic_path>
+  python -m pulsar_spark offload <topic_path> --cold <path> --before TS
+  python -m pulsar_spark skip    <topic_path> -n N [--from-offset N]
 """
 
 from __future__ import annotations
@@ -58,6 +60,16 @@ def main(argv: list[str] | None = None) -> int:
 
     p_last = sub.add_parser("last", help="highest (partition, offset) per partition")
     p_last.add_argument("topic")
+
+    p_off = sub.add_parser("offload", help="move rows older than a cutoff to the cold tier")
+    p_off.add_argument("topic")
+    p_off.add_argument("--cold", required=True, help="cold-tier directory")
+    p_off.add_argument("--before", required=True, help="offload rows with publish_time < TS")
+
+    p_skip = sub.add_parser("skip", help="admin skipMessages: cursor past the next N messages")
+    p_skip.add_argument("topic")
+    p_skip.add_argument("-n", "--count", type=int, required=True)
+    p_skip.add_argument("--from-offset", type=int, default=0)
 
     args = ap.parse_args(argv)
 
@@ -122,6 +134,18 @@ def main(argv: list[str] | None = None) -> int:
             .orderBy("partition")
             .collect()
         ):
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "offload":
+        from pulsar_spark.sources.tiered import offload_partitions
+
+        stats = offload_partitions(spark, args.topic, args.cold, args.before)
+        print(json.dumps(stats))
+    elif args.cmd == "skip":
+        from pulsar_spark.operators import skip_cursor
+        from pulsar_spark.sources.topics import read_topic
+
+        m = read_topic(spark, args.topic).where(f"offset >= {int(args.from_offset)}")
+        for row in skip_cursor(m, args.count).orderBy("partition").collect():
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
     elif args.cmd == "compact":
         from pulsar_spark.operators import compact_topic_storage

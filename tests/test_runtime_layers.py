@@ -497,3 +497,31 @@ class TestInterceptors:
 
         assert os.path.exists(os.path.join(topic, "_topic.json"))
         assert not any(n.startswith("partition=") for n in os.listdir(topic))
+
+
+class TestCliRound3:
+    def test_offload_and_skip_subcommands(self, spark, messages, tmp_path):
+        import contextlib
+        import io as _io
+        import json
+
+        from pulsar_spark.__main__ import main
+        from pulsar_spark.sources import write_topic
+
+        topic = str(tmp_path / "t")
+        write_topic(messages.limit(1000), topic)
+        cold = str(tmp_path / "cold")
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["offload", topic, "--cold", cold, "--before", "2024-01-10 00:00:00"])
+        stats = json.loads(buf.getvalue())
+        assert stats["offloaded"] > 0
+        assert stats["offloaded"] + stats["hot"] == 1000
+        assert spark.read.parquet(cold).count() == stats["offloaded"]
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(["skip", topic, "-n", "3"])
+        rows = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+        assert rows and all(int(r["skipped"]) <= 3 for r in rows)
