@@ -781,6 +781,43 @@ def _q_doc_repetition(spark, sf_dir):
     return repetition_metrics(load_table(spark, sf_dir, "documents"))
 
 
+def _q_pretraining_pipeline(spark, sf_dir):
+    # CAPSTONE composition — the full pretraining-data path in one
+    # oracle-checked query: exact dedup (min-id per text fingerprint)
+    # -> benchmark decontamination (drop corpus docs sharing any word
+    # 5-gram with the eval split) -> quality gate (>= 5 tokens) ->
+    # repetition cut (Gopher rule: duplicated-3-gram fraction <= 0.2)
+    # -> score -> token-budget selection via the no-global-sort scale
+    # path. Every stage is the registered operator; the pipeline proves
+    # they compose. Scale shape: two corpus shuffles total (dedup agg,
+    # per-score boundary window) — everything else is narrow or
+    # broadcast/AQE joins.
+    from pulsar_spark.functions import (
+        contamination_check,
+        exact_dedup,
+        quality_metrics,
+        repetition_metrics,
+        select_by_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0))
+    contaminated = (
+        contamination_check(corpus, bench, n=5)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    q = quality_metrics(clean).where(F.col("n_tokens") >= 5)
+    rep = repetition_metrics(clean).select("doc_id", "dup_ngram_frac_3")
+    gated = q.join(rep, "doc_id").where(F.col("dup_ngram_frac_3") <= 0.2)
+    scored = gated.withColumn(
+        "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
+    )
+    return select_by_token_budget(scored, budget=15000)
+
+
 def _q_doc_pack_sequences(spark, sf_dir):
     # sequence-packing manifest (functions/packing.py): per-shard
     # streaming fill into 512-token bins; docs ordered by id inside
@@ -1226,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 3 (all oracle-backed)
         "training_set_select": _q_training_set_select,
         "training_set_select_scalable": _q_training_set_select_scalable,
+        "pretraining_pipeline": _q_pretraining_pipeline,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_embedding_join": _q_doc_embedding_join,
         "doc_contamination": _q_doc_contamination,
@@ -1274,11 +1312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_merge_topic": _q_fn_merge_topic,
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
-        "ack_state": _q_ack_state,
         # ---- 50-entry driver prefix ends here ----
         # -- driver-green r01+r02, rotated out of the prefix; every one
         #    is also value-checked locally (test_oracle_parity KEYS or a
         #    dedicated semantic test)
+        "ack_state": _q_ack_state,
         "txn_pending_acks": _q_txn_pending_acks,
         "crypto_roundtrip": _q_crypto_roundtrip,
         "embedding_quantize_error": _q_embedding_quantize_error,
@@ -1888,6 +1926,50 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, n_tokens, score, cum_tokens FROM sel WHERE cum_tokens <= 20000
+        """,
+        "pretraining_pipeline": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+              QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+            ), dsplit AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+              FROM dsplit, LATERAL unnest(generate_series(1, len(words) - 4)) AS t(i)
+              WHERE len(words) >= 5
+            ), bench_grams AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), contaminated AS (
+              SELECT DISTINCT g.doc_id FROM g
+              JOIN corpus c ON g.doc_id = c.doc_id
+              WHERE g.gram IN (SELECT gram FROM bench_grams)
+            ), clean AS (
+              SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+              FROM clean
+            ), q AS (
+              SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+                     round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6) AS distinct_ratio,
+                     round(CAST(len(list_filter(tok, t -> list_contains(
+                          ['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(tok), 6)
+                          AS stopword_ratio,
+                     list_transform(range(1, greatest(len(tok) - 2, 1) + 1),
+                         i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])) AS g3
+              FROM toks WHERE len(tok) >= 5
+            ), gated AS (
+              SELECT doc_id, n_tokens,
+                     round(distinct_ratio * (1 - stopword_ratio), 6) AS score
+              FROM q
+              WHERE CASE WHEN len(g3) > 0
+                    THEN round(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                    ELSE 0.0 END <= 0.2
+            ), sel AS (
+              SELECT doc_id, n_tokens, score,
+                     CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+              FROM gated
+            )
+            SELECT doc_id, n_tokens, score, cum_tokens FROM sel WHERE cum_tokens <= 15000
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (

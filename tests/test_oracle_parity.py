@@ -63,6 +63,7 @@ KEYS = [
     "crypto_roundtrip",
     "embedding_quantize_error",
     "doc_repetition",
+    "pretraining_pipeline",
 ]
 
 
