@@ -289,11 +289,33 @@ def minhash_near_duplicates(
         .distinct()
     )
     docs_c = docs.join(cand_ids, on=id_col, how="left_semi")
-    sh = with_shingles(docs_c, text_col, k).select(F.col(id_col), F.col("shingles"))
+    # Verify over 64-bit shingle HASHES, not shingle strings:
+    # array_intersect on fixed-width bigints avoids per-element string
+    # hashing/comparison, and the distinct string set maps 1:1 to a
+    # distinct hash set (64-bit xxhash collisions are negligible at any
+    # document length), so the Jaccard value is unchanged.
+    # Persisted because the pair join references it TWICE (a-side and
+    # b-side): unpersisted, each branch re-runs scan + semi-join +
+    # shingling — measured 2.5s -> 0.5s on the verify stage at sf0.1
+    # (17.8k candidate pairs). The cache is per-candidate-doc only
+    # (bounded by the LSH candidate set, not the corpus) and flat
+    # (id + array<bigint>), so the nested-cache slowness note above
+    # does not apply.
+    sh = with_shingles(docs_c, text_col, k).select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    ).persist()
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "shingles_a"), on="id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "shingles_b"), on="id_b")
     )
+    # Exact size-ratio prefilter: J = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|),
+    # so any pair whose smaller shingle set is under threshold*larger can
+    # never reach the threshold — drop it before paying for the intersect.
+    # No false dismissals (the bound is exact), big win when LSH banding
+    # is tuned loose (low threshold => low-precision candidate set).
+    sa, sb = F.size("shingles_a"), F.size("shingles_b")
+    pairs = pairs.where(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
     inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
     union = F.size("shingles_a") + F.size("shingles_b") - inter
     return (

@@ -53,12 +53,23 @@ class FunctionContext:
 
     def __init__(self, user_config: dict[str, Any] | None = None):
         self.user_config = user_config or {}
+        self.initialized = False
         from pyspark.sql import SparkSession
 
         active = SparkSession.getActiveSession()
         self._acc = (
             active.sparkContext.accumulator({}, _DictSumParam()) if active else None
         )
+
+    def initialize(self) -> None:
+        """Function.initialize(context) analog (api/Function.java:41 —
+        setup before the first record; examples/InitializableFunction
+        .java gates process() on it)."""
+        self.initialized = True
+
+    def close(self) -> None:
+        """Function.close() analog — teardown after the last record."""
+        self.initialized = False
 
     def get_user_config_value(self, key: str, default: Any = None) -> Any:
         return self.user_config.get(key, default)

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Without this, a .persist() anywhere in a plan pins the cached
+        # subtree's output partitioning and AQE stops re-planning it —
+        # the LSH candidate cache (dedupe.py) would otherwise run its
+        # band-bucket shuffle with no runtime coalescing. Output
+        # partitioning of cached frames is not load-bearing anywhere in
+        # this engine (caches are consumed by joins/aggs that re-shuffle
+        # as needed).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")

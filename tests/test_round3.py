@@ -921,3 +921,168 @@ class TestSchemaAdmin:
         w, r = _AvroWriter(sc), _AvroReader(sc)
         decoded = r.decode(w.encode({"ts": aware}))["ts"]
         assert decoded == dt.datetime(2019, 12, 31, 19, 0)  # naive == UTC
+
+
+class TestExampleCatalogRound3:
+    """Round-3 widening of the example catalog to the full
+    java-examples surface (ConsistentlyFailing, UserException, host/
+    typed-builder/initializable/cursor/avro/POJO-hierarchy/custom-serde
+    /window-package variants). Each assertion is the Java example's
+    literal contract."""
+
+    @pytest.fixture(scope="class")
+    def ex(self):
+        from pulsar_spark.functions.examples import function_examples
+
+        return function_examples()
+
+    def test_catalog_is_complete(self, ex):
+        # every process()-bearing example in
+        # pulsar-functions/java-examples (+python-examples) has an entry
+        for name in [
+            "consistently_failing", "user_exception", "user_exception_window",
+            "host_appender", "typed_message_builder_publish", "initializable",
+            "async_context", "cursor_management", "avro_schema_test",
+            "custom_base_to_base", "custom_base_to_derived",
+            "custom_derived_to_base", "custom_derived_to_derived",
+            "custom_object_serde", "context_window", "logging_window",
+            "user_config_window", "user_metric_window", "publish_window",
+            "word_count_window", "thumbnailer",
+        ]:
+            assert name in ex, name
+        assert len(ex) >= 40
+
+    def test_consistently_failing_splits_on_fail(self, spark, ex):
+        df = spark.createDataFrame([("a",), ("FAIL",), ("c",)], ["val"])
+        rows = {r["val"]: (r["result"], r["error"]) for r in ex["consistently_failing"](df).collect()}
+        assert rows["a"] == ("SUCCESS", None)
+        assert rows["FAIL"] == (None, "Failed")
+        assert rows["c"] == ("SUCCESS", None)
+
+    def test_user_exception_fails_everything(self, spark, ex):
+        df = spark.createDataFrame([("a",), ("b",)], ["val"])
+        out = ex["user_exception"](df).collect()
+        assert all(r["error"] == "This wont work" and r["result"] is None for r in out)
+
+    def test_host_appender(self, spark, ex):
+        import socket
+
+        df = spark.createDataFrame([("x",)], ["val"])
+        # local[32]: executor host == driver host
+        assert ex["host_appender"](df).collect()[0]["result"] == "x" + socket.gethostname()
+
+    def test_typed_message_builder_publish(self, spark, ex):
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        df = spark.createDataFrame(
+            [("in-topic", "v", "k", {"p1": "a"})],
+            "topic string, val string, key string, properties map<string,string>",
+        )
+        main, (pub, side) = ex["typed_message_builder_publish"](
+            df, FunctionContext({"publish-topic": "dest"})
+        )
+        assert main.count() == 0  # Void main output
+        r = pub.collect()[0]
+        assert r["result"] == "v!"
+        assert r["key"] == "k"
+        # input_topic property + passthrough of existing properties
+        assert r["properties"] == {"input_topic": "in-topic", "p1": "a"}
+        assert r["event_time"] is not None
+        assert "dest" in side.routes
+
+    def test_initializable_lifecycle(self, spark, ex):
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        df = spark.createDataFrame([("t", "v")], ["topic", "val"])
+        ctx = FunctionContext()
+        with pytest.raises(RuntimeError, match="not initialized"):
+            ex["initializable"](df, ctx)
+        ctx.initialize()
+        main, _ = ex["initializable"](df, ctx)
+        assert main.count() == 0
+        ctx.close()
+        with pytest.raises(RuntimeError, match="not initialized"):
+            ex["initializable"](df, ctx)
+
+    def test_cursor_management_emits_admin_action(self, spark, ex):
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        df = spark.createDataFrame([("t1", 1), ("t1", 2), ("t2", 3)], ["topic", "offset"])
+        out = ex["cursor_management"](df, FunctionContext({"function-name": "myfn"}))
+        rows = {r["topic"]: r for r in out.collect()}
+        assert set(rows) == {"t1", "t2"}  # one action per distinct topic
+        assert rows["t1"]["result"] == "reset cursor successfully"
+        assert rows["t1"]["subscription"] == "public/default/myfn"
+
+    def test_avro_schema_test_round_trip(self, spark, ex):
+        from pulsar_spark.schema_codecs import (
+            avro_decode,
+            avro_encode,
+            struct_to_avro_schema,
+        )
+        from pyspark.sql.types import IntegerType
+
+        st = StructType(
+            [
+                StructField("baseValue", IntegerType(), True),
+                StructField("objectValue", StringType(), True),
+            ]
+        )
+        schema = struct_to_avro_schema(st, name="AvroTestObject")
+        src = spark.createDataFrame([(7, "x"), (None, "y")], "baseValue int, objectValue string")
+        enc = avro_encode(src, ["baseValue", "objectValue"], record_name="AvroTestObject")
+        out = avro_decode(ex["avro_schema_test"](enc), schema)
+        got = {r["objectValue"]: r["baseValue"] for r in out.collect()}
+        assert got == {"x": 17, "y": None}  # baseValue += 10, null-safe
+
+    def test_pojo_hierarchy_transforms(self, spark, ex):
+        base = spark.createDataFrame([((5,),)], "obj struct<baseValue: long>")
+        assert ex["custom_base_to_base"](base).collect()[0]["obj"]["baseValue"] == 105
+        d = ex["custom_base_to_derived"](base).collect()[0]["obj"]
+        assert (d["baseValue"], d["derivedValue"]) == (105, 55)
+        derived = spark.createDataFrame(
+            [((5, 2),)], "obj struct<baseValue: long, derivedValue: int>"
+        )
+        up = ex["custom_derived_to_base"](derived).collect()[0]["obj"]
+        assert up.asDict() == {"baseValue": 106}  # derivedValue dropped on upcast
+        dd = ex["custom_derived_to_derived"](derived).collect()[0]["obj"]
+        assert (dd["baseValue"], dd["derivedValue"]) == (106, 152)
+
+    def test_custom_object_serde_round_trip(self, spark, ex):
+        # ByteBuffer.putLong/getLong: 8-byte big-endian, sign preserved
+        so = spark.createDataFrame(
+            [((5,),), ((-9223372036854775808,),), ((-1,),)], "obj struct<value: long>"
+        )
+        got = sorted(r["obj"]["value"] for r in ex["custom_object_serde"](so).collect())
+        assert got == sorted([105, -9223372036854775708, 99])
+
+    def test_window_package_examples(self, spark, ex):
+        from pulsar_spark.functions.runtime import FunctionContext
+
+        w = spark.createDataFrame(
+            [(0, i, i) for i in range(25)], "partition int, offset int, val int"
+        )
+        sums = {
+            r["window_seq"]: r["result"]
+            for r in ex["context_window"](w, window_size=10).collect()
+        }
+        assert sums == {0: sum(range(10)), 1: sum(range(10, 20)), 2: sum(range(20, 25))}
+
+        ctx = FunctionContext({"WhatToWrite": "hi"})
+        out = ex["user_config_window"](w, ctx, window_size=10).collect()
+        assert len(out) == 3 and all(r["result"] == "hi" for r in out)
+
+        ctx = FunctionContext()
+        assert ex["logging_window"](w, ctx).count() == 0
+        assert ctx.get_counter("window_log_lines") == 25
+
+        sw = w.withColumn("val", F.col("val").cast("string"))
+        main, (pw, side) = ex["publish_window"](sw, FunctionContext(), window_size=10)
+        assert main.count() == 0
+        got = [r["result"] for r in pw.orderBy("window_seq").collect()]
+        assert got[0] == ",".join(str(i) for i in range(10)) + "!"
+        assert "publishtopic" in side.routes
+
+        errs = ex["user_exception_window"](w, window_size=10).collect()
+        assert len(errs) == 3  # one error per WINDOW, not per record
+        assert all(r["error"] == "This wont work" for r in errs)
