@@ -549,6 +549,60 @@ def _q_fn_merge_topic(spark, sf_dir):
     return function_examples()["merge_topic"](_messages(spark, sf_dir))
 
 
+def _q_fn_consistently_failing(spark, sf_dir):
+    # ConsistentlyFailingFunction example (fn/java-examples/.../
+    # ConsistentlyFailingFunction.java: input=='FAIL' throws, else
+    # 'SUCCESS'); failures are data (error column) feeding the DLQ path
+    from pulsar_spark.functions.examples import function_examples
+
+    m = _messages(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit("FAIL"))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("val"),
+    )
+    return function_examples()["consistently_failing"](m)
+
+
+def _q_fn_custom_serde(spark, sf_dir):
+    # ByteBufferSerDe + CustomObjectSerde example: long <-> 8-byte
+    # big-endian payload round-trip, then CustomObjectFunction (+100)
+    from pulsar_spark.functions.examples import function_examples
+
+    m = _messages(spark, sf_dir).select(
+        "event_id", F.struct(F.col("event_id").cast("bigint").alias("value")).alias("obj")
+    )
+    out = function_examples()["custom_object_serde"](m)
+    return out.select("event_id", F.col("obj.value").alias("value"))
+
+
+def _q_fn_pojo_hierarchy(spark, sf_dir):
+    # CustomBaseToDerivedFunction example: subtype transform widens the
+    # struct (baseValue+100, (int) baseValue+50)
+    from pulsar_spark.functions.examples import function_examples
+
+    m = _messages(spark, sf_dir).select(
+        "event_id", F.struct(F.col("event_id").cast("bigint").alias("baseValue")).alias("obj")
+    )
+    out = function_examples()["custom_base_to_derived"](m)
+    return out.select(
+        "event_id",
+        F.col("obj.baseValue").alias("base_value"),
+        F.col("obj.derivedValue").alias("derived_value"),
+    )
+
+
+def _q_fn_cursor_management(spark, sf_dir):
+    # CursorManagementFunction example: resetCursor(topic, sub, ts)
+    # emitted as one admin-action row per distinct input topic
+    from pulsar_spark.functions.examples import function_examples
+    from pulsar_spark.functions.runtime import FunctionContext
+
+    return function_examples()["cursor_management"](
+        _messages(spark, sf_dir), FunctionContext({"function-name": "fn"})
+    )
+
+
 def _q_txn_visibility(spark, sf_dir):
     # deterministic txn assignment: every 5th event in txn (event_id%20),
     # even txns committed, odd aborted -> reader sees non-txn + committed
@@ -1310,6 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_integer_addition": _q_fn_integer_addition,
         "fn_comma_window": _q_fn_comma_window,
         "fn_merge_topic": _q_fn_merge_topic,
+        "fn_consistently_failing": _q_fn_consistently_failing,
+        "fn_custom_serde": _q_fn_custom_serde,
+        "fn_pojo_hierarchy": _q_fn_pojo_hierarchy,
+        "fn_cursor_management": _q_fn_cursor_management,
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
         # ---- 50-entry driver prefix ends here ----
@@ -1727,6 +1785,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_ms(publish_time) AS VARCHAR) AS __publish_time,
                    CAST(sequence_id AS VARCHAR) AS __sequence_id,
                    producer_name AS __producer_name
+            FROM messages
+        """,
+        "fn_consistently_failing": f"""
+            WITH {_M}, v AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 97 = 0 THEN 'FAIL'
+                          ELSE CAST(event_id AS VARCHAR) END AS val
+              FROM messages
+            )
+            SELECT event_id, val,
+                   CASE WHEN val <> 'FAIL' THEN 'SUCCESS' END AS result,
+                   CASE WHEN val = 'FAIL' THEN 'Failed' END AS error
+            FROM v
+        """,
+        "fn_custom_serde": f"""
+            WITH {_M}
+            SELECT event_id, CAST(event_id + 100 AS BIGINT) AS value FROM messages
+        """,
+        "fn_pojo_hierarchy": f"""
+            WITH {_M}
+            SELECT event_id,
+                   CAST(event_id + 100 AS BIGINT) AS base_value,
+                   CAST(event_id + 50 AS INT) AS derived_value
+            FROM messages
+        """,
+        "fn_cursor_management": f"""
+            WITH {_M}
+            SELECT DISTINCT topic,
+                   'public/default/fn' AS subscription,
+                   epoch_ms(1578188166) AS reset_to,
+                   'reset cursor successfully' AS result
             FROM messages
         """,
         "embedding_quantize_error": """
