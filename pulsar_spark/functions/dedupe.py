@@ -581,6 +581,13 @@ def dup_span_fraction(
       reduce fan-in per key drops by n_salts;
     - the gram->nd join back is an equi-join on a unique build side,
       so AQE's skew-join split handles hot probe keys.
+
+    Grams travel as 64-bit xxhash values, not strings: the gram table
+    is the largest shuffle in the pipeline (twice — the distinct-doc
+    agg and the join back), and an 8-byte key cuts those shuffles ~4x
+    vs ~40-byte gram strings with identical results (a 64-bit collision
+    across even a trillion distinct grams is ~1e-5 territory; any
+    collision only perturbs one gram's doc count).
     """
     d = docs.select(id_col, F.split(text_col, " ").alias("words")).where(
         F.size("words") >= n
@@ -590,7 +597,7 @@ def dup_span_fraction(
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(words) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(words, i, {n})))"
+                f" i -> xxhash64(concat_ws(' ', slice(words, i, {n}))))"
             )
         ).alias("gram"),
     )
@@ -631,13 +638,17 @@ def contamination_check(
     """
 
     def grams_of(df):
+        # 64-bit gram hashes, not strings: shrinks the broadcast hash
+        # set and makes the probe-side join key fixed-width (same
+        # collision argument as dup_span_fraction — negligible, and a
+        # collision can only flag one extra gram position).
         d = df.select(id_col, F.split(text_col, " ").alias("words"))
         return d.where(F.size("words") >= n).select(
             id_col,
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(words) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(words, i, {n})))"
+                    f" i -> xxhash64(concat_ws(' ', slice(words, i, {n}))))"
                 )
             ).alias("gram"),
         )
