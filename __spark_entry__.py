@@ -603,6 +603,53 @@ def _q_fn_cursor_management(spark, sf_dir):
     )
 
 
+_PRIORITY_CONSUMERS = [("C1", 0, 2), ("C2", 0, 1), ("C3", 0, 1), ("C4", 1, 2), ("C5", 1, 1)]
+
+
+def _q_priority_shared(spark, sf_dir):
+    # Shared-subscription priority dispatch (capi/ConsumerBuilder.java:545:
+    # broker drains max-priority consumers' permits first, round-robin
+    # within a level) — the javadoc's own 5-consumer example spec
+    from pulsar_spark.operators.subscriptions import priority_shared_assignment
+
+    out = priority_shared_assignment(_messages(spark, sf_dir), _PRIORITY_CONSUMERS)
+    return out.groupBy("consumer_id").agg(
+        F.count("*").alias("msg_count"),
+        F.count_distinct("partition").alias("n_partitions"),
+    )
+
+
+def _q_dispatch_throttle(spark, sf_dir):
+    # DispatchRateLimiter (broker/service/persistent/DispatchRateLimiter
+    # .java): per-second msg + byte quota; backlog drains on the first
+    # second whose cumulative quota admits each message
+    from pulsar_spark.operators.subscriptions import dispatch_throttle
+
+    out = dispatch_throttle(
+        _messages(spark, sf_dir),
+        rate_msgs=100,
+        rate_bytes=4000,
+        payload_col="event_type",
+    )
+    return out.groupBy("partition", "dispatch_slot").agg(
+        F.count("*").alias("n_msgs"), F.min("dispatch_at").alias("first_dispatch_at")
+    )
+
+
+def _q_failover_partitions(spark, sf_dir):
+    # Failover active-consumer choice for a partitioned topic
+    # (capi/ConsumerBuilder.java:566: sort by priority then name,
+    # partitions spread evenly over the top-priority group)
+    from pulsar_spark.operators.subscriptions import failover_active_consumers
+
+    mapping = failover_active_consumers([("ca", 1), ("cb", 0), ("cc", 0)], 8)
+    mdf = spark.createDataFrame(
+        [(p, c) for p, c in mapping.items()], "partition int, active_consumer string"
+    )
+    m = _messages(spark, sf_dir).groupBy("partition").agg(F.count("*").alias("msg_count"))
+    return m.join(F.broadcast(mdf), "partition")
+
+
 def _q_txn_visibility(spark, sf_dir):
     # deterministic txn assignment: every 5th event in txn (event_id%20),
     # even txns committed, odd aborted -> reader sees non-txn + committed
@@ -1368,6 +1415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_custom_serde": _q_fn_custom_serde,
         "fn_pojo_hierarchy": _q_fn_pojo_hierarchy,
         "fn_cursor_management": _q_fn_cursor_management,
+        "priority_shared": _q_priority_shared,
+        "dispatch_throttle": _q_dispatch_throttle,
+        "failover_partitions": _q_failover_partitions,
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
         # ---- 50-entry driver prefix ends here ----
@@ -1440,6 +1490,41 @@ def _key_shared_auto_split_oracle(num_consumers: int = 3) -> str:
         SELECT CAST(CASE {cases} END AS INT) AS consumer_id,
                count(*) AS msg_count, count(DISTINCT key) AS key_count
         FROM slotted GROUP BY 1
+    """
+
+
+def _priority_shared_oracle() -> str:
+    # build the one-cycle dispatch order from the same function the
+    # engine uses; the oracle then only re-derives the per-partition
+    # rank -> cycle-slot -> consumer mapping in SQL
+    from pulsar_spark.operators.subscriptions import priority_dispatch_order
+
+    order = priority_dispatch_order(_PRIORITY_CONSUMERS)
+    cases = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(order))
+    return f"""
+        WITH {_M}, ranked AS (
+          SELECT partition,
+                 (row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1)
+                   % {len(order)} AS slot
+          FROM messages
+        )
+        SELECT CASE slot {cases} END AS consumer_id,
+               count(*) AS msg_count,
+               count(DISTINCT partition) AS n_partitions
+        FROM ranked GROUP BY 1
+    """
+
+
+def _failover_partitions_oracle() -> str:
+    from pulsar_spark.operators.subscriptions import failover_active_consumers
+
+    mapping = failover_active_consumers([("ca", 1), ("cb", 0), ("cc", 0)], 8)
+    cases = " ".join(f"WHEN {p} THEN '{c}'" for p, c in mapping.items())
+    return f"""
+        WITH {_M}
+        SELECT partition, count(*) AS msg_count,
+               CASE partition {cases} END AS active_consumer
+        FROM messages GROUP BY partition
     """
 
 
@@ -1817,6 +1902,26 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(1578188166) AS reset_to,
                    'reset cursor successfully' AS result
             FROM messages
+        """,
+        "priority_shared": _priority_shared_oracle(),
+        "failover_partitions": _failover_partitions_oracle(),
+        "dispatch_throttle": f"""
+            WITH {_M}, sched AS (
+              SELECT partition,
+                     (row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1) AS rnk,
+                     COALESCE(SUM(strlen(event_type)) OVER (
+                       PARTITION BY partition ORDER BY "offset"
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+              FROM messages
+            ), slotted AS (
+              SELECT partition,
+                     CAST(greatest(rnk // 100, cumb // 4000) AS BIGINT) AS dispatch_slot
+              FROM sched
+            )
+            SELECT partition, dispatch_slot, count(*) AS n_msgs,
+                   min(TIMESTAMP '2024-02-01 00:00:00' + to_seconds(dispatch_slot))
+                     AS first_dispatch_at
+            FROM slotted GROUP BY 1, 2
         """,
         "embedding_quantize_error": """
             WITH q AS (

@@ -224,3 +224,132 @@ def ack_timeout_redelivery(
             (F.coalesce(F.col("redelivery_count"), F.lit(0)) + 1).cast("int"),
         )
     )
+
+
+def priority_dispatch_order(
+    consumers: list[tuple[str, int, int]],
+) -> list[str]:
+    """The Shared-subscription dispatch order for one permit cycle,
+    exactly as ConsumerBuilder.priorityLevel documents it
+    (capi/ConsumerBuilder.java:545-565): the broker round-robins the
+    highest-priority (lowest number) consumers, consuming one permit
+    per visit, and only moves to the next priority level when every
+    higher-priority consumer is out of permits.
+
+    ``consumers`` is [(consumer_id, priority_level, permits)]. For the
+    javadoc's example — C1(0,2) C2(0,1) C3(0,1) C4(1,2) C5(1,1) — this
+    returns [C1, C2, C3, C1, C4, C5, C4].
+    """
+    order: list[str] = []
+    by_prio: dict[int, list[list]] = {}
+    for cid, prio, permits in consumers:
+        by_prio.setdefault(prio, []).append([cid, permits])
+    for prio in sorted(by_prio):
+        ring = by_prio[prio]
+        while any(p > 0 for _, p in ring):
+            for entry in ring:
+                if entry[1] > 0:
+                    order.append(entry[0])
+                    entry[1] -= 1
+    return order
+
+
+def priority_shared_assignment(
+    messages: DataFrame,
+    consumers: list[tuple[str, int, int]],
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Assign each message of a Shared subscription to a consumer under
+    priority levels (PersistentDispatcherMultipleConsumersClassic
+    .getNextConsumer walks a priority-sorted consumer list;
+    capi/ConsumerBuilder.java:545 spells the order out).
+
+    Batch model: the backlog drains in dispatch order per topic
+    partition (each partition has its own dispatcher), and permits
+    replenish as batches are acked — so the one-cycle dispatch order
+    repeats with period sum(permits). The per-partition dispatch rank
+    is a windowed row_number (narrow after the topic's own
+    partitioning), and the cycle lookup is an array literal index —
+    no joins, no extra shuffles at any scale.
+
+    Adds ``consumer_id``.
+    """
+    from pyspark.sql import Window
+
+    order = priority_dispatch_order(consumers)
+    w = Window.partitionBy(partition_col).orderBy(offset_col)
+    rank = F.row_number().over(w) - 1
+    cycle = F.array(*[F.lit(c) for c in order])
+    return messages.withColumn(
+        "consumer_id", F.element_at(cycle, (rank % len(order) + 1).cast("int"))
+    )
+
+
+def failover_active_consumers(
+    consumers: list[tuple[str, int]],
+    num_partitions: int,
+) -> dict[int, str]:
+    """Failover-subscription active-consumer choice for a partitioned
+    topic (capi/ConsumerBuilder.java:566-585): consumers sort by
+    priority level then lexicographic name, and partitions are assigned
+    evenly across the consumers sharing the HIGHEST priority
+    (AbstractDispatcherSingleActiveConsumer picks index
+    partition % count within the sorted top-priority group).
+
+    ``consumers`` is [(consumer_name, priority_level)]; returns
+    {partition -> active consumer name}.
+    """
+    top = min(p for _, p in consumers)
+    ranked = sorted(name for name, p in consumers if p == top)
+    return {part: ranked[part % len(ranked)] for part in range(num_partitions)}
+
+
+def dispatch_throttle(
+    messages: DataFrame,
+    rate_msgs: int | None = None,
+    rate_bytes: int | None = None,
+    drain_start: str = "2024-02-01 00:00:00",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+    payload_col: str = "val",
+) -> DataFrame:
+    """Dispatch-rate limiting schedule — the DispatchRateLimiter analog
+    (broker/service/persistent/DispatchRateLimiter.java:70-92: a
+    per-second token bucket on messages and/or bytes; the dispatcher
+    pauses reads when either quota is exhausted and resumes next
+    second).
+
+    Batch model (backlog drain, the limiter's defining case): messages
+    dispatch in log order per partition; message i's dispatch second is
+    the first second whose cumulative quota admits it —
+    ``slot = max(rank // rate_msgs, cum_bytes_before // rate_bytes)``.
+    Token-bucket burst credit is not modeled: this is the steady drain
+    schedule, the bound the limiter enforces over any backlogged
+    window.
+
+    Adds ``dispatch_slot`` (seconds since drain start) and
+    ``dispatch_at``. Windowed cumsum per topic partition — parallel,
+    no global sort.
+    """
+    from pyspark.sql import Window
+
+    if rate_msgs is None and rate_bytes is None:
+        raise ValueError("at least one of rate_msgs / rate_bytes required")
+    w = Window.partitionBy(partition_col).orderBy(offset_col)
+    slots = []
+    if rate_msgs is not None:
+        rank = F.row_number().over(w) - 1
+        slots.append(F.floor(rank / rate_msgs))
+    if rate_bytes is not None:
+        nbytes = F.coalesce(F.octet_length(F.col(payload_col).cast("string")), F.lit(0))
+        cum_before = F.coalesce(
+            F.sum(nbytes).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        )
+        slots.append(F.floor(cum_before / rate_bytes))
+    slot = slots[0] if len(slots) == 1 else F.greatest(*slots)
+    return messages.withColumn("dispatch_slot", slot.cast("bigint")).withColumn(
+        "dispatch_at",
+        F.lit(drain_start).cast("timestamp")
+        + F.make_interval(secs=F.col("dispatch_slot").cast("double")),
+    )

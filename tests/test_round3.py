@@ -1086,3 +1086,78 @@ class TestExampleCatalogRound3:
         errs = ex["user_exception_window"](w, window_size=10).collect()
         assert len(errs) == 3  # one error per WINDOW, not per record
         assert all(r["error"] == "This wont work" for r in errs)
+
+
+class TestPriorityAndThrottle:
+    """Shared-subscription priority levels + dispatch rate limiting
+    (capi/ConsumerBuilder.java:545 example; broker DispatchRateLimiter)."""
+
+    def test_priority_dispatch_order_matches_javadoc(self):
+        from pulsar_spark.operators.subscriptions import priority_dispatch_order
+
+        # the exact example from ConsumerBuilder.priorityLevel's javadoc
+        order = priority_dispatch_order(
+            [("C1", 0, 2), ("C2", 0, 1), ("C3", 0, 1), ("C4", 1, 2), ("C5", 1, 1)]
+        )
+        assert order == ["C1", "C2", "C3", "C1", "C4", "C5", "C4"]
+
+    def test_priority_shared_assignment_cycles(self, spark):
+        from pulsar_spark.operators.subscriptions import priority_shared_assignment
+
+        m = spark.createDataFrame(
+            [(0, i) for i in range(9)], "partition int, offset int"
+        )
+        out = priority_shared_assignment(
+            m, [("A", 0, 1), ("B", 1, 2)], partition_col="partition"
+        )
+        got = [r["consumer_id"] for r in out.orderBy("offset").collect()]
+        # cycle A,B,B repeats per partition
+        assert got == ["A", "B", "B"] * 3
+
+    def test_failover_active_consumers(self):
+        from pulsar_spark.operators.subscriptions import failover_active_consumers
+
+        # javadoc case 2: highest priority wins regardless of name
+        m = failover_active_consumers([("aaa", 1), ("bbb", 0)], 2)
+        assert m == {0: "bbb", 1: "bbb"}
+        # equal priority: lexicographic spread over partitions
+        m = failover_active_consumers([("bbb", 0), ("aaa", 0)], 4)
+        assert m == {0: "aaa", 1: "bbb", 2: "aaa", 3: "bbb"}
+
+    def test_dispatch_throttle_msg_rate(self, spark):
+        from pulsar_spark.operators.subscriptions import dispatch_throttle
+
+        m = spark.createDataFrame(
+            [(0, i, "x" * 10) for i in range(25)], "partition int, offset int, val string"
+        )
+        out = dispatch_throttle(m, rate_msgs=10, drain_start="2024-02-01 00:00:00")
+        slots = {r["offset"]: r["dispatch_slot"] for r in out.collect()}
+        assert slots[0] == 0 and slots[9] == 0
+        assert slots[10] == 1 and slots[19] == 1 and slots[24] == 2
+        at = {r["dispatch_slot"]: str(r["dispatch_at"]) for r in out.collect()}
+        assert at[1].endswith("00:00:01")
+
+    def test_dispatch_throttle_byte_rate_binds(self, spark):
+        from pulsar_spark.operators.subscriptions import dispatch_throttle
+
+        # 10-byte payloads, 100 msgs/s allowed but only 20 bytes/s ->
+        # byte quota dominates: 2 messages per second
+        m = spark.createDataFrame(
+            [(0, i, "x" * 10) for i in range(6)], "partition int, offset int, val string"
+        )
+        out = dispatch_throttle(m, rate_msgs=100, rate_bytes=20)
+        slots = [r["dispatch_slot"] for r in out.orderBy("offset").collect()]
+        assert slots == [0, 0, 1, 1, 2, 2]
+
+    def test_throttle_is_per_partition(self, spark):
+        from pulsar_spark.operators.subscriptions import dispatch_throttle
+
+        m = spark.createDataFrame(
+            [(p, i, "v") for p in range(2) for i in range(12)],
+            "partition int, offset int, val string",
+        )
+        out = dispatch_throttle(m, rate_msgs=10)
+        per = out.groupBy("partition", "dispatch_slot").count().collect()
+        got = {(r["partition"], r["dispatch_slot"]): r["count"] for r in per}
+        # each partition has its own dispatcher: 10 + 2 in each
+        assert got == {(0, 0): 10, (0, 1): 2, (1, 0): 10, (1, 1): 2}
