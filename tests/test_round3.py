@@ -1161,3 +1161,54 @@ class TestPriorityAndThrottle:
         got = {(r["partition"], r["dispatch_slot"]): r["count"] for r in per}
         # each partition has its own dispatcher: 10 + 2 in each
         assert got == {(0, 0): 10, (0, 1): 2, (1, 0): 10, (1, 1): 2}
+
+
+class TestDurableSubscriptionCursor:
+    """A subscription is a durable named cursor (SURVEY §1.1): its
+    position survives the consumer going away. Spark's checkpoint
+    offset+commit logs are that cursor — a resubscribe with the same
+    checkpoint drains only messages produced after the last drain,
+    exactly like reconnecting a consumer to its subscription (the
+    MessageDeduplication-side analog of cursor persistence in
+    ManagedCursorImpl)."""
+
+    def test_resubscribe_resumes_past_consumed(self, spark, messages, tmp_path):
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        topic = str(tmp_path / "t")
+        first = messages.where(F.col("offset") < 300)
+        later = messages.where((F.col("offset") >= 300) & (F.col("offset") < 400))
+        write_topic(first, topic)
+        ckpt = str(tmp_path / "cursor")
+
+        counts: list[tuple[str, int]] = []
+
+        def drain(tag):
+            stream = subscribe(spark, topic)
+            run_to_end(
+                stream.writeStream.foreachBatch(
+                    lambda df, bid: counts.append((tag, df.count()))
+                ).option("checkpointLocation", ckpt)
+            )
+
+        drain("r1")
+        assert sum(n for t, n in counts if t == "r1") == first.count()
+
+        # consumer disconnects; more messages arrive; reconnecting the
+        # SAME subscription (checkpoint) must deliver only the new ones
+        write_topic(later, topic, mode="append")
+        drain("r2")
+        r2 = sum(n for t, n in counts if t == "r2")
+        assert r2 == later.count(), f"cursor re-delivered old data: {counts}"
+
+        # a DIFFERENT subscription (fresh checkpoint) starts from the
+        # topic's beginning — subscriptions are independent cursors
+        counts2: list[int] = []
+        stream = subscribe(spark, topic)
+        run_to_end(
+            stream.writeStream.foreachBatch(
+                lambda df, bid: counts2.append(df.count())
+            ).option("checkpointLocation", str(tmp_path / "cursor2"))
+        )
+        assert sum(counts2) == first.count() + later.count()

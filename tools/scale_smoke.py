@@ -109,6 +109,20 @@ def main() -> None:
         t0 = time.perf_counter()
         select_by_token_budget_exact(scored, 10_000_000).count()
         out["select_exact_sec"] = round(time.perf_counter() - t0, 2)
+
+        # near-dup + dup-span at scale: the replicated corpus is the
+        # adversarial case for LSH (every doc has doc_rep exact copies,
+        # so buckets are saturated) — the star guard must keep the pair
+        # set linear and the hashed-gram shuffles must stay bounded
+        from pulsar_spark.functions import dup_span_fraction, minhash_near_duplicates
+
+        t0 = time.perf_counter()
+        minhash_near_duplicates(bigdocs, threshold=0.5, max_bucket_size=512).count()
+        out["minhash_sec"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        dup_span_fraction(hash_sample(bigdocs, 0.5, seed=1), n=5).count()
+        out["dup_span_sec"] = round(time.perf_counter() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
