@@ -1494,18 +1494,18 @@ def _key_shared_auto_split_oracle(num_consumers: int = 3) -> str:
 
 
 def _priority_shared_oracle() -> str:
-    # build the one-cycle dispatch order from the same function the
-    # engine uses; the oracle then only re-derives the per-partition
-    # rank -> cycle-slot -> consumer mapping in SQL
-    from pulsar_spark.operators.subscriptions import priority_dispatch_order
-
-    order = priority_dispatch_order(_PRIORITY_CONSUMERS)
-    cases = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(order))
+    # INDEPENDENT spec: the one-cycle dispatch order for
+    # _PRIORITY_CONSUMERS is written out verbatim from the
+    # ConsumerBuilder.priorityLevel javadoc's worked example
+    # (C1,C2,C3,C1,C4,C5,C4) — NOT derived from the engine's
+    # priority_dispatch_order, so a bug in that function fails here
+    _JAVADOC_ORDER = ["C1", "C2", "C3", "C1", "C4", "C5", "C4"]
+    cases = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(_JAVADOC_ORDER))
     return f"""
         WITH {_M}, ranked AS (
           SELECT partition,
                  (row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1)
-                   % {len(order)} AS slot
+                   % {len(_JAVADOC_ORDER)} AS slot
           FROM messages
         )
         SELECT CASE slot {cases} END AS consumer_id,
@@ -1516,14 +1516,14 @@ def _priority_shared_oracle() -> str:
 
 
 def _failover_partitions_oracle() -> str:
-    from pulsar_spark.operators.subscriptions import failover_active_consumers
-
-    mapping = failover_active_consumers([("ca", 1), ("cb", 0), ("cc", 0)], 8)
-    cases = " ".join(f"WHEN {p} THEN '{c}'" for p, c in mapping.items())
+    # INDEPENDENT spec: consumers [(ca,1),(cb,0),(cc,0)] -> top
+    # priority group sorted lexicographically is [cb, cc]; partitions
+    # spread partition % 2 — written as SQL directly, not via
+    # failover_active_consumers
     return f"""
         WITH {_M}
         SELECT partition, count(*) AS msg_count,
-               CASE partition {cases} END AS active_consumer
+               CASE partition % 2 WHEN 0 THEN 'cb' ELSE 'cc' END AS active_consumer
         FROM messages GROUP BY partition
     """
 

@@ -37,18 +37,22 @@ def main() -> None:
     steady: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
 
-    def timed(name: str, fn, remeasure: bool = False) -> None:
+    def timed(name: str, fn, remeasure: bool = False, clear_cache: bool = False) -> None:
         # Single-run wall times on this box swing +-50% run to run
         # (shared-host CPU steal: the SAME query binary measured 2.2s
         # and 6.4s cold in consecutive bench invocations with zero code
         # change). Headline = MEDIAN of 3 runs; every raw run is kept in
         # runs_detail so the distribution is auditable. Run 1 is cold
-        # (driver analysis + codegen), runs 2-3 benefit from the plan /
-        # persisted-frame caches — the median therefore sits between
-        # cold and steady, and the steady map still records the
-        # warm-cache figure separately.
+        # (driver analysis + codegen), runs 2-3 reuse compiled plans —
+        # the steady-state a long-lived cluster sees. ``clear_cache``
+        # drops persisted frames between runs for queries that persist
+        # internal frames (minhash), so their repeats re-execute the
+        # pipeline instead of reading the previous run's cache.
         rs = []
-        for _ in range(3 if remeasure else 1):
+        for i in range(3 if remeasure else 1):
+            if clear_cache and i > 0:
+                spark.catalog.clearCache()
+                messages.count()  # restore the b-query fixture cache
             t0 = time.perf_counter()
             fn()
             rs.append(round(time.perf_counter() - t0, 3))
@@ -166,6 +170,7 @@ def main() -> None:
                 docs, threshold=0.5, max_bucket_size=512
             ).count(),
             remeasure=True,
+            clear_cache=True,  # minhash persists candidate frames internally
         )
 
         # x4: composed pretraining pipeline (exact-dedup -> quality gate

@@ -259,12 +259,17 @@ def minhash_near_duplicates(
     ``minhash_lsh_candidates``) — at corpus scale set it to a few
     hundred so one degenerate boilerplate bucket cannot go quadratic.
 
-    Deliberately NOT persisted: Spark's in-memory columnar cache is
-    slow to build for nested array columns (measured 3x the cost of
-    simply recomputing the shingle/signature pipeline per consumer).
-    A 100 TB pipeline materializes the signature table to Parquet once
-    and joins against that; at query scope, recompute + let the tiny
-    candidate set broadcast-join back to the shingle table.
+    Caching policy: the SIGNATURE pipeline is deliberately not
+    persisted (Spark's columnar cache is slow to build for nested
+    array columns — measured 3x the cost of recomputing; a 100 TB
+    pipeline materializes the signature table to Parquet instead).
+    Two small candidate-scoped frames ARE persisted — the pair set and
+    the per-candidate shingle-hash table, each consumed by multiple
+    plan branches below. Both are lazy and bounded by the candidate
+    set, not the corpus; they stay registered until the session drops
+    them (MEMORY_AND_DISK, LRU-evicted under pressure) — call
+    ``spark.catalog.clearCache()`` between corpus slices in a
+    long-lived driver if that lifetime matters.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, k, bands=bands)

@@ -347,8 +347,11 @@ def consistently_failing(df: DataFrame, ctx=None, input_col: str = "val") -> Dat
     redelivered; on Spark the failure is DATA — rows carry either
     ``result`` or ``error``, and the error side feeds the existing
     nack/retry/DLQ operators (subscriptions.retry_schedule consumes
-    ``error is not null``)."""
-    is_fail = F.col(input_col).cast("string") == "FAIL"
+    ``error is not null``). A NULL input also fails (the reference
+    NPEs on input.equals — same redelivery path), so every row lands
+    on exactly one side."""
+    v = F.col(input_col).cast("string")
+    is_fail = v.isNull() | (v == "FAIL")
     return df.select(
         "*",
         F.when(~is_fail, F.lit("SUCCESS")).alias("result"),
@@ -416,13 +419,21 @@ def typed_message_builder_publish(
     props = F.lit(None).cast("map<string,string>")
     if "properties" in df.columns:
         props = F.col("properties")
+    props = F.coalesce(props, F.create_map().cast("map<string,string>"))
+    # Java order: properties.put("input_topic", topic) THEN
+    # putAll(record.getProperties()) — a record's own 'input_topic'
+    # property overwrites the stamped one. map_concat would throw
+    # DUPLICATED_MAP_KEY on that collision (Spark's default dedup
+    # policy), so only stamp the key when the record doesn't carry it.
+    merged = F.when(F.map_contains_key(props, "input_topic"), props).otherwise(
+        F.map_concat(
+            F.create_map(F.lit("input_topic"), F.col(topic_col).cast("string")), props
+        )
+    )
     out = df.select(
         F.concat(F.col(input_col).cast("string"), F.lit("!")).alias("result"),
         *([F.col("key")] if "key" in df.columns else [F.lit(None).cast("string").alias("key")]),
-        F.map_concat(
-            F.create_map(F.lit("input_topic"), F.col(topic_col).cast("string")),
-            F.coalesce(props, F.create_map().cast("map<string,string>")),
-        ).alias("properties"),
+        merged.alias("properties"),
         F.current_timestamp().alias("event_time"),
     )
     side = SideOutputs()

@@ -54,6 +54,7 @@ class FunctionContext:
     def __init__(self, user_config: dict[str, Any] | None = None):
         self.user_config = user_config or {}
         self.initialized = False
+        self._metrics: dict[str, float] = {}
         from pyspark.sql import SparkSession
 
         active = SparkSession.getActiveSession()
@@ -82,10 +83,15 @@ class FunctionContext:
         return self._acc.value.get(key, 0) if self._acc is not None else 0
 
     def record_metric(self, key: str, value: float) -> None:
-        self.incr_counter(f"metric:{key}", value)
+        """Context.recordMetric analog: an OBSERVATION, not a running
+        total — the reference feeds a summary gauge, so repeated calls
+        replace rather than add (summing epoch-millis observations, for
+        example, would be nonsense). Counters (incr_counter) are the
+        additive channel."""
+        self._metrics[key] = value
 
     def get_metric(self, key: str) -> float:
-        return self.get_counter(f"metric:{key}")
+        return self._metrics.get(key, 0)
 
 
 def identity_function(df: DataFrame) -> DataFrame:
