@@ -28,7 +28,10 @@ MEDIA_SCHEMA = (
     "width int, height int, duration_ms int, n_frames int"
 )
 
-FEATURE_SCHEMA = "media_id bigint, modality string, feature array<double>, decode_ok boolean"
+FEATURE_SCHEMA = (
+    "media_id bigint, modality string, width int, height int, "
+    "duration_ms int, n_frames int, feature array<double>, decode_ok boolean"
+)
 
 
 def attach_media(
@@ -81,6 +84,10 @@ def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -
                 "media codecs not available in this container; "
                 "replace _decode_stub with a real decode kernel"
             )
+        cols = [
+            "media_id", "modality", "width", "height",
+            "duration_ms", "n_frames", "feature", "decode_ok",
+        ]
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
@@ -89,13 +96,52 @@ def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -
                     {
                         "media_id": r["media_id"],
                         "modality": r["modality"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "duration_ms": d["duration_ms"],
+                        "n_frames": d["n_frames"],
                         "feature": d["feature"],
                         "decode_ok": True,
                     }
                 )
-            yield pd.DataFrame(out, columns=["media_id", "modality", "feature", "decode_ok"])
+            yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Resize stage for visual media (image / video): re-encode the
+    payload at ``width x height`` and stamp the new dims. Non-visual
+    rows (audio) pass through untouched. Same contract as
+    ``decode_media``: the resize KERNEL is the stub (deterministic
+    bytes derived from input payload + target dims — swap in
+    PIL.Image.resize / ffmpeg scale in a container that has them);
+    the Spark plumbing — Arrow batching, schema preservation, visual/
+    non-visual routing — is real and tested."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        if strict:
+            raise NotImplementedError(
+                "media codecs not available in this container; "
+                "replace the resize stub with a real scale kernel"
+            )
+        dim_tag = f"{width}x{height}".encode()
+        for pdf in batches:
+            pdf = pdf.copy()
+            visual = pdf["modality"].isin(["image", "video"])
+            pdf.loc[visual, "payload"] = [
+                hashlib.sha256(bytes(p or b"") + dim_tag).digest()
+                for p in pdf.loc[visual, "payload"]
+            ]
+            pdf.loc[visual, "width"] = width
+            pdf.loc[visual, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(run, media.schema)
 
 
 def media_repartition(media: DataFrame, target_bytes_per_partition: int = 128 << 20) -> DataFrame:

@@ -1212,3 +1212,65 @@ class TestDurableSubscriptionCursor:
             ).option("checkpointLocation", str(tmp_path / "cursor2"))
         )
         assert sum(counts2) == first.count() + later.count()
+
+
+class TestMultimodalResize:
+    """Resize plumbing + decode->sample chain (SURVEY: decode /
+    feature-extract / resize / frame-sample as Arrow stages; kernels
+    stubbed, plumbing real)."""
+
+    @pytest.fixture()
+    def media(self, spark):
+        from pulsar_spark.functions.multimodal import attach_media
+
+        base = spark.createDataFrame(
+            [(1, b"imgbytes", "image"), (2, b"vidbytes", "video"), (3, b"audbytes", "audio")],
+            "mid long, raw binary, mod string",
+        )
+        frames = []
+        for mod in ["image", "video", "audio"]:
+            m = attach_media(
+                base.where(F.col("mod") == mod), "raw", mod, "fake", "mid"
+            )
+            frames.append(m)
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out
+
+    def test_resize_visual_only(self, spark, media):
+        from pulsar_spark.functions.multimodal import resize_media
+
+        out = resize_media(media, 128, 128)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert (rows[1]["width"], rows[1]["height"]) == (128, 128)
+        assert (rows[2]["width"], rows[2]["height"]) == (128, 128)
+        # audio untouched: no dims, payload preserved
+        assert rows[3]["width"] is None
+        assert bytes(rows[3]["payload"]) == b"audbytes"
+        # visual payload re-encoded deterministically
+        assert bytes(rows[1]["payload"]) != b"imgbytes"
+        again = {r["media_id"]: bytes(r["payload"]) for r in resize_media(media, 128, 128).collect()}
+        assert again[1] == bytes(rows[1]["payload"])
+        # schema round-trips (resize composes with further media stages)
+        assert out.schema == media.schema
+
+    def test_resize_strict_raises(self, spark, media):
+        from pulsar_spark.functions.multimodal import resize_media
+
+        with pytest.raises(Exception, match="NotImplemented|codecs"):
+            resize_media(media, 64, 64, strict=True).collect()
+
+    def test_decode_mints_metadata_then_samples(self, spark, media):
+        from pulsar_spark.functions.multimodal import decode_media, sample_frames
+
+        decoded = decode_media(media)
+        meta = {r["media_id"]: r for r in decoded.collect()}
+        # decode mints modality-appropriate metadata
+        assert meta[1]["n_frames"] == 1 and meta[1]["width"] is not None
+        assert meta[3]["width"] is None and meta[3]["duration_ms"] is not None
+        # chain: the decoded metadata feeds frame sampling directly
+        out = sample_frames(decoded, every_n=10)
+        vid = [r for r in out.collect() if r["media_id"] == 2]
+        expected = list(range(0, max(meta[2]["n_frames"] - 1, 0) + 1, 10))
+        assert sorted(r["frame_idx"] for r in vid) == expected
