@@ -603,6 +603,27 @@ def _q_fn_cursor_management(spark, sf_dir):
     )
 
 
+def _q_doc_chunk_dedup(spark, sf_dir):
+    # cross-document chunk dedup (C4/RefinedWeb line-dedup family):
+    # 10-word chunks occurring in >=2 distinct docs are boilerplate;
+    # survivors reassemble in order
+    from pulsar_spark.functions import remove_duplicated_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_chunks(docs, chunk_words=10, min_docs=2)
+
+
+def _q_doc_source_cap(spark, sf_dir):
+    # per-source document cap: keep the 50 longest docs per source
+    # (deterministic doc_id tiebreak) so no host dominates the mix
+    from pulsar_spark.functions import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return per_group_cap(
+        docs, "source", cap=50, order_col="n_chars", tiebreak_col="doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
 _PRIORITY_CONSUMERS = [("C1", 0, 2), ("C2", 0, 1), ("C3", 0, 1), ("C4", 1, 2), ("C5", 1, 1)]
 
 
@@ -1418,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shared": _q_priority_shared,
         "dispatch_throttle": _q_dispatch_throttle,
         "failover_partitions": _q_failover_partitions,
+        "doc_chunk_dedup": _q_doc_chunk_dedup,
+        "doc_source_cap": _q_doc_source_cap,
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
         # ---- 50-entry driver prefix ends here ----
@@ -1902,6 +1925,43 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(1578188166) AS reset_to,
                    'reset cursor successfully' AS result
             FROM messages
+        """,
+        "doc_chunk_dedup": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                     array_to_string(w[(i-1)*10+1 : i*10], ' ') AS chunk
+              FROM toks, LATERAL unnest(range(1, CAST(greatest(ceil(len(w)/10.0), 1) AS BIGINT) + 1)) AS t(i)
+              WHERE array_to_string(w[(i-1)*10+1 : i*10], ' ') <> ''
+            ), nd AS (
+              SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk
+            ), kept AS (
+              SELECT c.doc_id, c.pos, c.chunk FROM chunks c JOIN nd USING (chunk)
+              WHERE nd.n_docs < 2
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.text, '') AS text,
+                   CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(COALESCE(t.n_chunks, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "doc_source_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 50
         """,
         "priority_shared": _priority_shared_oracle(),
         "failover_partitions": _failover_partitions_oracle(),

@@ -669,3 +669,76 @@ def contamination_check(
         )
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
+
+
+def remove_duplicated_chunks(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Cross-document chunk deduplication (the C4 / RefinedWeb
+    line-dedup family): split each document into consecutive
+    ``chunk_words``-word chunks, drop every chunk whose text occurs in
+    at least ``min_docs`` DISTINCT documents (boilerplate), and
+    reassemble the survivors in original order.
+
+    Returns (id, text, n_chunks, n_removed) — text is '' when every
+    chunk was boilerplate (the caller decides whether to drop empties).
+
+    Scale shape mirrors ``dup_span_fraction``: chunks travel as 64-bit
+    hashes; the distinct-doc count aggregates per (chunk, salt) first
+    so Zipfian boilerplate chunks don't funnel into one reducer; the
+    count joins back on a unique 8-byte key (AQE skew-split handles hot
+    probe keys); reassembly is one per-doc aggregation of (pos, chunk)
+    structs — no global sort anywhere.
+    """
+    k = chunk_words
+    d = docs.select(
+        id_col,
+        F.col(text_col),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("_w"),
+    )
+    n_chunks_expr = F.ceil(F.size("_w") / k).cast("int")
+    chunks = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_chunks_expr, F.lit(1))),
+                lambda i: F.array_join(F.slice("_w", (i - 1) * k + 1, k), " "),
+            )
+        ).alias("pos", "chunk"),
+    ).where(F.col("chunk") != "")
+    hashed = chunks.select(id_col, "pos", "chunk", F.xxhash64("chunk").alias("_ch"))
+    per_salt = hashed.groupBy(
+        "_ch", F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt")
+    ).agg(F.count_distinct(id_col).alias("_nd_salt"))
+    nd = per_salt.groupBy("_ch").agg(F.sum("_nd_salt").alias("_nd"))
+    kept = hashed.join(nd, "_ch").where(F.col("_nd") < min_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s.getField("chunk"),
+            ),
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = hashed.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("bigint").alias("n_chunks"),
+            (
+                F.coalesce(F.col("n_chunks"), F.lit(0))
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -118,3 +118,37 @@ def domain_mix(
         .where(uniform_hash(key_col, seed) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_col: str | Column | None = None,
+    descending: bool = True,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, preferring the highest
+    ``order_col`` (quality score) with a deterministic ``tiebreak_col``
+    — the per-domain cap step of a crawl-style corpus pipeline (no
+    single source may dominate the training mix).
+
+    Scale shape: one window partitioned by the group key — parallel
+    across groups, no global sort. Skewed mega-groups put their rows in
+    one task's sort; at 100 TB pre-aggregate extreme hosts (or raise
+    spark.sql.shuffle.partitions) — the window itself never broadens
+    past the group.
+    """
+    from pyspark.sql import Window
+
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    keys = []
+    if order is not None:
+        keys.append(order.desc() if descending else order.asc())
+    keys.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*keys)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

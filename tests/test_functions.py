@@ -468,3 +468,78 @@ class TestContamination:
         assert got[1][1] is True and got[1][0] >= 1
         assert got[2] == (0, False)
         assert 3 not in got
+
+
+class TestChunkDedupAndSourceCap:
+    def test_chunk_dedup_removes_shared_chunks(self, spark):
+        from pulsar_spark.functions import remove_duplicated_chunks
+
+        # chunk size 3: docs 1 and 2 share their first chunk verbatim;
+        # each has a unique tail chunk
+        docs = spark.createDataFrame(
+            [
+                (1, "the same shared head unique tail one"),
+                (2, "the same shared head unique tail two"),
+                (3, "completely different words here now friend"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_duplicated_chunks(docs, chunk_words=3).collect()}
+        # chunks [the same shared] and [head unique tail] occur in both
+        # docs 1 and 2 -> removed from both; only the tails survive
+        assert out[1]["text"] == "one"
+        assert out[2]["text"] == "two"
+        assert out[1]["n_removed"] == 2 and out[1]["n_chunks"] == 3
+        # doc 3 untouched
+        assert out[3]["text"] == "completely different words here now friend"
+        assert out[3]["n_removed"] == 0
+
+    def test_chunk_dedup_can_empty_a_doc(self, spark):
+        from pulsar_spark.functions import remove_duplicated_chunks
+
+        docs = spark.createDataFrame(
+            [(1, "exact copy text"), (2, "exact copy text")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_duplicated_chunks(docs, chunk_words=3).collect()}
+        assert out[1]["text"] == "" and out[2]["text"] == ""
+        assert out[1]["n_removed"] == 1
+        # both input docs still present (caller decides on empties)
+        assert set(out) == {1, 2}
+
+    def test_chunk_order_preserved_on_reassembly(self, spark):
+        from pulsar_spark.functions import remove_duplicated_chunks
+
+        # doc 1: [shared][u1][shared2][u2]; chunks 1 and 3 duplicated
+        # via docs 2/3 -> survivors u1, u2 must keep original order
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a first unique gap b b b second unique tip"),
+                (2, "a a a x y z"),
+                (3, "b b b q w e"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["text"] for r in remove_duplicated_chunks(docs, chunk_words=3).collect()}
+        assert out[1] == "first unique gap second unique tip"
+
+    def test_per_group_cap(self, spark):
+        from pulsar_spark.functions import per_group_cap
+
+        df = spark.createDataFrame(
+            [(i, "s" + str(i % 2), i * 10) for i in range(10)],
+            "doc_id long, source string, n_chars long",
+        )
+        out = per_group_cap(df, "source", cap=2, order_col="n_chars", tiebreak_col="doc_id")
+        got = {(r["source"], r["doc_id"]) for r in out.collect()}
+        # top-2 by n_chars within each source
+        assert got == {("s0", 8), ("s0", 6), ("s1", 9), ("s1", 7)}
+
+    def test_per_group_cap_deterministic_ties(self, spark):
+        from pulsar_spark.functions import per_group_cap
+
+        df = spark.createDataFrame(
+            [(i, "s", 100) for i in range(5)], "doc_id long, source string, n_chars long"
+        )
+        out = per_group_cap(df, "source", cap=3, order_col="n_chars")
+        assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2]

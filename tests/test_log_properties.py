@@ -215,3 +215,56 @@ class TestContaminationProperties:
             for r in contamination_check(corpus_df, bench_df, n=n).collect()
         }
         assert got == want
+
+
+class TestPriorityOrderProperties:
+    """priority_dispatch_order invariants for ANY consumer spec
+    (capi/ConsumerBuilder.java:545 semantics)."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 99),   # consumer index -> name
+                st.integers(0, 3),    # priority level
+                st.integers(1, 5),    # permits
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_order_invariants(self, spec):
+        from pulsar_spark.operators.subscriptions import priority_dispatch_order
+
+        consumers = [(f"c{i}", prio, permits) for i, prio, permits in spec]
+        order = priority_dispatch_order(consumers)
+        prio_of = {f"c{i}": prio for i, prio, _ in spec}
+        permits_of = {f"c{i}": permits for i, _, permits in spec}
+
+        # every permit dispatched exactly once
+        assert len(order) == sum(permits_of.values())
+        for name, permits in permits_of.items():
+            assert order.count(name) == permits
+
+        # a lower-priority consumer never dispatches before a
+        # higher-priority one still holding permits: priorities along
+        # the order are non-decreasing
+        prios = [prio_of[c] for c in order]
+        assert prios == sorted(prios)
+
+        # round-robin within a level: a consumer with permits left is
+        # not visited twice before every other same-level consumer with
+        # permits left has been visited once
+        from collections import defaultdict
+
+        for level in sorted(set(prios)):
+            seq = [c for c in order if prio_of[c] == level]
+            seen = defaultdict(int)
+            for c in seq:
+                seen[c] += 1
+                # no consumer may be 2 full rounds ahead of a peer that
+                # still has permits remaining
+                for other, p in permits_of.items():
+                    if prio_of[other] == level and seen[other] < p:
+                        assert seen[c] - seen[other] <= 1
