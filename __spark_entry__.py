@@ -940,6 +940,38 @@ def _q_pretraining_pipeline(spark, sf_dir):
     return select_by_token_budget(scored, budget=15000)
 
 
+def _q_pretraining_pipeline_v2(spark, sf_dir):
+    # CAPSTONE v2 — composes the round-3 corpus operators end to end:
+    # exact dedup -> cross-doc CHUNK dedup (boilerplate 10-word chunks
+    # removed, text rebuilt) -> PER-SOURCE cap (50 longest survivors
+    # per source) -> quality gate (>= 5 tokens) -> score -> no-global-
+    # sort token-budget selection. Chunk dedup changes document TEXT
+    # mid-pipeline, so downstream quality metrics run on the rebuilt
+    # text — the oracle mirrors every stage including that rebuild.
+    from pulsar_spark.functions import (
+        exact_dedup,
+        per_group_cap,
+        quality_metrics,
+        remove_duplicated_chunks,
+        select_by_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0))
+    cleaned = remove_duplicated_chunks(
+        corpus.select("doc_id", "text"), chunk_words=10, min_docs=2
+    )
+    with_src = cleaned.join(corpus.select("doc_id", "source"), "doc_id").withColumn(
+        "n_chars", F.length("text")
+    )
+    capped = per_group_cap(with_src, "source", cap=50, order_col="n_chars")
+    q = quality_metrics(capped.select("doc_id", "text")).where(F.col("n_tokens") >= 5)
+    scored = q.withColumn(
+        "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
+    )
+    return select_by_token_budget(scored, budget=15000)
+
+
 def _q_doc_pack_sequences(spark, sf_dir):
     # sequence-packing manifest (functions/packing.py): per-shard
     # streaming fill into 512-token bins; docs ordered by id inside
@@ -1386,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set_select": _q_training_set_select,
         "training_set_select_scalable": _q_training_set_select_scalable,
         "pretraining_pipeline": _q_pretraining_pipeline,
+        "pretraining_pipeline_v2": _q_pretraining_pipeline_v2,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_embedding_join": _q_doc_embedding_join,
         "doc_contamination": _q_doc_contamination,
@@ -2218,6 +2251,57 @@ def oracle_sql() -> dict[str, str]:
               WHERE CASE WHEN len(g3) > 0
                     THEN round(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
                     ELSE 0.0 END <= 0.2
+            ), sel AS (
+              SELECT doc_id, n_tokens, score,
+                     CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+              FROM gated
+            )
+            SELECT doc_id, n_tokens, score, cum_tokens FROM sel WHERE cum_tokens <= 15000
+        """,
+        "pretraining_pipeline_v2": """
+            WITH corpus AS (
+              SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+              QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+            ), toks0 AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM corpus
+            ), chunks AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                     array_to_string(w[(i-1)*10+1 : i*10], ' ') AS chunk
+              FROM toks0, LATERAL unnest(range(1, CAST(greatest(ceil(len(w)/10.0), 1) AS BIGINT) + 1)) AS t(i)
+              WHERE array_to_string(w[(i-1)*10+1 : i*10], ' ') <> ''
+            ), nd AS (
+              SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk
+            ), kept AS (
+              SELECT c.doc_id, c.pos, c.chunk FROM chunks c JOIN nd USING (chunk)
+              WHERE nd.n_docs < 2
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id
+            ), cleaned AS (
+              SELECT c.doc_id, COALESCE(r.text, '') AS text, c.source
+              FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+            ), capped AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY length(text) DESC, doc_id) AS rn
+                FROM cleaned
+              ) WHERE rn <= 50
+            ), toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+              FROM capped
+            ), q AS (
+              SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+                     round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6) AS distinct_ratio,
+                     round(CAST(len(list_filter(tok, t -> list_contains(
+                          ['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(tok), 6)
+                          AS stopword_ratio
+              FROM toks WHERE len(tok) >= 5
+            ), gated AS (
+              SELECT doc_id, n_tokens,
+                     round(distinct_ratio * (1 - stopword_ratio), 6) AS score
+              FROM q
             ), sel AS (
               SELECT doc_id, n_tokens, score,
                      CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
