@@ -64,6 +64,16 @@ KEYS = [
     "embedding_quantize_error",
     "doc_repetition",
     "pretraining_pipeline",
+    "pretraining_pipeline_v2",
+    "doc_chunk_dedup",
+    "doc_source_cap",
+    "priority_shared",
+    "dispatch_throttle",
+    "failover_partitions",
+    "fn_consistently_failing",
+    "fn_custom_serde",
+    "fn_pojo_hierarchy",
+    "fn_cursor_management",
 ]
 
 
