@@ -1438,6 +1438,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_budget": _q_retention_budget,
         "tiered_storage": _q_tiered_storage,
         "retry_schedule_backoff": _q_retry_schedule_backoff,
+        # -- round-3 additions, rotated INTO the checked prefix
+        "fn_consistently_failing": _q_fn_consistently_failing,
+        "fn_custom_serde": _q_fn_custom_serde,
+        "fn_pojo_hierarchy": _q_fn_pojo_hierarchy,
+        "fn_cursor_management": _q_fn_cursor_management,
+        "priority_shared": _q_priority_shared,
+        "dispatch_throttle": _q_dispatch_throttle,
+        "failover_partitions": _q_failover_partitions,
+        "doc_chunk_dedup": _q_doc_chunk_dedup,
+        "doc_source_cap": _q_doc_source_cap,
         # -- core log-relational operators (driver-green r01+r02)
         "compact_publish_order": _q_compact_publish_order,
         "compact_event_time": _q_compact_event_time,
@@ -1453,6 +1463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_shared_auto_split": _q_key_shared_auto_split,
         "dlq": _q_dlq,
         "retry_schedule": _q_retry_schedule,
+        "fn_exclamation": _q_fn_exclamation,
+        "fn_integer_addition": _q_fn_integer_addition,
+        "fn_comma_window": _q_fn_comma_window,
+        "fn_merge_topic": _q_fn_merge_topic,
+        # ---- 50-entry driver prefix ends here ----
+        # -- rotated out this round (driver-green r01+r02; value-checked
+        #    locally by test_oracle_parity KEYS)
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
         "window_count_100": _q_window_count_100,
@@ -1461,22 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": _q_region_revenue,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "embedding_knn": _q_embedding_knn,
-        "fn_exclamation": _q_fn_exclamation,
-        "fn_integer_addition": _q_fn_integer_addition,
-        "fn_comma_window": _q_fn_comma_window,
-        "fn_merge_topic": _q_fn_merge_topic,
-        "fn_consistently_failing": _q_fn_consistently_failing,
-        "fn_custom_serde": _q_fn_custom_serde,
-        "fn_pojo_hierarchy": _q_fn_pojo_hierarchy,
-        "fn_cursor_management": _q_fn_cursor_management,
-        "priority_shared": _q_priority_shared,
-        "dispatch_throttle": _q_dispatch_throttle,
-        "failover_partitions": _q_failover_partitions,
-        "doc_chunk_dedup": _q_doc_chunk_dedup,
-        "doc_source_cap": _q_doc_source_cap,
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
-        # ---- 50-entry driver prefix ends here ----
         # -- driver-green r01+r02, rotated out of the prefix; every one
         #    is also value-checked locally (test_oracle_parity KEYS or a
         #    dedicated semantic test)

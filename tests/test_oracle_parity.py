@@ -74,6 +74,16 @@ KEYS = [
     "fn_custom_serde",
     "fn_pojo_hierarchy",
     "fn_cursor_management",
+    # rotated out of the driver's 50-entry prefix in round 3
+    # (driver-green r01+r02) — kept value-checked here
+    "window_tumbling_1h",
+    "window_sliding_1h_15m",
+    "window_count_100",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "doc_exact_dedup",
+    "embedding_knn",
 ]
 
 
