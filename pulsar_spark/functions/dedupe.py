@@ -223,14 +223,19 @@ def minhash_lsh_candidates(
         # dedup_keep_representatives) is unaffected; only pair-level
         # recall *within* the mega-bucket is reduced. Verification
         # stays exact either way.
-        small = buckets.where(F.size("_ids") <= max_bucket_size)
-        big = buckets.where(F.size("_ids") > max_bucket_size).select(
-            F.array_min("_ids").alias("id_a"), F.explode("_ids").alias("id_b")
-        )
+        #
+        # Single-pass emit: after the first explode, keep every row of a
+        # small bucket but only the min-id row of a mega bucket, then
+        # explode again — the second explode yields all-pairs for small
+        # buckets and exactly the star for big ones. One conditional
+        # filter instead of a small/big branch-and-union, which would
+        # re-execute the banding + bucket aggregation once per branch.
         all_pairs = (
-            small.select(F.explode("_ids").alias("id_a"), "_ids")
+            buckets.withColumn("_m", F.size("_ids"))
+            .withColumn("_min", F.array_min("_ids"))
+            .select(F.explode("_ids").alias("id_a"), "_ids", "_m", "_min")
+            .where((F.col("_m") <= max_bucket_size) | (F.col("id_a") == F.col("_min")))
             .select("id_a", F.explode("_ids").alias("id_b"))
-            .union(big)
         )
     else:
         all_pairs = buckets.select(F.explode("_ids").alias("id_a"), "_ids").select(
