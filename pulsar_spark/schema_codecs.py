@@ -692,3 +692,172 @@ def proto_decode(
     return df.select(*rest, _dec(F.col(payload_col)).alias("_rec")).select(
         *rest, "_rec.*"
     )
+
+
+# ------------------------------------------------- Primitive schemas
+#
+# The reference's primitive payload schemas (Schema.java STRING :105,
+# INT8 :130, INT16 :135, INT32 :140, INT64 :145, BOOL :125, FLOAT :150,
+# DOUBLE :155, BYTES :91, DATE :160, TIME :165, TIMESTAMP :170,
+# INSTANT :180, LOCAL_DATE :185; impls client/impl/schema/*Schema.java)
+# use fixed-width big-endian wire formats:
+#
+#   STRING     UTF-8 bytes                        (StringSchema.java:55)
+#   BOOLEAN    1 byte 0/1, decode = byte != 0     (BooleanSchema.java:54-:70)
+#   INT8/16/32/64  1/2/4/8-byte big-endian two's complement
+#                                                 (LongSchema.java:60-:76)
+#   FLOAT/DOUBLE   4/8-byte big-endian IEEE-754 bits
+#                                                 (FloatSchema.java:61-:72)
+#   DATE/TIME/TIMESTAMP  java.util getTime() epoch-millis as INT64
+#                                                 (DateSchema.java:46-:53)
+#   INSTANT    8-byte epochSecond + 4-byte nano   (InstantSchema.java:48-:56)
+#   LOCAL_DATE 8-byte toEpochDay                  (LocalDateSchema.java)
+#   BYTES      identity                           (BytesSchema.java)
+#
+# Everything except FLOAT/DOUBLE *encode* stays JVM-side (hex/conv/
+# substring/bit column expressions — whole-stage-codegen'd, no Python
+# boundary); float decode reconstructs the value from its bit pattern
+# with exact power-of-two arithmetic, also JVM-side. Only the
+# value -> bits direction (no frexp builtin) uses an Arrow-batched
+# pandas UDF at the codec boundary.
+
+_INT_WIDTHS = {"INT8": 1, "INT16": 2, "INT32": 4, "INT64": 8}
+_INT_SPARK_TYPES = {"INT8": "tinyint", "INT16": "smallint", "INT32": "int", "INT64": "bigint"}
+
+
+def _int_to_be(col: F.Column, nbytes: int) -> F.Column:
+    """Big-endian two's complement bytes of an integral column,
+    JVM-side: hex() of a negative bigint is already the 16-digit two's
+    complement, so the low ``nbytes`` bytes of the zero-padded hex are
+    the wire bytes for every width."""
+    full = F.lpad(F.hex(col.cast("bigint")), 16, "0")
+    return F.unhex(F.substring(full, 17 - 2 * nbytes, 2 * nbytes))
+
+
+def _be_to_int(col: F.Column, nbytes: int) -> F.Column:
+    """Inverse of :func:`_int_to_be`: conv() reads the hex as an
+    unsigned value; values past the sign bit are shifted down by 2^bits
+    (through decimal(20,0) for the 64-bit case, where the unsigned
+    range exceeds bigint)."""
+    u = F.conv(F.hex(col), 16, 10)
+    if nbytes == 8:
+        d = u.cast("decimal(20,0)")
+        half = F.lit("9223372036854775808").cast("decimal(20,0)")
+        full = F.lit("18446744073709551616").cast("decimal(21,0)")
+        return F.when(d >= half, (d - full).cast("bigint")).otherwise(d.cast("bigint"))
+    v = u.cast("bigint")
+    return F.when(v >= 2 ** (8 * nbytes - 1), v - F.lit(2 ** (8 * nbytes))).otherwise(v)
+
+
+def _float_enc_udf(width: str):
+    fmt = ">f" if width == "FLOAT" else ">d"
+
+    @F.pandas_udf(BinaryType())
+    def _enc(s):
+        import pandas as pd
+
+        # NULL rows still reach this UDF (when/otherwise does not mask
+        # UDF inputs); their outputs are discarded by the caller's
+        # isNull() guard, so they map to None here. NaN is NOT null —
+        # a genuine NaN value wire-encodes to its IEEE-754 bit pattern.
+        return pd.Series(
+            [None if v is None else _struct.pack(fmt, v) for v in s], dtype=object
+        )
+
+    return _enc
+
+
+def _bits_to_float(bits: F.Column, width: str) -> F.Column:
+    """Reconstruct the IEEE-754 value from its raw (signed) bit pattern
+    with pure column arithmetic — sign * (implicit-one + mantissa) *
+    2^(exp - bias), with the subnormal and inf/NaN branches explicit.
+    Every product here is an exact power-of-two scaling of a <= 53-bit
+    integer, so no rounding occurs. Staying JVM-side (vs a pandas UDF)
+    keeps codegen fused AND preserves NaN: Arrow's pandas transfer
+    conflates NaN with null on the way back, a UDF cannot return a
+    distinguishable NaN."""
+    if width == "FLOAT":
+        exp_shift, exp_mask, man_bits, sub_exp, bias_off = 23, 0xFF, 23, -149, 150
+    else:
+        exp_shift, exp_mask, man_bits, sub_exp, bias_off = 52, 0x7FF, 52, -1074, 1075
+    sign = F.when(bits < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    be = F.shiftright(bits, exp_shift).bitwiseAND(F.lit(exp_mask))
+    man = bits.bitwiseAND(F.lit((1 << man_bits) - 1))
+    out = (
+        F.when(
+            be == exp_mask,
+            F.when(man != 0, F.lit(float("nan"))).otherwise(sign * F.lit(float("inf"))),
+        )
+        .when(be == 0, sign * man.cast("double") * F.pow(F.lit(2.0), F.lit(float(sub_exp))))
+        .otherwise(
+            sign
+            * (man + F.lit(1 << man_bits)).cast("double")
+            * F.pow(F.lit(2.0), be.cast("double") - F.lit(float(bias_off)))
+        )
+    )
+    return out.cast("float") if width == "FLOAT" else out
+
+
+def encode_primitive(col: F.Column, schema_type: str) -> F.Column:
+    """Column expression producing the primitive-schema wire bytes of
+    ``col`` (the typed produce path: ``Schema.INT64.encode(value)``).
+    NULL in -> NULL payload, matching every ``*Schema.encode(null)``."""
+    st = schema_type.upper()
+    if st == "BYTES":
+        return col.cast("binary")
+    if st == "STRING":
+        return F.encode(col.cast("string"), "UTF-8")
+    if st == "BOOLEAN":
+        return F.when(col.isNull(), F.lit(None).cast("binary")).otherwise(
+            F.when(col.cast("boolean"), F.lit(bytes([1]))).otherwise(F.lit(bytes([0])))
+        )
+    if st in _INT_WIDTHS:
+        return _int_to_be(col, _INT_WIDTHS[st])
+    if st in ("FLOAT", "DOUBLE"):
+        cast = col.cast("float" if st == "FLOAT" else "double")
+        return F.when(cast.isNull(), F.lit(None).cast("binary")).otherwise(
+            _float_enc_udf(st)(cast)
+        )
+    if st in ("DATE", "TIME", "TIMESTAMP"):
+        # java.util.Date / sql.Time / sql.Timestamp: getTime() millis
+        return _int_to_be(F.unix_millis(col.cast("timestamp")), 8)
+    if st == "INSTANT":
+        us = F.unix_micros(col.cast("timestamp"))
+        sub_us = F.pmod(us, F.lit(1_000_000))  # micros within the second, >= 0
+        sec = ((us - sub_us) / F.lit(1_000_000)).cast("bigint")
+        return F.concat(_int_to_be(sec, 8), _int_to_be(sub_us * 1000, 4))
+    if st == "LOCAL_DATE":
+        return _int_to_be(F.datediff(col.cast("date"), F.lit("1970-01-01")), 8)
+    raise ValueError(f"unsupported primitive schema type {schema_type}")
+
+
+def decode_primitive(col: F.Column, schema_type: str) -> F.Column:
+    """Inverse of :func:`encode_primitive`: typed value from the wire
+    bytes (the consume path). TIME decodes to epoch-millis BIGINT
+    (Spark has no time-of-day type); DATE/TIMESTAMP to timestamp;
+    INSTANT to timestamp at microsecond precision (Spark's maximum —
+    sub-microsecond nanos truncate)."""
+    st = schema_type.upper()
+    if st == "BYTES":
+        return col.cast("binary")
+    if st == "STRING":
+        return F.decode(col, "UTF-8")
+    if st == "BOOLEAN":
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+            col.substr(1, 1) != F.lit(bytes([0]))
+        )
+    if st in _INT_WIDTHS:
+        return _be_to_int(col, _INT_WIDTHS[st]).cast(_INT_SPARK_TYPES[st])
+    if st in ("FLOAT", "DOUBLE"):
+        return _bits_to_float(_be_to_int(col, 4 if st == "FLOAT" else 8), st)
+    if st in ("DATE", "TIMESTAMP"):
+        return F.timestamp_millis(_be_to_int(col, 8))
+    if st == "TIME":
+        return _be_to_int(col, 8)
+    if st == "INSTANT":
+        sec = _be_to_int(col.substr(1, 8), 8)
+        nano = _be_to_int(col.substr(9, 4), 4)
+        return F.timestamp_micros(sec * 1_000_000 + F.floor(nano / 1000).cast("bigint"))
+    if st == "LOCAL_DATE":
+        return F.date_add(F.lit("1970-01-01").cast("date"), _be_to_int(col, 8).cast("int"))
+    raise ValueError(f"unsupported primitive schema type {schema_type}")

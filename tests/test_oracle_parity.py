@@ -76,6 +76,8 @@ KEYS = [
     "fn_cursor_management",
     # rotated out of the driver's 50-entry prefix in round 3
     # (driver-green r01+r02) — kept value-checked here
+    "retry_schedule",
+    "schema_primitive_roundtrip",
     "window_tumbling_1h",
     "window_sliding_1h_15m",
     "window_count_100",

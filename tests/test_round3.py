@@ -1274,3 +1274,146 @@ class TestMultimodalResize:
         vid = [r for r in out.collect() if r["media_id"] == 2]
         expected = list(range(0, max(meta[2]["n_frames"] - 1, 0) + 1, 10))
         assert sorted(r["frame_idx"] for r in vid) == expected
+
+
+class TestPrimitiveSchemas:
+    """Primitive payload schemas (client/impl/schema/{Long,Int,Short,
+    Byte,Boolean,Float,Double,String,Bytes,Date,Timestamp,Instant,
+    LocalDate}Schema.java): fixed-width big-endian wire formats,
+    byte-level-checked against Python struct packing and round-tripped
+    through encode -> decode."""
+
+    INT_CASES = {
+        "INT8": (">b", [-128, -1, 0, 1, 127, None]),
+        "INT16": (">h", [-32768, -1, 0, 1, 32767, None]),
+        "INT32": (">i", [-(2**31), -1, 0, 1, 2**31 - 1, None]),
+        "INT64": (">q", [-(2**63), -129, -1, 0, 1, 128, 2**63 - 1, None]),
+    }
+
+    def test_int_widths_byte_exact(self, spark):
+        import struct
+
+        from pulsar_spark.schema_codecs import decode_primitive, encode_primitive
+
+        for st, (fmt, vals) in self.INT_CASES.items():
+            df = spark.createDataFrame([(v,) for v in vals], "x long")
+            out = df.select(
+                "x", encode_primitive(F.col("x"), st).alias("b")
+            ).withColumn("y", decode_primitive(F.col("b"), st)).collect()
+            for r in out:
+                if r.x is None:
+                    assert r.b is None and r.y is None
+                else:
+                    assert bytes(r.b) == struct.pack(fmt, r.x), (st, r.x)
+                    assert r.y == r.x, (st, r.x, r.y)
+
+    def test_float_double_ieee754(self, spark):
+        import math
+        import struct
+
+        import numpy as np
+
+        from pulsar_spark.schema_codecs import decode_primitive, encode_primitive
+
+        base = [-0.0, 1.5, -3.25e10, float("inf"), float("-inf"), float("nan"), None]
+        cases = {
+            "FLOAT": (">f", base + [1.401298464324817e-45, 3.4028234663852886e38]),
+            "DOUBLE": (">d", base + [5e-324, 1.7976931348623157e308]),
+        }
+        for st, (fmt, vals) in cases.items():
+            df = spark.createDataFrame([(v,) for v in vals], "x double")
+            out = df.select(
+                "x", encode_primitive(F.col("x"), st).alias("b")
+            ).withColumn("y", decode_primitive(F.col("b"), st)).collect()
+            for r in out:
+                if r.x is None:
+                    assert r.b is None and r.y is None
+                    continue
+                xf = float(np.float32(r.x)) if st == "FLOAT" else r.x
+                assert bytes(r.b) == struct.pack(fmt, xf), (st, r.x)
+                exp = struct.unpack(fmt, struct.pack(fmt, xf))[0]
+                if math.isnan(exp):
+                    assert math.isnan(r.y), (st, r.x)  # NaN survives decode
+                else:
+                    assert r.y == exp and math.copysign(1, r.y) == math.copysign(1, exp)
+
+    def test_string_boolean_bytes(self, spark):
+        from pulsar_spark.schema_codecs import decode_primitive, encode_primitive
+
+        df = spark.createDataFrame(
+            [("héllo wörld", True), (None, None), ("", False)], "s string, t boolean"
+        )
+        out = (
+            df.select(
+                "s",
+                "t",
+                encode_primitive(F.col("s"), "STRING").alias("sb"),
+                encode_primitive(F.col("t"), "BOOLEAN").alias("tb"),
+            )
+            .withColumn("s2", decode_primitive(F.col("sb"), "STRING"))
+            .withColumn("t2", decode_primitive(F.col("tb"), "BOOLEAN"))
+            .collect()
+        )
+        for r in out:
+            assert r.s2 == r.s and r.t2 == r.t
+            if r.s is not None:
+                assert bytes(r.sb) == r.s.encode("utf-8")
+            if r.t is not None:
+                assert bytes(r.tb) == bytes([1 if r.t else 0])
+
+    def test_temporal_types(self, spark):
+        import datetime
+        import struct
+
+        from pulsar_spark.schema_codecs import decode_primitive, encode_primitive
+
+        ts = [
+            (datetime.datetime(2024, 3, 1, 12, 30, 45, 123456),),
+            (datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),),
+            (None,),
+        ]
+        df = spark.createDataFrame(ts, "x timestamp")
+        out = (
+            df.select(
+                "x",
+                encode_primitive(F.col("x"), "TIMESTAMP").alias("tb"),
+                encode_primitive(F.col("x"), "INSTANT").alias("ib"),
+            )
+            .withColumn("t2", decode_primitive(F.col("tb"), "TIMESTAMP"))
+            .withColumn("i2", decode_primitive(F.col("ib"), "INSTANT"))
+            .collect()
+        )
+        for r in out:
+            if r.x is None:
+                assert r.t2 is None and r.i2 is None
+                continue
+            assert len(bytes(r.tb)) == 8  # epoch-millis INT64
+            assert len(bytes(r.ib)) == 12  # epochSecond(8) + nano(4)
+            assert abs((r.t2 - r.x).total_seconds()) < 0.001  # millis floor
+            assert r.i2 == r.x  # micros survive the sec+nano split
+
+        dd = spark.createDataFrame(
+            [(datetime.date(2024, 2, 29),), (datetime.date(1969, 7, 20),), (None,)],
+            "x date",
+        )
+        out = dd.select(
+            "x", encode_primitive(F.col("x"), "LOCAL_DATE").alias("b")
+        ).withColumn("y", decode_primitive(F.col("b"), "LOCAL_DATE")).collect()
+        epoch = datetime.date(1970, 1, 1)
+        for r in out:
+            assert r.y == r.x
+            if r.x is not None:
+                assert bytes(r.b) == struct.pack(">q", (r.x - epoch).days)
+
+    def test_no_python_boundary_for_ints(self, spark):
+        """The integral/string/boolean paths must stay whole-stage-
+        codegen'd: no ArrowEvalPython / BatchEvalPython in the plan."""
+        from pulsar_spark.schema_codecs import decode_primitive, encode_primitive
+
+        df = spark.range(10).select(
+            decode_primitive(
+                encode_primitive(F.col("id"), "INT64"), "INT64"
+            ).alias("y")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan
