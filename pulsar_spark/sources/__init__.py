@@ -8,6 +8,7 @@ from pulsar_spark.sources.topics import (
     read_topic_table,
     create_topic,
     topic_metadata,
+    update_partitions,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "route_partition",
     "create_topic",
     "topic_metadata",
+    "update_partitions",
 ]

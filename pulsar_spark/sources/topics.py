@@ -23,14 +23,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def route_partition(key, num_partitions: int):
+def _keyless_route(num_partitions: int, routing_mode: str, producer_name: str):
+    """Partition expression for messages WITHOUT a key, per
+    capi/MessageRoutingMode.java:
+    - ``round_robin`` (RoundRobinPartition, the default): spread across
+      all partitions. The reference's per-producer counter is
+      inherently sequential; the distributed analog is a narrow
+      interleave over Spark's per-task monotonic id — no shuffle, even
+      spread, each task cycles through every partition.
+    - ``single`` (SinglePartition): every keyless message from this
+      producer lands on ONE partition chosen by hashing the producer
+      name (client/impl/SinglePartitionMessageRouterImpl — the impl
+      picks a random-but-sticky index; we make it the producer-name
+      hash so it is deterministic and stable across appends).
+    """
+    if routing_mode == "single":
+        return F.pmod(F.hash(F.lit(producer_name)), F.lit(num_partitions)).cast("int")
+    return F.pmod(F.monotonically_increasing_id(), F.lit(num_partitions)).cast("int")
+
+
+def route_partition(
+    key,
+    num_partitions: int,
+    routing_mode: str = "round_robin",
+    producer_name: str = "producer-0",
+):
     """Key -> partition via Murmur3, matching the reference's key-hash
-    router (Spark's ``hash`` is Murmur3 x86/32). Null keys fall back to
-    a uniform spread (the round-robin analog)."""
+    router (Spark's ``hash`` is Murmur3 x86/32). Keyed messages are
+    ALWAYS hash-routed regardless of routing mode
+    (client/impl/MessageRouterBase.java:31-34 choosePartition: a
+    present key wins over the mode); null keys fall back to the
+    mode-specific keyless route."""
     key_col = F.col(key) if isinstance(key, str) else key
-    return F.when(
-        key_col.isNotNull(), F.pmod(F.hash(key_col), F.lit(num_partitions))
-    ).otherwise(F.pmod(F.hash(F.rand(seed=0)), F.lit(num_partitions))).cast("int")
+    return (
+        F.when(key_col.isNotNull(), F.pmod(F.hash(key_col), F.lit(num_partitions)))
+        .otherwise(_keyless_route(num_partitions, routing_mode, producer_name))
+        .cast("int")
+    )
 
 
 def produce(
@@ -45,6 +74,8 @@ def produce(
     codec: str = "snappy",
     registry=None,
     interceptors=None,
+    routing_mode: str = "round_robin",
+    message_router=None,
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
 
@@ -83,11 +114,17 @@ def produce(
         meta = topic_metadata(topic_path)
         num_partitions = meta["num_partitions"] if meta else 8
     spark = payload.sparkSession
-    part = (
-        route_partition(key_col, num_partitions)
-        if key_col
-        else F.pmod(F.hash(F.rand(seed=0)), F.lit(num_partitions)).cast("int")
-    )
+    # Routing mirrors MessageRoutingMode (capi/MessageRoutingMode.java):
+    # an explicit ``message_router`` (Column, or callable DataFrame ->
+    # Column) is CustomPartition; otherwise keyed rows hash-route and
+    # keyless rows follow ``routing_mode`` ("round_robin" | "single").
+    if message_router is not None:
+        router = message_router(payload) if callable(message_router) else message_router
+        part = F.pmod(router.cast("bigint"), F.lit(num_partitions)).cast("int")
+    elif key_col:
+        part = route_partition(key_col, num_partitions, routing_mode, producer_name)
+    else:
+        part = _keyless_route(num_partitions, routing_mode, producer_name)
     df = payload.withColumn("partition", part)
 
     if sequence_col is not None:
@@ -334,6 +371,31 @@ def create_topic(
     meta = {"num_partitions": int(num_partitions), "properties": properties or {}}
     with open(os.path.join(topic_path, "_topic.json"), "w") as fh:
         json.dump(meta, fh)
+
+
+def update_partitions(topic_path: str, num_partitions: int) -> None:
+    """Topics.updatePartitionedTopic analog (pulsar-client-admin-api/
+    .../admin/Topics.java updatePartitionedTopic): grow a partitioned
+    topic's partition count. The reference broker rejects a decrease
+    (new count must exceed the current one) because consumers' hash
+    ranges and existing data can't shrink — same rule here.
+
+    Stored data is untouched: hive-partitioned parquet reads the old
+    ``partition=N`` directories exactly as before, and the next
+    ``produce`` picks up the new count from the sidecar and routes over
+    the wider space. Keyed routing consequently remaps keys across the
+    boundary — exactly the reference's documented behavior (key->
+    partition assignment is only stable for a fixed partition count).
+    """
+    meta = topic_metadata(topic_path)
+    if meta is None:
+        raise ValueError(f"not a partitioned topic (no _topic.json): {topic_path}")
+    if int(num_partitions) <= int(meta["num_partitions"]):
+        raise ValueError(
+            f"new partition count {num_partitions} must exceed current "
+            f"{meta['num_partitions']} (the reference only grows topics)"
+        )
+    create_topic(topic_path, num_partitions=int(num_partitions), properties=meta.get("properties"))
 
 
 def topic_metadata(topic_path: str) -> dict | None:

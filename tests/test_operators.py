@@ -619,3 +619,121 @@ class TestAdminTopicLifecycle:
             .collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestRoutingModes:
+    """MessageRoutingMode semantics (capi/MessageRoutingMode.java;
+    MessageRouterBase.java:31-34 choosePartition)."""
+
+    def _payload(self, spark, n=400):
+        return spark.range(n).selectExpr("id AS v")
+
+    def test_round_robin_spreads_keyless(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce
+
+        d = str(tmp_path / "rr")
+        produce(self._payload(spark), d, num_partitions=4, mode="overwrite")
+        counts = {
+            r.partition: r.c
+            for r in spark.read.parquet(d).groupBy("partition").count().withColumnRenamed("count", "c").collect()
+        }
+        # RoundRobinPartition: every partition used, roughly evenly
+        assert set(counts) == set(range(4))
+        assert max(counts.values()) <= 2 * min(counts.values())
+
+    def test_single_partition_is_sticky_and_deterministic(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce
+
+        d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        for d in (d1, d2):
+            produce(
+                self._payload(spark), d, num_partitions=4, mode="overwrite",
+                routing_mode="single", producer_name="p-A",
+            )
+        got1 = {r.partition for r in spark.read.parquet(d1).select("partition").distinct().collect()}
+        got2 = {r.partition for r in spark.read.parquet(d2).select("partition").distinct().collect()}
+        # SinglePartition: one partition only, same one across appends/topics
+        assert len(got1) == 1 and got1 == got2
+
+        # a different producer name may land elsewhere but is also sticky
+        d3 = str(tmp_path / "s3")
+        produce(
+            self._payload(spark), d3, num_partitions=4, mode="overwrite",
+            routing_mode="single", producer_name="p-B",
+        )
+        assert len({r.partition for r in spark.read.parquet(d3).select("partition").distinct().collect()}) == 1
+
+    def test_keyed_rows_hash_route_even_in_single_mode(self, spark, tmp_path):
+        """A present key always wins over the routing mode
+        (MessageRouterBase.choosePartition)."""
+        from pulsar_spark.sources.topics import produce, route_partition
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path / "ks")
+        payload = spark.range(300).selectExpr("CAST(id % 37 AS STRING) AS k", "id AS v")
+        produce(payload, d, key_col="k", num_partitions=4, mode="overwrite", routing_mode="single")
+        got = spark.read.parquet(d).select("key", "partition").distinct()
+        expect = payload.select(
+            F.col("k").alias("key"), route_partition("k", 4).alias("partition")
+        ).distinct()
+        assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+        assert got.select("partition").distinct().count() > 1
+
+    def test_custom_router_column(self, spark, tmp_path):
+        """CustomPartition: caller-supplied MessageRouter expression."""
+        from pulsar_spark.sources.topics import produce
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path / "cr")
+        payload = spark.range(100).selectExpr("id AS v")
+        produce(
+            payload, d, num_partitions=4, mode="overwrite",
+            message_router=F.col("v") % 2,  # evens->0, odds->1
+        )
+        rows = spark.read.parquet(d).select("v", "partition").collect()
+        assert all(r.partition == r.v % 2 for r in rows)
+        assert {r.partition for r in rows} == {0, 1}
+
+
+class TestUpdatePartitions:
+    def test_grow_routes_new_appends_over_wider_space(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.sources.topics import create_topic, produce, topic_metadata, update_partitions
+
+        d = str(tmp_path / "grow")
+        create_topic(d, num_partitions=2)
+        payload = spark.range(300).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce(payload, d, key_col="k")
+        assert {r.partition for r in spark.read.parquet(d).select("partition").distinct().collect()} == {0, 1}
+
+        update_partitions(d, 6)
+        assert topic_metadata(d)["num_partitions"] == 6
+        produce(payload.withColumn("v", F.col("v") + 1000), d, key_col="k")
+        after = spark.read.parquet(d)
+        # old rows intact, new rows spread over the wider space
+        assert after.count() == 600
+        assert after.select("partition").distinct().count() > 2
+        # offsets remain dense per partition across the boundary
+        per = after.groupBy("partition").agg(F.max("offset").alias("mx"), F.count("*").alias("c"))
+        assert all(r.mx == r.c - 1 for r in per.collect())
+
+    def test_shrink_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from pulsar_spark.sources.topics import create_topic, update_partitions
+
+        d = str(tmp_path / "shrink")
+        create_topic(d, num_partitions=4)
+        with _pytest.raises(ValueError):
+            update_partitions(d, 4)
+        with _pytest.raises(ValueError):
+            update_partitions(d, 2)
+
+    def test_adhoc_topic_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from pulsar_spark.sources.topics import update_partitions
+
+        with _pytest.raises(ValueError):
+            update_partitions(str(tmp_path / "nope"), 16)
