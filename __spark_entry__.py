@@ -358,6 +358,19 @@ def _q_doc_hash_sample(spark, sf_dir):
     )
 
 
+def _q_doc_shuffle_shards(spark, sf_dir):
+    # deterministic corpus shuffle (functions/sampling.py
+    # deterministic_shuffle): reproducible pseudo-random training order
+    # with no global sort — one window per md5-derived shard, so
+    # parallelism = num_shards at any corpus size.
+    from pulsar_spark.functions import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, key_col="doc_id", seed=7, num_shards=16).select(
+        "doc_id", "shard", "position"
+    )
+
+
 def _q_doc_domain_mix(spark, sf_dir):
     # domain re-weighting ("data mixing"): per-source row budgets from
     # integer weights, hash-downsampled at min(1, budget/count). One
@@ -1488,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failover_partitions": _q_failover_partitions,
         "doc_chunk_dedup": _q_doc_chunk_dedup,
         "doc_source_cap": _q_doc_source_cap,
+        "doc_shuffle_shards": _q_doc_shuffle_shards,
         # -- core log-relational operators (driver-green r01+r02)
         "compact_publish_order": _q_compact_publish_order,
         "compact_event_time": _q_compact_event_time,
@@ -1501,7 +1515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_stats": _q_partition_stats,
         "key_shared": _q_key_shared,
         "key_shared_auto_split": _q_key_shared_auto_split,
-        "dlq": _q_dlq,
         "fn_exclamation": _q_fn_exclamation,
         "fn_integer_addition": _q_fn_integer_addition,
         "fn_comma_window": _q_fn_comma_window,
@@ -1509,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-entry driver prefix ends here ----
         # -- rotated out this round (driver-green r01+r02; value-checked
         #    locally by test_oracle_parity KEYS)
+        "dlq": _q_dlq,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -1827,6 +1841,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE (('0x' || substr(md5('42:' || doc_id), 1, 8))::UBIGINT)
                   / 4294967296.0 < 0.25
+        """,
+        "doc_shuffle_shards": """
+            WITH d AS (
+              SELECT doc_id, md5('7:' || doc_id) AS dg,
+                     CAST((('0x' || substr(md5('7:' || doc_id), 1, 8))::UBIGINT) % 16 AS INT)
+                       AS shard
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM d
         """,
         "doc_domain_mix": """
             WITH g AS (

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["uniform_hash", "hash_sample", "domain_mix"]
+__all__ = [
+    "uniform_hash",
+    "hash_sample",
+    "domain_mix",
+    "per_group_cap",
+    "deterministic_shuffle",
+]
 
 # 2^32: the hash prefix is 8 hex chars = 32 bits.
 _HASH_SPACE = float(1 << 32)
@@ -151,4 +157,43 @@ def per_group_cap(
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)
         .drop("_rn")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Reproducible pseudo-random global training order WITHOUT a
+    global sort — the "shuffle the corpus before training" step.
+
+    Every row gets ``(shard, position)``: shard = 32-bit md5 prefix of
+    (seed, key) mod ``num_shards``; position = rank of the full digest
+    within its shard. Emitting shards in ``(shard, position)`` order is
+    a deterministic permutation of the corpus that is stable across
+    partitionings, cluster sizes and engines (same md5-everywhere
+    argument as ``uniform_hash``; a training job re-run after a failure
+    reads the identical order).
+
+    Scale shape: the only wide op is one hash-partitioned window
+    ranking ``corpus / num_shards`` rows per task — parallelism =
+    ``num_shards`` and no task ever holds more than one shard. Set
+    ``num_shards`` ~ 4x executor count at 100 TB; an epoch reader then
+    consumes shard files independently (position is the in-shard read
+    order), so the "global" order needs no global machine.
+    """
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % num_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_digest", key_col)
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("shard", shard)
+        .withColumn("position", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_digest")
     )

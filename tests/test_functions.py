@@ -372,6 +372,38 @@ class TestSampling:
         # budget >> corpus: every row survives (no upsampling)
         assert domain_mix(documents, weights={}, total_rows=n * 10).count() == n
 
+    def test_deterministic_shuffle_is_a_stable_permutation(self, documents):
+        from pulsar_spark.functions import deterministic_shuffle
+
+        out = deterministic_shuffle(documents, seed=7, num_shards=16)
+        rows = out.select("doc_id", "shard", "position").collect()
+        n = documents.count()
+        # a permutation: every row exactly once, (shard, position) unique
+        assert len(rows) == n
+        assert len({(r.shard, r.position) for r in rows}) == n
+        # positions dense per shard starting at 0
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.position)
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(len(ps)))
+        # spread: most shards populated, none dominates wildly
+        assert len(by_shard) >= 12
+        # stability under repartitioning (the df.sample() failure mode)
+        rep = {
+            (r.doc_id, r.shard, r.position)
+            for r in deterministic_shuffle(
+                documents.repartition(13), seed=7, num_shards=16
+            ).collect()
+        }
+        assert rep == {(r.doc_id, r.shard, r.position) for r in rows}
+        # a different seed is a different permutation
+        other = {
+            (r.doc_id, r.shard, r.position)
+            for r in deterministic_shuffle(documents, seed=8, num_shards=16).collect()
+        }
+        assert other != rep
+
 
 class TestChunking:
     """operators/chunking.py — split/reassemble round trip."""

@@ -30,6 +30,7 @@ TABLES = [
 
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
+    "doc_shuffle_shards",
     "doc_hash_sample",
     "doc_domain_mix",
     "doc_dup_spans",

@@ -208,6 +208,54 @@ class TestStreamingSeek:
         assert got.count() == messages.where(F.col("offset") >= 100).count()
 
 
+class TestAutoUpdatePartitions:
+    def test_partition_growth_consumed_mid_stream(self, spark, tmp_path):
+        """ConsumerBuilder.autoUpdatePartitions semantics: a consumer on
+        a partitioned topic picks up partitions added after it
+        subscribed. Our file-stream source re-lists the topic directory
+        every trigger, so new ``partition=N`` subtrees appear without a
+        resubscribe — the checkpoint carries across the growth."""
+        from pulsar_spark.sources.topics import create_topic, produce, update_partitions
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        topic = str(tmp_path / "grow")
+        create_topic(topic, num_partitions=2)
+        payload = spark.range(200).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce(payload, topic, key_col="k")
+        ckpt = str(tmp_path / "ckpt")
+
+        seen: list[tuple[str, int, int]] = []
+
+        def sink(run):
+            def _each(df, bid):
+                for r in df.groupBy("partition").count().collect():
+                    seen.append((run, r["partition"], r["count"]))
+
+            return _each
+
+        run_to_end(
+            subscribe(spark, topic).writeStream.foreachBatch(sink("r1")).option(
+                "checkpointLocation", ckpt
+            )
+        )
+        assert sum(n for run, _, n in seen if run == "r1") == 200
+        assert {p for run, p, _ in seen if run == "r1"} == {0, 1}
+
+        # grow the topic, then append rows routed over the wider space;
+        # SAME checkpoint — only the new rows arrive, including those in
+        # partitions that did not exist at subscribe time
+        update_partitions(topic, 6)
+        produce(payload.selectExpr("k", "v + 1000 AS v"), topic, key_col="k")
+        run_to_end(
+            subscribe(spark, topic).writeStream.foreachBatch(sink("r2")).option(
+                "checkpointLocation", ckpt
+            )
+        )
+        r2 = [(p, n) for run, p, n in seen if run == "r2"]
+        assert sum(n for _, n in r2) == 200
+        assert {p for p, _ in r2} - {0, 1}, "no rows consumed from grown partitions"
+
+
 class TestPatternDiscovery:
     def test_topic_created_mid_stream_is_consumed(self, spark, messages, tmp_path):
         from pulsar_spark.sources import write_topic
