@@ -90,6 +90,36 @@ def file_source(
     return spark.read.format(format).options(**options).load(path)
 
 
+# The pulsar-io file-connector family (pulsar-io/file reads a directory
+# of files as records; the kafka-connect-adaptor carries csv/json
+# payloads): per-format named connectors over the same file machinery,
+# so `open_source("csv", ...)` works like deploying the corresponding
+# connector archive. Each is a thin binding of `file_source` — the
+# registry name IS the connector contract.
+
+
+@register_source("csv")
+def csv_source(spark: SparkSession, path: str, header: bool = True, **options) -> DataFrame:
+    return file_source(spark, path, format="csv", header=str(header).lower(), **options)
+
+
+@register_source("jsonl")
+def jsonl_source(spark: SparkSession, path: str, **options) -> DataFrame:
+    return file_source(spark, path, format="json", **options)
+
+
+@register_source("text")
+def text_source(spark: SparkSession, path: str, **options) -> DataFrame:
+    """One record per line with the file path attached — the pulsar-io
+    file source's record shape (AbstractedFileSource emits line records
+    keyed by file name)."""
+    return (
+        file_source(spark, path, format="text", **options)
+        .withColumn("file", F.input_file_name())
+        .select(F.col("value").alias("line"), "file")
+    )
+
+
 # ---------------------------------------------------------- batch sources
 
 
@@ -193,6 +223,63 @@ def parquet_sink(path: str, mode: str = "append", partition_by: list[str] | None
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+    return write
+
+
+@register_sink("csv")
+def csv_sink(path: str, mode: str = "append", header: bool = True, **options):
+    def write(df: DataFrame) -> None:
+        df.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
+
+    return write
+
+
+@register_sink("jsonl")
+def jsonl_sink(path: str, mode: str = "append", **options):
+    def write(df: DataFrame) -> None:
+        df.write.mode(mode).options(**options).json(path)
+
+    return write
+
+
+@register_sink("kv")
+def kv_sink(path: str, key_col: str = "key", order_col: str = "offset"):
+    """Keyed-upsert sink — the semantic shared by the reference's
+    Redis / HBase / InfluxDB / JDBC-upsert sink family (pulsar-io/jdbc
+    BaseJdbcAutoSchemaSink upserts on the record key): each write folds
+    the batch into a latest-value-per-key table, merging with what the
+    store already holds.
+
+    Scale shape: one hash agg over batch + existing store keyed by
+    ``key_col`` (max_by on ``order_col``), rewritten atomically via a
+    staging dir — the same two-phase pattern as compaction's storage
+    rewrite. The store stays O(distinct keys), not O(writes).
+    """
+    import os
+    import shutil
+
+    def write(df: DataFrame) -> None:
+        spark = df.sparkSession
+        value_cols = [c for c in df.columns if c != key_col]
+        merged = df
+        if os.path.isdir(path) and any(
+            f.startswith("part-") or f.startswith("_") for f in os.listdir(path)
+        ):
+            merged = merged.unionByName(spark.read.parquet(path), allowMissingColumns=False)
+        latest = (
+            merged.groupBy(key_col)
+            .agg(F.max_by(F.struct(*value_cols), F.col(order_col)).alias("_v"))
+            .select(key_col, "_v.*")
+        )
+        staging = path.rstrip("/") + "__staging"
+        latest.write.mode("overwrite").parquet(staging)
+        old = path.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return write
 

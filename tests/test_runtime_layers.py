@@ -207,6 +207,63 @@ class TestIORegistry:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def test_format_connectors_roundtrip(self, spark):
+        """csv / jsonl / text named connectors (pulsar-io file family)."""
+        from pulsar_spark.sources.io import list_connectors, open_sink, open_source
+
+        reg = list_connectors()
+        assert {"csv", "jsonl", "text", "file", "datagen"} <= set(reg["sources"])
+        assert {"csv", "jsonl", "kv", "parquet", "topic"} <= set(reg["sinks"])
+
+        d = tempfile.mkdtemp(prefix="ps_iofmt_")
+        try:
+            src = open_source("datagen", spark, rows=40)
+            open_sink("csv", path=f"{d}/c", mode="overwrite")(src)
+            back = open_source("csv", spark, path=f"{d}/c", inferSchema="true")
+            assert back.count() == 40 and set(back.columns) == set(src.columns)
+
+            open_sink("jsonl", path=f"{d}/j", mode="overwrite")(src)
+            assert open_source("jsonl", spark, path=f"{d}/j").count() == 40
+
+            with open(f"{d}/lines.txt", "w") as fh:
+                fh.write("alpha\nbeta\ngamma\n")
+            lines = open_source("text", spark, path=f"{d}/lines.txt")
+            assert {r.line for r in lines.collect()} == {"alpha", "beta", "gamma"}
+            assert all(r.file.endswith("lines.txt") for r in lines.collect())
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_kv_sink_upserts_latest_per_key(self, spark):
+        """kv sink = the Redis/HBase/JDBC-upsert family: the store holds
+        latest-value-per-key across batches, merged on each write."""
+        from pulsar_spark.sources.io import open_sink
+
+        d = tempfile.mkdtemp(prefix="ps_iokv_")
+        try:
+            store = f"{d}/kv"
+            sink = open_sink("kv", path=store, key_col="k", order_col="seq")
+            b1 = spark.createDataFrame(
+                [("a", 1, "v1"), ("b", 1, "w1")], "k string, seq long, v string"
+            )
+            sink(b1)
+            got = {r.k: r.v for r in spark.read.parquet(store).collect()}
+            assert got == {"a": "v1", "b": "w1"}
+
+            # second batch: update a, add c; b untouched survives
+            b2 = spark.createDataFrame(
+                [("a", 2, "v2"), ("c", 1, "x1")], "k string, seq long, v string"
+            )
+            sink(b2)
+            got = {r.k: r.v for r in spark.read.parquet(store).collect()}
+            assert got == {"a": "v2", "b": "w1", "c": "x1"}
+
+            # stale replay (seq below stored) does not regress the store
+            sink(spark.createDataFrame([("a", 1, "v1")], "k string, seq long, v string"))
+            got = {r.k: r.v for r in spark.read.parquet(store).collect()}
+            assert got["a"] == "v2"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     def test_topic_sink_envelopes(self, spark):
         from pulsar_spark.sources.io import open_sink, open_source
 
