@@ -371,6 +371,20 @@ def _q_doc_shuffle_shards(spark, sf_dir):
     )
 
 
+def _q_doc_token_sketch(spark, sf_dir):
+    # mergeable HLL distinct-token stats per source
+    # (functions/text.py sketch_token_stats): one pass, map-side
+    # partial agg, per-group sketches union to coarser grains without
+    # re-scanning — the 100 TB corpus-accounting shape. Approximate by
+    # construction, so rows-only (no DuckDB value oracle).
+    from pulsar_spark.functions import sketch_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch_token_stats(docs, group_col="source").select(
+        "source", "total_tokens", "approx_distinct_tokens"
+    )
+
+
 def _q_doc_domain_mix(spark, sf_dir):
     # domain re-weighting ("data mixing"): per-source row budgets from
     # integer weights, hash-downsampled at min(1, budget/count). One
@@ -1578,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_knn_quantized": _q_embedding_ivf_knn_quantized,
         "datagen_people": _q_datagen,
         "media_decode": _q_media_decode,
+        "doc_token_sketch": _q_doc_token_sketch,
     }
 
 

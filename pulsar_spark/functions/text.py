@@ -182,3 +182,50 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "d
         frac(2).alias("dup_ngram_frac_2"),
         frac(3).alias("dup_ngram_frac_3"),
     )
+
+
+def sketch_token_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group corpus statistics with MERGEABLE distinct-count
+    sketches: total tokens plus an HLL (Apache DataSketches) estimate
+    of distinct tokens per group, and each group's binary sketch for
+    later union.
+
+    This is the 100 TB shape for corpus accounting: an exact
+    ``count(DISTINCT token)`` shuffles every token once per grouping
+    you ever ask for, while a sketch is built in one pass with
+    map-side partial aggregation (the HLL buffer merges
+    associatively), is a few KB per group, and unions across groups /
+    days / shards without touching the data again
+    (``sketch_union_distinct``). Standard error at lg_k=12 is ~1.6%.
+    """
+    toks = docs.select(
+        F.col(group_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    return (
+        toks.groupBy(group_col)
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.hll_sketch_agg("tok", F.lit(int(lg_k))).alias("sketch"),
+        )
+        .select(
+            group_col,
+            "total_tokens",
+            F.hll_sketch_estimate("sketch").alias("approx_distinct_tokens"),
+            "sketch",
+        )
+    )
+
+
+def sketch_union_distinct(per_group: DataFrame, sketch_col: str = "sketch") -> DataFrame:
+    """Union per-group HLL sketches into one corpus-wide distinct
+    estimate WITHOUT re-scanning the corpus — the mergeability that
+    makes sketches the right answer at scale (per-shard sketches roll
+    up to any coarser grain for free)."""
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("approx_distinct_total")
+    )

@@ -575,3 +575,58 @@ class TestChunkDedupAndSourceCap:
         )
         out = per_group_cap(df, "source", cap=3, order_col="n_chars")
         assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2]
+
+
+class TestSketchStats:
+    """functions/text.py HLL sketch distinct counts — approximate but
+    bounded error, and mergeable without re-scanning."""
+
+    def test_estimates_within_tolerance_of_exact(self, spark, documents):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions import sketch_token_stats, tokenize
+
+        got = {
+            r.source: (r.total_tokens, r.approx_distinct_tokens)
+            for r in sketch_token_stats(documents, group_col="source").collect()
+        }
+        toks = documents.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        exact = {
+            r.source: (r.total, r.distinct)
+            for r in toks.groupBy("source")
+            .agg(
+                F.count("*").alias("total"),
+                F.countDistinct("tok").alias("distinct"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for src, (total, approx) in got.items():
+            assert total == exact[src][0]  # totals are exact
+            rel = abs(approx - exact[src][1]) / max(exact[src][1], 1)
+            assert rel < 0.05, f"{src}: approx {approx} vs exact {exact[src][1]}"
+
+    def test_union_rolls_up_without_rescan(self, spark, documents):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions import (
+            sketch_token_stats,
+            sketch_union_distinct,
+            tokenize,
+        )
+
+        per_group = sketch_token_stats(documents, group_col="source")
+        total = sketch_union_distinct(per_group).collect()[0][0]
+        exact = (
+            documents.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+            .agg(F.countDistinct("tok"))
+            .collect()[0][0]
+        )
+        assert abs(total - exact) / exact < 0.05
+        # union of per-group sketches >= any single group's estimate
+        mx = max(
+            r.approx_distinct_tokens for r in per_group.collect()
+        )
+        assert total >= mx
