@@ -157,6 +157,20 @@ def _q_backlog(spark, sf_dir):
     return backlog(_messages(spark, sf_dir), cursors)
 
 
+def _q_backlog_quota(spark, sf_dir):
+    # consumer_backlog_eviction quota policy
+    # (BacklogQuotaManager.dropBacklogForSizeLimit rendered per
+    # partition): advance the slowest cursor past the oldest backlog
+    # rows until <= 300 remain per partition.
+    from pulsar_spark.operators import backlog_quota_evict
+
+    cursors = spark.range(8).select(
+        F.col("id").cast("int").alias("partition"),
+        F.lit(CURSOR).cast("bigint").alias("cursor_offset"),
+    )
+    return backlog_quota_evict(_messages(spark, sf_dir), cursors, limit_rows=300)
+
+
 def _q_topic_stats(spark, sf_dir):
     from pulsar_spark.operators import topic_stats
 
@@ -1525,7 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delayed_visibility": _q_delayed_visibility,
         "seek_by_timestamp": _q_seek_by_timestamp,
         "backlog": _q_backlog,
-        "topic_stats": _q_topic_stats,
+        "backlog_quota": _q_backlog_quota,
         "partition_stats": _q_partition_stats,
         "key_shared": _q_key_shared,
         "key_shared_auto_split": _q_key_shared_auto_split,
@@ -1537,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out this round (driver-green r01+r02; value-checked
         #    locally by test_oracle_parity KEYS)
         "dlq": _q_dlq,
+        "topic_stats": _q_topic_stats,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -1734,6 +1749,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT partition, count(*) AS backlog
             FROM messages WHERE "offset" > {CURSOR}
             GROUP BY partition
+        """,
+        "backlog_quota": f"""
+            WITH {_M}, b AS (
+              SELECT partition, "offset",
+                     row_number() OVER (PARTITION BY partition ORDER BY "offset" DESC) AS rn
+              FROM messages WHERE "offset" > {CURSOR}
+            )
+            SELECT partition,
+                   CAST({CURSOR} AS BIGINT) AS cursor_offset,
+                   CAST(coalesce(max(CASE WHEN rn > 300 THEN "offset" END), {CURSOR}) AS BIGINT)
+                     AS new_cursor_offset,
+                   CAST(coalesce(sum(CASE WHEN rn > 300 THEN 1 END), 0) AS BIGINT) AS evicted_rows,
+                   CAST(coalesce(sum(CASE WHEN rn <= 300 THEN 1 END), 0) AS BIGINT) AS backlog_after
+            FROM b GROUP BY partition
         """,
         "topic_stats": f"""
             WITH {_M}

@@ -96,3 +96,63 @@ def retention_plan(
         "deletable",
         (F.col(publish_time_col) < cutoff) | (cum > F.lit(size_budget_bytes)),
     )
+
+
+def backlog_quota_evict(
+    messages: DataFrame,
+    cursors: DataFrame,
+    limit_rows: int | None = None,
+    limit_bytes: int | None = None,
+    size_col: str | None = None,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Backlog-quota enforcement with the ``consumer_backlog_eviction``
+    policy (broker/.../BacklogQuotaManager.java dropBacklogForSizeLimit;
+    BacklogQuotaImpl retention policies): when a subscription's backlog
+    exceeds the quota, the broker advances the slowest cursor past the
+    OLDEST backlog entries until the quota holds — consumers lose those
+    messages, producers keep writing.
+
+    Per-partition rendering of the topic quota (quotas scale with the
+    partition count here, as every other per-partition stat in this
+    engine does). Returns one row per partition:
+    (partition, cursor_offset, new_cursor_offset, evicted_rows,
+    backlog_after). ``new_cursor_offset`` is the advanced mark-delete
+    position; equal to ``cursor_offset`` (or -1 for a never-acked
+    cursor) when the quota already holds.
+
+    Shape: one broadcast cursor join + one window over each partition's
+    backlog ordered newest-first (rank for a row quota, running byte
+    sum for a size quota) + one agg — the same per-partition shuffle
+    retention_plan uses; nothing global, skew-bounded by the largest
+    single partition's backlog.
+    """
+    if (limit_rows is None) == (limit_bytes is None):
+        raise ValueError("pass exactly one of limit_rows / limit_bytes")
+    if limit_bytes is not None and size_col is None:
+        raise ValueError("limit_bytes needs size_col")
+    from pyspark.sql.window import Window
+
+    backlog_rows = messages.join(F.broadcast(cursors), on=partition_col, how="left").where(
+        F.col("cursor_offset").isNull() | (F.col(offset_col) > F.col("cursor_offset"))
+    )
+    w = Window.partitionBy(partition_col).orderBy(F.col(offset_col).desc())
+    over = (
+        F.row_number().over(w) > limit_rows
+        if limit_rows is not None
+        else F.sum(size_col).over(w) > limit_bytes
+    )
+    flagged = backlog_rows.withColumn("_evict", over)
+    return (
+        flagged.groupBy(partition_col)
+        .agg(
+            F.coalesce(F.first("cursor_offset"), F.lit(-1)).alias("cursor_offset"),
+            F.coalesce(
+                F.max(F.when(F.col("_evict"), F.col(offset_col))),
+                F.coalesce(F.first("cursor_offset"), F.lit(-1)),
+            ).alias("new_cursor_offset"),
+            F.sum(F.col("_evict").cast("long")).alias("evicted_rows"),
+            F.sum((~F.col("_evict")).cast("long")).alias("backlog_after"),
+        )
+    )

@@ -737,3 +737,72 @@ class TestUpdatePartitions:
 
         with _pytest.raises(ValueError):
             update_partitions(str(tmp_path / "nope"), 16)
+
+
+class TestBacklogQuota:
+    """BacklogQuotaManager consumer_backlog_eviction: advance the
+    cursor past oldest backlog until the quota holds."""
+
+    def _cursors(self, spark, n=8, at=20):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.col("id").cast("int").alias("partition"),
+            F.lit(at).cast("bigint").alias("cursor_offset"),
+        )
+
+    def test_row_quota_keeps_newest(self, spark, messages):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators import backlog_quota_evict
+
+        plan = backlog_quota_evict(messages, self._cursors(spark), limit_rows=50)
+        rows = {r.partition: r for r in plan.collect()}
+        back = (
+            messages.where(F.col("offset") > 20)
+            .groupBy("partition")
+            .agg(F.count("*").alias("n"), F.max("offset").alias("mx"))
+        )
+        for r in back.collect():
+            p = rows[r.partition]
+            assert p.backlog_after == min(50, r.n)
+            assert p.evicted_rows == max(0, r.n - 50)
+            if r.n > 50:
+                # cursor advanced; the kept rows are exactly the newest 50
+                kept = messages.where(
+                    (F.col("partition") == r.partition)
+                    & (F.col("offset") > p.new_cursor_offset)
+                ).count()
+                assert kept == 50
+            else:
+                assert p.new_cursor_offset == 20
+
+    def test_byte_quota_and_never_acked_cursor(self, spark):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators import backlog_quota_evict
+
+        msgs = spark.createDataFrame(
+            [(0, i, 10) for i in range(10)], "partition int, offset long, sz long"
+        )
+        cursors = spark.createDataFrame([(0, None)], "partition int, cursor_offset long")
+        plan = backlog_quota_evict(
+            msgs, cursors, limit_bytes=35, size_col="sz"
+        ).collect()[0]
+        # newest 3 rows fit in 35 bytes; 7 oldest evicted; cursor was
+        # never acked (-1 sentinel) and advances to offset 6
+        assert plan.cursor_offset == -1
+        assert plan.backlog_after == 3 and plan.evicted_rows == 7
+        assert plan.new_cursor_offset == 6
+
+    def test_requires_exactly_one_quota(self, spark, messages):
+        import pytest as _pytest
+
+        from pulsar_spark.operators import backlog_quota_evict
+
+        with _pytest.raises(ValueError):
+            backlog_quota_evict(messages, self._cursors(spark))
+        with _pytest.raises(ValueError):
+            backlog_quota_evict(
+                messages, self._cursors(spark), limit_rows=5, limit_bytes=5, size_col="x"
+            )

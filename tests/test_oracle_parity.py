@@ -31,6 +31,9 @@ TABLES = [
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
     "doc_shuffle_shards",
+    "dlq",
+    "topic_stats",
+    "backlog_quota",
     "doc_hash_sample",
     "doc_domain_mix",
     "doc_dup_spans",
