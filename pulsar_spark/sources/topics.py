@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+class BacklogQuotaExceededError(RuntimeError):
+    """ProducerBlockedQuotaExceededException analog: the topic's stored
+    backlog is at or over its quota and the policy refuses the send."""
+
+
 def _keyless_route(num_partitions: int, routing_mode: str, producer_name: str):
     """Partition expression for messages WITHOUT a key, per
     capi/MessageRoutingMode.java:
@@ -76,6 +81,8 @@ def produce(
     interceptors=None,
     routing_mode: str = "round_robin",
     message_router=None,
+    quota_rows: int | None = None,
+    quota_policy: str = "exception",
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
 
@@ -107,6 +114,25 @@ def produce(
         payload = icept(payload)
     if registry is not None:
         registry.validate_produce(topic_path, payload)
+    if quota_rows is not None and mode == "append":
+        # Producer-side backlog-quota policies (BacklogQuotaManager:
+        # producer_exception raises ProducerBlockedQuotaExceededException,
+        # producer_request_hold blocks the send — in a batch engine both
+        # refuse the append; consumer_backlog_eviction is the
+        # cursor-advance path in operators/retention.backlog_quota_evict).
+        # The row count is parquet-footer metadata, not a data scan.
+        if quota_policy not in ("exception", "request_hold"):
+            raise ValueError(f"unknown quota_policy: {quota_policy}")
+        spark0 = payload.sparkSession
+        try:
+            stored = spark0.read.parquet(topic_path).count()
+        except Exception:
+            stored = 0
+        if stored >= quota_rows:
+            raise BacklogQuotaExceededError(
+                f"topic {topic_path} holds {stored} rows >= quota {quota_rows} "
+                f"(policy {quota_policy}); drain or evict before producing"
+            )
     if num_partitions is None:
         # partition count comes from the topic metadata sidecar when the
         # topic was created explicitly (createPartitionedTopic analog);

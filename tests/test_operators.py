@@ -806,3 +806,40 @@ class TestBacklogQuota:
             backlog_quota_evict(
                 messages, self._cursors(spark), limit_rows=5, limit_bytes=5, size_col="x"
             )
+
+
+class TestProducerQuotaPolicies:
+    """producer_exception / producer_request_hold: a produce into a
+    topic at/over its row quota is refused before any file is written
+    (ProducerBlockedQuotaExceededException semantics)."""
+
+    def test_over_quota_append_refused_and_topic_unchanged(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pulsar_spark.sources.topics import BacklogQuotaExceededError, produce
+
+        d = str(tmp_path / "q")
+        batch = spark.range(100).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce(batch, d, key_col="k", num_partitions=4)
+        for policy in ("exception", "request_hold"):
+            with _pytest.raises(BacklogQuotaExceededError):
+                produce(batch, d, key_col="k", quota_rows=100, quota_policy=policy)
+        assert spark.read.parquet(d).count() == 100
+
+    def test_under_quota_append_proceeds(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce
+
+        d = str(tmp_path / "q2")
+        batch = spark.range(100).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce(batch, d, key_col="k", num_partitions=4)
+        produce(batch, d, key_col="k", quota_rows=500)
+        assert spark.read.parquet(d).count() == 200
+
+    def test_unknown_policy_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pulsar_spark.sources.topics import produce
+
+        batch = spark.range(10).selectExpr("id AS v")
+        with _pytest.raises(ValueError):
+            produce(batch, str(tmp_path / "q3"), quota_rows=5, quota_policy="nope")

@@ -123,6 +123,19 @@ def main() -> None:
         t0 = time.perf_counter()
         dup_span_fraction(hash_sample(bigdocs, 0.5, seed=1), n=5).count()
         out["dup_span_sec"] = round(time.perf_counter() - t0, 2)
+
+        # round-3 additions at scale: the deterministic corpus shuffle
+        # (one window per shard — wall should track corpus/shards) and
+        # the HLL sketch accounting (single pass, map-side partials)
+        from pulsar_spark.functions import deterministic_shuffle, sketch_token_stats
+
+        t0 = time.perf_counter()
+        deterministic_shuffle(bigdocs, seed=7, num_shards=64).count()
+        out["shuffle_order_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
+
+        t0 = time.perf_counter()
+        sketch_token_stats(bigdocs, group_col="source").count()
+        out["sketch_stats_sec"] = round(time.perf_counter() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
