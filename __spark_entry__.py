@@ -194,6 +194,27 @@ def _q_key_shared(spark, sf_dir):
     )
 
 
+_CH_CONSUMERS = ["ca", "cb", "cc"]
+
+
+def _q_key_shared_consistent(spark, sf_dir):
+    # consistent-hashing Key_Shared selector
+    # (ConsistentHashingStickyKeyConsumerSelector): ring of md5 points,
+    # ceiling lookup as literal-array expressions — no join, rides the
+    # scan. The oracle rebuilds the ring in SQL from the same spec.
+    from pulsar_spark.operators import consistent_hash_assignment
+
+    assigned = consistent_hash_assignment(
+        _messages(spark, sf_dir),
+        _CH_CONSUMERS,
+        points_per_consumer=16,
+        deterministic_mod=True,
+    )
+    return assigned.groupBy("consumer_id").agg(
+        F.count("*").alias("msg_count"), F.countDistinct("key").alias("key_count")
+    )
+
+
 def _q_key_shared_auto_split(spark, sf_dir):
     # auto-split sticky ranges with 3 consumers (non-power-of-two:
     # range sizes differ 2:1 — HashRangeAutoSplitStickyKeyConsumerSelector)
@@ -1540,7 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seek_by_timestamp": _q_seek_by_timestamp,
         "backlog": _q_backlog,
         "backlog_quota": _q_backlog_quota,
-        "partition_stats": _q_partition_stats,
+        "key_shared_consistent": _q_key_shared_consistent,
         "key_shared": _q_key_shared,
         "key_shared_auto_split": _q_key_shared_auto_split,
         "fn_exclamation": _q_fn_exclamation,
@@ -1552,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    locally by test_oracle_parity KEYS)
         "dlq": _q_dlq,
         "topic_stats": _q_topic_stats,
+        "partition_stats": _q_partition_stats,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -1788,6 +1810,28 @@ def oracle_sql() -> dict[str, str]:
             FROM messages GROUP BY 1
         """,
         "key_shared_auto_split": _key_shared_auto_split_oracle(),
+        "key_shared_consistent": f"""
+            WITH {_M}, pts AS (
+              SELECT name,
+                     (('0x' || substr(md5(name || ':' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT
+                      % 65536) AS slot
+              FROM (VALUES ('ca'), ('cb'), ('cc')) c(name), range(16) t(i)
+            ),
+            ring AS (SELECT slot, min(name) AS name FROM pts GROUP BY slot),
+            slotted AS (
+              SELECT key, (CAST(key AS BIGINT) * 2654435761) % 65536 AS s FROM messages
+            ),
+            sel AS (
+              SELECT key,
+                     coalesce((SELECT min(slot) FROM ring WHERE slot >= s),
+                              (SELECT min(slot) FROM ring)) AS pick
+              FROM slotted
+            )
+            SELECT r.name AS consumer_id, count(*) AS msg_count,
+                   count(DISTINCT key) AS key_count
+            FROM sel JOIN ring r ON r.slot = sel.pick
+            GROUP BY 1
+        """,
         "dlq": f"""
             WITH {_M}
             SELECT partition, "offset", event_id, CAST({MAX_REDELIVER} AS INT) AS redelivery_count

@@ -23,6 +23,8 @@ from pulsar_spark.operators.subscriptions import (
     sticky_key_hash,
     key_shared_assignment,
     key_shared_assignment_auto_split,
+    consistent_hash_ring,
+    consistent_hash_assignment,
     hash_range_auto_split,
     ack_timeout_redelivery,
     dlq_split,
@@ -59,6 +61,8 @@ __all__ = [
     "sticky_key_hash",
     "key_shared_assignment",
     "key_shared_assignment_auto_split",
+    "consistent_hash_ring",
+    "consistent_hash_assignment",
     "hash_range_auto_split",
     "batch_receive",
     "ack_timeout_redelivery",

@@ -353,3 +353,63 @@ def dispatch_throttle(
         F.lit(drain_start).cast("timestamp")
         + F.make_interval(secs=F.col("dispatch_slot").cast("double")),
     )
+
+
+def consistent_hash_ring(
+    consumers: list[str], points_per_consumer: int = 100
+) -> list[tuple[int, str]]:
+    """Hash-ring points for the consistent-hashing Key_Shared selector
+    (broker/service/ConsistentHashingStickyKeyConsumerSelector.java:
+    each consumer owns ``numberOfPoints`` replicas on a ring over the
+    64K slot space; a key is served by the first point at or after its
+    slot, wrapping to the ring start).
+
+    Point placement here is md5 of ``"{name}:{i}"`` (first 8 hex chars
+    mod 65536) instead of the reference's Murmur3-of-String — same
+    uniform-spread contract, but reproducible in any engine so the
+    DuckDB oracle can rebuild the identical ring from the spec alone.
+    Slot collisions resolve to the lexicographically smallest consumer
+    (the reference keeps a per-slot list and load-splits it; a
+    deterministic winner keeps the operator a pure function).
+    """
+    import hashlib
+
+    pts: dict[int, str] = {}
+    for name in consumers:
+        for i in range(points_per_consumer):
+            slot = int(hashlib.md5(f"{name}:{i}".encode()).hexdigest()[:8], 16) % HASH_RANGE_SIZE
+            if slot not in pts or name < pts[slot]:
+                pts[slot] = name
+    return sorted(pts.items())
+
+
+def consistent_hash_assignment(
+    messages: DataFrame,
+    consumers: list[str],
+    points_per_consumer: int = 100,
+    key_col: str = "key",
+    deterministic_mod: bool = False,
+) -> DataFrame:
+    """Assign messages to consumers via the consistent-hash ring. Adds
+    ``sticky_hash`` and ``consumer_id`` (consumer name) columns.
+
+    The ring is tiny (consumers x points) and driver-resident; the
+    per-row ceiling lookup is a filter over a literal sorted-slot array
+    plus a literal map — pure codegen'd expressions, no join, no
+    shuffle, so assignment rides the scan at any scale (the same reason
+    the reference keeps the ring in broker memory).
+    """
+    ring = consistent_hash_ring(consumers, points_per_consumer)
+    slots = [s for s, _ in ring]
+    s_col = sticky_key_hash(F.col(key_col), deterministic_mod)
+    slot_arr = F.array(*[F.lit(s) for s in slots])
+    tmp = messages.withColumn("sticky_hash", s_col)
+    # try_element_at: the filter is EMPTY for keys past the last ring
+    # point (plain element_at throws on the empty array) — that is the
+    # wrap-around to the ring's first point.
+    pick = F.coalesce(
+        F.try_element_at(F.filter(slot_arr, lambda x: x >= F.col("sticky_hash")), F.lit(1)),
+        F.lit(slots[0]),
+    )
+    name_map = F.create_map(*[F.lit(x) for s, n in ring for x in (s, n)])
+    return tmp.withColumn("consumer_id", name_map[pick])

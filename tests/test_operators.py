@@ -843,3 +843,63 @@ class TestProducerQuotaPolicies:
         batch = spark.range(10).selectExpr("id AS v")
         with _pytest.raises(ValueError):
             produce(batch, str(tmp_path / "q3"), quota_rows=5, quota_policy="nope")
+
+
+class TestConsistentHashKeyShared:
+    """ConsistentHashingStickyKeyConsumerSelector: ring ceiling lookup,
+    checked against an independent bisect implementation."""
+
+    def test_matches_bisect_reference(self, spark, messages):
+        import bisect
+        import hashlib
+
+        from pulsar_spark.operators import consistent_hash_assignment
+
+        consumers = ["ca", "cb", "cc"]
+        points = 16
+        got = {
+            r.key: r.consumer_id
+            for r in consistent_hash_assignment(
+                messages, consumers, points_per_consumer=points, deterministic_mod=True
+            )
+            .select("key", "consumer_id")
+            .distinct()
+            .collect()
+        }
+
+        ring: dict[int, str] = {}
+        for name in consumers:
+            for i in range(points):
+                s = int(hashlib.md5(f"{name}:{i}".encode()).hexdigest()[:8], 16) % 65536
+                if s not in ring or name < ring[s]:
+                    ring[s] = name
+        slots = sorted(ring)
+        for key, consumer in got.items():
+            h = (int(key) * 2654435761) % 65536
+            j = bisect.bisect_left(slots, h)
+            want = ring[slots[j]] if j < len(slots) else ring[slots[0]]
+            assert consumer == want, (key, h, consumer, want)
+        # all consumers get some share
+        assert set(got.values()) == set(consumers)
+
+    def test_minimal_reshuffle_on_consumer_join(self, spark, messages):
+        """The property consistent hashing exists for: adding a consumer
+        moves only the keys landing on the new consumer's ring points —
+        keys that stay are served by the SAME consumer as before."""
+        from pulsar_spark.operators import consistent_hash_assignment
+
+        before = {
+            r.key: r.consumer_id
+            for r in consistent_hash_assignment(
+                messages, ["ca", "cb"], 16, deterministic_mod=True
+            ).select("key", "consumer_id").distinct().collect()
+        }
+        after = {
+            r.key: r.consumer_id
+            for r in consistent_hash_assignment(
+                messages, ["ca", "cb", "cc"], 16, deterministic_mod=True
+            ).select("key", "consumer_id").distinct().collect()
+        }
+        moved = {k for k in before if after[k] != before[k]}
+        assert all(after[k] == "cc" for k in moved), "keys moved between old consumers"
+        assert 0 < len(moved) < len(before)

@@ -33,7 +33,9 @@ KEYS = [
     "doc_shuffle_shards",
     "dlq",
     "topic_stats",
+    "partition_stats",
     "backlog_quota",
+    "key_shared_consistent",
     "doc_hash_sample",
     "doc_domain_mix",
     "doc_dup_spans",
