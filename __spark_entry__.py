@@ -1034,6 +1034,18 @@ def _q_pretraining_pipeline_v2(spark, sf_dir):
     return select_by_token_budget(scored, budget=15000)
 
 
+def _q_doc_pack_materialize(spark, sf_dir):
+    # packing plan materialized into trainer-ready shard blobs
+    # (functions/packing.py materialize_packed_shards): per-(shard,
+    # bin) ordered concat with an EOS separator; grouped arrays are
+    # bounded by a bin's docs, never a whole shard.
+    from pulsar_spark.functions import materialize_packed_shards
+
+    return materialize_packed_shards(
+        load_table(spark, sf_dir, "documents"), seq_len=512, shard_col="source"
+    )
+
+
 def _q_doc_pack_sequences(spark, sf_dir):
     # sequence-packing manifest (functions/packing.py): per-shard
     # streaming fill into 512-token bins; docs ordered by id inside
@@ -1521,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretraining_pipeline": _q_pretraining_pipeline,
         "pretraining_pipeline_v2": _q_pretraining_pipeline_v2,
         "doc_pack_sequences": _q_doc_pack_sequences,
+        "doc_pack_materialize": _q_doc_pack_materialize,
         "doc_embedding_join": _q_doc_embedding_join,
         "doc_contamination": _q_doc_contamination,
         "embedding_cosine_near_dups": _q_embedding_cosine_near_dups,
@@ -1553,7 +1566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": _q_doc_shuffle_shards,
         # -- core log-relational operators (driver-green r01+r02)
         "compact_publish_order": _q_compact_publish_order,
-        "compact_event_time": _q_compact_event_time,
         "table_view": _q_table_view,
         "dedup": _q_dedup,
         "ttl_expiry": _q_ttl_expiry,
@@ -1574,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq": _q_dlq,
         "topic_stats": _q_topic_stats,
         "partition_stats": _q_partition_stats,
+        "compact_event_time": _q_compact_event_time,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -2549,6 +2562,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM p GROUP BY source, bin_id
+        """,
+        "doc_pack_materialize": """
+            WITH tk AS (
+              SELECT doc_id, source, text,
+                     len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, source, text, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                          - n_tokens AS BIGINT) AS start_token
+              FROM tk
+            )
+            SELECT source, CAST(floor(start_token / 512.0) AS BIGINT) AS bin_id,
+                   string_agg(text, chr(10) ORDER BY start_token) AS shard_text,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM p GROUP BY source, bin_id
         """,
         "embedding_dedup_keep_one": """

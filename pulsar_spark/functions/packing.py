@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from pulsar_spark.functions.text import token_count
 
-__all__ = ["pack_sequences", "packing_stats"]
+__all__ = ["pack_sequences", "packing_stats", "materialize_packed_shards"]
 
 
 def pack_sequences(
@@ -72,4 +72,43 @@ def packing_stats(
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
+    )
+
+
+def materialize_packed_shards(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    separator: str = "\n",
+) -> DataFrame:
+    """Materialize the packing plan into trainer-ready shard blobs:
+    one row per (shard, bin) holding the documents that START in that
+    bin, concatenated in plan order with ``separator`` (the EOS-token
+    analog) between documents.
+
+    This is the step a tokenizer worker runs off the ``pack_sequences``
+    manifest — here fused into one job. Shape: the plan's per-shard
+    cumsum window, then one agg per (shard, bin) whose build side is
+    ``sort_array(collect_list(struct(start, text)))`` — grouped
+    arrays bounded by a bin's documents (~seq_len tokens), never a
+    whole shard, so no task materializes unbounded state.
+    """
+    packed = pack_sequences(docs, seq_len, shard_col, id_col, text_col)
+    return (
+        packed.groupBy(shard_col, "bin_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("start_token", F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                separator,
+            ).alias("shard_text"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
     )

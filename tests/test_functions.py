@@ -630,3 +630,25 @@ class TestSketchStats:
             r.approx_distinct_tokens for r in per_group.collect()
         )
         assert total >= mx
+
+
+class TestPackMaterialize:
+    def test_blobs_reconstruct_plan_order(self, documents):
+        from pulsar_spark.functions import materialize_packed_shards, pack_sequences
+
+        plan = pack_sequences(documents, seq_len=512).collect()
+        blobs = materialize_packed_shards(documents, seq_len=512, separator="|SEP|")
+        got = {
+            (r.source, r.bin_id): r.shard_text.split("|SEP|")
+            for r in blobs.collect()
+        }
+        want: dict[tuple, list] = {}
+        for r in sorted(plan, key=lambda r: (r.source, r.bin_id, r.start_token)):
+            want.setdefault((r.source, r.bin_id), []).append(r.text)
+        assert got == want
+        # totals line up with the manifest
+        stats = {
+            (r.source, r.bin_id): (r.n_docs, r.sum_tokens) for r in blobs.collect()
+        }
+        for key, texts in want.items():
+            assert stats[key][0] == len(texts)

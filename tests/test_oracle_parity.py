@@ -34,8 +34,10 @@ KEYS = [
     "dlq",
     "topic_stats",
     "partition_stats",
+    "compact_event_time",
     "backlog_quota",
     "key_shared_consistent",
+    "doc_pack_materialize",
     "doc_hash_sample",
     "doc_domain_mix",
     "doc_dup_spans",
