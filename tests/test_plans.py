@@ -85,3 +85,53 @@ class TestCorpusOpPlanBudgets:
         df.collect()
         # window by shard + final group; AQE may fuse to the same exchange
         assert exchange_count(df) <= 2
+
+
+class TestRound3PlanBudgets:
+    """Exchange budgets for the round-3 additions."""
+
+    def test_deterministic_shuffle_one_exchange(self, spark, documents):
+        from pulsar_spark.functions import deterministic_shuffle
+
+        df = deterministic_shuffle(documents, seed=7, num_shards=16)
+        df.collect()
+        assert exchange_count(df) == 1  # the per-shard window, nothing else
+
+    def test_consistent_hash_assignment_is_narrow(self, spark):
+        from pulsar_spark.operators import consistent_hash_assignment
+
+        base = spark.range(2000).select(F.col("id").cast("string").alias("key"))
+        df = consistent_hash_assignment(
+            base, ["ca", "cb", "cc"], 16, deterministic_mod=True
+        )
+        df.collect()
+        assert exchange_count(df) == 0  # ring lookup rides the scan
+
+    def test_backlog_quota_budget(self, spark, messages):
+        from pulsar_spark.operators import backlog_quota_evict
+
+        cursors = spark.range(8).select(
+            F.col("id").cast("int").alias("partition"),
+            F.lit(20).cast("bigint").alias("cursor_offset"),
+        )
+        df = backlog_quota_evict(messages, cursors, limit_rows=50)
+        df.collect()
+        # one window shuffle + the final agg reuses its partitioning
+        assert exchange_count(df) <= 2
+        assert broadcast_join_count(df) == 1  # the cursor map
+
+    def test_sketch_stats_single_shuffle(self, spark, documents):
+        from pulsar_spark.functions import sketch_token_stats
+
+        df = sketch_token_stats(documents, group_col="source")
+        df.collect()
+        assert exchange_count(df) == 1  # map-side partials -> one group agg
+
+    def test_pack_materialize_budget(self, spark, documents):
+        from pulsar_spark.functions import materialize_packed_shards
+
+        df = materialize_packed_shards(documents, seq_len=512)
+        df.collect()
+        # window cumsum + (shard,bin) agg; agg may reuse the window's
+        # hash partitioning but gets its own exchange when keys widen
+        assert exchange_count(df) <= 2
