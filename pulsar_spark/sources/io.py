@@ -263,9 +263,11 @@ def kv_sink(path: str, key_col: str = "key", order_col: str = "offset"):
         spark = df.sparkSession
         value_cols = [c for c in df.columns if c != key_col]
         merged = df
-        if os.path.isdir(path) and any(
-            f.startswith("part-") or f.startswith("_") for f in os.listdir(path)
-        ):
+        # Only merge when data files exist: a zero-row write leaves a
+        # _SUCCESS-only dir that parquet cannot infer a schema from. A
+        # present-but-unreadable part file still raises — store
+        # corruption must not be silently treated as an empty store.
+        if os.path.isdir(path) and any(f.startswith("part-") for f in os.listdir(path)):
             merged = merged.unionByName(spark.read.parquet(path), allowMissingColumns=False)
         latest = (
             merged.groupBy(key_col)
