@@ -2576,7 +2576,7 @@ def oracle_sql() -> dict[str, str]:
               FROM tk
             )
             SELECT source, CAST(floor(start_token / 512.0) AS BIGINT) AS bin_id,
-                   string_agg(text, chr(10) ORDER BY start_token) AS shard_text,
+                   string_agg(text, chr(10) ORDER BY start_token, doc_id) AS shard_text,
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM p GROUP BY source, bin_id

@@ -101,8 +101,18 @@ def materialize_packed_shards(
         .agg(
             F.array_join(
                 F.transform(
+                    # id in the sort struct: zero-token docs share a
+                    # start_token, and the plan's order for them is the
+                    # id order — without it the tie would break on raw
+                    # text bytes.
                     F.sort_array(
-                        F.collect_list(F.struct("start_token", F.col(text_col).alias("t")))
+                        F.collect_list(
+                            F.struct(
+                                "start_token",
+                                F.col(id_col).alias("i"),
+                                F.col(text_col).alias("t"),
+                            )
+                        )
                     ),
                     lambda s: s["t"],
                 ),

@@ -261,6 +261,13 @@ def kv_sink(path: str, key_col: str = "key", order_col: str = "offset"):
 
     def write(df: DataFrame) -> None:
         spark = df.sparkSession
+        old = path.rstrip("/") + "__old"
+        # Recover an interrupted swap FIRST: a crash between the two
+        # renames below leaves the store only under __old; restoring it
+        # before merging means no committed write is ever lost (same
+        # two-rename recovery discipline as tiered-storage offload).
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
         value_cols = [c for c in df.columns if c != key_col]
         merged = df
         # Only merge when data files exist: a zero-row write leaves a
@@ -276,7 +283,6 @@ def kv_sink(path: str, key_col: str = "key", order_col: str = "offset"):
         )
         staging = path.rstrip("/") + "__staging"
         latest.write.mode("overwrite").parquet(staging)
-        old = path.rstrip("/") + "__old"
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(path):
             os.rename(path, old)

@@ -114,6 +114,16 @@ def produce(
         payload = icept(payload)
     if registry is not None:
         registry.validate_produce(topic_path, payload)
+    # One read of the stored topic serves the quota check, the dedup
+    # high-water map and the offset rebase below — not three separate
+    # jobs per append. Presence is decided by the partition= dirs (a
+    # metadata check), so a real read error on existing data PROPAGATES
+    # instead of being silently treated as an empty topic.
+    existing = (
+        _read_topic_if_present(payload.sparkSession, topic_path)
+        if mode == "append"
+        else None
+    )
     if quota_rows is not None and mode == "append":
         # Producer-side backlog-quota policies (BacklogQuotaManager:
         # producer_exception raises ProducerBlockedQuotaExceededException,
@@ -123,11 +133,7 @@ def produce(
         # The row count is parquet-footer metadata, not a data scan.
         if quota_policy not in ("exception", "request_hold"):
             raise ValueError(f"unknown quota_policy: {quota_policy}")
-        spark0 = payload.sparkSession
-        try:
-            stored = spark0.read.parquet(topic_path).count()
-        except Exception:
-            stored = 0
+        stored = existing.count() if existing is not None else 0
         if stored >= quota_rows:
             raise BacklogQuotaExceededError(
                 f"topic {topic_path} holds {stored} rows >= quota {quota_rows} "
@@ -161,7 +167,7 @@ def produce(
         # discards the stored log (and with it the dedup high-water map),
         # so filtering the new batch against the data it is about to
         # replace would drop every row and write an empty topic.
-        high = _existing_sequences(spark, topic_path) if mode == "append" else None
+        high = _existing_sequences(existing)
         if high is not None:
             df = (
                 df.join(F.broadcast(high), on="producer_name", how="left")
@@ -206,7 +212,7 @@ def produce(
         .withColumn("key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"))
     )
 
-    base = _existing_offsets(spark, topic_path, num_partitions) if mode == "append" else None
+    base = _existing_offsets(existing)
     if base is not None:
         df = df.join(F.broadcast(base), on="partition", how="left").withColumn(
             "offset", F.col("offset") + F.coalesce(F.col("_base") + 1, F.lit(0))
@@ -269,20 +275,31 @@ def produce(
             )
 
 
-def _existing_offsets(spark: SparkSession, topic_path: str, num_partitions: int) -> DataFrame | None:
-    try:
-        existing = spark.read.parquet(topic_path)
-    except Exception:
+def _read_topic_if_present(spark: SparkSession, topic_path: str) -> DataFrame | None:
+    """The stored topic table, or None when no partition has ever been
+    written. Presence = ``partition=`` subdirectories exist (cheap
+    metadata check, mirroring the hive layout ``write_topic`` produces)
+    so that an actual read error on present data raises instead of
+    masquerading as an empty topic."""
+    import os
+
+    if not os.path.isdir(topic_path):
+        return None
+    if not any(n.startswith("partition=") for n in os.listdir(topic_path)):
+        return None
+    return spark.read.parquet(topic_path)
+
+
+def _existing_offsets(existing: DataFrame | None) -> DataFrame | None:
+    if existing is None:
         return None
     return existing.groupBy("partition").agg(F.max("offset").alias("_base"))
 
 
-def _existing_sequences(spark: SparkSession, topic_path: str) -> DataFrame | None:
+def _existing_sequences(existing: DataFrame | None) -> DataFrame | None:
     """Highest stored sequence per producer — the dedup high-water map
     (MessageDeduplication.java:112 highestSequencedPushed)."""
-    try:
-        existing = spark.read.parquet(topic_path)
-    except Exception:
+    if existing is None:
         return None
     return existing.groupBy("producer_name").agg(F.max("sequence_id").alias("_hiseq"))
 

@@ -261,6 +261,15 @@ class TestIORegistry:
             sink(spark.createDataFrame([("a", 1, "v1")], "k string, seq long, v string"))
             got = {r.k: r.v for r in spark.read.parquet(store).collect()}
             assert got["a"] == "v2"
+
+            # interrupted swap: crash left the store only under __old;
+            # the next write recovers it before merging — nothing lost
+            import os
+
+            os.rename(store, store + "__old")
+            sink(spark.createDataFrame([("d", 1, "y1")], "k string, seq long, v string"))
+            got = {r.k: r.v for r in spark.read.parquet(store).collect()}
+            assert got == {"a": "v2", "b": "w1", "c": "x1", "d": "y1"}
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
