@@ -171,6 +171,24 @@ def _q_backlog_quota(spark, sf_dir):
     return backlog_quota_evict(_messages(spark, sf_dir), cursors, limit_rows=300)
 
 
+def _q_compaction_trigger(spark, sf_dir):
+    # compactionThreshold trigger (operators/compaction.py
+    # compaction_due): bytes accumulated past the last compaction
+    # horizon vs the policy threshold, per partition.
+    from pulsar_spark.operators import compaction_due
+
+    horizon = spark.range(8).select(
+        F.col("id").cast("int").alias("partition"),
+        F.lit(CURSOR).cast("bigint").alias("compacted_offset"),
+    )
+    return compaction_due(
+        _messages(spark, sf_dir),
+        threshold_bytes=30000,
+        size_col=F.length("props"),
+        horizon=horizon,
+    )
+
+
 def _q_topic_stats(spark, sf_dir):
     from pulsar_spark.operators import topic_stats
 
@@ -1566,7 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": _q_doc_shuffle_shards,
         # -- core log-relational operators (driver-green r01+r02)
         "compact_publish_order": _q_compact_publish_order,
-        "table_view": _q_table_view,
+        "compaction_trigger": _q_compaction_trigger,
         "dedup": _q_dedup,
         "ttl_expiry": _q_ttl_expiry,
         "delayed_visibility": _q_delayed_visibility,
@@ -1587,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_stats": _q_topic_stats,
         "partition_stats": _q_partition_stats,
         "compact_event_time": _q_compact_event_time,
+        "table_view": _q_table_view,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -1782,6 +1801,15 @@ def oracle_sql() -> dict[str, str]:
         "backlog": f"""
             WITH {_M}
             SELECT partition, count(*) AS backlog
+            FROM messages WHERE "offset" > {CURSOR}
+            GROUP BY partition
+        """,
+        "compaction_trigger": f"""
+            WITH {_M}
+            SELECT partition,
+                   CAST(sum(length(props)) AS BIGINT) AS bytes_since,
+                   count(*) AS msgs_since,
+                   CAST(sum(length(props)) AS BIGINT) > 30000 AS due
             FROM messages WHERE "offset" > {CURSOR}
             GROUP BY partition
         """,

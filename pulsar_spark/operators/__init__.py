@@ -1,6 +1,7 @@
 from pulsar_spark.operators.compaction import (
     compact_topic_storage,
     read_compacted,
+    compaction_due,
     compact_publish_order,
     compact_event_time_order,
     compact_strategic,
@@ -39,6 +40,7 @@ __all__ = [
     "compact_strategic",
     "compact_topic_storage",
     "read_compacted",
+    "compaction_due",
     "dedup_messages",
     "ttl_filter",
     "retention_plan",

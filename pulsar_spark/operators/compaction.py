@@ -190,3 +190,40 @@ def read_compacted(spark, topic_path: str):
         F.col("horizon").isNull() | (F.col("offset") > F.col("horizon"))
     ).drop("horizon")
     return compacted.unionByName(tail)
+
+
+def compaction_due(
+    messages: DataFrame,
+    threshold_bytes: int,
+    size_col,
+    horizon: DataFrame | None = None,
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """The compactionThreshold trigger policy (PersistentTopics
+    setCompactionThreshold; the broker's checkCompaction runs the
+    compactor when bytes accumulated since the last compaction horizon
+    exceed the threshold). Returns per-partition
+    (partition, bytes_since, msgs_since, due).
+
+    ``horizon`` is (partition, compacted_offset) — the position the
+    last compaction run sealed (None = never compacted, everything
+    counts). ``size_col`` is a column or name giving each entry's
+    stored size. One broadcast horizon join + one agg; rides the same
+    partition key as every other per-partition stat.
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    df = messages
+    if horizon is not None:
+        df = df.join(F.broadcast(horizon), on=partition_col, how="left").where(
+            F.col("compacted_offset").isNull()
+            | (F.col(offset_col) > F.col("compacted_offset"))
+        )
+    return (
+        df.groupBy(partition_col)
+        .agg(
+            F.sum(size.cast("bigint")).alias("bytes_since"),
+            F.count("*").alias("msgs_since"),
+        )
+        .withColumn("due", F.col("bytes_since") > F.lit(int(threshold_bytes)))
+    )

@@ -38,6 +38,8 @@ KEYS = [
     "backlog_quota",
     "key_shared_consistent",
     "doc_pack_materialize",
+    "table_view",
+    "compaction_trigger",
     "doc_hash_sample",
     "doc_domain_mix",
     "doc_dup_spans",
