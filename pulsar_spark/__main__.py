@@ -13,6 +13,7 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark last    <topic_path>
   python -m pulsar_spark offload <topic_path> --cold <path> --before TS
   python -m pulsar_spark skip    <topic_path> -n N [--from-offset N]
+  python -m pulsar_spark update-partitions <topic_path> --partitions N
 """
 
 from __future__ import annotations
@@ -71,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     p_skip.add_argument("-n", "--count", type=int, required=True)
     p_skip.add_argument("--from-offset", type=int, default=0)
 
+    p_upd = sub.add_parser(
+        "update-partitions", help="grow a partitioned topic (updatePartitionedTopic)"
+    )
+    p_upd.add_argument("topic")
+    p_upd.add_argument("--partitions", type=int, required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "create":  # no Spark session needed
@@ -84,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
 
         truncate_topic(args.topic)
         print(json.dumps({"truncated": args.topic}))
+        return 0
+    if args.cmd == "update-partitions":  # sidecar-only metadata op
+        from pulsar_spark.sources.topics import update_partitions
+
+        update_partitions(args.topic, args.partitions)
+        print(json.dumps({"topic": args.topic, "partitions": args.partitions}))
         return 0
 
     from pyspark.sql import SparkSession
