@@ -1052,6 +1052,46 @@ def _q_pretraining_pipeline_v2(spark, sf_dir):
     return select_by_token_budget(scored, budget=15000)
 
 
+def _q_pretraining_pipeline_v3(spark, sf_dir):
+    # CAPSTONE v3 — the complete corpus -> trainer-shards story: the v2
+    # pipeline (dedup -> chunk dedup -> source cap -> quality gate ->
+    # budget selection), then the selected documents get a
+    # deterministic corpus shuffle and are materialized into packed
+    # EOS-separated shard blobs — the artifact a training job actually
+    # reads. Every stage is mirrored in the oracle, including the
+    # mid-pipeline text rebuild, the md5 shuffle order and the bin
+    # cumsum.
+    from pulsar_spark.functions import (
+        deterministic_shuffle,
+        exact_dedup,
+        materialize_packed_shards,
+        per_group_cap,
+        quality_metrics,
+        remove_duplicated_chunks,
+        select_by_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0))
+    cleaned = remove_duplicated_chunks(
+        corpus.select("doc_id", "text"), chunk_words=10, min_docs=2
+    )
+    with_src = cleaned.join(corpus.select("doc_id", "source"), "doc_id").withColumn(
+        "n_chars", F.length("text")
+    )
+    capped = per_group_cap(with_src, "source", cap=50, order_col="n_chars")
+    q = quality_metrics(capped.select("doc_id", "text")).where(F.col("n_tokens") >= 5)
+    scored = q.withColumn(
+        "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
+    )
+    selected = select_by_token_budget(scored, budget=15000)
+    chosen = selected.select("doc_id").join(capped.select("doc_id", "text"), "doc_id")
+    shuffled = deterministic_shuffle(chosen, key_col="doc_id", seed=13, num_shards=8)
+    return materialize_packed_shards(
+        shuffled, seq_len=512, shard_col="shard", id_col="position"
+    )
+
+
 def _q_doc_pack_materialize(spark, sf_dir):
     # packing plan materialized into trainer-ready shard blobs
     # (functions/packing.py materialize_packed_shards): per-(shard,
@@ -1550,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set_select_scalable": _q_training_set_select_scalable,
         "pretraining_pipeline": _q_pretraining_pipeline,
         "pretraining_pipeline_v2": _q_pretraining_pipeline_v2,
+        "pretraining_pipeline_v3": _q_pretraining_pipeline_v3,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_pack_materialize": _q_doc_pack_materialize,
         "doc_embedding_join": _q_doc_embedding_join,
@@ -1586,7 +1627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_publish_order": _q_compact_publish_order,
         "compaction_trigger": _q_compaction_trigger,
         "dedup": _q_dedup,
-        "ttl_expiry": _q_ttl_expiry,
         "delayed_visibility": _q_delayed_visibility,
         "seek_by_timestamp": _q_seek_by_timestamp,
         "backlog": _q_backlog,
@@ -1606,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_stats": _q_partition_stats,
         "compact_event_time": _q_compact_event_time,
         "table_view": _q_table_view,
+        "ttl_expiry": _q_ttl_expiry,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -2591,6 +2632,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM p GROUP BY source, bin_id
+        """,
+        "pretraining_pipeline_v3": """
+            WITH corpus AS (
+              SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+              QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+            ), toks0 AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM corpus
+            ), chunks AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                     array_to_string(w[(i-1)*10+1 : i*10], ' ') AS chunk
+              FROM toks0, LATERAL unnest(range(1, CAST(greatest(ceil(len(w)/10.0), 1) AS BIGINT) + 1)) AS t(i)
+              WHERE array_to_string(w[(i-1)*10+1 : i*10], ' ') <> ''
+            ), nd AS (
+              SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk
+            ), kept AS (
+              SELECT c.doc_id, c.pos, c.chunk FROM chunks c JOIN nd USING (chunk)
+              WHERE nd.n_docs < 2
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id
+            ), cleaned AS (
+              SELECT c.doc_id, COALESCE(r.text, '') AS text, c.source
+              FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+            ), capped AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY length(text) DESC, doc_id) AS rn
+                FROM cleaned
+              ) WHERE rn <= 50
+            ), toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+              FROM capped
+            ), q AS (
+              SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+                     round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6) AS distinct_ratio,
+                     round(CAST(len(list_filter(tok, t -> list_contains(
+                          ['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(tok), 6)
+                          AS stopword_ratio
+              FROM toks WHERE len(tok) >= 5
+            ), gated AS (
+              SELECT doc_id, n_tokens,
+                     round(distinct_ratio * (1 - stopword_ratio), 6) AS score
+              FROM q
+            ), sel AS (
+              SELECT doc_id,
+                     CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+              FROM gated
+            ), chosen AS (
+              SELECT c.doc_id, c.text FROM capped c JOIN sel USING (doc_id)
+              WHERE sel.cum_tokens <= 15000
+            ), sh AS (
+              SELECT doc_id, text, md5('13:' || doc_id) AS dg,
+                     CAST((('0x' || substr(md5('13:' || doc_id), 1, 8))::UBIGINT) % 8 AS INT)
+                       AS shard
+              FROM chosen
+            ), pos AS (
+              SELECT shard, doc_id, text,
+                     CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1
+                          AS BIGINT) AS position,
+                     len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+              FROM sh
+            ), pk AS (
+              SELECT shard, position, text, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY position)
+                          - n_tokens AS BIGINT) AS start_token
+              FROM pos
+            )
+            SELECT shard, CAST(floor(start_token / 512.0) AS BIGINT) AS bin_id,
+                   string_agg(text, chr(10) ORDER BY start_token, position) AS shard_text,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM pk GROUP BY shard, bin_id
         """,
         "doc_pack_materialize": """
             WITH tk AS (

@@ -39,7 +39,9 @@ KEYS = [
     "key_shared_consistent",
     "doc_pack_materialize",
     "table_view",
+    "ttl_expiry",
     "compaction_trigger",
+    "pretraining_pipeline_v3",
     "doc_hash_sample",
     "doc_domain_mix",
     "doc_dup_spans",
