@@ -191,6 +191,16 @@ def main() -> None:
             ).count(),
             remeasure=True,
         )
+        # x6: capstone v3 — the full corpus -> trainer-shards pipeline
+        # (dedup -> chunk dedup -> cap -> gate -> budget select ->
+        # deterministic shuffle -> packed shard blobs). Reported as an
+        # extra (added round 3) so headline_total stays comparable
+        # across rounds.
+        timed(
+            "x6_pretraining_to_shards",
+            lambda: _entry.queries()["pretraining_pipeline_v3"](spark, sf_dir).count(),
+            remeasure=True,
+        )
 
         # x5: corpus-hygiene pass (deterministic half-sample -> PII
         # scrub -> cross-doc duplicated-5-gram fraction) — the narrow
@@ -222,7 +232,7 @@ def main() -> None:
     # round-over-round trend stays meaningful; queries added in later
     # rounds (x4b) are timed and reported but listed under extras —
     # adding a brand-new query must not read as a perf regression.
-    extras = ["x4b_training_select_scalable"]
+    extras = ["x4b_training_select_scalable", "x6_pretraining_to_shards"]
     total = round(sum(v for k, v in timings.items() if k not in extras), 3)
     print(
         json.dumps(
