@@ -96,6 +96,19 @@ def struct_to_avro_schema(st: StructType, name: str = "Record") -> dict:
             t = {"type": "long", "logicalType": "timestamp-micros"}
         elif s == "date":
             t = {"type": "int", "logicalType": "date"}
+        elif s.startswith("decimal("):
+            # Avro decimal logical type: two's-complement big-endian
+            # unscaled integer in a bytes field (the mapping Pulsar's
+            # Avro schemas use for BigDecimal POJO fields)
+            from pyspark.sql.types import DecimalType
+
+            assert isinstance(dt, DecimalType)
+            t = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         else:
             raise ValueError(f"no Avro mapping for Spark type {s}")
         return ["null", t] if nullable else t
@@ -149,6 +162,10 @@ def avro_to_struct_schema(schema: dict | str) -> StructType:
                 from pyspark.sql.types import DateType
 
                 return DateType(), False
+            if lt == "decimal":
+                from pyspark.sql.types import DecimalType
+
+                return DecimalType(t.get("precision", 10), t.get("scale", 0)), False
             return conv(kind)  # plain {"type": "long"} wrapper
         if t in _PRIMITIVE_TO_SPARK:
             return _PRIMITIVE_TO_SPARK[t], False
@@ -263,6 +280,17 @@ class _AvroWriter:
                     v = (v - _dt.date(1970, 1, 1)).days
                 self._write(kind, int(v), out)
                 return
+            if lt == "decimal":
+                import decimal as _decimal
+
+                scale = int(t.get("scale", 0))
+                unscaled = int(_decimal.Decimal(str(v)).scaleb(scale))
+                # minimal two's-complement big-endian length
+                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+                self._write(
+                    kind, unscaled.to_bytes(nbytes, "big", signed=True), out
+                )
+                return
             self._write(kind, v, out)
             return
         if t in ("int", "long"):
@@ -347,6 +375,11 @@ class _AvroReader:
                 import datetime as _dt
 
                 return _dt.date(1970, 1, 1) + _dt.timedelta(days=self._read(kind))
+            if lt == "decimal":
+                import decimal as _decimal
+
+                unscaled = int.from_bytes(self._read(kind), "big", signed=True)
+                return _decimal.Decimal(unscaled).scaleb(-int(t.get("scale", 0)))
             return self._read(kind)
         if t in ("int", "long"):
             return self._varint()

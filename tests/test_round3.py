@@ -1465,3 +1465,47 @@ class TestPrimitiveSchemas:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, plan
+
+
+class TestAvroDecimal:
+    def test_decimal_logical_type_round_trip(self, spark):
+        """Avro decimal logical type (bytes + two's-complement unscaled
+        int): negative, zero, high-precision and nullable values all
+        survive the wire round-trip with exact precision."""
+        from decimal import Decimal
+
+        from pyspark.sql.types import DecimalType, LongType, StructField, StructType
+
+        from pulsar_spark.schema_codecs import (
+            avro_decode,
+            avro_encode,
+            avro_to_struct_schema,
+            struct_to_avro_schema,
+        )
+
+        st = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("amount", DecimalType(12, 4), True),
+            ]
+        )
+        rows = [
+            (1, Decimal("1234.5678")),
+            (2, Decimal("-0.0001")),
+            (3, Decimal("0.0000")),
+            (4, None),
+            (5, Decimal("-99999999.9999")),
+        ]
+        df = spark.createDataFrame(rows, st)
+        schema = struct_to_avro_schema(st, name="Pay")
+        amt = schema["fields"][1]["type"][1]
+        assert amt["logicalType"] == "decimal" and amt["scale"] == 4
+
+        # schema maps back to the same Spark decimal type
+        back = avro_to_struct_schema(schema)
+        assert back["amount"].dataType.simpleString() == "decimal(12,4)"
+
+        enc = avro_encode(df, ["id", "amount"], record_name="Pay")
+        dec = avro_decode(enc, schema)
+        got = {r.id: r.amount for r in dec.collect()}
+        assert got == dict(rows)
