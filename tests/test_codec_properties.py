@@ -152,3 +152,33 @@ def test_proto_field_number_gaps_ignored():
     )
     got = c_sparse.decode(payload)
     assert got == {"si": -9, "flag": True}
+
+
+DECIMAL_SCHEMA = {
+    "type": "record",
+    "name": "D",
+    "fields": [
+        {
+            "name": "amt",
+            "type": [
+                "null",
+                {"type": "bytes", "logicalType": "decimal", "precision": 20, "scale": 6},
+            ],
+        }
+    ],
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    unscaled=st.one_of(
+        st.none(), st.integers(min_value=-(10**20) + 1, max_value=10**20 - 1)
+    )
+)
+def test_avro_decimal_round_trip(unscaled):
+    import decimal
+
+    v = None if unscaled is None else decimal.Decimal(unscaled).scaleb(-6)
+    rec = {"amt": v}
+    out = _AvroReader(DECIMAL_SCHEMA).decode(_AvroWriter(DECIMAL_SCHEMA).encode(rec))
+    assert out["amt"] == v
