@@ -189,6 +189,35 @@ def _q_compaction_trigger(spark, sf_dir):
     )
 
 
+def _q_scalable_split_stats(spark, sf_dir):
+    # scalable topics (sources/scalable.py): create a 2-segment topic,
+    # produce half the events, SPLIT segment 0 (seal + two children
+    # halving the range), produce the rest, and report per-segment
+    # range/state/counts — the oracle re-derives the same layout and
+    # routing from the HashRange spec alone.
+    import tempfile
+
+    from pulsar_spark.sources import (
+        create_scalable_topic,
+        produce_scalable,
+        scalable_stats,
+        split_segment,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    payload = events.selectExpr("CAST(user_id AS STRING) AS k", "event_id")
+    d = tempfile.mkdtemp(prefix="psscal_") + "/topic"
+    create_scalable_topic(d, num_initial_segments=2)
+    produce_scalable(
+        payload.where(F.col("event_id") % 2 == 0), d, key_col="k", deterministic_mod=True
+    )
+    split_segment(d, 0)
+    produce_scalable(
+        payload.where(F.col("event_id") % 2 == 1), d, key_col="k", deterministic_mod=True
+    )
+    return scalable_stats(spark, d)
+
+
 def _q_topic_stats(spark, sf_dir):
     from pulsar_spark.operators import topic_stats
 
@@ -1627,7 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_publish_order": _q_compact_publish_order,
         "compaction_trigger": _q_compaction_trigger,
         "dedup": _q_dedup,
-        "delayed_visibility": _q_delayed_visibility,
+        "scalable_split_stats": _q_scalable_split_stats,
         "seek_by_timestamp": _q_seek_by_timestamp,
         "backlog": _q_backlog,
         "backlog_quota": _q_backlog_quota,
@@ -1647,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_event_time": _q_compact_event_time,
         "table_view": _q_table_view,
         "ttl_expiry": _q_ttl_expiry,
+        "delayed_visibility": _q_delayed_visibility,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -1844,6 +1874,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT partition, count(*) AS backlog
             FROM messages WHERE "offset" > {CURSOR}
             GROUP BY partition
+        """,
+        "scalable_split_stats": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     (CAST(user_id AS BIGINT) * 2654435761) % 65536 AS slot
+              FROM events
+            ), assigned AS (
+              SELECT CASE WHEN event_id % 2 = 0
+                          THEN (CASE WHEN slot <= 32767 THEN 0 ELSE 1 END)
+                          ELSE (CASE WHEN slot <= 16383 THEN 2
+                                     WHEN slot <= 32767 THEN 3
+                                     ELSE 1 END)
+                     END AS segment, user_id
+              FROM e
+            ), counts AS (
+              SELECT segment, count(*) AS msg_count,
+                     count(DISTINCT user_id) AS key_count
+              FROM assigned GROUP BY segment
+            ), side(segment, hash_start, hash_end, state) AS (
+              VALUES (0, 0, 32767, 'SEALED'),
+                     (1, 32768, 65535, 'ACTIVE'),
+                     (2, 0, 16383, 'ACTIVE'),
+                     (3, 16384, 32767, 'ACTIVE')
+            )
+            SELECT s.segment, s.hash_start, s.hash_end, s.state,
+                   coalesce(c.msg_count, 0) AS msg_count,
+                   coalesce(c.key_count, 0) AS key_count
+            FROM side s LEFT JOIN counts c USING (segment)
         """,
         "compaction_trigger": f"""
             WITH {_M}

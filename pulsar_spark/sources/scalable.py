@@ -1,0 +1,433 @@
+"""Scalable topics — dynamic hash-range segments with split/merge and
+checkpoint consumers.
+
+Reference semantics (the v5 surface):
+- A scalable topic is a set of SEGMENTS, each owning an inclusive hash
+  range over the 16-bit space [0x0000, 0xFFFF]
+  (pulsar-common/.../scalable/HashRange.java: MIN_HASH/MAX_HASH,
+  contains/split/isAdjacentTo).
+- A keyed message routes to the ACTIVE segment whose range contains its
+  segment hash = high 16 bits of murmur3_32(key)
+  (ScalableTopicHashing.java:segmentHash; SegmentRouter.java:route);
+  keyless messages round-robin across active segments
+  (SegmentRouter.routeRoundRobin).
+- splitSegment halves a hot segment's range ([start, mid], [mid+1, end]
+  — HashRange.split), sealing the parent (SegmentState.java ACTIVE ->
+  SEALED) and recording parent/child links; mergeSegments fuses two
+  ADJACENT active segments (client/admin/ScalableTopics.java
+  splitSegment/mergeSegments; ScalableTopicMetadata.SegmentInfo).
+- A CheckpointConsumer has NO broker-side cursor: its position is an
+  opaque serializable vector over segments that the caller stores
+  externally (capi-v5/Checkpoint.java toByteArray/fromByteArray with
+  earliest()/latest() sentinels; CheckpointConsumer.java checkpoint()).
+- migrateToScalable converts a classic partitioned topic
+  (ScalableTopics.java migrateToScalable).
+
+Spark-first layout: one directory per topic, hive-partitioned by
+``segment=N`` (partition pruning over segments is free), plus a
+``_scalable.json`` metadata sidecar (epoch, next id, per-segment range/
+state/lineage — the ScalableTopicMetadata analog). Segment ids are
+assigned monotonically, so a key's history reads in publish order as
+(segment_id, offset): at any epoch the key lives in exactly one active
+segment, and every later home has a larger id.
+
+Divergence, documented: ``migrate_to_scalable`` REWRITES the data into
+range-routed segments in one distributed job instead of keeping
+mod-N "legacy segments" (SegmentRouter.routeModN). The reference
+avoids a broker-side rewrite; on Spark the rewrite is one shuffle and
+buys a uniform layout where split/merge need no special cases.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MIN_HASH = 0x0000
+MAX_HASH = 0xFFFF
+
+_META = "_scalable.json"
+
+
+class SegmentGoneError(RuntimeError):
+    """Send targeted a sealed/unknown segment (the condition
+    ScalableTopicProducer retries on when a layout change races a
+    send)."""
+
+
+def _write_meta(topic_path: str, meta: dict) -> None:
+    os.makedirs(topic_path, exist_ok=True)
+    with open(os.path.join(topic_path, _META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+
+
+def scalable_metadata(topic_path: str) -> dict:
+    """ScalableTopics.getMetadata analog."""
+    f = os.path.join(topic_path, _META)
+    if not os.path.exists(f):
+        raise ValueError(f"not a scalable topic (no {_META}): {topic_path}")
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def create_scalable_topic(
+    topic_path: str, num_initial_segments: int = 2, properties: dict | None = None
+) -> None:
+    """ScalableTopics.createScalableTopic: carve [0x0000, 0xFFFF] into
+    ``num_initial_segments`` near-equal inclusive ranges."""
+    if not 1 <= num_initial_segments <= MAX_HASH + 1:
+        raise ValueError(f"numInitialSegments out of range: {num_initial_segments}")
+    if os.path.exists(os.path.join(topic_path, _META)):
+        raise ValueError(f"scalable topic already exists: {topic_path}")
+    span = MAX_HASH + 1
+    segments = {}
+    for i in range(num_initial_segments):
+        start = span * i // num_initial_segments
+        end = span * (i + 1) // num_initial_segments - 1
+        segments[str(i)] = {
+            "segment_id": i,
+            "start": start,
+            "end": end,
+            "state": "ACTIVE",
+            "parent_ids": [],
+            "child_ids": [],
+            "created_at_epoch": 0,
+            "sealed_at_epoch": None,
+        }
+    _write_meta(
+        topic_path,
+        {
+            "epoch": 0,
+            "next_segment_id": num_initial_segments,
+            "segments": segments,
+            "properties": properties or {},
+        },
+    )
+
+
+def active_segments(meta: dict) -> list[dict]:
+    """Active segments sorted by hash range (SegmentRouter contract)."""
+    segs = [s for s in meta["segments"].values() if s["state"] == "ACTIVE"]
+    return sorted(segs, key=lambda s: s["start"])
+
+
+def segment_hash(key, deterministic_mod: bool = False):
+    """Key -> 16-bit segment hash. The reference takes the HIGH 16 bits
+    of murmur3_32 (ScalableTopicHashing.segmentHash: ``(murmur >>> 16)
+    & 0xFFFF``; Spark's ``hash`` IS murmur3_32). ``deterministic_mod``
+    switches to the Knuth multiplicative slot the rest of the engine
+    uses for cross-engine oracle tests (DuckDB has no murmur3)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    if deterministic_mod:
+        return F.pmod(key_col.cast("bigint") * F.lit(2654435761), F.lit(MAX_HASH + 1)).cast(
+            "int"
+        )
+    return (
+        F.shiftrightunsigned(F.hash(key_col), 16).cast("bigint") % (MAX_HASH + 1)
+    ).cast("int")
+
+
+def route_segment(key, meta: dict, deterministic_mod: bool = False):
+    """Hash -> owning ACTIVE segment id as a literal CASE over the
+    current layout (the SegmentRouter.route loop, compiled into the
+    plan — assignment rides the scan, no join)."""
+    h = segment_hash(key, deterministic_mod)
+    segs = active_segments(meta)
+    if not segs:
+        raise SegmentGoneError("no active segments")
+    expr = None
+    for s in segs:
+        cond = (h >= s["start"]) & (h <= s["end"])
+        expr = F.when(cond, s["segment_id"]) if expr is None else expr.when(cond, s["segment_id"])
+    return expr.cast("int")
+
+
+def produce_scalable(
+    payload: DataFrame,
+    topic_path: str,
+    key_col: str | None = None,
+    producer_name: str = "producer-0",
+    event_time_col: str | None = None,
+    codec: str = "snappy",
+    deterministic_mod: bool = False,
+) -> None:
+    """Append to a scalable topic: route each row to its active segment
+    (keyed: hash-range; keyless: round-robin over active segments),
+    mint the envelope, continue per-segment offsets. Same single
+    topic read + window shape as the classic ``produce``."""
+    meta = scalable_metadata(topic_path)
+    segs = active_segments(meta)
+    if key_col:
+        seg = route_segment(key_col, meta, deterministic_mod)
+    else:
+        ids = [s["segment_id"] for s in segs]
+        idx = F.pmod(F.monotonically_increasing_id(), F.lit(len(ids))).cast("int")
+        mapping = F.create_map(*[F.lit(x) for i, sid in enumerate(ids) for x in (i, sid)])
+        seg = mapping[idx]
+    df = payload.withColumn("segment", seg)
+
+    spark = payload.sparkSession
+    existing = _read_if_present(spark, topic_path)
+    w = Window.partitionBy("segment").orderBy(F.monotonically_increasing_id())
+    df = (
+        df.withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn("producer_name", F.lit(producer_name))
+        .withColumn("publish_time", F.current_timestamp())
+        .withColumn(
+            "event_time",
+            F.col(event_time_col) if event_time_col else F.current_timestamp(),
+        )
+        .withColumn(
+            "key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
+        )
+    )
+    if existing is not None:
+        base = existing.groupBy("segment").agg(F.max("offset").alias("_base"))
+        df = (
+            df.join(F.broadcast(base), on="segment", how="left")
+            .withColumn("offset", F.col("offset") + F.coalesce(F.col("_base") + 1, F.lit(0)))
+            .drop("_base")
+        )
+    (
+        df.write.mode("append")
+        .option("compression", codec)
+        .partitionBy("segment")
+        .parquet(topic_path)
+    )
+
+
+def _read_if_present(spark: SparkSession, topic_path: str) -> DataFrame | None:
+    if not os.path.isdir(topic_path):
+        return None
+    if not any(n.startswith("segment=") for n in os.listdir(topic_path)):
+        return None
+    return spark.read.parquet(topic_path)
+
+
+def read_scalable(
+    spark: SparkSession, topic_path: str, include_sealed: bool = True
+) -> DataFrame:
+    """Scan a scalable topic. Per-key publish order is
+    ``(segment_id, offset)``: segment ids are creation-ordered and a
+    key occupies one active segment per epoch, so every later home of
+    a key has a strictly larger id."""
+    df = _read_if_present(spark, topic_path)
+    if df is None:
+        raise ValueError(f"empty scalable topic: {topic_path}")
+    if not include_sealed:
+        meta = scalable_metadata(topic_path)
+        ids = [s["segment_id"] for s in active_segments(meta)]
+        df = df.where(F.col("segment").isin(ids))
+    return df
+
+
+def split_segment(topic_path: str, segment_id: int) -> tuple[int, int]:
+    """ScalableTopics.splitSegment: seal the segment and create two
+    children halving its range (HashRange.split: [start, mid],
+    [mid+1, end]). Stored data stays under the sealed parent; new
+    produce routes over the children. Returns the child ids."""
+    meta = scalable_metadata(topic_path)
+    s = meta["segments"].get(str(segment_id))
+    if s is None or s["state"] != "ACTIVE":
+        raise SegmentGoneError(f"segment {segment_id} is not active in {topic_path}")
+    if s["end"] - s["start"] + 1 < 2:
+        raise ValueError(f"cannot split range of size {s['end'] - s['start'] + 1}")
+    mid = s["start"] + (s["end"] - s["start"]) // 2
+    epoch = meta["epoch"] + 1
+    ids = (meta["next_segment_id"], meta["next_segment_id"] + 1)
+    for cid, (lo, hi) in zip(ids, ((s["start"], mid), (mid + 1, s["end"]))):
+        meta["segments"][str(cid)] = {
+            "segment_id": cid,
+            "start": lo,
+            "end": hi,
+            "state": "ACTIVE",
+            "parent_ids": [segment_id],
+            "child_ids": [],
+            "created_at_epoch": epoch,
+            "sealed_at_epoch": None,
+        }
+    s["state"] = "SEALED"
+    s["sealed_at_epoch"] = epoch
+    s["child_ids"] = list(ids)
+    meta["epoch"] = epoch
+    meta["next_segment_id"] += 2
+    _write_meta(topic_path, meta)
+    return ids
+
+
+def merge_segments(topic_path: str, id_a: int, id_b: int) -> int:
+    """ScalableTopics.mergeSegments: fuse two ADJACENT active segments
+    (HashRange.isAdjacentTo) into one child covering the union."""
+    meta = scalable_metadata(topic_path)
+    a = meta["segments"].get(str(id_a))
+    b = meta["segments"].get(str(id_b))
+    for sid, s in ((id_a, a), (id_b, b)):
+        if s is None or s["state"] != "ACTIVE":
+            raise SegmentGoneError(f"segment {sid} is not active in {topic_path}")
+    if not (a["end"] + 1 == b["start"] or b["end"] + 1 == a["start"]):
+        raise ValueError(f"segments {id_a} and {id_b} are not adjacent")
+    epoch = meta["epoch"] + 1
+    cid = meta["next_segment_id"]
+    meta["segments"][str(cid)] = {
+        "segment_id": cid,
+        "start": min(a["start"], b["start"]),
+        "end": max(a["end"], b["end"]),
+        "state": "ACTIVE",
+        "parent_ids": [id_a, id_b],
+        "child_ids": [],
+        "created_at_epoch": epoch,
+        "sealed_at_epoch": None,
+    }
+    for sid, s in ((id_a, a), (id_b, b)):
+        s["state"] = "SEALED"
+        s["sealed_at_epoch"] = epoch
+        s["child_ids"] = [cid]
+    meta["epoch"] = epoch
+    meta["next_segment_id"] += 1
+    _write_meta(topic_path, meta)
+    return cid
+
+
+def scalable_stats(spark: SparkSession, topic_path: str) -> DataFrame:
+    """ScalableTopics.getStats analog: per-segment entry counts and key
+    cardinality joined with the sidecar's range/state."""
+    meta = scalable_metadata(topic_path)
+    rows = [
+        (s["segment_id"], s["start"], s["end"], s["state"])
+        for s in sorted(meta["segments"].values(), key=lambda s: s["segment_id"])
+    ]
+    side = spark.createDataFrame(
+        rows, "segment int, hash_start int, hash_end int, state string"
+    )
+    data = _read_if_present(spark, topic_path)
+    counts = (
+        data.groupBy("segment").agg(
+            F.count("*").alias("msg_count"), F.countDistinct("key").alias("key_count")
+        )
+        if data is not None
+        else spark.createDataFrame([], "segment int, msg_count long, key_count long")
+    )
+    return (
+        side.join(counts, on="segment", how="left")
+        .withColumn("msg_count", F.coalesce("msg_count", F.lit(0)))
+        .withColumn("key_count", F.coalesce("key_count", F.lit(0)))
+        .orderBy("segment")
+    )
+
+
+def auto_scale_plan(
+    spark: SparkSession, topic_path: str, max_msgs_per_segment: int
+) -> list[int]:
+    """The auto-scale decision (setAutoScalePolicy): active segments
+    whose stored backlog exceeds the policy threshold are due a split.
+    Plan only — the caller invokes ``split_segment`` per id (the
+    reference's controller does the same from SegmentLoadStats)."""
+    stats = scalable_stats(spark, topic_path)
+    return [
+        r.segment
+        for r in stats.where(
+            (F.col("state") == "ACTIVE") & (F.col("msg_count") > max_msgs_per_segment)
+        ).collect()
+    ]
+
+
+def migrate_to_scalable(
+    spark: SparkSession,
+    partitioned_topic_path: str,
+    dest_path: str,
+    num_segments: int | None = None,
+    deterministic_mod: bool = False,
+) -> None:
+    """ScalableTopics.migrateToScalable: convert a classic partitioned
+    topic into a scalable one. One distributed rewrite re-routes every
+    stored row by hash range (see module docstring for the documented
+    divergence from the reference's in-place legacy-segment scheme);
+    offsets are re-minted per segment in (partition, offset) order so
+    per-key relative order survives the move."""
+    src = spark.read.parquet(partitioned_topic_path)
+    n = num_segments or src.select("partition").distinct().count()
+    create_scalable_topic(dest_path, num_initial_segments=n)
+    meta = scalable_metadata(dest_path)
+    seg = route_segment("key", meta, deterministic_mod)
+    w = Window.partitionBy("segment").orderBy("partition", "offset")
+    (
+        src.withColumn("segment", seg)
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("partition")
+        .write.mode("append")
+        .partitionBy("segment")
+        .parquet(dest_path)
+    )
+
+
+# ------------------------------------------------------- checkpoint consumer
+
+
+class Checkpoint:
+    """The capi-v5 Checkpoint analog: an opaque, serializable position
+    vector over segments, stored by the CALLER (Flink state, S3, a
+    Spark checkpoint dir) — the topic keeps no cursor for it.
+
+    ``offsets`` maps segment_id -> next offset to read (exclusive high
+    water). Missing segments read from their beginning, so a
+    checkpoint taken before a split remains valid afterwards: the
+    sealed parent's position is retained and new children start at 0.
+    """
+
+    def __init__(self, offsets: dict[int, int] | None = None, latest: bool = False):
+        self.offsets = {int(k): int(v) for k, v in (offsets or {}).items()}
+        self.latest = latest
+
+    # Checkpoint.earliest() / latest() sentinels
+    @classmethod
+    def earliest(cls) -> "Checkpoint":
+        return cls({})
+
+    @classmethod
+    def latest(cls) -> "Checkpoint":
+        return cls({}, latest=True)
+
+    # Checkpoint.toByteArray() / fromByteArray()
+    def to_bytes(self) -> bytes:
+        return json.dumps(
+            {"latest": self.latest, "offsets": {str(k): v for k, v in self.offsets.items()}},
+            sort_keys=True,
+        ).encode("utf-8")
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Checkpoint":
+        d = json.loads(data.decode("utf-8"))
+        return cls(d.get("offsets", {}), latest=bool(d.get("latest")))
+
+
+def read_from_checkpoint(
+    spark: SparkSession, topic_path: str, ckpt: Checkpoint
+) -> tuple[DataFrame, Checkpoint]:
+    """CheckpointConsumer.receive + checkpoint() as one bounded batch:
+    every row at or past the vector, plus the ADVANCED checkpoint that
+    resumes exactly after them (exclusive next-offset per segment, so
+    resume is gap- and duplicate-free). The advanced vector is one
+    8-ish-row aggregate — the data itself is never collected."""
+    df = _read_if_present(spark, topic_path)
+    if df is None:
+        empty = spark.createDataFrame([], "segment int, offset bigint")
+        return empty, Checkpoint(dict(ckpt.offsets), latest=False)
+    highs = {
+        r.segment: r.mx + 1
+        for r in df.groupBy("segment").agg(F.max("offset").alias("mx")).collect()
+    }
+    if ckpt.latest:
+        return df.limit(0), Checkpoint(highs)
+    start = F.create_map(
+        *[F.lit(x) for sid, off in sorted(ckpt.offsets.items()) for x in (sid, off)]
+    )
+    out = df.where(
+        F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0))
+    ) if ckpt.offsets else df
+    merged = dict(ckpt.offsets)
+    merged.update(highs)
+    return out, Checkpoint(merged)

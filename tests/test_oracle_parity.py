@@ -40,6 +40,8 @@ KEYS = [
     "doc_pack_materialize",
     "table_view",
     "ttl_expiry",
+    "delayed_visibility",
+    "scalable_split_stats",
     "compaction_trigger",
     "pretraining_pipeline_v3",
     "doc_hash_sample",
@@ -136,8 +138,10 @@ def test_query_matches_oracle(spark, entry, oracle, key):
                 a.astype(float), b.astype(float), atol=1e-9, equal_nan=True
             ), f"{key}.{c}"
         elif a.dtype.kind == "M" or b.dtype.kind == "M":
-            assert (
-                a.astype("datetime64[us]") == b.astype("datetime64[us]")
-            ).all(), f"{key}.{c}"
+            # NaT == NaT is False; compare the null masks, then values
+            a2, b2 = a.astype("datetime64[us]"), b.astype("datetime64[us]")
+            assert (a2.isna() == b2.isna()).all(), f"{key}.{c} null mask"
+            m = ~a2.isna()
+            assert (a2[m] == b2[m]).all(), f"{key}.{c}"
         else:
             assert (a.astype(str) == b.astype(str)).all(), f"{key}.{c}"

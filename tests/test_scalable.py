@@ -1,0 +1,245 @@
+"""Scalable topics: hash-range segments, split/merge, checkpoint
+consumers, migration.
+
+Golden semantics: pulsar-common/.../scalable/HashRange.java (16-bit
+inclusive ranges, halving split, adjacency merge),
+ScalableTopicHashing.java (segment hash = murmur high 16 bits),
+client/impl/v5/SegmentRouter.java (range route, keyless round-robin),
+capi-v5/Checkpoint.java + CheckpointConsumer.java (caller-held
+serializable position vector, earliest/latest sentinels),
+client/admin/ScalableTopics.java (create/split/merge/stats/migrate).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _payload(spark, n=400, key_mod=83, shift=0):
+    return spark.range(n).selectExpr(
+        f"CAST(id % {key_mod} AS STRING) AS k", f"id + {shift} AS v"
+    )
+
+
+class TestScalableLifecycle:
+    def test_create_covers_full_space(self, tmp_path):
+        from pulsar_spark.sources import create_scalable_topic, scalable_metadata
+        from pulsar_spark.sources.scalable import MAX_HASH, active_segments
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=3)
+        meta = scalable_metadata(d)
+        segs = active_segments(meta)
+        assert len(segs) == 3
+        assert segs[0]["start"] == 0 and segs[-1]["end"] == MAX_HASH
+        for a, b in zip(segs, segs[1:]):
+            assert a["end"] + 1 == b["start"]  # contiguous, non-overlapping
+
+        with pytest.raises(ValueError):
+            create_scalable_topic(d)  # already exists
+
+    def test_produce_routes_by_range_and_reads_back(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            create_scalable_topic,
+            produce_scalable,
+            read_scalable,
+            scalable_metadata,
+        )
+        from pulsar_spark.sources.scalable import active_segments, segment_hash
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=4)
+        produce_scalable(_payload(spark), d, key_col="k")
+        got = read_scalable(spark, d)
+        assert got.count() == 400
+        # every row sits in the segment owning its hash
+        ranges = {
+            s["segment_id"]: (s["start"], s["end"])
+            for s in active_segments(scalable_metadata(d))
+        }
+        rows = got.withColumn("h", segment_hash(F.col("key"))).select(
+            "segment", "h"
+        ).collect()
+        for r in rows:
+            lo, hi = ranges[r.segment]
+            assert lo <= r.h <= hi
+        # offsets dense per segment
+        per = got.groupBy("segment").agg(F.max("offset").alias("mx"), F.count("*").alias("c"))
+        assert all(r.mx == r.c - 1 for r in per.collect())
+
+    def test_keyless_round_robin(self, spark, tmp_path):
+        from pulsar_spark.sources import create_scalable_topic, produce_scalable, read_scalable
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=4)
+        produce_scalable(_payload(spark).drop("k"), d)
+        counts = {r.segment: r.c for r in read_scalable(spark, d).groupBy("segment").count().withColumnRenamed("count", "c").collect()}
+        assert set(counts) == {0, 1, 2, 3}
+        assert max(counts.values()) <= 2 * min(counts.values())
+
+
+class TestSplitMerge:
+    def test_split_seals_parent_and_reroutes(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            create_scalable_topic,
+            produce_scalable,
+            read_scalable,
+            scalable_metadata,
+            split_segment,
+        )
+        from pulsar_spark.sources.scalable import SegmentGoneError
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        produce_scalable(_payload(spark), d, key_col="k")
+        before = {r.segment for r in read_scalable(spark, d).select("segment").distinct().collect()}
+        assert before == {0, 1}
+
+        c1, c2 = split_segment(d, 0)
+        meta = scalable_metadata(d)
+        assert meta["segments"]["0"]["state"] == "SEALED"
+        assert meta["segments"]["0"]["child_ids"] == [c1, c2]
+        k0 = meta["segments"]["0"]
+        assert meta["segments"][str(c1)]["start"] == k0["start"]
+        assert meta["segments"][str(c2)]["end"] == k0["end"]
+        assert meta["segments"][str(c1)]["end"] + 1 == meta["segments"][str(c2)]["start"]
+
+        # a second split of the sealed parent is refused
+        with pytest.raises(SegmentGoneError):
+            split_segment(d, 0)
+
+        # new appends route over children; nothing new lands in the parent
+        produce_scalable(_payload(spark, shift=1000), d, key_col="k")
+        after = read_scalable(spark, d)
+        assert after.count() == 800
+        new_rows = after.where(F.col("v") >= 1000)
+        assert {r.segment for r in new_rows.select("segment").distinct().collect()} & {0} == set()
+        # full key history intact
+        assert after.select("key").distinct().count() == 83
+
+    def test_per_key_order_is_segment_then_offset(self, spark, tmp_path):
+        from pulsar_spark.sources import create_scalable_topic, produce_scalable, read_scalable, split_segment
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        # v encodes send order per key: id, then id+1000 after the split
+        produce_scalable(_payload(spark), d, key_col="k")
+        split_segment(d, 0)
+        split_segment(d, 1)
+        produce_scalable(_payload(spark, shift=1000), d, key_col="k")
+
+        rows = read_scalable(spark, d).select("key", "segment", "offset", "v").collect()
+        by_key: dict[str, list] = {}
+        for r in rows:
+            by_key.setdefault(r.key, []).append(r)
+        for key, rs in by_key.items():
+            ordered = sorted(rs, key=lambda r: (r.segment, r.offset))
+            vs = [r.v for r in ordered]
+            assert vs == sorted(vs), f"key {key}: (segment, offset) order != send order"
+
+    def test_merge_requires_adjacency_and_fuses_ranges(self, spark, tmp_path):
+        from pulsar_spark.sources import create_scalable_topic, merge_segments, scalable_metadata, split_segment
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=4)
+        with pytest.raises(ValueError):
+            merge_segments(d, 0, 2)  # not adjacent
+        cid = merge_segments(d, 1, 2)
+        meta = scalable_metadata(d)
+        child = meta["segments"][str(cid)]
+        assert child["start"] == meta["segments"]["1"]["start"]
+        assert child["end"] == meta["segments"]["2"]["end"]
+        assert meta["segments"]["1"]["state"] == meta["segments"]["2"]["state"] == "SEALED"
+        # split then merge round-trips the range partitioning invariant
+        from pulsar_spark.sources.scalable import MAX_HASH, active_segments
+
+        segs = active_segments(meta)
+        assert segs[0]["start"] == 0 and segs[-1]["end"] == MAX_HASH
+        for a, b in zip(segs, segs[1:]):
+            assert a["end"] + 1 == b["start"]
+
+
+class TestCheckpointConsumer:
+    def test_checkpoint_resume_no_dups_no_loss(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            Checkpoint,
+            create_scalable_topic,
+            produce_scalable,
+            read_from_checkpoint,
+            split_segment,
+        )
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        produce_scalable(_payload(spark), d, key_col="k")
+
+        batch1, ck = read_from_checkpoint(spark, d, Checkpoint.earliest())
+        seen = {r.v for r in batch1.select("v").collect()}
+        assert len(seen) == 400
+
+        # externally store + restore the checkpoint (Flink-state style),
+        # surviving a split in between
+        restored = Checkpoint.from_bytes(ck.to_bytes())
+        split_segment(d, 0)
+        produce_scalable(_payload(spark, shift=1000), d, key_col="k")
+        batch2, ck2 = read_from_checkpoint(spark, d, restored)
+        new = {r.v for r in batch2.select("v").collect()}
+        assert new == {i + 1000 for i in range(400)}  # exactly the new rows
+        # and the advanced checkpoint is drained
+        batch3, _ = read_from_checkpoint(spark, d, ck2)
+        assert batch3.count() == 0
+
+    def test_latest_sentinel_skips_backlog(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            Checkpoint,
+            create_scalable_topic,
+            produce_scalable,
+            read_from_checkpoint,
+        )
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        produce_scalable(_payload(spark), d, key_col="k")
+        none_yet, ck = read_from_checkpoint(spark, d, Checkpoint.latest())
+        assert none_yet.count() == 0
+        produce_scalable(_payload(spark, shift=1000), d, key_col="k")
+        fresh, _ = read_from_checkpoint(spark, d, ck)
+        assert fresh.count() == 400
+        assert fresh.agg(F.min("v")).collect()[0][0] == 1000
+
+
+class TestMigrationAndAutoScale:
+    def test_migrate_partitioned_topic(self, spark, tmp_path):
+        from pulsar_spark.sources import migrate_to_scalable, read_scalable
+        from pulsar_spark.sources.topics import produce
+
+        src = str(tmp_path / "classic")
+        produce(_payload(spark), src, key_col="k", num_partitions=4, mode="overwrite")
+        dest = str(tmp_path / "scalable")
+        migrate_to_scalable(spark, src, dest, num_segments=4)
+        got = read_scalable(spark, dest)
+        assert got.count() == 400
+        assert {r.v for r in got.select("v").collect()} == set(range(400))
+        assert "partition" not in got.columns and "segment" in got.columns
+
+    def test_auto_scale_flags_hot_segments(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            auto_scale_plan,
+            create_scalable_topic,
+            produce_scalable,
+            scalable_stats,
+            split_segment,
+        )
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        # all rows share one key -> one segment takes everything
+        hot = _payload(spark, key_mod=1)
+        produce_scalable(hot, d, key_col="k")
+        plan = auto_scale_plan(spark, d, max_msgs_per_segment=100)
+        assert len(plan) == 1
+        split_segment(d, plan[0])
+        stats = {r.segment: r.state for r in scalable_stats(spark, d).collect()}
+        assert stats[plan[0]] == "SEALED"
+        assert auto_scale_plan(spark, d, max_msgs_per_segment=100) == []
