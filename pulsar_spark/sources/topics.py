@@ -28,6 +28,87 @@ class BacklogQuotaExceededError(RuntimeError):
     backlog is at or over its quota and the policy refuses the send."""
 
 
+class ProducerBusyError(RuntimeError):
+    """ProducerBusyException analog: another producer holds exclusive
+    access to the topic (ProducerAccessMode.Exclusive javadoc: 'Fail
+    immediately if there's already a producer connected')."""
+
+
+class ProducerFencedError(RuntimeError):
+    """ProducerFencedException analog: this producer's exclusive access
+    was taken over by an ExclusiveWithFencing producer ('Any existing
+    producer will be removed and invalidated immediately')."""
+
+
+def _producer_lock_path(topic_path: str) -> str:
+    import os
+
+    return os.path.join(topic_path, "_producer_lock.json")
+
+
+def producer_lock(topic_path: str) -> dict | None:
+    """The topic's exclusive-producer registration, or None."""
+    import json
+    import os
+
+    p = _producer_lock_path(topic_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def acquire_producer(
+    topic_path: str, producer_name: str, access_mode: str = "exclusive"
+) -> int:
+    """Register exclusive access (capi/ProducerAccessMode.java):
+
+    - ``exclusive`` / ``wait_for_exclusive``: fail with
+      ProducerBusyError if a DIFFERENT producer already holds the
+      topic (a batch engine cannot block, so WaitForExclusive degrades
+      to Exclusive — documented divergence).
+    - ``exclusive_with_fencing``: take over unconditionally; the
+      previous owner is fenced and its next produce raises
+      ProducerFencedError.
+
+    Returns the topic epoch (bumped on every ownership change — the
+    broker's topic-epoch fencing counter).
+    """
+    import json
+    import os
+
+    if access_mode not in ("exclusive", "wait_for_exclusive", "exclusive_with_fencing"):
+        raise ValueError(f"unknown access mode: {access_mode}")
+    lock = producer_lock(topic_path)
+    if lock and lock["owner"] == producer_name:
+        return lock["epoch"]
+    if lock and access_mode in ("exclusive", "wait_for_exclusive"):
+        raise ProducerBusyError(
+            f"topic {topic_path} exclusively held by {lock['owner']}"
+        )
+    fenced = list(lock.get("fenced", [])) + [lock["owner"]] if lock else []
+    epoch = lock["epoch"] + 1 if lock else 0
+    os.makedirs(topic_path, exist_ok=True)
+    with open(_producer_lock_path(topic_path), "w") as fh:
+        json.dump({"owner": producer_name, "epoch": epoch, "fenced": fenced}, fh)
+    return epoch
+
+
+def release_producer(topic_path: str, producer_name: str) -> None:
+    """Producer.close analog for an exclusive producer: drop the
+    registration (only the current owner may)."""
+    import os
+
+    lock = producer_lock(topic_path)
+    if lock is None:
+        return
+    if lock["owner"] != producer_name:
+        raise ProducerBusyError(
+            f"{producer_name} does not hold {topic_path} (owner: {lock['owner']})"
+        )
+    os.remove(_producer_lock_path(topic_path))
+
+
 def _keyless_route(num_partitions: int, routing_mode: str, producer_name: str):
     """Partition expression for messages WITHOUT a key, per
     capi/MessageRoutingMode.java:
@@ -83,6 +164,7 @@ def produce(
     message_router=None,
     quota_rows: int | None = None,
     quota_policy: str = "exception",
+    access_mode: str = "shared",
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
 
@@ -110,6 +192,22 @@ def produce(
     doesn't match the latest registered version raises before any file
     is written.
     """
+    # ProducerAccessMode enforcement: an exclusive holder excludes
+    # every other producer (shared ones get Busy); a fenced ex-owner
+    # gets Fenced (capi/ProducerAccessMode.java).
+    if access_mode != "shared":
+        acquire_producer(topic_path, producer_name, access_mode)
+    else:
+        lock = producer_lock(topic_path)
+        if lock is not None and lock["owner"] != producer_name:
+            if producer_name in lock.get("fenced", []):
+                raise ProducerFencedError(
+                    f"producer {producer_name} was fenced off {topic_path} "
+                    f"(current owner: {lock['owner']})"
+                )
+            raise ProducerBusyError(
+                f"topic {topic_path} exclusively held by {lock['owner']}"
+            )
     for icept in interceptors or []:
         payload = icept(payload)
     if registry is not None:
@@ -246,6 +344,9 @@ def produce(
     # partition count / properties survive (truncate_topic keeps it too —
     # the sidecar is topic identity, not data).
     preserved_meta = topic_metadata(topic_path) if mode != "append" else None
+    # the producer lock is topic identity too — an overwrite clears the
+    # directory, so restore the registration afterwards
+    preserved_lock = producer_lock(topic_path) if mode != "append" else None
     wrote_ok = False
     try:
         (
@@ -273,6 +374,11 @@ def produce(
                 ),
                 properties=preserved_meta.get("properties"),
             )
+        if preserved_lock is not None:
+            import json as _json
+
+            with open(_producer_lock_path(topic_path), "w") as fh:
+                _json.dump(preserved_lock, fh)
 
 
 def _read_topic_if_present(spark: SparkSession, topic_path: str) -> DataFrame | None:

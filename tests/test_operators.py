@@ -903,3 +903,63 @@ class TestConsistentHashKeyShared:
         moved = {k for k in before if after[k] != before[k]}
         assert all(after[k] == "cc" for k in moved), "keys moved between old consumers"
         assert 0 < len(moved) < len(before)
+
+
+class TestProducerAccessModes:
+    """ProducerAccessMode (capi/ProducerAccessMode.java): Exclusive
+    fails fast on a held topic; ExclusiveWithFencing takes over and
+    invalidates the previous owner."""
+
+    def _batch(self, spark):
+        return spark.range(50).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+
+    def test_exclusive_excludes_others(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pulsar_spark.sources.topics import (
+            ProducerBusyError,
+            produce,
+            release_producer,
+        )
+
+        d = str(tmp_path / "t")
+        produce(self._batch(spark), d, key_col="k", producer_name="p1",
+                access_mode="exclusive", mode="overwrite")
+        # the holder can keep producing; everyone else is rejected,
+        # including plain shared producers
+        produce(self._batch(spark), d, key_col="k", producer_name="p1",
+                access_mode="exclusive")
+        with _pytest.raises(ProducerBusyError):
+            produce(self._batch(spark), d, key_col="k", producer_name="p2",
+                    access_mode="exclusive")
+        with _pytest.raises(ProducerBusyError):
+            produce(self._batch(spark), d, key_col="k", producer_name="p2")
+        assert spark.read.parquet(d).count() == 100
+
+        # release frees the topic for the next producer
+        release_producer(d, "p1")
+        produce(self._batch(spark), d, key_col="k", producer_name="p2")
+        assert spark.read.parquet(d).count() == 150
+
+    def test_fencing_invalidates_previous_owner(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pulsar_spark.sources.topics import (
+            ProducerFencedError,
+            acquire_producer,
+            produce,
+            producer_lock,
+        )
+
+        d = str(tmp_path / "t")
+        produce(self._batch(spark), d, key_col="k", producer_name="p1",
+                access_mode="exclusive", mode="overwrite")
+        e0 = producer_lock(d)["epoch"]
+        e1 = acquire_producer(d, "p2", "exclusive_with_fencing")
+        assert e1 == e0 + 1  # ownership change bumps the topic epoch
+        # the fenced ex-owner is invalidated immediately
+        with _pytest.raises(ProducerFencedError):
+            produce(self._batch(spark), d, key_col="k", producer_name="p1")
+        # the new owner produces normally
+        produce(self._batch(spark), d, key_col="k", producer_name="p2")
+        assert spark.read.parquet(d).count() == 100
