@@ -243,3 +243,47 @@ class TestMigrationAndAutoScale:
         stats = {r.segment: r.state for r in scalable_stats(spark, d).collect()}
         assert stats[plan[0]] == "SEALED"
         assert auto_scale_plan(spark, d, max_msgs_per_segment=100) == []
+
+
+class TestStreamingAcrossSplit:
+    def test_subscription_survives_split(self, spark, tmp_path):
+        """The DagWatchClient layout-change analog: a streaming
+        subscription on a scalable topic keeps consuming across a
+        splitSegment on the SAME checkpoint — new segment directories
+        are discovered by the per-trigger file listing, exactly like
+        consumer autoUpdatePartitions on classic topics."""
+        from pulsar_spark.sources import create_scalable_topic, produce_scalable, split_segment
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        produce_scalable(_payload(spark), d, key_col="k")
+        ckpt = str(tmp_path / "ckpt")
+
+        seen: list[tuple[str, int, int]] = []
+
+        def sink(run):
+            def _each(df, bid):
+                for r in df.groupBy("segment").count().collect():
+                    seen.append((run, r["segment"], r["count"]))
+
+            return _each
+
+        run_to_end(
+            subscribe(spark, d).writeStream.foreachBatch(sink("r1")).option(
+                "checkpointLocation", ckpt
+            )
+        )
+        assert sum(n for run, _, n in seen if run == "r1") == 400
+        assert {s for run, s, _ in seen if run == "r1"} == {0, 1}
+
+        c1, c2 = split_segment(d, 0)
+        produce_scalable(_payload(spark, shift=1000), d, key_col="k")
+        run_to_end(
+            subscribe(spark, d).writeStream.foreachBatch(sink("r2")).option(
+                "checkpointLocation", ckpt
+            )
+        )
+        r2 = [(s, n) for run, s, n in seen if run == "r2"]
+        assert sum(n for _, n in r2) == 400  # only the new rows
+        assert {s for s, _ in r2} & {c1, c2}, "no rows consumed from child segments"
