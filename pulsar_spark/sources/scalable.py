@@ -161,13 +161,22 @@ def produce_scalable(
     topic read + window shape as the classic ``produce``."""
     meta = scalable_metadata(topic_path)
     segs = active_segments(meta)
+    if not segs:
+        raise SegmentGoneError(f"no active segments in {topic_path}")
+    ids = [s["segment_id"] for s in segs]
+    idx = F.pmod(F.monotonically_increasing_id(), F.lit(len(ids))).cast("int")
+    mapping = F.create_map(*[F.lit(x) for i, sid in enumerate(ids) for x in (i, sid)])
+    keyless = mapping[idx]
     if key_col:
-        seg = route_segment(key_col, meta, deterministic_mod)
+        # NULL keys route like keyless messages (a TypedMessageBuilder
+        # without a key round-robins) — also closes the hole where a
+        # cast-null deterministic hash would fall through every CASE
+        # branch into a NULL hive partition.
+        seg = F.when(
+            F.col(key_col).isNotNull(), route_segment(key_col, meta, deterministic_mod)
+        ).otherwise(keyless)
     else:
-        ids = [s["segment_id"] for s in segs]
-        idx = F.pmod(F.monotonically_increasing_id(), F.lit(len(ids))).cast("int")
-        mapping = F.create_map(*[F.lit(x) for i, sid in enumerate(ids) for x in (i, sid)])
-        seg = mapping[idx]
+        seg = keyless
     df = payload.withColumn("segment", seg)
 
     spark = payload.sparkSession
@@ -201,11 +210,9 @@ def produce_scalable(
 
 
 def _read_if_present(spark: SparkSession, topic_path: str) -> DataFrame | None:
-    if not os.path.isdir(topic_path):
-        return None
-    if not any(n.startswith("segment=") for n in os.listdir(topic_path)):
-        return None
-    return spark.read.parquet(topic_path)
+    from pulsar_spark.sources.topics import _read_topic_if_present
+
+    return _read_topic_if_present(spark, topic_path, prefix="segment=")
 
 
 def read_scalable(
@@ -326,13 +333,17 @@ def auto_scale_plan(
     whose stored backlog exceeds the policy threshold are due a split.
     Plan only — the caller invokes ``split_segment`` per id (the
     reference's controller does the same from SegmentLoadStats)."""
-    stats = scalable_stats(spark, topic_path)
-    return [
-        r.segment
-        for r in stats.where(
-            (F.col("state") == "ACTIVE") & (F.col("msg_count") > max_msgs_per_segment)
-        ).collect()
-    ]
+    meta = scalable_metadata(topic_path)
+    active = {s["segment_id"] for s in active_segments(meta)}
+    data = _read_if_present(spark, topic_path)
+    if data is None:
+        return []
+    # plain counts only — the policy never looks at key cardinality, so
+    # don't pay scalable_stats' countDistinct over the whole topic
+    counts = data.groupBy("segment").count().collect()
+    return sorted(
+        r.segment for r in counts if r.segment in active and r["count"] > max_msgs_per_segment
+    )
 
 
 def migrate_to_scalable(
@@ -348,11 +359,27 @@ def migrate_to_scalable(
     divergence from the reference's in-place legacy-segment scheme);
     offsets are re-minted per segment in (partition, offset) order so
     per-key relative order survives the move."""
+    from pulsar_spark.sources.topics import topic_metadata
+
     src = spark.read.parquet(partitioned_topic_path)
     n = num_segments or src.select("partition").distinct().count()
-    create_scalable_topic(dest_path, num_initial_segments=n)
+    classic_meta = topic_metadata(partitioned_topic_path)
+    create_scalable_topic(
+        dest_path,
+        num_initial_segments=n,
+        properties=(classic_meta or {}).get("properties"),
+    )
     meta = scalable_metadata(dest_path)
-    seg = route_segment("key", meta, deterministic_mod)
+    segs = active_segments(meta)
+    # keyless classic messages (NULL key) spread round-robin, same as
+    # produce_scalable's keyless route
+    idx = F.pmod(F.monotonically_increasing_id(), F.lit(len(segs))).cast("int")
+    mapping = F.create_map(
+        *[F.lit(x) for i, s in enumerate(segs) for x in (i, s["segment_id"])]
+    )
+    seg = F.when(
+        F.col("key").isNotNull(), route_segment("key", meta, deterministic_mod)
+    ).otherwise(mapping[idx])
     w = Window.partitionBy("segment").orderBy("partition", "offset")
     (
         src.withColumn("segment", seg)
@@ -411,7 +438,11 @@ def read_from_checkpoint(
     every row at or past the vector, plus the ADVANCED checkpoint that
     resumes exactly after them (exclusive next-offset per segment, so
     resume is gap- and duplicate-free). The advanced vector is one
-    8-ish-row aggregate — the data itself is never collected."""
+    8-ish-row aggregate — the data itself is never collected.
+
+    A NEVER-produced topic has no schema anywhere, so its empty batch
+    is a (segment, offset) stub; once any produce has defined the
+    topic schema, empty polls carry the full envelope schema."""
     df = _read_if_present(spark, topic_path)
     if df is None:
         empty = spark.createDataFrame([], "segment int, offset bigint")

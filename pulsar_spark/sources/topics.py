@@ -82,11 +82,22 @@ def acquire_producer(
     lock = producer_lock(topic_path)
     if lock and lock["owner"] == producer_name:
         return lock["epoch"]
-    if lock and access_mode in ("exclusive", "wait_for_exclusive"):
+    if lock and producer_name in lock.get("fenced", []):
+        # a fenced producer stays invalid however it reconnects
+        raise ProducerFencedError(
+            f"producer {producer_name} was fenced off {topic_path} "
+            f"(current owner: {lock['owner']})"
+        )
+    if lock and lock["owner"] is not None and access_mode in (
+        "exclusive",
+        "wait_for_exclusive",
+    ):
         raise ProducerBusyError(
             f"topic {topic_path} exclusively held by {lock['owner']}"
         )
-    fenced = list(lock.get("fenced", [])) + [lock["owner"]] if lock else []
+    fenced = list(lock.get("fenced", [])) if lock else []
+    if lock and lock["owner"] is not None:
+        fenced.append(lock["owner"])
     epoch = lock["epoch"] + 1 if lock else 0
     os.makedirs(topic_path, exist_ok=True)
     with open(_producer_lock_path(topic_path), "w") as fh:
@@ -95,8 +106,12 @@ def acquire_producer(
 
 
 def release_producer(topic_path: str, producer_name: str) -> None:
-    """Producer.close analog for an exclusive producer: drop the
-    registration (only the current owner may)."""
+    """Producer.close analog for an exclusive producer: give up
+    ownership (only the current owner may). The lock record is KEPT
+    with a null owner so the topic epoch stays monotonic (it is the
+    fencing counter — a regression would un-detect ownership changes)
+    and already-fenced producers remain invalid."""
+    import json
     import os
 
     lock = producer_lock(topic_path)
@@ -106,7 +121,9 @@ def release_producer(topic_path: str, producer_name: str) -> None:
         raise ProducerBusyError(
             f"{producer_name} does not hold {topic_path} (owner: {lock['owner']})"
         )
-    os.remove(_producer_lock_path(topic_path))
+    lock["owner"] = None
+    with open(_producer_lock_path(topic_path), "w") as fh:
+        json.dump(lock, fh)
 
 
 def _keyless_route(num_partitions: int, routing_mode: str, producer_name: str):
@@ -205,9 +222,10 @@ def produce(
                     f"producer {producer_name} was fenced off {topic_path} "
                     f"(current owner: {lock['owner']})"
                 )
-            raise ProducerBusyError(
-                f"topic {topic_path} exclusively held by {lock['owner']}"
-            )
+            if lock["owner"] is not None:
+                raise ProducerBusyError(
+                    f"topic {topic_path} exclusively held by {lock['owner']}"
+                )
     for icept in interceptors or []:
         payload = icept(payload)
     if registry is not None:
@@ -381,17 +399,20 @@ def produce(
                 _json.dump(preserved_lock, fh)
 
 
-def _read_topic_if_present(spark: SparkSession, topic_path: str) -> DataFrame | None:
-    """The stored topic table, or None when no partition has ever been
-    written. Presence = ``partition=`` subdirectories exist (cheap
-    metadata check, mirroring the hive layout ``write_topic`` produces)
+def _read_topic_if_present(
+    spark: SparkSession, topic_path: str, prefix: str = "partition="
+) -> DataFrame | None:
+    """The stored topic table, or None when no data has ever been
+    written. Presence = ``{prefix}`` subdirectories exist (cheap
+    metadata check, mirroring the hive layout the writers produce —
+    ``partition=`` for classic topics, ``segment=`` for scalable ones)
     so that an actual read error on present data raises instead of
     masquerading as an empty topic."""
     import os
 
     if not os.path.isdir(topic_path):
         return None
-    if not any(n.startswith("partition=") for n in os.listdir(topic_path)):
+    if not any(n.startswith(prefix) for n in os.listdir(topic_path)):
         return None
     return spark.read.parquet(topic_path)
 

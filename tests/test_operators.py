@@ -963,3 +963,29 @@ class TestProducerAccessModes:
         # the new owner produces normally
         produce(self._batch(spark), d, key_col="k", producer_name="p2")
         assert spark.read.parquet(d).count() == 100
+
+    def test_release_keeps_epoch_and_fenced_list(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import (
+            ProducerFencedError,
+            acquire_producer,
+            produce,
+            producer_lock,
+            release_producer,
+        )
+        import pytest as _pytest
+
+        d = str(tmp_path / "t3")
+        produce(self._batch(spark), d, key_col="k", producer_name="p1",
+                access_mode="exclusive", mode="overwrite")
+        acquire_producer(d, "p2", "exclusive_with_fencing")
+        release_producer(d, "p2")
+        # epoch stays monotonic across release; next acquire bumps past it
+        assert producer_lock(d)["owner"] is None
+        e = acquire_producer(d, "p3", "exclusive")
+        assert e == 2
+        # the fenced ex-owner stays invalid even after the release, and
+        # even when it reconnects in exclusive mode
+        with _pytest.raises(ProducerFencedError):
+            produce(self._batch(spark), d, key_col="k", producer_name="p1")
+        with _pytest.raises(ProducerFencedError):
+            acquire_producer(d, "p1", "exclusive")

@@ -287,3 +287,24 @@ class TestStreamingAcrossSplit:
         r2 = [(s, n) for run, s, n in seen if run == "r2"]
         assert sum(n for _, n in r2) == 400  # only the new rows
         assert {s for s, _ in r2} & {c1, c2}, "no rows consumed from child segments"
+
+
+class TestNullKeyRouting:
+    def test_null_keys_round_robin_not_null_partition(self, spark, tmp_path):
+        """NULL keys must route like keyless messages — never into a
+        NULL hive partition (the deterministic-mod hash of a NULL key
+        is NULL, which would fall through every range CASE branch)."""
+        from pulsar_spark.sources import create_scalable_topic, produce_scalable, read_scalable
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=4)
+        payload = spark.range(100).selectExpr(
+            "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS STRING) END AS k",
+            "id AS v",
+        )
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        got = read_scalable(spark, d)
+        assert got.count() == 100
+        assert got.where(F.col("segment").isNull()).count() == 0
+        # keyless rows spread across several segments
+        assert got.where(F.col("key").isNull()).select("segment").distinct().count() > 1

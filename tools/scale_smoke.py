@@ -136,6 +136,17 @@ def main() -> None:
         t0 = time.perf_counter()
         sketch_token_stats(bigdocs, group_col="source").count()
         out["sketch_stats_sec"] = round(time.perf_counter() - t0, 2)
+
+        # scalable-topic ingest at scale: range routing + per-segment
+        # offset window — same shape as classic produce, so throughput
+        # should match B1
+        from pulsar_spark.sources import create_scalable_topic, produce_scalable
+
+        payload = big.selectExpr("CAST(user_id AS STRING) AS k", "event_id", "ts", "value")
+        create_scalable_topic(f"{tmp}/scal", num_initial_segments=32)
+        t0 = time.perf_counter()
+        produce_scalable(payload, f"{tmp}/scal", key_col="k")
+        out["scalable_produce_rows_per_sec"] = round(n / (time.perf_counter() - t0))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
