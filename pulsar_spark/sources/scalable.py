@@ -391,6 +391,28 @@ def migrate_to_scalable(
     )
 
 
+def list_scalable_topics(
+    namespace_dir: str, property_filters: dict[str, str] | None = None
+) -> list[str]:
+    """ScalableTopics.listScalableTopics / listScalableTopicsByProperties:
+    every scalable topic under a namespace directory, optionally
+    filtered to those whose sidecar properties contain ALL the given
+    key/value pairs."""
+    out = []
+    if not os.path.isdir(namespace_dir):
+        return out
+    for name in sorted(os.listdir(namespace_dir)):
+        p = os.path.join(namespace_dir, name)
+        if not os.path.isfile(os.path.join(p, _META)):
+            continue
+        if property_filters:
+            props = scalable_metadata(p).get("properties", {})
+            if any(props.get(k) != v for k, v in property_filters.items()):
+                continue
+        out.append(p)
+    return out
+
+
 # ------------------------------------------------------- checkpoint consumer
 
 
@@ -462,3 +484,32 @@ def read_from_checkpoint(
     merged = dict(ckpt.offsets)
     merged.update(highs)
     return out, Checkpoint(merged)
+
+
+def checkpoint_at_timestamp(
+    spark: SparkSession, topic_path: str, timestamp: str
+) -> Checkpoint:
+    """ScalableTopics.seekSubscription(timestamp) rendered for the
+    checkpoint model: the position vector whose resume delivers every
+    message with ``publish_time >= timestamp`` — per segment, the
+    first qualifying offset (the PersistentMessageFinder binary search
+    as one min-aggregate over publish_time stats; row groups outside
+    the range are pruned by the scan)."""
+    df = _read_if_present(spark, topic_path)
+    if df is None:
+        return Checkpoint.earliest()
+    ts = F.lit(timestamp).cast("timestamp")
+    firsts = {
+        r.segment: r.lo
+        for r in df.where(F.col("publish_time") >= ts)
+        .groupBy("segment")
+        .agg(F.min("offset").alias("lo"))
+        .collect()
+    }
+    # segments with no qualifying rows resume past their end
+    highs = {
+        r.segment: r.mx + 1
+        for r in df.groupBy("segment").agg(F.max("offset").alias("mx")).collect()
+    }
+    highs.update(firsts)
+    return Checkpoint(highs)

@@ -308,3 +308,56 @@ class TestNullKeyRouting:
         assert got.where(F.col("segment").isNull()).count() == 0
         # keyless rows spread across several segments
         assert got.where(F.col("key").isNull()).select("segment").distinct().count() > 1
+
+
+class TestScalableAdmin:
+    def test_list_by_properties(self, tmp_path):
+        from pulsar_spark.sources import create_scalable_topic, list_scalable_topics
+
+        base = str(tmp_path / "ns")
+        create_scalable_topic(f"{base}/a", 2, properties={"team": "ml", "tier": "gold"})
+        create_scalable_topic(f"{base}/b", 2, properties={"team": "ml"})
+        create_scalable_topic(f"{base}/c", 2, properties={"team": "web"})
+        all_topics = list_scalable_topics(base)
+        assert [t.rsplit("/", 1)[1] for t in all_topics] == ["a", "b", "c"]
+        ml = list_scalable_topics(base, {"team": "ml"})
+        assert [t.rsplit("/", 1)[1] for t in ml] == ["a", "b"]
+        gold_ml = list_scalable_topics(base, {"team": "ml", "tier": "gold"})
+        assert [t.rsplit("/", 1)[1] for t in gold_ml] == ["a"]
+        assert list_scalable_topics(base, {"team": "nope"}) == []
+
+    def test_checkpoint_at_timestamp_seeks(self, spark, tmp_path):
+        import time
+
+        from pulsar_spark.sources import (
+            checkpoint_at_timestamp,
+            create_scalable_topic,
+            produce_scalable,
+            read_from_checkpoint,
+            read_scalable,
+        )
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        produce_scalable(_payload(spark), d, key_col="k")
+        # capture the wall-clock boundary between the two batches
+        boundary = (
+            read_scalable(spark, d).agg(F.max("publish_time")).collect()[0][0]
+        )
+        time.sleep(1.2)
+        produce_scalable(_payload(spark, shift=1000), d, key_col="k")
+
+        # seek strictly between the two batches (batch 1 shares one
+        # current_timestamp; the 1.2 s sleep guarantees separation)
+        import datetime
+
+        mid = boundary + datetime.timedelta(milliseconds=600)
+        ck = checkpoint_at_timestamp(spark, d, str(mid))
+        batch, _ = read_from_checkpoint(spark, d, ck)
+        got = {r.v for r in batch.select("v").collect()}
+        assert got == {i + 1000 for i in range(400)}
+
+        # a far-future timestamp seeks to the end
+        far = checkpoint_at_timestamp(spark, d, "2100-01-01 00:00:00")
+        rest, _ = read_from_checkpoint(spark, d, far)
+        assert rest.count() == 0
