@@ -361,3 +361,42 @@ class TestScalableAdmin:
         far = checkpoint_at_timestamp(spark, d, "2100-01-01 00:00:00")
         rest, _ = read_from_checkpoint(spark, d, far)
         assert rest.count() == 0
+
+
+class TestLayoutProperty:
+    def test_random_split_merge_always_partitions_the_space(self, tmp_path):
+        """Property: after ANY sequence of splits and (adjacent) merges,
+        the active segments exactly partition [0x0000, 0xFFFF] —
+        contiguous, non-overlapping, full coverage — and lineage stays
+        consistent (every sealed segment's children are live ids)."""
+        import random
+
+        from pulsar_spark.sources import create_scalable_topic, merge_segments, scalable_metadata, split_segment
+        from pulsar_spark.sources.scalable import MAX_HASH, active_segments
+
+        rng = random.Random(421)
+        for trial in range(5):
+            d = str(tmp_path / f"t{trial}")
+            create_scalable_topic(d, num_initial_segments=rng.randint(1, 5))
+            for _ in range(rng.randint(5, 25)):
+                meta = scalable_metadata(d)
+                segs = active_segments(meta)
+                if rng.random() < 0.7 or len(segs) < 2:
+                    cand = [s for s in segs if s["end"] - s["start"] + 1 >= 2]
+                    if cand:
+                        split_segment(d, rng.choice(cand)["segment_id"])
+                else:
+                    i = rng.randrange(len(segs) - 1)
+                    merge_segments(d, segs[i]["segment_id"], segs[i + 1]["segment_id"])
+
+            meta = scalable_metadata(d)
+            segs = active_segments(meta)
+            assert segs[0]["start"] == 0 and segs[-1]["end"] == MAX_HASH
+            for a, b in zip(segs, segs[1:]):
+                assert a["end"] + 1 == b["start"], (a, b)
+            for s in meta["segments"].values():
+                if s["state"] == "SEALED":
+                    assert s["child_ids"], f"sealed {s['segment_id']} with no children"
+                    for c in s["child_ids"]:
+                        assert str(c) in meta["segments"]
+                    assert s["sealed_at_epoch"] <= meta["epoch"]
