@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     p_read.add_argument("topic")
     p_read.add_argument("--from-offset", type=int, default=None)
     p_read.add_argument("--from-time", default=None)
+    p_read.add_argument("--to-offset", type=int, default=None)
+    p_read.add_argument("--to-time", default=None)
     p_read.add_argument("-n", "--limit", type=int, default=20)
 
     p_cons = sub.add_parser("consume", help="peek the next N messages per partition")
@@ -122,7 +124,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "read":
         from pulsar_spark.sources.topics import read_topic
 
-        df = read_topic(spark, args.topic, args.from_offset, args.from_time)
+        df = read_topic(
+            spark,
+            args.topic,
+            args.from_offset,
+            args.from_time,
+            end_offset=args.to_offset,
+            end_time=args.to_time,
+        )
         for row in df.orderBy("partition", "offset").limit(args.limit).collect():
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
     elif args.cmd == "consume":

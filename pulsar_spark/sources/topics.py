@@ -464,11 +464,17 @@ def read_topic(
     start_offset: int | None = None,
     start_time: str | None = None,
     interceptors=None,
+    end_offset: int | None = None,
+    end_time: str | None = None,
 ) -> DataFrame:
     """Batch scan of a topic (Reader analog — capi/Reader.java:116-159:
     scan from explicit position or timestamp). Offset/time predicates
     push down to the parquet scan; the partition column prunes
     directories.
+
+    ``end_offset`` / ``end_time`` bound the scan inclusively — the
+    startTimestamp/endTimestamp consume window (PIP-435: client CLI
+    consumes messages published within [start, end]).
 
     ``interceptors``: ordered ``DataFrame -> DataFrame`` callables
     applied to the scan before returning — the
@@ -480,6 +486,10 @@ def read_topic(
         df = df.where(F.col("offset") >= start_offset)
     if start_time is not None:
         df = df.where(F.col("publish_time") >= F.lit(start_time).cast("timestamp"))
+    if end_offset is not None:
+        df = df.where(F.col("offset") <= end_offset)
+    if end_time is not None:
+        df = df.where(F.col("publish_time") <= F.lit(end_time).cast("timestamp"))
     # interceptors run after cursor positioning, like beforeConsume
     # fires on messages already selected for delivery
     for icept in interceptors or []:

@@ -989,3 +989,33 @@ class TestProducerAccessModes:
             produce(self._batch(spark), d, key_col="k", producer_name="p1")
         with _pytest.raises(ProducerFencedError):
             acquire_producer(d, "p1", "exclusive")
+
+
+class TestReadWindowBounds:
+    def test_end_offset_and_end_time_bound_inclusively(self, spark, messages, tmp_path):
+        """PIP-435 consume window: [start, end] bounds on offset and
+        publish time, pushed into the scan."""
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.sources import write_topic
+        from pulsar_spark.sources.topics import read_topic
+
+        d = str(tmp_path / "t")
+        write_topic(messages, d)
+        win = read_topic(spark, d, start_offset=10, end_offset=20)
+        assert win.count() == messages.where(
+            (F.col("offset") >= 10) & (F.col("offset") <= 20)
+        ).count()
+        assert win.agg(F.min("offset"), F.max("offset")).collect()[0] == (10, 20)
+
+        lo, hi = (
+            messages.agg(
+                F.expr("percentile_approx(publish_time, 0.25)"),
+                F.expr("percentile_approx(publish_time, 0.75)"),
+            ).collect()[0]
+        )
+        tw = read_topic(spark, d, start_time=str(lo), end_time=str(hi))
+        want = messages.where(
+            (F.col("publish_time") >= F.lit(lo)) & (F.col("publish_time") <= F.lit(hi))
+        ).count()
+        assert tw.count() == want and 0 < want < messages.count()
