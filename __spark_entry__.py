@@ -157,6 +157,16 @@ def _q_backlog(spark, sf_dir):
     return backlog(_messages(spark, sf_dir), cursors)
 
 
+def _q_delivery_delay_fixed(spark, sf_dir):
+    # PIP-437 fixed-delivery-delay policy: the producer's deliver_at is
+    # overridden with publish_time + fixed delay for every message;
+    # visibility then gates on the rewritten schedule.
+    from pulsar_spark.operators import apply_delivery_delay_policy
+
+    out = apply_delivery_delay_policy(_messages(spark, sf_dir), fixed_delay_seconds=120)
+    return out.select("partition", "offset", "event_id", "publish_time", "deliver_at")
+
+
 def _q_backlog_quota(spark, sf_dir):
     # consumer_backlog_eviction quota policy
     # (BacklogQuotaManager.dropBacklogForSizeLimit rendered per
@@ -1657,7 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_trigger": _q_compaction_trigger,
         "dedup": _q_dedup,
         "scalable_split_stats": _q_scalable_split_stats,
-        "seek_by_timestamp": _q_seek_by_timestamp,
+        "delivery_delay_fixed": _q_delivery_delay_fixed,
         "backlog": _q_backlog,
         "backlog_quota": _q_backlog_quota,
         "key_shared_consistent": _q_key_shared_consistent,
@@ -1677,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_view": _q_table_view,
         "ttl_expiry": _q_ttl_expiry,
         "delayed_visibility": _q_delayed_visibility,
+        "seek_by_timestamp": _q_seek_by_timestamp,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -1874,6 +1885,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT partition, count(*) AS backlog
             FROM messages WHERE "offset" > {CURSOR}
             GROUP BY partition
+        """,
+        "delivery_delay_fixed": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id, publish_time,
+                   publish_time + INTERVAL 120 SECOND AS deliver_at
+            FROM messages
         """,
         "scalable_split_stats": """
             WITH e AS (

@@ -7,7 +7,7 @@ from pulsar_spark.operators.compaction import (
     compact_strategic,
 )
 from pulsar_spark.operators.dedup import dedup_messages
-from pulsar_spark.operators.retention import ttl_filter, visible_messages, user_visible, retention_plan, backlog_quota_evict
+from pulsar_spark.operators.retention import ttl_filter, visible_messages, user_visible, retention_plan, backlog_quota_evict, apply_delivery_delay_policy
 from pulsar_spark.operators.replication import replicate_candidates, shadow_view
 from pulsar_spark.operators.seek import (
     seek_offsets_by_timestamp,
@@ -45,6 +45,7 @@ __all__ = [
     "ttl_filter",
     "retention_plan",
     "backlog_quota_evict",
+    "apply_delivery_delay_policy",
     "visible_messages",
     "user_visible",
     "seek_offsets_by_timestamp",

@@ -156,3 +156,46 @@ def backlog_quota_evict(
             F.sum((~F.col("_evict")).cast("long")).alias("backlog_after"),
         )
     )
+
+
+def apply_delivery_delay_policy(
+    messages: DataFrame,
+    fixed_delay_seconds: float | None = None,
+    max_delay_seconds: float | None = None,
+    publish_time_col: str = "publish_time",
+    deliver_at_col: str = "deliver_at",
+) -> DataFrame:
+    """Topic-level delayed-delivery policies, with the PIP-437
+    precedence (pip/pip-437.md High Level Design):
+
+    1. ``fixed_delay_seconds`` set: the producer's requested deliver_at
+       is IGNORED and every message gets
+       ``publish_time + fixed_delay`` (max-delay is moot).
+    2. else ``max_delay_seconds`` set (PIP-315 maxDeliveryDelayInMillis):
+       a requested delay beyond the cap REJECTS the publish — rendered
+       here as an eager check that raises before any downstream write.
+    3. neither: the client's deliver_at stands.
+
+    Enforcement happens on the publish path in the reference
+    (PersistentTopic.publishMessage rewrites MessageMetadata before
+    persistence); this operator is that rewrite as a plan step.
+    """
+    if fixed_delay_seconds is not None:
+        return messages.withColumn(
+            deliver_at_col,
+            F.col(publish_time_col) + F.make_interval(secs=F.lit(float(fixed_delay_seconds))),
+        )
+    if max_delay_seconds is not None:
+        over = messages.where(
+            F.col(deliver_at_col).isNotNull()
+            & (
+                F.col(deliver_at_col)
+                > F.col(publish_time_col) + F.make_interval(secs=F.lit(float(max_delay_seconds)))
+            )
+        ).count()
+        if over:
+            raise ValueError(
+                f"{over} message(s) request delivery beyond maxDeliveryDelay="
+                f"{max_delay_seconds}s (PIP-315: the publish is rejected)"
+            )
+    return messages

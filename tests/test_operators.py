@@ -1019,3 +1019,41 @@ class TestReadWindowBounds:
             (F.col("publish_time") >= F.lit(lo)) & (F.col("publish_time") <= F.lit(hi))
         ).count()
         assert tw.count() == want and 0 < want < messages.count()
+
+
+class TestDeliveryDelayPolicies:
+    """PIP-437 fixed-delivery-delay + PIP-315 max-delivery-delay, with
+    the documented precedence (fixed > max > client)."""
+
+    def test_fixed_overrides_client_and_ignores_max(self, spark, messages):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.operators import apply_delivery_delay_policy
+
+        out = apply_delivery_delay_policy(
+            messages, fixed_delay_seconds=60, max_delay_seconds=1
+        )
+        # every row rewritten, including those that had NO client delay
+        bad = out.where(
+            (F.col("deliver_at").isNull())
+            | (F.col("deliver_at") != F.col("publish_time") + F.expr("INTERVAL 60 SECONDS"))
+        )
+        assert bad.count() == 0
+        # max (1s, far below 60) did NOT reject: fixed takes precedence
+
+    def test_max_rejects_excessive_client_delay(self, spark, messages):
+        import pytest as _pytest
+
+        from pulsar_spark.operators import apply_delivery_delay_policy
+
+        # fixture delays reach up to ~1h; a 2h cap accepts everything
+        ok = apply_delivery_delay_policy(messages, max_delay_seconds=7200)
+        assert ok.count() == messages.count()
+        # a 1s cap rejects the publish batch
+        with _pytest.raises(ValueError, match="maxDeliveryDelay"):
+            apply_delivery_delay_policy(messages, max_delay_seconds=1)
+
+    def test_no_policy_is_identity(self, spark, messages):
+        from pulsar_spark.operators import apply_delivery_delay_policy
+
+        assert apply_delivery_delay_policy(messages) is messages

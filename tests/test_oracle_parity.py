@@ -42,6 +42,8 @@ KEYS = [
     "ttl_expiry",
     "delayed_visibility",
     "scalable_split_stats",
+    "seek_by_timestamp",
+    "delivery_delay_fixed",
     "compaction_trigger",
     "pretraining_pipeline_v3",
     "doc_hash_sample",
