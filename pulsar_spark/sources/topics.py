@@ -610,3 +610,75 @@ def truncate_topic(topic_path: str) -> None:
             shutil.rmtree(p)
         elif name.startswith("_SUCCESS") or name.startswith("part-"):
             os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
+
+
+def list_topics(namespace_dir: str, property_filters: dict | None = None) -> list[str]:
+    """Namespace topic listing with property filters (PIP-452
+    customizable topic listing): every topic directory under
+    ``namespace_dir`` carrying a metadata sidecar, optionally filtered
+    to those whose properties contain ALL given key/value pairs."""
+    import os
+
+    out = []
+    if not os.path.isdir(namespace_dir):
+        return out
+    for name in sorted(os.listdir(namespace_dir)):
+        p = os.path.join(namespace_dir, name)
+        meta = topic_metadata(p) if os.path.isdir(p) else None
+        if meta is None:
+            continue
+        if property_filters:
+            props = meta.get("properties", {})
+            if any(props.get(k) != v for k, v in property_filters.items()):
+                continue
+        out.append(p)
+    return out
+
+
+def check_topic_consistency(spark: SparkSession, topic_path: str) -> dict:
+    """Topic integrity check (PIP-414 enforce topic consistency): one
+    aggregation pass validating the storage invariants the engine
+    relies on. Returns a report dict; ``ok`` is True when every
+    invariant holds:
+
+    - no duplicate (partition, offset) message ids;
+    - offsets dense per partition (max offset == count - 1);
+    - every stored partition is within the sidecar's declared count
+      (routing and storage agree).
+    """
+    df = _read_topic_if_present(spark, topic_path)
+    if df is None:
+        return {"ok": True, "partitions": 0, "rows": 0, "problems": []}
+    per = (
+        df.groupBy("partition")
+        .agg(
+            F.count("*").alias("rows"),
+            F.max("offset").alias("max_offset"),
+            F.countDistinct("offset").alias("distinct_offsets"),
+        )
+        .collect()
+    )
+    problems = []
+    for r in per:
+        if r.distinct_offsets != r.rows:
+            problems.append(f"partition {r.partition}: duplicate offsets")
+        if r.max_offset != r.rows - 1:
+            problems.append(
+                f"partition {r.partition}: offsets not dense "
+                f"(max {r.max_offset}, rows {r.rows})"
+            )
+    meta = topic_metadata(topic_path)
+    if meta is not None:
+        declared = int(meta["num_partitions"])
+        stored = {r.partition for r in per}
+        extra = {p for p in stored if p >= declared}
+        if extra:
+            problems.append(
+                f"partitions {sorted(extra)} outside declared count {declared}"
+            )
+    return {
+        "ok": not problems,
+        "partitions": len(per),
+        "rows": sum(r.rows for r in per),
+        "problems": problems,
+    }

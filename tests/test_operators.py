@@ -1057,3 +1057,59 @@ class TestDeliveryDelayPolicies:
         from pulsar_spark.operators import apply_delivery_delay_policy
 
         assert apply_delivery_delay_policy(messages) is messages
+
+
+class TestNamespaceListingAndConsistency:
+    def test_list_topics_by_properties(self, spark, tmp_path):
+        from pulsar_spark.sources import create_topic, list_topics
+
+        base = str(tmp_path / "ns")
+        create_topic(f"{base}/a", 2, properties={"team": "ml"})
+        create_topic(f"{base}/b", 4, properties={"team": "web"})
+        create_topic(f"{base}/c", 2)
+        assert [t.rsplit("/", 1)[1] for t in list_topics(base)] == ["a", "b", "c"]
+        assert [t.rsplit("/", 1)[1] for t in list_topics(base, {"team": "ml"})] == ["a"]
+        assert list_topics(base, {"team": "nope"}) == []
+        assert list_topics(str(tmp_path / "missing")) == []
+
+    def test_consistency_check_passes_on_produced_topic(self, spark, tmp_path):
+        from pulsar_spark.sources import check_topic_consistency
+        from pulsar_spark.sources.topics import create_topic, produce
+
+        d = str(tmp_path / "t")
+        create_topic(d, num_partitions=4)
+        batch = spark.range(200).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce(batch, d, key_col="k")
+        produce(batch.selectExpr("k", "v + 1000 AS v"), d, key_col="k")
+        rep = check_topic_consistency(spark, d)
+        assert rep["ok"] and rep["rows"] == 400 and not rep["problems"]
+
+    def test_consistency_check_flags_corruption(self, spark, tmp_path):
+        from pulsar_spark.sources import check_topic_consistency
+        from pulsar_spark.sources.topics import create_topic, produce, write_topic
+
+        d = str(tmp_path / "t")
+        create_topic(d, num_partitions=2)
+        batch = spark.range(100).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce(batch, d, key_col="k")
+        # simulate a partial-replay corruption: re-append the same rows
+        # verbatim (duplicate (partition, offset) ids)
+        dup = spark.read.parquet(d)
+        write_topic(dup, d, mode="append")
+        rep = check_topic_consistency(spark, d)
+        assert not rep["ok"]
+        assert any("duplicate offsets" in p for p in rep["problems"])
+
+    def test_consistency_check_flags_out_of_range_partition(self, spark, tmp_path):
+        from pulsar_spark.sources import check_topic_consistency
+        from pulsar_spark.sources.topics import create_topic, produce, update_partitions
+
+        d = str(tmp_path / "t")
+        create_topic(d, num_partitions=2)
+        produce(
+            spark.range(100).selectExpr("CAST(id AS STRING) AS k", "id AS v"),
+            d, key_col="k", num_partitions=8,  # caller routes wider than declared
+        )
+        rep = check_topic_consistency(spark, d)
+        assert not rep["ok"]
+        assert any("outside declared count" in p for p in rep["problems"])
