@@ -477,6 +477,18 @@ def _q_doc_token_sketch(spark, sf_dir):
     )
 
 
+def _q_doc_perplexity(spark, sf_dir):
+    # CCNet-style perplexity filtering (functions/text.py): self-trained
+    # add-alpha unigram LM (top-500 vocab, deterministic ties), each doc
+    # scored by mean negative log-likelihood with an OOV floor. One
+    # explode + broadcast vocab join + per-doc agg.
+    from pulsar_spark.functions import perplexity_scores, unigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram_model(docs, max_vocab=500)
+    return perplexity_scores(docs, model=model)
+
+
 def _q_doc_domain_mix(spark, sf_dir):
     # domain re-weighting ("data mixing"): per-source row budgets from
     # integer weights, hash-downsampled at min(1, budget/count). One
@@ -1662,13 +1674,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": _q_doc_chunk_dedup,
         "doc_source_cap": _q_doc_source_cap,
         "doc_shuffle_shards": _q_doc_shuffle_shards,
+        "doc_perplexity": _q_doc_perplexity,
         # -- core log-relational operators (driver-green r01+r02)
         "compact_publish_order": _q_compact_publish_order,
         "compaction_trigger": _q_compaction_trigger,
         "dedup": _q_dedup,
         "scalable_split_stats": _q_scalable_split_stats,
         "delivery_delay_fixed": _q_delivery_delay_fixed,
-        "backlog": _q_backlog,
         "backlog_quota": _q_backlog_quota,
         "key_shared_consistent": _q_key_shared_consistent,
         "key_shared": _q_key_shared,
@@ -1688,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttl_expiry": _q_ttl_expiry,
         "delayed_visibility": _q_delayed_visibility,
         "seek_by_timestamp": _q_seek_by_timestamp,
+        "backlog": _q_backlog,
         "retry_schedule": _q_retry_schedule,
         "window_tumbling_1h": _q_window_tumbling_1h,
         "window_sliding_1h_15m": _q_window_sliding_1h_15m,
@@ -2086,6 +2099,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE (('0x' || substr(md5('42:' || doc_id), 1, 8))::UBIGINT)
                   / 4294967296.0 < 0.25
+        """,
+        "doc_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+              FROM documents
+            ), counts AS (
+              SELECT tok, count(*) AS n FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT count(*) AS total, count(DISTINCT tok) AS v FROM toks
+            ), vocab AS (
+              SELECT tok,
+                     round(ln((n + 0.5) / ((SELECT total FROM tot)
+                            + 0.5 * ((SELECT v FROM tot) + 1))), 6) AS logprob
+              FROM counts
+              QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 500
+            ), fl AS (SELECT min(logprob) - 0.693147 AS f FROM vocab)
+            SELECT doc_id,
+                   round(-avg(coalesce(v.logprob, (SELECT f FROM fl))), 6) AS nll,
+                   count(*) AS n_tokens
+            FROM toks LEFT JOIN vocab v USING (tok)
+            GROUP BY doc_id
         """,
         "doc_shuffle_shards": """
             WITH d AS (

@@ -229,3 +229,92 @@ def sketch_union_distinct(per_group: DataFrame, sketch_col: str = "sketch") -> D
     return per_group.agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("approx_distinct_total")
     )
+
+
+def unigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    alpha: float = 0.5,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Train an add-alpha-smoothed unigram LM over the corpus — the
+    model half of CCNet-style perplexity filtering. Returns
+    (tok, logprob) for the ``max_vocab`` most frequent tokens (ties
+    break on the token for determinism); everything else scores as a
+    single OOV event at count 0.
+
+    Capping the vocabulary is what makes scoring scale-safe: the model
+    broadcasts (a few MB) instead of shuffle-joining every token
+    occurrence against an unbounded vocabulary with Zipf skew.
+
+    Vocabulary selection: pass ``min_count`` for the corpus-scale path
+    — a narrow ``n >= min_count`` filter, no sort anywhere. The
+    default top-``max_vocab`` ranking is exact and deterministic (ties
+    break on the token) but its window sorts the VOCABULARY table in
+    one task; fine up to millions of distinct tokens, not at web-corpus
+    vocabulary sizes — use ``min_count`` there.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    if min_count is not None:
+        vocab = counts.where(F.col("n") >= min_count)
+    else:
+        w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+        vocab = counts.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= max_vocab
+        )
+    totals = toks.agg(
+        F.count("*").alias("_total"), F.countDistinct("tok").alias("_v")
+    )
+    return (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.round(
+                F.log((F.col("n") + F.lit(alpha)) / (F.col("_total") + F.lit(alpha) * (F.col("_v") + 1))),
+                6,
+            ).alias("logprob"),
+        )
+    )
+
+
+def perplexity_scores(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the unigram LM —
+    the CCNet quality proxy (low = fluent/common text, high = garbage
+    or very rare vocabulary). Pass a pre-trained ``model`` (from
+    ``unigram_model``, possibly trained on a different reference
+    corpus, as CCNet trains on Wikipedia) or let it default to
+    self-training on ``docs``.
+
+    Scale shape: one explode + one BROADCAST join against the capped
+    vocabulary + one per-doc agg. OOV tokens take the count-0 smoothed
+    probability. Empty documents score NULL.
+    """
+    if model is None:
+        model = unigram_model(docs, text_col, max_vocab, alpha)
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    # OOV logprob derives from the model's smoothing constant: recover
+    # total/V is not needed — score count 0 with the same denominator
+    # by carrying it on the model frame would duplicate state; instead
+    # take the minimum vocab logprob minus ln(2) as a deterministic
+    # OOV floor (strictly below every in-vocab token, order-preserving).
+    floor = model.agg((F.min("logprob") - F.lit(0.693147)).alias("f"))
+    scored = (
+        toks.join(F.broadcast(model), on="tok", how="left")
+        .crossJoin(F.broadcast(floor))
+        .withColumn("logprob", F.coalesce("logprob", F.col("f")))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(-F.avg("logprob"), 6).alias("nll"), F.count("*").alias("n_tokens"))
+    )

@@ -652,3 +652,46 @@ class TestPackMaterialize:
         }
         for key, texts in want.items():
             assert stats[key][0] == len(texts)
+
+
+class TestPerplexity:
+    """functions/text.py unigram LM scoring — the CCNet quality proxy."""
+
+    def test_rare_vocab_scores_worse_than_common(self, spark, documents):
+        from pulsar_spark.functions import perplexity_scores, unigram_model
+
+        model = unigram_model(documents, max_vocab=500)
+        probe = spark.createDataFrame(
+            [
+                (1_000_001, "the and of to in is it the and of"),
+                (1_000_002, "zqxj vproth klmnop wxyzab qrstuv hjklzx"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.nll for r in perplexity_scores(probe, model=model).collect()}
+        # pure-stopword text is far more likely under the corpus LM
+        # than pure-OOV garbage
+        assert got[1_000_001] < got[1_000_002]
+
+    def test_min_count_path_has_no_global_sort(self, spark, documents):
+        from pulsar_spark.functions import unigram_model
+
+        plan = (
+            unigram_model(documents, min_count=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Sort [" in line:
+                assert ", false, 0" in line, f"global sort in plan: {line.strip()}"
+
+    def test_scores_deterministic_under_repartition(self, spark, documents):
+        from pulsar_spark.functions import perplexity_scores
+
+        a = {r.doc_id: r.nll for r in perplexity_scores(documents, max_vocab=500).collect()}
+        b = {
+            r.doc_id: r.nll
+            for r in perplexity_scores(documents.repartition(13), max_vocab=500).collect()
+        }
+        assert a == b

@@ -44,6 +44,8 @@ KEYS = [
     "scalable_split_stats",
     "seek_by_timestamp",
     "delivery_delay_fixed",
+    "backlog",
+    "doc_perplexity",
     "compaction_trigger",
     "pretraining_pipeline_v3",
     "doc_hash_sample",
