@@ -14,6 +14,10 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark offload <topic_path> --cold <path> --before TS
   python -m pulsar_spark skip    <topic_path> -n N [--from-offset N]
   python -m pulsar_spark update-partitions <topic_path> --partitions N
+  python -m pulsar_spark create-scalable  <topic_path> [--segments N]
+  python -m pulsar_spark split-segment    <topic_path> --segment ID
+  python -m pulsar_spark merge-segments   <topic_path> --segments ID1 ID2
+  python -m pulsar_spark scalable-stats   <topic_path>
 """
 
 from __future__ import annotations
@@ -80,6 +84,22 @@ def main(argv: list[str] | None = None) -> int:
     p_upd.add_argument("topic")
     p_upd.add_argument("--partitions", type=int, required=True)
 
+    # scalable topics (CmdScalableTopics analog)
+    p_screate = sub.add_parser("create-scalable", help="create a scalable topic")
+    p_screate.add_argument("topic")
+    p_screate.add_argument("--segments", type=int, default=2)
+
+    p_split = sub.add_parser("split-segment", help="seal a segment into two children")
+    p_split.add_argument("topic")
+    p_split.add_argument("--segment", type=int, required=True)
+
+    p_merge = sub.add_parser("merge-segments", help="fuse two adjacent active segments")
+    p_merge.add_argument("topic")
+    p_merge.add_argument("--segments", type=int, nargs=2, required=True)
+
+    p_sstat = sub.add_parser("scalable-stats", help="per-segment range/state/counts")
+    p_sstat.add_argument("topic")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "create":  # no Spark session needed
@@ -99,6 +119,24 @@ def main(argv: list[str] | None = None) -> int:
 
         update_partitions(args.topic, args.partitions)
         print(json.dumps({"topic": args.topic, "partitions": args.partitions}))
+        return 0
+    if args.cmd == "create-scalable":  # sidecar-only metadata op
+        from pulsar_spark.sources import create_scalable_topic
+
+        create_scalable_topic(args.topic, num_initial_segments=args.segments)
+        print(json.dumps({"created": args.topic, "segments": args.segments}))
+        return 0
+    if args.cmd == "split-segment":
+        from pulsar_spark.sources import split_segment
+
+        children = split_segment(args.topic, args.segment)
+        print(json.dumps({"sealed": args.segment, "children": list(children)}))
+        return 0
+    if args.cmd == "merge-segments":
+        from pulsar_spark.sources import merge_segments
+
+        child = merge_segments(args.topic, *args.segments)
+        print(json.dumps({"sealed": args.segments, "child": child}))
         return 0
 
     from pyspark.sql import SparkSession
@@ -146,6 +184,11 @@ def main(argv: list[str] | None = None) -> int:
         from pulsar_spark.sources.topics import read_topic
 
         for row in topic_stats(read_topic(spark, args.topic)).collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "scalable-stats":
+        from pulsar_spark.sources import scalable_stats
+
+        for row in scalable_stats(spark, args.topic).collect():
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
     elif args.cmd == "last":
         from pulsar_spark.operators.seek import last_message_ids
