@@ -2115,12 +2115,19 @@ def oracle_sql() -> dict[str, str]:
                             + 0.5 * ((SELECT v FROM tot) + 1))), 6) AS logprob
               FROM counts
               QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 500
-            ), fl AS (SELECT min(logprob) - 0.693147 AS f FROM vocab)
-            SELECT doc_id,
-                   round(-avg(coalesce(v.logprob, (SELECT f FROM fl))), 6) AS nll,
-                   count(*) AS n_tokens
-            FROM toks LEFT JOIN vocab v USING (tok)
-            GROUP BY doc_id
+            ), fl AS (
+              SELECT round(ln(0.5 / ((SELECT total FROM tot)
+                     + 0.5 * ((SELECT v FROM tot) + 1))), 6) AS f
+            ), s AS (
+              SELECT doc_id,
+                     round(-avg(coalesce(v.logprob, (SELECT f FROM fl))), 6) AS nll,
+                     count(*) AS n_tokens
+              FROM toks LEFT JOIN vocab v USING (tok)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, s.nll,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "doc_shuffle_shards": """
             WITH d AS (

@@ -266,18 +266,20 @@ def unigram_model(
         vocab = counts.withColumn("_rk", F.row_number().over(w)).where(
             F.col("_rk") <= max_vocab
         )
-    totals = toks.agg(
-        F.count("*").alias("_total"), F.countDistinct("tok").alias("_v")
-    )
-    return (
-        vocab.crossJoin(F.broadcast(totals))
-        .select(
-            "tok",
-            F.round(
-                F.log((F.col("n") + F.lit(alpha)) / (F.col("_total") + F.lit(alpha) * (F.col("_v") + 1))),
-                6,
-            ).alias("logprob"),
-        )
+    # totals come from the already-aggregated counts frame (one row per
+    # distinct token): sum(n) = occurrences, count(*) = full vocabulary
+    # — no second pass over the corpus. A tiny eager collect turns them
+    # into literals so the OOV logprob (true add-alpha count-0
+    # probability) travels on the model frame.
+    import math
+
+    t, v = counts.agg(F.sum("n"), F.count("*")).collect()[0]
+    denom = float(t) + alpha * (float(v) + 1)
+    oov = round(math.log(alpha / denom), 6)
+    return vocab.select(
+        "tok",
+        F.round(F.log((F.col("n") + F.lit(alpha)) / F.lit(denom)), 6).alias("logprob"),
+        F.lit(oov).alias("oov_logprob"),
     )
 
 
@@ -302,19 +304,23 @@ def perplexity_scores(
     """
     if model is None:
         model = unigram_model(docs, text_col, max_vocab, alpha)
-    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
-    # OOV logprob derives from the model's smoothing constant: recover
-    # total/V is not needed — score count 0 with the same denominator
-    # by carrying it on the model frame would duplicate state; instead
-    # take the minimum vocab logprob minus ln(2) as a deterministic
-    # OOV floor (strictly below every in-vocab token, order-preserving).
-    floor = model.agg((F.min("logprob") - F.lit(0.693147)).alias("f"))
+    # explode_outer keeps empty/whitespace-only documents in the output
+    # (one NULL-token row); they aggregate to n_tokens=0, nll=NULL
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(tokenize(F.col(text_col))).alias("tok")
+    )
+    # OOV tokens take the model's true count-0 add-alpha probability,
+    # carried on the model frame by unigram_model
+    oov = model.agg(F.max("oov_logprob").alias("f"))
     scored = (
-        toks.join(F.broadcast(model), on="tok", how="left")
-        .crossJoin(F.broadcast(floor))
-        .withColumn("logprob", F.coalesce("logprob", F.col("f")))
+        toks.join(F.broadcast(model.select("tok", "logprob")), on="tok", how="left")
+        .crossJoin(F.broadcast(oov))
+        .withColumn(
+            "logprob",
+            F.when(F.col("tok").isNotNull(), F.coalesce("logprob", F.col("f"))),
+        )
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.round(-F.avg("logprob"), 6).alias("nll"), F.count("*").alias("n_tokens"))
+        .agg(F.round(-F.avg("logprob"), 6).alias("nll"), F.count("tok").alias("n_tokens"))
     )

@@ -397,20 +397,14 @@ def list_scalable_topics(
     """ScalableTopics.listScalableTopics / listScalableTopicsByProperties:
     every scalable topic under a namespace directory, optionally
     filtered to those whose sidecar properties contain ALL the given
-    key/value pairs."""
-    out = []
-    if not os.path.isdir(namespace_dir):
-        return out
-    for name in sorted(os.listdir(namespace_dir)):
-        p = os.path.join(namespace_dir, name)
-        if not os.path.isfile(os.path.join(p, _META)):
-            continue
-        if property_filters:
-            props = scalable_metadata(p).get("properties", {})
-            if any(props.get(k) != v for k, v in property_filters.items()):
-                continue
-        out.append(p)
-    return out
+    key/value pairs. Shares the walk + filter semantic with the
+    classic listing (topics.list_topics_by_metadata)."""
+    from pulsar_spark.sources.topics import list_topics_by_metadata
+
+    def loader(p: str) -> dict | None:
+        return scalable_metadata(p) if os.path.isfile(os.path.join(p, _META)) else None
+
+    return list_topics_by_metadata(namespace_dir, loader, property_filters)
 
 
 # ------------------------------------------------------- checkpoint consumer
@@ -499,17 +493,14 @@ def checkpoint_at_timestamp(
     if df is None:
         return Checkpoint.earliest()
     ts = F.lit(timestamp).cast("timestamp")
-    firsts = {
-        r.segment: r.lo
-        for r in df.where(F.col("publish_time") >= ts)
-        .groupBy("segment")
-        .agg(F.min("offset").alias("lo"))
+    # one grouped pass: first qualifying offset per segment, falling
+    # back to past-the-end for segments with no qualifying rows
+    rows = (
+        df.groupBy("segment")
+        .agg(
+            F.min(F.when(F.col("publish_time") >= ts, F.col("offset"))).alias("lo"),
+            F.max("offset").alias("mx"),
+        )
         .collect()
-    }
-    # segments with no qualifying rows resume past their end
-    highs = {
-        r.segment: r.mx + 1
-        for r in df.groupBy("segment").agg(F.max("offset").alias("mx")).collect()
-    }
-    highs.update(firsts)
-    return Checkpoint(highs)
+    )
+    return Checkpoint({r.segment: (r.lo if r.lo is not None else r.mx + 1) for r in rows})

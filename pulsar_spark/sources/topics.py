@@ -612,11 +612,15 @@ def truncate_topic(topic_path: str) -> None:
             os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
 
 
-def list_topics(namespace_dir: str, property_filters: dict | None = None) -> list[str]:
-    """Namespace topic listing with property filters (PIP-452
-    customizable topic listing): every topic directory under
-    ``namespace_dir`` carrying a metadata sidecar, optionally filtered
-    to those whose properties contain ALL given key/value pairs."""
+def list_topics_by_metadata(
+    namespace_dir: str, loader, property_filters: dict | None = None
+) -> list[str]:
+    """Shared namespace-listing walk (PIP-452 customizable topic
+    listing): every directory whose ``loader`` yields a metadata dict,
+    optionally filtered to those whose properties contain ALL given
+    key/value pairs. ``loader(path) -> dict | None`` abstracts which
+    sidecar defines topic-ness (classic ``_topic.json`` vs scalable
+    ``_scalable.json``) so both listings share one filter semantic."""
     import os
 
     out = []
@@ -624,7 +628,7 @@ def list_topics(namespace_dir: str, property_filters: dict | None = None) -> lis
         return out
     for name in sorted(os.listdir(namespace_dir)):
         p = os.path.join(namespace_dir, name)
-        meta = topic_metadata(p) if os.path.isdir(p) else None
+        meta = loader(p) if os.path.isdir(p) else None
         if meta is None:
             continue
         if property_filters:
@@ -635,6 +639,11 @@ def list_topics(namespace_dir: str, property_filters: dict | None = None) -> lis
     return out
 
 
+def list_topics(namespace_dir: str, property_filters: dict | None = None) -> list[str]:
+    """Classic-topic namespace listing with property filters."""
+    return list_topics_by_metadata(namespace_dir, topic_metadata, property_filters)
+
+
 def check_topic_consistency(spark: SparkSession, topic_path: str) -> dict:
     """Topic integrity check (PIP-414 enforce topic consistency): one
     aggregation pass validating the storage invariants the engine
@@ -642,7 +651,9 @@ def check_topic_consistency(spark: SparkSession, topic_path: str) -> dict:
     invariant holds:
 
     - no duplicate (partition, offset) message ids;
-    - offsets dense per partition (max offset == count - 1);
+    - offsets CONTIGUOUS per partition (max - min + 1 == count; the
+      low end need not be 0 — tiered offload legitimately trims the
+      hot tier's oldest offsets away);
     - every stored partition is within the sidecar's declared count
       (routing and storage agree).
     """
@@ -653,6 +664,7 @@ def check_topic_consistency(spark: SparkSession, topic_path: str) -> dict:
         df.groupBy("partition")
         .agg(
             F.count("*").alias("rows"),
+            F.min("offset").alias("min_offset"),
             F.max("offset").alias("max_offset"),
             F.countDistinct("offset").alias("distinct_offsets"),
         )
@@ -662,10 +674,10 @@ def check_topic_consistency(spark: SparkSession, topic_path: str) -> dict:
     for r in per:
         if r.distinct_offsets != r.rows:
             problems.append(f"partition {r.partition}: duplicate offsets")
-        if r.max_offset != r.rows - 1:
+        if r.max_offset - r.min_offset + 1 != r.rows:
             problems.append(
-                f"partition {r.partition}: offsets not dense "
-                f"(max {r.max_offset}, rows {r.rows})"
+                f"partition {r.partition}: offsets not contiguous "
+                f"(range [{r.min_offset}, {r.max_offset}], rows {r.rows})"
             )
     meta = topic_metadata(topic_path)
     if meta is not None:

@@ -695,3 +695,33 @@ class TestPerplexity:
             for r in perplexity_scores(documents.repartition(13), max_vocab=500).collect()
         }
         assert a == b
+
+    def test_empty_docs_kept_with_null_score(self, spark, documents):
+        from pulsar_spark.functions import perplexity_scores, unigram_model
+
+        model = unigram_model(documents, max_vocab=500)
+        probe = spark.createDataFrame(
+            [(1, "the and of"), (2, ""), (3, "   ")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: (r.nll, r.n_tokens) for r in perplexity_scores(probe, model=model).collect()}
+        assert set(rows) == {1, 2, 3}  # empties present, not dropped
+        assert rows[2] == (None, 0) and rows[3] == (None, 0)
+        assert rows[1][0] is not None and rows[1][1] == 3
+
+    def test_oov_is_true_count_zero_probability(self, spark, documents):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions import perplexity_scores, tokenize, unigram_model
+
+        model = unigram_model(documents, max_vocab=500)
+        oov = model.select(F.max("oov_logprob")).collect()[0][0]
+        toks = documents.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        total = toks.count()
+        v = toks.distinct().count()
+        assert oov == round(math.log(0.5 / (total + 0.5 * (v + 1))), 6)
+        # a pure-OOV doc's nll is exactly -oov
+        probe = spark.createDataFrame([(9, "zzqqxxjj wwvvkk")], "doc_id long, text string")
+        nll = perplexity_scores(probe, model=model).collect()[0].nll
+        assert abs(nll - (-oov)) < 1e-6
