@@ -504,3 +504,51 @@ def checkpoint_at_timestamp(
         .collect()
     )
     return Checkpoint({r.segment: (r.lo if r.lo is not None else r.mx + 1) for r in rows})
+
+
+def entry_bucket_hash(key, deterministic_mod: bool = False):
+    """The 16-bit entry-bucket hash — the LOW 16 bits of the key's
+    murmur3_32, independent of the segment hash taken from the HIGH 16
+    bits of the same value (ScalableTopicHashing.entryBucketHash,
+    PIP-486: one hash computed per key, split into two independent
+    rings so a segment's keys spread evenly across its buckets).
+
+    ``deterministic_mod`` mirrors the engine's oracle convention with a
+    DIFFERENT multiplicative mix than the segment slot, keeping the
+    two pseudo-rings independent cross-engine."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    if deterministic_mod:
+        return F.pmod(key_col.cast("bigint") * F.lit(2246822519), F.lit(MAX_HASH + 1)).cast(
+            "int"
+        )
+    return F.hash(key_col).bitwiseAND(F.lit(MAX_HASH)).cast("int")
+
+
+def bucket_of(hash_col, splits: list[int]):
+    """Bucket index from ordered split boundaries — the producer-side
+    bucketOf (EntryBucketBatchContainer.bucketOf: the count of splits
+    at or below the hash), giving ranges [0, s1), [s1, s2), ...,
+    [s_n, 0xFFFF]."""
+    expr = F.lit(0)
+    for s in splits:
+        expr = expr + (hash_col >= F.lit(int(s))).cast("int")
+    return expr.cast("int")
+
+
+def key_shared_buckets(
+    messages: DataFrame,
+    splits: list[int],
+    key_col: str = "key",
+    deterministic_mod: bool = False,
+) -> DataFrame:
+    """PIP-486 key-shared consumption within a segment: every entry is
+    assigned to ONE bucket at produce time (no broker-side per-key
+    hashing at dispatch), a bucket goes to exactly one consumer, and
+    per-key order holds because a key's bucket hash never changes.
+    Adds ``entry_bucket`` and ``bucket`` columns; the controller's
+    bucket->consumer map is a tiny broadcast the caller applies on
+    top. Pure narrow expressions — rides the scan."""
+    h = entry_bucket_hash(F.col(key_col), deterministic_mod)
+    return messages.withColumn("entry_bucket", h).withColumn(
+        "bucket", bucket_of(F.col("entry_bucket"), sorted(splits))
+    )

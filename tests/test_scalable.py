@@ -400,3 +400,55 @@ class TestLayoutProperty:
                     for c in s["child_ids"]:
                         assert str(c) in meta["segments"]
                     assert s["sealed_at_epoch"] <= meta["epoch"]
+
+
+class TestEntryBuckets:
+    """PIP-486 entry-bucketing: the low 16 bits of the key's murmur
+    drive an independent per-segment bucket ring."""
+
+    def test_bucket_of_matches_reference_loop(self, spark):
+        from pulsar_spark.sources import bucket_of
+
+        splits = [100, 5000, 60000]
+
+        def ref(h):  # EntryBucketBatchContainer.bucketOf
+            idx = 0
+            for s in splits:
+                if s <= h:
+                    idx += 1
+                else:
+                    break
+            return idx
+
+        df = spark.range(0, 65536, 997).selectExpr("CAST(id AS INT) AS h")
+        got = {r.h: r.b for r in df.withColumn("b", bucket_of(F.col("h"), splits)).collect()}
+        assert got == {h: ref(h) for h in got}
+        assert set(got.values()) == {0, 1, 2, 3}
+
+    def test_segment_and_bucket_hashes_are_independent_halves(self, spark):
+        from pulsar_spark.sources import entry_bucket_hash
+        from pulsar_spark.sources.scalable import segment_hash
+
+        keys = spark.range(2000).selectExpr("CAST(id AS STRING) AS k")
+        rows = keys.select(
+            F.hash("k").alias("murmur"),
+            segment_hash(F.col("k")).alias("seg"),
+            entry_bucket_hash(F.col("k")).alias("bkt"),
+        ).collect()
+        for r in rows:
+            assert r.seg == (r.murmur >> 16) & 0xFFFF
+            assert r.bkt == r.murmur & 0xFFFF
+        # both halves individually spread over their space
+        assert len({r.seg for r in rows}) > 1000
+        assert len({r.bkt for r in rows}) > 1000
+
+    def test_per_key_bucket_is_stable(self, spark):
+        from pulsar_spark.sources import key_shared_buckets
+
+        msgs = spark.range(1000).selectExpr(
+            "CAST(id % 50 AS STRING) AS key", "id AS v"
+        )
+        out = key_shared_buckets(msgs, splits=[16384, 32768, 49152])
+        per_key = out.groupBy("key").agg(F.countDistinct("bucket").alias("nb"))
+        assert per_key.where(F.col("nb") != 1).count() == 0  # per-key order holds
+        assert out.select("bucket").distinct().count() > 1
