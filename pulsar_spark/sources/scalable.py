@@ -232,18 +232,30 @@ def read_scalable(
     return df
 
 
-def split_segment(topic_path: str, segment_id: int) -> tuple[int, int]:
+def split_segment(
+    topic_path: str, segment_id: int, at: int | None = None
+) -> tuple[int, int]:
     """ScalableTopics.splitSegment: seal the segment and create two
-    children halving its range (HashRange.split: [start, mid],
-    [mid+1, end]). Stored data stays under the sealed parent; new
-    produce routes over the children. Returns the child ids."""
+    children ([start, mid], [mid+1, end]). ``at`` overrides the
+    default range-halving midpoint with an arbitrary boundary (the
+    PIP-468 load-aware split: the controller picks the point that
+    evens out TRAFFIC rather than hash-width for skewed key
+    distributions — pip/pip-486.md cites it; a boundary-selection
+    policy only, the split mechanics are identical). Stored data stays
+    under the sealed parent; new produce routes over the children.
+    Returns the child ids."""
     meta = scalable_metadata(topic_path)
     s = meta["segments"].get(str(segment_id))
     if s is None or s["state"] != "ACTIVE":
         raise SegmentGoneError(f"segment {segment_id} is not active in {topic_path}")
     if s["end"] - s["start"] + 1 < 2:
         raise ValueError(f"cannot split range of size {s['end'] - s['start'] + 1}")
-    mid = s["start"] + (s["end"] - s["start"]) // 2
+    mid = s["start"] + (s["end"] - s["start"]) // 2 if at is None else int(at)
+    if not s["start"] <= mid < s["end"]:
+        raise ValueError(
+            f"split point {mid} outside ({s['start']}, {s['end']}) — both children "
+            f"must be non-empty"
+        )
     epoch = meta["epoch"] + 1
     ids = (meta["next_segment_id"], meta["next_segment_id"] + 1)
     for cid, (lo, hi) in zip(ids, ((s["start"], mid), (mid + 1, s["end"]))):

@@ -452,3 +452,24 @@ class TestEntryBuckets:
         per_key = out.groupBy("key").agg(F.countDistinct("bucket").alias("nb"))
         assert per_key.where(F.col("nb") != 1).count() == 0  # per-key order holds
         assert out.select("bucket").distinct().count() > 1
+
+
+class TestLoadAwareSplit:
+    def test_arbitrary_split_point(self, tmp_path):
+        """PIP-468 load-aware split: the controller picks a traffic-
+        balancing boundary instead of the hash-width midpoint."""
+        from pulsar_spark.sources import create_scalable_topic, scalable_metadata, split_segment
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=1)  # [0, 65535]
+        c1, c2 = split_segment(d, 0, at=1000)
+        meta = scalable_metadata(d)
+        assert (meta["segments"][str(c1)]["start"], meta["segments"][str(c1)]["end"]) == (0, 1000)
+        assert (meta["segments"][str(c2)]["start"], meta["segments"][str(c2)]["end"]) == (1001, 65535)
+        # boundary must leave both children non-empty
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            split_segment(d, c2, at=65535)
+        with _pytest.raises(ValueError):
+            split_segment(d, c2, at=1000)
