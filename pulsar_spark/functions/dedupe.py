@@ -747,3 +747,49 @@ def remove_duplicated_chunks(
             ).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_store: bool = True,
+) -> DataFrame:
+    """Incremental corpus dedup: drop documents whose exact text
+    fingerprint was EVER seen — across all previous batches — then
+    record the survivors' fingerprints.
+
+    The shape a rolling crawl pipeline needs (today's snapshot vs the
+    all-time seen set, not just within-batch): the store holds ONLY
+    md5 fingerprints, so it stays a sliver of the corpus and the check
+    is one hash anti-join per batch — no historical text is ever
+    re-read. Within-batch duplicates also collapse (min-id survivor,
+    same rule as ``exact_dedup``). Pass ``update_store=False`` for a
+    dry run that only filters.
+
+    At 1000-executor scale the store is a bucketed/partitioned
+    fingerprint table and the anti-join shuffles the BATCH, never
+    history; a restart after a crash is safe because re-appending a
+    surviving batch's fingerprints only creates duplicate store rows,
+    which the anti-join semantics ignore.
+    """
+    import os
+
+    from pulsar_spark.functions.text import fingerprint
+
+    spark = new_docs.sparkSession
+    deduped = exact_dedup(new_docs, text_col, id_col).withColumn(
+        "_fp", fingerprint(F.col(text_col))
+    )
+    if os.path.isdir(store_path) and any(
+        f.startswith("part-") for f in os.listdir(store_path)
+    ):
+        seen = spark.read.parquet(store_path)
+        deduped = deduped.join(seen, on="_fp", how="left_anti")
+    if update_store:
+        # materialize survivors BEFORE appending their fingerprints, or
+        # the store append would race the anti-join's own read plan
+        deduped = deduped.localCheckpoint(eager=True)
+        deduped.select("_fp").write.mode("append").parquet(store_path)
+    return deduped.drop("_fp")

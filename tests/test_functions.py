@@ -725,3 +725,47 @@ class TestPerplexity:
         probe = spark.createDataFrame([(9, "zzqqxxjj wwvvkk")], "doc_id long, text string")
         nll = perplexity_scores(probe, model=model).collect()[0].nll
         assert abs(nll - (-oov)) < 1e-6
+
+
+class TestIncrementalDedup:
+    """Rolling-crawl dedup vs the all-time fingerprint store."""
+
+    def test_cross_batch_dedup_via_store(self, spark, documents, tmp_path):
+        from pulsar_spark.functions import incremental_exact_dedup
+
+        store = str(tmp_path / "fps")
+        b1 = documents.limit(200)
+        out1 = incremental_exact_dedup(b1, store)
+        n1 = out1.count()
+        assert 0 < n1 <= 200
+
+        # batch 2 = 100 repeats of batch 1 (new ids) + 100 fresh docs
+        repeats = b1.limit(100).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        fresh = documents.orderBy(F.col("doc_id").desc()).limit(100)
+        out2 = incremental_exact_dedup(repeats.unionByName(fresh), store)
+        got = {r.doc_id for r in out2.select("doc_id").collect()}
+        assert not {d for d in got if d >= 1_000_000}, "historical repeats survived"
+        # the fresh docs survive (unless their text collides with batch 1)
+        fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+        assert got <= fresh_ids and len(got) > 0
+
+        # a third replay of everything is fully suppressed
+        out3 = incremental_exact_dedup(
+            repeats.unionByName(fresh).withColumn("doc_id", F.col("doc_id") + 2_000_000),
+            store,
+        )
+        assert out3.count() == 0
+
+    def test_dry_run_leaves_store_untouched(self, spark, documents, tmp_path):
+        from pulsar_spark.functions import incremental_exact_dedup
+
+        store = str(tmp_path / "fps")
+        incremental_exact_dedup(documents.limit(50), store)
+        n_before = spark.read.parquet(store).count()
+        out = incremental_exact_dedup(
+            documents.limit(120).withColumn("doc_id", F.col("doc_id") + 5_000_000),
+            store,
+            update_store=False,
+        )
+        assert out.count() > 0  # docs 50..119 pass the filter
+        assert spark.read.parquet(store).count() == n_before
