@@ -749,6 +749,23 @@ def remove_duplicated_chunks(
     )
 
 
+def _fingerprint_store_files(spark, store_path: str) -> list[str]:
+    """Parquet part files currently in the fingerprint store, resolved
+    through the Hadoop FileSystem API so any scheme the cluster can
+    read (file://, hdfs://, s3a://, ...) works — a driver-local
+    os.path check would silently skip the store on remote paths."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    return [
+        f.getPath().toString()
+        for f in fs.listStatus(path)
+        if f.getPath().getName().startswith("part-")
+    ]
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     store_path: str,
@@ -757,39 +774,56 @@ def incremental_exact_dedup(
     update_store: bool = True,
 ) -> DataFrame:
     """Incremental corpus dedup: drop documents whose exact text
-    fingerprint was EVER seen — across all previous batches — then
-    record the survivors' fingerprints.
+    fingerprint was EVER seen — across all previous batches — and
+    (optionally) record the survivors' fingerprints.
 
     The shape a rolling crawl pipeline needs (today's snapshot vs the
     all-time seen set, not just within-batch): the store holds ONLY
-    md5 fingerprints, so it stays a sliver of the corpus and the check
-    is one hash anti-join per batch — no historical text is ever
-    re-read. Within-batch duplicates also collapse (min-id survivor,
-    same rule as ``exact_dedup``). Pass ``update_store=False`` for a
-    dry run that only filters.
+    md5 fingerprints, so the check is one hash anti-join per batch and
+    no historical text is ever re-read. Within-batch duplicates also
+    collapse (min-id survivor, same rule as ``exact_dedup``; the
+    fingerprint is computed once and reused for the collapse, the
+    anti-join and the store append). NULL text fingerprints as the
+    empty string, so null-text documents deduplicate like any other
+    instead of slipping through the join on NULL keys.
 
-    At 1000-executor scale the store is a bucketed/partitioned
-    fingerprint table and the anti-join shuffles the BATCH, never
-    history; a restart after a crash is safe because re-appending a
-    surviving batch's fingerprints only creates duplicate store rows,
-    which the anti-join semantics ignore.
+    The store is read as an explicit SNAPSHOT of its current part
+    files, so the append can never invalidate the returned frame's
+    own plan — no checkpoint, nothing materialized beyond the
+    fingerprint column.
+
+    Retry semantics: with ``update_store=True`` the fingerprints
+    commit when THIS call runs, so a crash after it but before the
+    caller persists the survivors means a retry filters the batch out
+    (at-most-once). For exactly-once, run with
+    ``update_store=False``, persist the survivors downstream, then
+    ``commit_fingerprints`` — replays are then harmless because
+    duplicate store rows do not change anti-join semantics.
     """
-    import os
-
-    from pulsar_spark.functions.text import fingerprint
-
     spark = new_docs.sparkSession
-    deduped = exact_dedup(new_docs, text_col, id_col).withColumn(
-        "_fp", fingerprint(F.col(text_col))
+    cols = new_docs.columns
+    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    collapsed = (
+        new_docs.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_d"))
+        .select("_fp", "_d.*")
     )
-    if os.path.isdir(store_path) and any(
-        f.startswith("part-") for f in os.listdir(store_path)
-    ):
-        seen = spark.read.parquet(store_path)
-        deduped = deduped.join(seen, on="_fp", how="left_anti")
+    files = _fingerprint_store_files(spark, store_path)
+    if files:
+        collapsed = collapsed.join(
+            spark.read.parquet(*files), on="_fp", how="left_anti"
+        )
     if update_store:
-        # materialize survivors BEFORE appending their fingerprints, or
-        # the store append would race the anti-join's own read plan
-        deduped = deduped.localCheckpoint(eager=True)
-        deduped.select("_fp").write.mode("append").parquet(store_path)
-    return deduped.drop("_fp")
+        collapsed.select("_fp").write.mode("append").parquet(store_path)
+    return collapsed.drop("_fp")
+
+
+def commit_fingerprints(
+    survivors: DataFrame, store_path: str, text_col: str = "text"
+) -> None:
+    """Second phase of exactly-once incremental dedup: append the
+    already-persisted survivors' fingerprints to the store (call AFTER
+    the downstream sink write succeeds)."""
+    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    survivors.select(fp.alias("_fp")).write.mode("append").parquet(store_path)

@@ -253,7 +253,7 @@ def split_segment(
     mid = s["start"] + (s["end"] - s["start"]) // 2 if at is None else int(at)
     if not s["start"] <= mid < s["end"]:
         raise ValueError(
-            f"split point {mid} outside ({s['start']}, {s['end']}) — both children "
+            f"split point {mid} outside [{s['start']}, {s['end']}) — both children "
             f"must be non-empty"
         )
     epoch = meta["epoch"] + 1

@@ -769,3 +769,26 @@ class TestIncrementalDedup:
         )
         assert out.count() > 0  # docs 50..119 pass the filter
         assert spark.read.parquet(store).count() == n_before
+
+    def test_null_text_dedupes_and_two_phase_commit(self, spark, tmp_path):
+        from pulsar_spark.functions import commit_fingerprints, incremental_exact_dedup
+
+        store = str(tmp_path / "fps2")
+        b1 = spark.createDataFrame(
+            [(1, None), (2, "hello world"), (3, None)], "doc_id long, text string"
+        )
+        out1 = incremental_exact_dedup(b1, store)
+        assert out1.count() == 2  # null-text rows collapse within batch
+        # a later batch's null-text doc matches the stored fingerprint
+        b2 = spark.createDataFrame([(10, None), (11, "fresh")], "doc_id long, text string")
+        out2 = incremental_exact_dedup(b2, store)
+        assert [r.doc_id for r in out2.collect()] == [11]
+
+        # two-phase flow: filter only, persist downstream, then commit
+        b3 = spark.createDataFrame([(20, "late commit")], "doc_id long, text string")
+        out3 = incremental_exact_dedup(b3, store, update_store=False)
+        assert out3.count() == 1
+        # not committed yet: a replay still passes the filter
+        assert incremental_exact_dedup(b3, store, update_store=False).count() == 1
+        commit_fingerprints(out3, store)
+        assert incremental_exact_dedup(b3, store, update_store=False).count() == 0
