@@ -473,3 +473,63 @@ class TestLoadAwareSplit:
             split_segment(d, c2, at=65535)
         with _pytest.raises(ValueError):
             split_segment(d, c2, at=1000)
+
+
+class TestCheckpointProperties:
+    def test_checkpoint_bytes_round_trip_property(self):
+        """Property: any offsets vector survives the byte round-trip
+        exactly (the Flink-state/S3 storage contract)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pulsar_spark.sources import Checkpoint
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            offsets=st.dictionaries(
+                st.integers(min_value=0, max_value=10**6),
+                st.integers(min_value=0, max_value=2**62),
+                max_size=32,
+            ),
+            latest=st.booleans(),
+        )
+        def check(offsets, latest):
+            ck = Checkpoint(offsets, latest=latest)
+            back = Checkpoint.from_bytes(ck.to_bytes())
+            assert back.offsets == ck.offsets and back.latest == ck.latest
+            # serialization is canonical: equal checkpoints -> equal bytes
+            assert back.to_bytes() == ck.to_bytes()
+
+        check()
+
+    def test_bucket_of_property_vs_reference(self, spark):
+        """Property: the column expression matches the reference
+        bucketOf loop for arbitrary ordered split vectors."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.sources import bucket_of
+
+        rng = random.Random(99)
+        hashes = spark.range(0, 65536, 311).selectExpr("CAST(id AS INT) AS h")
+        for _ in range(6):
+            splits = sorted(rng.sample(range(65536), rng.randint(0, 6)))
+
+            def ref(h):
+                idx = 0
+                for s in splits:
+                    if s <= h:
+                        idx += 1
+                    else:
+                        break
+                return idx
+
+            got = {
+                r.h: r.b
+                for r in hashes.withColumn("b", bucket_of(F.col("h"), splits)).collect()
+            }
+            assert got == {h: ref(h) for h in got}, splits
+
+        check_empty = hashes.withColumn("b", bucket_of(F.col("h"), [])).collect()
+        assert all(r.b == 0 for r in check_empty)
