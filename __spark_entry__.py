@@ -228,6 +228,20 @@ def _q_scalable_split_stats(spark, sf_dir):
     return scalable_stats(spark, d)
 
 
+def _q_key_shared_bucket_stats(spark, sf_dir):
+    # PIP-486 entry-bucketing (sources/scalable.py key_shared_buckets):
+    # producer-side bucket assignment over ordered split boundaries;
+    # the oracle recomputes bucketOf from the boundary spec.
+    from pulsar_spark.sources import key_shared_buckets
+
+    out = key_shared_buckets(
+        _messages(spark, sf_dir), splits=[16384, 32768, 49152], deterministic_mod=True
+    )
+    return out.groupBy("bucket").agg(
+        F.count("*").alias("msg_count"), F.countDistinct("key").alias("key_count")
+    )
+
+
 def _q_topic_stats(spark, sf_dir):
     from pulsar_spark.operators import topic_stats
 
@@ -1690,6 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_comma_window": _q_fn_comma_window,
         "fn_merge_topic": _q_fn_merge_topic,
         # ---- 50-entry driver prefix ends here ----
+        # (first past the prefix: oracle-backed + locally parity-checked,
+        # rotate into the prefix next round)
+        "key_shared_bucket_stats": _q_key_shared_bucket_stats,
         # -- rotated out this round (driver-green r01+r02; value-checked
         #    locally by test_oracle_parity KEYS)
         "dlq": _q_dlq,
@@ -1980,6 +1997,17 @@ def oracle_sql() -> dict[str, str]:
             FROM messages GROUP BY 1
         """,
         "key_shared_auto_split": _key_shared_auto_split_oracle(),
+        "key_shared_bucket_stats": f"""
+            WITH {_M}, b AS (
+              SELECT key,
+                     (CAST(key AS BIGINT) * 2246822519) % 65536 AS h
+              FROM messages
+            )
+            SELECT CAST((h >= 16384)::INT + (h >= 32768)::INT + (h >= 49152)::INT
+                        AS INT) AS bucket,
+                   count(*) AS msg_count, count(DISTINCT key) AS key_count
+            FROM b GROUP BY 1
+        """,
         "key_shared_consistent": f"""
             WITH {_M}, pts AS (
               SELECT name,

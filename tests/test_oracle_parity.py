@@ -46,6 +46,7 @@ KEYS = [
     "delivery_delay_fixed",
     "backlog",
     "doc_perplexity",
+    "key_shared_bucket_stats",
     "compaction_trigger",
     "pretraining_pipeline_v3",
     "doc_hash_sample",
