@@ -103,7 +103,9 @@ def main() -> None:
                     num_partitions=32, mode="overwrite")
             return time.perf_counter() - t0
 
-        timings["b1_ingest"] = round(min(b1_run(), b1_run(), b1_run()), 3)
+        b1_runs = [round(b1_run(), 3) for _ in range(3)]
+        runs_detail["b1_ingest"] = b1_runs
+        timings["b1_ingest"] = min(b1_runs)
         # fixture-envelope variant (the oracle-checked mapping), kept for
         # round-over-round comparability
         timed(
@@ -243,7 +245,7 @@ def main() -> None:
                 "queries": timings,
                 "steady_second_run": steady,
                 "runs_detail": runs_detail,
-                "methodology": "per-query median of 3 runs (run 1 cold, 2-3 plan/cache-warm); raw runs in runs_detail",
+                "methodology": "per-query median of 3 runs (run 1 cold, 2-3 plan/cache-warm), EXCEPT b1_ingest = min of 3 full produce runs (steady-state contract, BASELINE.md); raw runs in runs_detail",
                 "extras_not_in_total": extras,
                 "sf": float(sf),
                 "rows_events": n_events,

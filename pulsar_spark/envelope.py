@@ -76,56 +76,66 @@ ENVELOPE_FIELDS: list[tuple[str, str]] = [
 ]
 
 
-def events_to_messages(events: DataFrame) -> DataFrame:
-    """Map the driver ``events`` table to the message-envelope view.
+def envelope_exprs() -> dict:
+    """Column expressions for every envelope field, keyed by name.
 
-    Pure narrow ops + one window (row_number per partition) — the only
-    shuffle is the repartition implied by the window, which mirrors the
-    topic's own partitioning, so downstream per-key operators (compaction,
-    key-shared dispatch) reuse it without a second shuffle.
+    ``offset`` is the only windowed expression; everything else is a
+    narrow projection over the raw ``events`` columns. Exposed so
+    callers that need a subset (column pruning at the LOGICAL level,
+    before Catalyst even sees the plan) can select just those exprs —
+    a query that skips ``offset`` then carries no window/shuffle at all.
     """
     from pyspark.sql.window import Window
 
     part = (F.col("user_id") % N_PARTITIONS).cast("int")
-    w = Window.partitionBy("partition").orderBy("ts", "event_id")
+    w = Window.partitionBy(part).orderBy("ts", "event_id")
     base_seq = F.floor(F.col("event_id") / N_PRODUCERS).cast("bigint")
 
-    return (
-        events.withColumn("partition", part)
-        .withColumn("topic", F.concat(F.lit("persistent://public/default/events-"), F.col("partition")))
-        .withColumn("offset", (F.row_number().over(w) - F.lit(1)).cast("bigint"))
-        .withColumn("producer_name", F.concat(F.lit("p"), (F.col("event_id") % N_PRODUCERS)))
-        .withColumn(
-            "sequence_id",
-            F.when(
-                ((F.col("event_id") % DUP_EVERY) == 0) & (base_seq > 0), base_seq - 1
-            ).otherwise(base_seq),
-        )
-        .withColumn("publish_time", F.col("ts"))
-        .withColumn(
-            "event_time",
-            F.expr(f"ts - make_interval(0, 0, 0, 0, 0, 0, event_id % {EVENT_TIME_SKEW_S})"),
-        )
-        .withColumn("key", F.col("user_id").cast("string"))
-        .withColumn("tombstone", (F.col("event_id") % TOMBSTONE_EVERY) == 0)
-        .withColumn(
-            "deliver_at",
-            F.when(
-                (F.col("event_id") % DELAY_FRACTION_MOD) < 3,
-                F.expr(f"ts + make_interval(0, 0, 0, 0, 0, 0, event_id % {DELAY_RANGE_S})"),
-            ),
-        )
-        .withColumn("redelivery_count", F.lit(0).cast("int"))
-        .withColumn(
-            "marker_type",
-            F.when((F.col("event_id") % MARKER_EVERY) == MARKER_EVERY - 1, F.lit(1)).cast("int"),
-        )
-        .withColumn("schema_version", F.lit(1).cast("bigint"))
-        .withColumn("txn_id", F.lit(None).cast("bigint"))
-        .withColumn("replicated_from", F.lit(None).cast("string"))
-        .withColumnRenamed("value", "val")
-        .select(*[name for name, _ in ENVELOPE_FIELDS])
-    )
+    return {
+        "topic": F.concat(F.lit("persistent://public/default/events-"), part),
+        "partition": part,
+        "offset": (F.row_number().over(w) - F.lit(1)).cast("bigint"),
+        "producer_name": F.concat(F.lit("p"), (F.col("event_id") % N_PRODUCERS)),
+        "sequence_id": F.when(
+            ((F.col("event_id") % DUP_EVERY) == 0) & (base_seq > 0), base_seq - 1
+        ).otherwise(base_seq),
+        "publish_time": F.col("ts"),
+        "event_time": F.expr(
+            f"ts - make_interval(0, 0, 0, 0, 0, 0, event_id % {EVENT_TIME_SKEW_S})"
+        ),
+        "key": F.col("user_id").cast("string"),
+        "tombstone": (F.col("event_id") % TOMBSTONE_EVERY) == 0,
+        "deliver_at": F.when(
+            (F.col("event_id") % DELAY_FRACTION_MOD) < 3,
+            F.expr(f"ts + make_interval(0, 0, 0, 0, 0, 0, event_id % {DELAY_RANGE_S})"),
+        ),
+        "redelivery_count": F.lit(0).cast("int"),
+        "marker_type": F.when(
+            (F.col("event_id") % MARKER_EVERY) == MARKER_EVERY - 1, F.lit(1)
+        ).cast("int"),
+        "schema_version": F.lit(1).cast("bigint"),
+        "txn_id": F.lit(None).cast("bigint"),
+        "replicated_from": F.lit(None).cast("string"),
+        "event_id": F.col("event_id"),
+        "event_type": F.col("event_type"),
+        "val": F.col("value"),
+        "props": F.col("props"),
+    }
+
+
+def events_to_messages(events: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Map the driver ``events`` table to the message-envelope view.
+
+    One flat projection + (only when ``offset`` is among the requested
+    columns) one window — the only shuffle is the repartition implied by
+    the window, which mirrors the topic's own partitioning, so downstream
+    per-key operators (compaction, key-shared dispatch) reuse it without
+    a second shuffle. Pass ``columns`` to prune at the source: a caller
+    that skips ``offset`` gets a 0-exchange narrow plan.
+    """
+    exprs = envelope_exprs()
+    names = [name for name, _ in ENVELOPE_FIELDS] if columns is None else list(columns)
+    return events.select(*[exprs[n].alias(n) for n in names])
 
 
 def messages_oracle_cte(events_view: str = "events") -> str:

@@ -144,17 +144,27 @@ def backlog_quota_evict(
         else F.sum(size_col).over(w) > limit_bytes
     )
     flagged = backlog_rows.withColumn("_evict", over)
-    return (
-        flagged.groupBy(partition_col)
-        .agg(
-            F.coalesce(F.first("cursor_offset"), F.lit(-1)).alias("cursor_offset"),
-            F.coalesce(
-                F.max(F.when(F.col("_evict"), F.col(offset_col))),
-                F.coalesce(F.first("cursor_offset"), F.lit(-1)),
-            ).alias("new_cursor_offset"),
-            F.sum(F.col("_evict").cast("long")).alias("evicted_rows"),
-            F.sum((~F.col("_evict")).cast("long")).alias("backlog_after"),
-        )
+    agg = flagged.groupBy(partition_col).agg(
+        F.max(F.when(F.col("_evict"), F.col(offset_col))).alias("_evict_hi"),
+        F.sum(F.col("_evict").cast("long")).alias("evicted_rows"),
+        F.sum((~F.col("_evict")).cast("long")).alias("backlog_after"),
+    )
+    # join back onto the topic's full partition set so quota-already-holds
+    # partitions (empty backlog past the cursor) still get their row —
+    # the documented one-row-per-partition contract a quota poller needs
+    parts = (
+        messages.select(partition_col)
+        .distinct()
+        .join(F.broadcast(cursors), on=partition_col, how="left")
+    )
+    return parts.join(agg, on=partition_col, how="left").select(
+        partition_col,
+        F.coalesce(F.col("cursor_offset"), F.lit(-1)).cast("bigint").alias("cursor_offset"),
+        F.coalesce(F.col("_evict_hi"), F.col("cursor_offset"), F.lit(-1))
+        .cast("bigint")
+        .alias("new_cursor_offset"),
+        F.coalesce(F.col("evicted_rows"), F.lit(0)).cast("bigint").alias("evicted_rows"),
+        F.coalesce(F.col("backlog_after"), F.lit(0)).cast("bigint").alias("backlog_after"),
     )
 
 

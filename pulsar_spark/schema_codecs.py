@@ -284,7 +284,27 @@ class _AvroWriter:
                 import decimal as _decimal
 
                 scale = int(t.get("scale", 0))
-                unscaled = int(_decimal.Decimal(str(v)).scaleb(scale))
+                # The reference Avro conversions REJECT inexact rounding
+                # (Conversions.DecimalConversion enforces the schema
+                # scale) — quantize in a context that raises Inexact
+                # rather than silently truncating 1.0005 at scale 3, and
+                # validate the declared precision before encoding.
+                dec = _decimal.Decimal(str(v))
+                try:
+                    q = dec.quantize(
+                        _decimal.Decimal(1).scaleb(-scale),
+                        context=_decimal.Context(prec=99, traps=[_decimal.Inexact]),
+                    )
+                except _decimal.Inexact:
+                    raise ValueError(
+                        f"decimal {v} does not fit scale {scale} exactly"
+                    ) from None
+                unscaled = int(q.scaleb(scale))
+                precision = t.get("precision")
+                if precision is not None and len(str(abs(unscaled))) > int(precision):
+                    raise ValueError(
+                        f"decimal {v} exceeds declared precision {precision}"
+                    )
                 # minimal two's-complement big-endian length
                 nbytes = max(1, (unscaled.bit_length() + 8) // 8)
                 self._write(

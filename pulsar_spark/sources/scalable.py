@@ -123,9 +123,15 @@ def segment_hash(key, deterministic_mod: bool = False):
     uses for cross-engine oracle tests (DuckDB has no murmur3)."""
     key_col = F.col(key) if isinstance(key, str) else key
     if deterministic_mod:
-        return F.pmod(key_col.cast("bigint") * F.lit(2654435761), F.lit(MAX_HASH + 1)).cast(
-            "int"
+        # Non-numeric keys would cast to NULL and fall through every
+        # routing CASE branch into the NULL hive partition (invisible to
+        # stats / segment logic). Hash the string bytes via crc32 instead
+        # so every non-null key gets a deterministic slot; the numeric
+        # path (the only one the DuckDB oracles exercise) is unchanged.
+        basis = F.coalesce(
+            key_col.cast("bigint"), F.crc32(key_col.cast("string").cast("binary"))
         )
+        return F.pmod(basis * F.lit(2654435761), F.lit(MAX_HASH + 1)).cast("int")
     return (
         F.shiftrightunsigned(F.hash(key_col), 16).cast("bigint") % (MAX_HASH + 1)
     ).cast("int")
@@ -481,8 +487,16 @@ def read_from_checkpoint(
     }
     if ckpt.latest:
         return df.limit(0), Checkpoint(highs)
+    # cast both sides explicitly: raw int literals >2^31 would infer
+    # LongType while small ones infer IntegerType, and a mixed-width
+    # create_map is an AnalysisException — exactly the offsets this
+    # module sees at scale
     start = F.create_map(
-        *[F.lit(x) for sid, off in sorted(ckpt.offsets.items()) for x in (sid, off)]
+        *[
+            x
+            for sid, off in sorted(ckpt.offsets.items())
+            for x in (F.lit(sid).cast("int"), F.lit(off).cast("bigint"))
+        ]
     )
     out = df.where(
         F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0))
@@ -516,6 +530,165 @@ def checkpoint_at_timestamp(
         .collect()
     )
     return Checkpoint({r.segment: (r.lo if r.lo is not None else r.mx + 1) for r in rows})
+
+
+# ------------------------------------------- multi-topic checkpoint consumer
+
+
+class MultiCheckpoint:
+    """Combined position vector over SEVERAL scalable topics — the
+    cross-topic analog of ``Checkpoint``, keyed by topic name
+    (MultiTopicStreamConsumer.java:87-93: latest-delivered position per
+    parent topic, each an immutable per-segment slice; the whole map is
+    the cumulative-ack vector). One serialized blob holds every
+    per-topic slice, so a caller resumes a namespace subscription from
+    a single stored value.
+    """
+
+    def __init__(self, topics: dict[str, Checkpoint] | None = None):
+        self.topics: dict[str, Checkpoint] = dict(topics or {})
+
+    @classmethod
+    def earliest(cls) -> "MultiCheckpoint":
+        return cls({})
+
+    def to_bytes(self) -> bytes:
+        return json.dumps(
+            {
+                "topics": {
+                    name: json.loads(ck.to_bytes().decode("utf-8"))
+                    for name, ck in sorted(self.topics.items())
+                }
+            },
+            sort_keys=True,
+        ).encode("utf-8")
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MultiCheckpoint":
+        d = json.loads(data.decode("utf-8"))
+        return cls(
+            {
+                name: Checkpoint(s.get("offsets", {}), latest=bool(s.get("latest")))
+                for name, s in d.get("topics", {}).items()
+            }
+        )
+
+
+def scalable_watch_snapshot(
+    namespace_dir: str, property_filters: dict[str, str] | None = None
+) -> list[str]:
+    """ScalableTopicsWatcher.onSnapshot analog: the CURRENT full set of
+    scalable topics in a namespace matching the (AND-ed) property
+    filters, sorted — callers replace any local state with it
+    (ScalableTopicsWatcher.java:158-185; empty filters = match all).
+    Re-invoking per trigger is the discovery timer: the broker-push
+    watch becomes a cheap sidecar re-list in this storage layout."""
+    return sorted(
+        os.path.basename(p.rstrip("/"))
+        for p in list_scalable_topics(namespace_dir, property_filters)
+    )
+
+
+def scalable_watch_diff(
+    previous: list[str], current: list[str]
+) -> tuple[list[str], list[str]]:
+    """ScalableTopicsWatcher.onDiff analog: (added, removed) between two
+    snapshots. Callers must apply removed before added — that order
+    covers a rapid remove-then-add of the same name
+    (ScalableTopicsWatcher.java:188-198)."""
+    prev, cur = set(previous), set(current)
+    return sorted(cur - prev), sorted(prev - cur)
+
+
+def read_namespace_from_checkpoint(
+    spark: SparkSession,
+    namespace_dir: str,
+    ckpt: MultiCheckpoint,
+    property_filters: dict[str, str] | None = None,
+) -> tuple[DataFrame, MultiCheckpoint]:
+    """Multi-topic checkpoint consume — MultiTopicStreamConsumer /
+    MultiTopicQueueConsumer.java over this engine's batch model: the
+    union of every matching scalable topic's rows at or past the
+    combined vector, plus the ADVANCED vector that resumes exactly
+    after them.
+
+    Semantics carried over from the reference:
+    - Topic discovery is a watcher snapshot per call
+      (MultiTopicStreamConsumer.WatcherListener.onSnapshot): topics
+      created since the last call are consumed from their beginning,
+      no restart.
+    - A topic that left the matching set is detached, NOT acked
+      (MultiTopicStreamConsumer.closeTopic javadoc): its slice is
+      retained verbatim in the advanced vector, so if it re-enters the
+      set later, delivery resumes from where it left off —
+      at-least-once, never silently advanced.
+    - Per-topic per-segment order is (segment_id, offset), exactly the
+      single-topic contract; rows carry ``topic_name`` so downstream
+      routing stays per-topic (no cross-topic order, reference
+      behavior).
+
+    Scale shape: one partition-pruned scan + one 8-ish-row max-offset
+    aggregate per topic; the union is plan-level (no shuffle). The
+    data is never collected.
+    """
+    names = scalable_watch_snapshot(namespace_dir, property_filters)
+    frames: list[DataFrame] = []
+    advanced: dict[str, Checkpoint] = {
+        # retained slices for topics no longer (or not yet) matching
+        name: Checkpoint(dict(ck.offsets), latest=ck.latest)
+        for name, ck in ckpt.topics.items()
+        if name not in names
+    }
+    for name in names:
+        sub = ckpt.topics.get(name, Checkpoint.earliest())
+        df, adv = read_from_checkpoint(
+            spark, os.path.join(namespace_dir, name), sub
+        )
+        advanced[name] = adv
+        if "key" in df.columns:  # skip never-produced stub frames
+            frames.append(df.withColumn("topic_name", F.lit(name)))
+    if not frames:
+        empty = spark.createDataFrame(
+            [], "topic_name string, segment int, offset bigint"
+        )
+        return empty, MultiCheckpoint(advanced)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out, MultiCheckpoint(advanced)
+
+
+def resolve_segment_lineage(segment_id: int, hash_value: int, meta: dict) -> int:
+    """Stale-layout route resolution — ClientSegmentLayout.java:38 +
+    ScalableTopicProducer's segment-gone retry: a client that routed
+    ``hash_value`` to ``segment_id`` under a CACHED (possibly
+    behind-an-epoch) layout resolves against the current ``meta`` by
+    following the segment's lineage until an ACTIVE segment containing
+    the hash is found. Split children partition the parent's range and
+    merge children cover their parents', so exactly one path exists;
+    routing against a stale sidecar therefore always lands in the
+    unique ACTIVE segment that currently owns the hash."""
+    segs = {int(s["segment_id"]): s for s in meta["segments"].values()}
+    if segment_id not in segs:
+        raise SegmentGoneError(f"unknown segment {segment_id}")
+    s = segs[segment_id]
+    hops = 0
+    while s["state"] != "ACTIVE":
+        nxt = None
+        for cid in s["child_ids"]:
+            c = segs[int(cid)]
+            if c["start"] <= hash_value <= c["end"]:
+                nxt = c
+                break
+        if nxt is None:
+            raise SegmentGoneError(
+                f"no active descendant of segment {segment_id} owns hash {hash_value}"
+            )
+        s = nxt
+        hops += 1
+        if hops > len(segs):
+            raise SegmentGoneError("lineage cycle detected")
+    return int(s["segment_id"])
 
 
 def entry_bucket_hash(key, deterministic_mod: bool = False):

@@ -58,51 +58,102 @@ def producer_lock(topic_path: str) -> dict | None:
         return json.load(fh)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _lock_guard(topic_path: str):
+    """Serialize lock-record read-modify-writes across processes: an
+    fcntl.flock on a sidecar guard file (two concurrent producers on
+    the old bare read-check-write could both pass the owner check and
+    both believe they held exclusive access)."""
+    import fcntl
+    import os
+
+    os.makedirs(topic_path, exist_ok=True)
+    guard = _producer_lock_path(topic_path) + ".guard"
+    with open(guard, "a+") as g:
+        fcntl.flock(g, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(g, fcntl.LOCK_UN)
+
+
+def _write_producer_lock(topic_path: str, record: dict) -> None:
+    import json
+    import os
+
+    path = _producer_lock_path(topic_path)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)  # atomic: readers never see a torn record
+
+
 def acquire_producer(
-    topic_path: str, producer_name: str, access_mode: str = "exclusive"
+    topic_path: str,
+    producer_name: str,
+    access_mode: str = "exclusive",
+    wait_timeout_s: float = 30.0,
+    poll_interval_s: float = 0.05,
 ) -> int:
     """Register exclusive access (capi/ProducerAccessMode.java):
 
-    - ``exclusive`` / ``wait_for_exclusive``: fail with
-      ProducerBusyError if a DIFFERENT producer already holds the
-      topic (a batch engine cannot block, so WaitForExclusive degrades
-      to Exclusive — documented divergence).
+    - ``exclusive``: fail with ProducerBusyError if a DIFFERENT
+      producer already holds the topic.
+    - ``wait_for_exclusive``: queue for the lock — block (poll under
+      the cross-process guard) until the current owner releases, then
+      acquire with a bumped epoch; ProducerBusyError after
+      ``wait_timeout_s``.
     - ``exclusive_with_fencing``: take over unconditionally; the
       previous owner is fenced and its next produce raises
       ProducerFencedError.
 
     Returns the topic epoch (bumped on every ownership change — the
-    broker's topic-epoch fencing counter).
+    broker's topic-epoch fencing counter). The read-modify-write runs
+    under an fcntl guard and the record lands via temp-file +
+    atomic-rename, so concurrent producers cannot both acquire.
     """
-    import json
-    import os
+    import time
 
     if access_mode not in ("exclusive", "wait_for_exclusive", "exclusive_with_fencing"):
         raise ValueError(f"unknown access mode: {access_mode}")
-    lock = producer_lock(topic_path)
-    if lock and lock["owner"] == producer_name:
-        return lock["epoch"]
-    if lock and producer_name in lock.get("fenced", []):
-        # a fenced producer stays invalid however it reconnects
-        raise ProducerFencedError(
-            f"producer {producer_name} was fenced off {topic_path} "
-            f"(current owner: {lock['owner']})"
-        )
-    if lock and lock["owner"] is not None and access_mode in (
-        "exclusive",
-        "wait_for_exclusive",
-    ):
-        raise ProducerBusyError(
-            f"topic {topic_path} exclusively held by {lock['owner']}"
-        )
-    fenced = list(lock.get("fenced", [])) if lock else []
-    if lock and lock["owner"] is not None:
-        fenced.append(lock["owner"])
-    epoch = lock["epoch"] + 1 if lock else 0
-    os.makedirs(topic_path, exist_ok=True)
-    with open(_producer_lock_path(topic_path), "w") as fh:
-        json.dump({"owner": producer_name, "epoch": epoch, "fenced": fenced}, fh)
-    return epoch
+    deadline = time.monotonic() + wait_timeout_s
+    while True:
+        with _lock_guard(topic_path):
+            lock = producer_lock(topic_path)
+            if lock and lock["owner"] == producer_name:
+                return lock["epoch"]
+            if lock and producer_name in lock.get("fenced", []):
+                # a fenced producer stays invalid however it reconnects
+                raise ProducerFencedError(
+                    f"producer {producer_name} was fenced off {topic_path} "
+                    f"(current owner: {lock['owner']})"
+                )
+            busy = lock is not None and lock["owner"] is not None
+            if busy and access_mode == "exclusive":
+                raise ProducerBusyError(
+                    f"topic {topic_path} exclusively held by {lock['owner']}"
+                )
+            if not busy or access_mode == "exclusive_with_fencing":
+                fenced = list(lock.get("fenced", [])) if lock else []
+                if busy:
+                    fenced.append(lock["owner"])
+                epoch = lock["epoch"] + 1 if lock else 0
+                _write_producer_lock(
+                    topic_path,
+                    {"owner": producer_name, "epoch": epoch, "fenced": fenced},
+                )
+                return epoch
+        # wait_for_exclusive with a live owner: poll until release
+        if time.monotonic() >= deadline:
+            raise ProducerBusyError(
+                f"timed out waiting for exclusive access to {topic_path}"
+            )
+        time.sleep(poll_interval_s)
 
 
 def release_producer(topic_path: str, producer_name: str) -> None:
@@ -111,19 +162,16 @@ def release_producer(topic_path: str, producer_name: str) -> None:
     with a null owner so the topic epoch stays monotonic (it is the
     fencing counter — a regression would un-detect ownership changes)
     and already-fenced producers remain invalid."""
-    import json
-    import os
-
-    lock = producer_lock(topic_path)
-    if lock is None:
-        return
-    if lock["owner"] != producer_name:
-        raise ProducerBusyError(
-            f"{producer_name} does not hold {topic_path} (owner: {lock['owner']})"
-        )
-    lock["owner"] = None
-    with open(_producer_lock_path(topic_path), "w") as fh:
-        json.dump(lock, fh)
+    with _lock_guard(topic_path):
+        lock = producer_lock(topic_path)
+        if lock is None:
+            return
+        if lock["owner"] != producer_name:
+            raise ProducerBusyError(
+                f"{producer_name} does not hold {topic_path} (owner: {lock['owner']})"
+            )
+        lock["owner"] = None
+        _write_producer_lock(topic_path, lock)
 
 
 def _keyless_route(num_partitions: int, routing_mode: str, producer_name: str):

@@ -990,6 +990,67 @@ class TestProducerAccessModes:
         with _pytest.raises(ProducerFencedError):
             acquire_producer(d, "p1", "exclusive")
 
+    def test_wait_for_exclusive_queues_until_release(self, spark, tmp_path):
+        """WaitForExclusive (capi/ProducerAccessMode.java): the second
+        producer BLOCKS until the owner releases, then acquires with a
+        bumped epoch — a real queued acquisition, not the former
+        degrade-to-Exclusive."""
+        import threading
+        import time
+
+        from pulsar_spark.sources.topics import (
+            ProducerBusyError,
+            acquire_producer,
+            release_producer,
+        )
+        import pytest as _pytest
+
+        d = str(tmp_path / "t4")
+        e0 = acquire_producer(d, "p1", "exclusive")
+        got: dict = {}
+
+        def waiter():
+            got["epoch"] = acquire_producer(
+                d, "p2", "wait_for_exclusive", wait_timeout_s=10.0
+            )
+
+        t = threading.Thread(target=waiter)
+        t.start()
+        time.sleep(0.3)
+        assert "epoch" not in got  # still queued behind p1
+        release_producer(d, "p1")
+        t.join(timeout=10.0)
+        assert got["epoch"] == e0 + 1
+        # and a bounded wait on a held topic times out busy
+        with _pytest.raises(ProducerBusyError):
+            acquire_producer(d, "p3", "wait_for_exclusive", wait_timeout_s=0.2)
+
+    def test_concurrent_exclusive_acquire_single_winner(self, spark, tmp_path):
+        """The lock write is guarded (fcntl) + atomic (tmp+rename): of N
+        concurrent exclusive claimants exactly one wins."""
+        import threading
+
+        from pulsar_spark.sources.topics import ProducerBusyError, acquire_producer
+
+        d = str(tmp_path / "t5")
+        wins, errs = [], []
+        barrier = threading.Barrier(8)
+
+        def claim(i):
+            barrier.wait()
+            try:
+                acquire_producer(d, f"p{i}", "exclusive")
+                wins.append(i)
+            except ProducerBusyError:
+                errs.append(i)
+
+        ts = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1 and len(errs) == 7
+
 
 class TestReadWindowBounds:
     def test_end_offset_and_end_time_bound_inclusively(self, spark, messages, tmp_path):

@@ -93,6 +93,18 @@ KEYS = [
     "fn_custom_serde",
     "fn_pojo_hierarchy",
     "fn_cursor_management",
+    # rotated out of the driver's 50-entry prefix in round 4
+    # (driver-green r03) — kept value-checked here
+    "schema_avro_decode",
+    "schema_protobuf_decode",
+    "retry_schedule_backoff",
+    "compact_publish_order",
+    "dedup",
+    "key_shared",
+    "key_shared_auto_split",
+    "fn_exclamation",
+    "fn_integer_addition",
+    "fn_comma_window",
     # rotated out of the driver's 50-entry prefix in round 3
     # (driver-green r01+r02) — kept value-checked here
     "retry_schedule",
