@@ -228,6 +228,72 @@ def _q_scalable_split_stats(spark, sf_dir):
     return scalable_stats(spark, d)
 
 
+def _q_scalable_multi_topic_stats(spark, sf_dir):
+    # Multi-topic scalable consume (sources/scalable.py
+    # read_namespace_from_checkpoint — MultiTopicStreamConsumer.java /
+    # MultiTopicQueueConsumer.java): two scalable topics in one
+    # namespace, batch1 produced to both, ONE combined checkpoint
+    # taken, batch2 produced — the resumed read must deliver exactly
+    # batch2 across both topics (the oracle counts only batch2 rows, so
+    # any dup/loss in the combined vector is a hash mismatch).
+    import tempfile
+
+    from pulsar_spark.sources import (
+        MultiCheckpoint,
+        create_scalable_topic,
+        produce_scalable,
+        read_namespace_from_checkpoint,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    payload = events.selectExpr("CAST(user_id AS STRING) AS k", "event_id")
+    ns = tempfile.mkdtemp(prefix="psmulti_")
+    create_scalable_topic(f"{ns}/orders", num_initial_segments=2)
+    create_scalable_topic(f"{ns}/clicks", num_initial_segments=4)
+    b1 = payload.where(F.col("event_id") % 3 == 0)
+    produce_scalable(b1, f"{ns}/orders", key_col="k", deterministic_mod=True)
+    produce_scalable(b1, f"{ns}/clicks", key_col="k", deterministic_mod=True)
+    _, ck = read_namespace_from_checkpoint(spark, ns, MultiCheckpoint.earliest())
+    b2 = payload.where(F.col("event_id") % 3 != 0)
+    produce_scalable(b2, f"{ns}/orders", key_col="k", deterministic_mod=True)
+    produce_scalable(b2, f"{ns}/clicks", key_col="k", deterministic_mod=True)
+    # resume through the serialized caller-held vector
+    df, _ = read_namespace_from_checkpoint(
+        spark, ns, MultiCheckpoint.from_bytes(ck.to_bytes())
+    )
+    return df.groupBy("topic_name", "segment").agg(
+        F.count("*").alias("msg_count"), F.countDistinct("key").alias("key_count")
+    )
+
+
+def _q_processing_timeout(spark, sf_dir):
+    # ProcessingTimeoutPolicy (operators/subscriptions.py — capi-v5/
+    # config/ProcessingTimeoutPolicy.java:46 + BackoffPolicy.java):
+    # unacked deliveries stalled past the timeout come back with an
+    # incremented attempt and deliver_at = now + min(4*2^(n-1), 300)s.
+    from pulsar_spark.operators import (
+        BackoffPolicy,
+        ProcessingTimeoutPolicy,
+        processing_timeout_redelivery,
+    )
+
+    m = _messages(spark, sf_dir).withColumn(
+        "redelivery_count", (F.col("event_id") % 5).cast("int")
+    )
+    pol = ProcessingTimeoutPolicy(
+        timeout_s=86400, redelivery_backoff=BackoffPolicy(4.0, 300.0, 2.0)
+    )
+    out = processing_timeout_redelivery(
+        m,
+        F.col("event_id") % 7 != 0,
+        pol,
+        now=F.lit("2024-01-20 00:00:00").cast("timestamp"),
+    )
+    return out.select(
+        "partition", "offset", "event_id", "redelivery_count", "deliver_at"
+    )
+
+
 def _q_key_shared_bucket_stats(spark, sf_dir):
     # PIP-486 entry-bucketing (sources/scalable.py key_shared_buckets):
     # producer-side bucket assignment over ordered split boundaries;
@@ -1674,6 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_error": _q_embedding_quantize_error,
         # -- (b) round 3's only red driver row, replanned
         "fn_merge_topic": _q_fn_merge_topic,
+        # -- (c) new round-4 operators
+        "scalable_multi_topic_stats": _q_scalable_multi_topic_stats,
+        "processing_timeout": _q_processing_timeout,
         # -- (d) driver-green r01/r02, not re-checked since
         "dlq": _q_dlq,
         "topic_stats": _q_topic_stats,
@@ -1717,9 +1786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_all": _q_embedding_knn_all,
         "message_by_id": _q_message_by_id,
         "last_message_id": _q_last_message_id,
+        # ---- 50-entry driver prefix ends here ----
         "examine_message": _q_examine_message,
         "ack_timeout_redelivery": _q_ack_timeout_redelivery,
-        # ---- 50-entry driver prefix ends here ----
         # -- rotated out this round (driver-green r03; value-checked
         #    locally by test_oracle_parity KEYS)
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
@@ -1932,6 +2001,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT partition, "offset", event_id, publish_time,
                    publish_time + INTERVAL 120 SECOND AS deliver_at
             FROM messages
+        """,
+        "scalable_multi_topic_stats": """
+            WITH p AS (
+              SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+                     (CAST(user_id AS BIGINT) * 2654435761) % 65536 AS slot
+              FROM events WHERE event_id % 3 <> 0
+            ), u AS (
+              SELECT 'orders' AS topic_name,
+                     CASE WHEN slot <= 32767 THEN 0 ELSE 1 END AS segment, key
+              FROM p
+              UNION ALL
+              SELECT 'clicks',
+                     CASE WHEN slot <= 16383 THEN 0
+                          WHEN slot <= 32767 THEN 1
+                          WHEN slot <= 49151 THEN 2
+                          ELSE 3 END, key
+              FROM p
+            )
+            SELECT topic_name, CAST(segment AS INT) AS segment,
+                   count(*) AS msg_count, count(DISTINCT key) AS key_count
+            FROM u GROUP BY topic_name, segment
+        """,
+        "processing_timeout": f"""
+            WITH {_M}
+            SELECT partition, "offset", event_id,
+                   CAST(event_id % 5 + 1 AS INT) AS redelivery_count,
+                   TIMESTAMP '2024-01-20 00:00:00'
+                     + to_seconds(CAST(least(4.0 * power(2.0, CAST(event_id % 5 AS DOUBLE)), 300.0) AS BIGINT))
+                     AS deliver_at
+            FROM messages
+            WHERE event_id % 7 = 0
+              AND publish_time < TIMESTAMP '2024-01-19 00:00:00'
         """,
         "scalable_split_stats": """
             WITH e AS (

@@ -226,6 +226,128 @@ def ack_timeout_redelivery(
     )
 
 
+class BackoffPolicy:
+    """Redelivery/reconnect backoff configuration — the
+    capi-v5/config/BackoffPolicy.java contract: the base delay for
+    attempt ``n`` is ``min(initial * multiplier^(n-1), max)``, with an
+    optional symmetric jitter of ±jitter_percent/2 applied to each
+    delay.
+
+    The reference's jitter is random; a distributed engine needs the
+    same row to get the same delay on every executor, so jitter here is
+    DETERMINISTIC: a per-row uniform drawn from a multiplicative hash
+    of ``jitter_col`` (pass None — the default — for no jitter, the
+    oracle-friendly form).
+    """
+
+    def __init__(
+        self,
+        initial_interval_s: float,
+        max_interval_s: float,
+        multiplier: float = 2.0,
+        jitter_percent: float = 0.0,
+    ):
+        if multiplier < 1.0:
+            raise ValueError("multiplier must be >= 1.0")
+        if not 0 <= jitter_percent <= 100:
+            raise ValueError("jitterPercent must be in [0, 100]")
+        self.initial_interval_s = float(initial_interval_s)
+        self.max_interval_s = float(max_interval_s)
+        self.multiplier = float(multiplier)
+        self.jitter_percent = float(jitter_percent)
+
+    @classmethod
+    def fixed(cls, interval_s: float, max_interval_s: float | None = None) -> "BackoffPolicy":
+        return cls(interval_s, max_interval_s if max_interval_s is not None else interval_s, 1.0)
+
+    @classmethod
+    def exponential(cls, initial_interval_s: float, max_interval_s: float) -> "BackoffPolicy":
+        return cls(initial_interval_s, max_interval_s, 2.0)
+
+    def delay_expr(self, attempt: Column, jitter_col: Column | None = None) -> Column:
+        """Delay (seconds, double) for 1-based ``attempt``. Closed-form
+        column expression — no state, rides the scan."""
+        base = F.least(
+            F.lit(self.initial_interval_s)
+            * F.pow(F.lit(self.multiplier), attempt.cast("double") - 1),
+            F.lit(self.max_interval_s),
+        )
+        if self.jitter_percent and jitter_col is not None:
+            # deterministic uniform in [0,1): Knuth multiplicative mix of
+            # the jitter column, expressible identically in any dialect
+            u = F.pmod(jitter_col.cast("bigint") * F.lit(2654435761), F.lit(10000)) / 10000.0
+            base = base * (1 + F.lit(self.jitter_percent / 100.0) * (u - 0.5))
+        return base
+
+
+class ProcessingTimeoutPolicy:
+    """Queue-consumer stall safety net —
+    capi-v5/config/ProcessingTimeoutPolicy.java:46: if the application
+    doesn't ack a delivery within ``timeout``, the client asks the
+    broker to redeliver; ``redelivery_backoff`` (a BackoffPolicy, or
+    None) controls the cadence of those redeliveries — None means
+    "redeliver immediately on the next sweep", the historical default.
+    """
+
+    def __init__(self, timeout_s: float, redelivery_backoff: BackoffPolicy | None = None):
+        if timeout_s < 0:
+            raise ValueError("timeout must not be negative")
+        self.timeout_s = float(timeout_s)
+        self.redelivery_backoff = redelivery_backoff
+
+    @classmethod
+    def of(cls, timeout_s: float) -> "ProcessingTimeoutPolicy":
+        return cls(timeout_s, None)
+
+
+def processing_timeout_redelivery(
+    messages: DataFrame,
+    acked: Column,
+    policy: ProcessingTimeoutPolicy,
+    now: Column | None = None,
+    publish_time_col: str = "publish_time",
+    jitter_col: Column | None = None,
+) -> DataFrame:
+    """The v5 composition of ack-timeout detection and backoff
+    redelivery as ONE operator (ProcessingTimeoutPolicy.java:46 applied
+    by the queue consumer's pending-ack sweep): unacked rows whose
+    delivery is older than ``now - timeout`` are redelivery candidates;
+    each comes back with ``redelivery_count + 1`` and a ``deliver_at``
+    of ``now + backoff(redelivery_count + 1)`` (None backoff =
+    redeliver immediately: deliver_at = now).
+
+    ``timeout_s == 0`` disables the policy (Duration.ZERO contract):
+    returns an empty frame of the same redelivery shape.
+
+    Closed-form filter + projection — no state, pushes into the scan.
+    """
+    now = now if now is not None else F.current_timestamp()
+    attempt = (F.coalesce(F.col("redelivery_count"), F.lit(0)) + 1).cast("int")
+    out = (
+        messages.where(
+            ~acked.cast("boolean")
+            & (
+                F.col(publish_time_col)
+                < now - F.make_interval(secs=F.lit(policy.timeout_s))
+            )
+        )
+        if policy.timeout_s > 0
+        else messages.limit(0)
+    )
+    delay = (
+        policy.redelivery_backoff.delay_expr(attempt, jitter_col)
+        if policy.redelivery_backoff is not None
+        else F.lit(0.0)
+    )
+    # deliver_at FIRST: both expressions read the ORIGINAL
+    # redelivery_count; writing the incremented count before deliver_at
+    # would re-resolve `attempt` against the updated column and skip an
+    # extra backoff step
+    return out.withColumn("deliver_at", now + F.make_interval(secs=delay)).withColumn(
+        "redelivery_count", attempt
+    )
+
+
 def priority_dispatch_order(
     consumers: list[tuple[str, int, int]],
 ) -> list[str]:

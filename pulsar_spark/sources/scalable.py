@@ -188,17 +188,19 @@ def produce_scalable(
     spark = payload.sparkSession
     existing = _read_if_present(spark, topic_path)
     w = Window.partitionBy("segment").orderBy(F.monotonically_increasing_id())
-    df = (
-        df.withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
-        .withColumn("producer_name", F.lit(producer_name))
-        .withColumn("publish_time", F.current_timestamp())
-        .withColumn(
-            "event_time",
-            F.col(event_time_col) if event_time_col else F.current_timestamp(),
-        )
-        .withColumn(
-            "key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
-        )
+    # pin the offset-window shuffle to one task per active segment: the
+    # window reuses the explicit hash partitioning (no second exchange)
+    # and the per-segment dynamic write keeps its parallelism instead of
+    # being AQE-coalesced into one serial writer on small appends (same
+    # fix as topics.produce)
+    df = df.repartition(len(ids), "segment").withColumns(
+        {
+            "offset": (F.row_number().over(w) - 1).cast("bigint"),
+            "producer_name": F.lit(producer_name),
+            "publish_time": F.current_timestamp(),
+            "event_time": F.col(event_time_col) if event_time_col else F.current_timestamp(),
+            "key": F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"),
+        }
     )
     if existing is not None:
         base = existing.groupBy("segment").agg(F.max("offset").alias("_base"))

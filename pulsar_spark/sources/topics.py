@@ -365,15 +365,26 @@ def produce(
 
     topic_name = "persistent://public/default/" + os.path.basename(topic_path.rstrip("/"))
     w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
-    df = (
-        df.withColumn("topic", F.lit(topic_name))
-        .withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
-        .withColumn("publish_time", F.current_timestamp())
-        .withColumn(
-            "event_time",
-            F.col(event_time_col) if event_time_col else F.current_timestamp(),
-        )
-        .withColumn("key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"))
+    # Pin the offset-window shuffle to exactly one task per topic
+    # partition. The window's ClusteredDistribution(partition) is
+    # satisfied by this explicit hash partitioning, so no second
+    # exchange — but unlike the implicit window shuffle, an explicit
+    # repartition is exempt from AQE partition coalescing, which on
+    # small appends was merging the whole batch into ONE task and
+    # serializing the 32-directory write (measured ~40% of B1 wall
+    # time). At scale this loses nothing: a row_number window over
+    # `partition` can never split a partition across tasks anyway.
+    df = df.repartition(num_partitions, "partition")
+    # one withColumns node, not five chained projections — shaves the
+    # per-append plan-analysis cost that lands on the driver hot path
+    df = df.withColumns(
+        {
+            "topic": F.lit(topic_name),
+            "offset": (F.row_number().over(w) - 1).cast("bigint"),
+            "publish_time": F.current_timestamp(),
+            "event_time": F.col(event_time_col) if event_time_col else F.current_timestamp(),
+            "key": F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"),
+        }
     )
 
     base = _existing_offsets(existing)

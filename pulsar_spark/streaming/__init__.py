@@ -2,6 +2,7 @@ from pulsar_spark.streaming.subscribe import (
     subscribe,
     subscribe_multi,
     subscribe_pattern,
+    subscribe_scalable_pattern,
     subscribe_typed,
     run_to_end,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "subscribe",
     "subscribe_multi",
     "subscribe_pattern",
+    "subscribe_scalable_pattern",
     "subscribe_typed",
     "run_to_end",
     "table_view_stream",

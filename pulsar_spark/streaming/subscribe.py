@@ -194,3 +194,63 @@ def subscribe_pattern(
     for icept in interceptors or []:
         stream = icept(stream)
     return stream
+
+
+def subscribe_scalable_pattern(
+    spark: SparkSession,
+    namespace_glob: str,
+    subscription_type: str = "exclusive",
+    num_consumers: int = 1,
+    max_files_per_trigger: int | None = None,
+    interceptors=None,
+) -> DataFrame:
+    """Namespace-wide scalable-topics watch as a streaming subscription
+    (ScalableTopicsWatcher.java:158 onSnapshot / :188 onDiff +
+    DagWatchClient.java:155 onUpdate, folded into the file source's
+    per-trigger re-list): one stream over every scalable topic matching
+    ``namespace_glob`` (e.g. ``/ns/orders-*``).
+
+    Both discovery events the reference watcher pushes arrive here for
+    free, because both materialize as NEW FILES under the glob:
+
+    - a topic CREATED mid-stream (watcher Diff: added) — its segment
+      files appear under a new topic dir, consumed on the next trigger
+      with no restart;
+    - a segment SPLIT mid-stream (DAG update) — rows produced after the
+      split land in ``segment=<child>`` dirs and are consumed on the
+      next trigger; the sealed parent's already-consumed files are in
+      the source's seen-files log, so nothing re-delivers.
+
+    Rows carry ``topic_name`` and ``segment`` recovered from the file
+    path. Per-key publish order across a split is (segment_id, offset)
+    within a topic — the single-topic contract, unchanged by the union.
+    Property-filtered membership (the watcher's AND-filters) composes
+    via an interceptor: re-evaluate ``scalable_watch_snapshot`` in
+    foreachBatch and semi-join on ``topic_name``.
+    """
+    static = spark.read.option("recursiveFileLookup", "true").parquet(namespace_glob)
+    reader = spark.readStream.schema(static.schema).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(namespace_glob)
+        .withColumn(
+            "segment",
+            F.regexp_extract(F.col("_metadata.file_path"), r"segment=(\d+)", 1).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "topic_name",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+)/segment=\d+/", 1
+            ),
+        )
+    )
+    if subscription_type == "key_shared":
+        stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
+    for icept in interceptors or []:
+        stream = icept(stream)
+    return stream

@@ -93,6 +93,10 @@ KEYS = [
     "fn_custom_serde",
     "fn_pojo_hierarchy",
     "fn_cursor_management",
+    # round-4 additions + rotated out of the prefix in round 4
+    "scalable_multi_topic_stats",
+    "processing_timeout",
+    "examine_message",
     # rotated out of the driver's 50-entry prefix in round 4
     # (driver-green r03) — kept value-checked here
     "schema_avro_decode",

@@ -1,0 +1,394 @@
+"""Round-4 additions: multi-topic scalable consumers, namespace watch,
+ProcessingTimeoutPolicy, stale-layout lineage routing.
+
+Reference parity targets:
+- pulsar-client-v5/.../v5/MultiTopicStreamConsumer.java,
+  MultiTopicQueueConsumer.java — combined position vector across topics
+- pulsar-client-v5/.../v5/ScalableTopicsWatcher.java,
+  DagWatchClient.java — namespace watch snapshot/diff, mid-stream pickup
+- pulsar-client-api-v5/.../v5/config/ProcessingTimeoutPolicy.java,
+  BackoffPolicy.java — timeout -> backoff redelivery composition
+- pulsar-client-v5/.../v5/ClientSegmentLayout.java — stale-cache route
+  resolution through segment lineage
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _payload(spark, n=200, base=0):
+    return (
+        spark.range(base, base + n)
+        .selectExpr("CAST(id % 40 AS STRING) AS k", "id AS v")
+    )
+
+
+class TestMultiCheckpoint:
+    def test_bytes_roundtrip_and_canonical(self):
+        from pulsar_spark.sources import Checkpoint, MultiCheckpoint
+
+        mc = MultiCheckpoint(
+            {"b": Checkpoint({1: 5, 0: 2}), "a": Checkpoint({3: 7})}
+        )
+        blob = mc.to_bytes()
+        back = MultiCheckpoint.from_bytes(blob)
+        assert back.topics["b"].offsets == {1: 5, 0: 2}
+        assert back.topics["a"].offsets == {3: 7}
+        # canonical: serialization is insertion-order independent
+        mc2 = MultiCheckpoint(
+            {"a": Checkpoint({3: 7}), "b": Checkpoint({0: 2, 1: 5})}
+        )
+        assert mc2.to_bytes() == blob
+
+    def test_two_topics_across_split_no_dup_no_loss(self, spark, tmp_path):
+        """The VERDICT item-4 'done' case: consume TWO scalable topics
+        from a single combined checkpoint, split a segment of one
+        mid-way — resume delivers exactly the post-checkpoint rows."""
+        from pulsar_spark.sources import (
+            MultiCheckpoint,
+            create_scalable_topic,
+            produce_scalable,
+            read_namespace_from_checkpoint,
+            split_segment,
+        )
+
+        ns = str(tmp_path / "ns")
+        ta, tb = os.path.join(ns, "orders"), os.path.join(ns, "clicks")
+        create_scalable_topic(ta, num_initial_segments=2)
+        create_scalable_topic(tb, num_initial_segments=1)
+        batch1 = _payload(spark, 200)
+        produce_scalable(batch1, ta, key_col="k")
+        produce_scalable(batch1, tb, key_col="k")
+
+        df1, ck1 = read_namespace_from_checkpoint(
+            spark, ns, MultiCheckpoint.earliest()
+        )
+        assert df1.count() == 400
+        assert set(r.topic_name for r in df1.select("topic_name").distinct().collect()) == {
+            "orders",
+            "clicks",
+        }
+
+        # split one topic's segment between checkpoints, then append to both
+        split_segment(ta, 0)
+        batch2 = _payload(spark, 150, base=1000)
+        produce_scalable(batch2, ta, key_col="k")
+        produce_scalable(batch2, tb, key_col="k")
+
+        # resume THROUGH serialized bytes (the caller-held vector)
+        ck1 = MultiCheckpoint.from_bytes(ck1.to_bytes())
+        df2, ck2 = read_namespace_from_checkpoint(spark, ns, ck1)
+        got = sorted(
+            (r.topic_name, r.v) for r in df2.select("topic_name", "v").collect()
+        )
+        want = sorted(
+            [("orders", v) for v in range(1000, 1150)]
+            + [("clicks", v) for v in range(1000, 1150)]
+        )
+        assert got == want, "resume must deliver exactly batch2, no dup no loss"
+
+        # a third read from the advanced vector is empty
+        df3, _ = read_namespace_from_checkpoint(spark, ns, ck2)
+        assert df3.count() == 0
+
+    def test_topic_created_between_reads_is_picked_up(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            MultiCheckpoint,
+            create_scalable_topic,
+            produce_scalable,
+            read_namespace_from_checkpoint,
+        )
+
+        ns = str(tmp_path / "ns")
+        ta = os.path.join(ns, "orders")
+        create_scalable_topic(ta, num_initial_segments=2)
+        produce_scalable(_payload(spark, 100), ta, key_col="k")
+        _, ck = read_namespace_from_checkpoint(spark, ns, MultiCheckpoint.earliest())
+
+        # new topic appears AFTER the checkpoint: consumed from its start
+        tb = os.path.join(ns, "clicks")
+        create_scalable_topic(tb, num_initial_segments=1)
+        produce_scalable(_payload(spark, 60, base=500), tb, key_col="k")
+        df, _ = read_namespace_from_checkpoint(spark, ns, ck)
+        rows = df.select("topic_name", "v").collect()
+        assert len(rows) == 60 and all(r.topic_name == "clicks" for r in rows)
+
+    def test_removed_topic_slice_retained_not_acked(self, spark, tmp_path):
+        """MultiTopicStreamConsumer.closeTopic: a topic leaving the
+        match set detaches without acking; its slice survives in the
+        vector so a later re-add resumes, at-least-once."""
+        from pulsar_spark.sources import (
+            MultiCheckpoint,
+            create_scalable_topic,
+            produce_scalable,
+            read_namespace_from_checkpoint,
+        )
+
+        ns = str(tmp_path / "ns")
+        ta = os.path.join(ns, "orders")
+        create_scalable_topic(ta, num_initial_segments=1, properties={"team": "x"})
+        produce_scalable(_payload(spark, 50), ta, key_col="k")
+        _, ck = read_namespace_from_checkpoint(
+            spark, ns, MultiCheckpoint.earliest(), property_filters={"team": "x"}
+        )
+        assert "orders" in ck.topics and ck.topics["orders"].offsets
+
+        # narrower filter: topic no longer matches, slice must survive
+        df, ck2 = read_namespace_from_checkpoint(
+            spark, ns, ck, property_filters={"team": "y"}
+        )
+        assert df.count() == 0
+        assert ck2.topics["orders"].offsets == ck.topics["orders"].offsets
+
+
+class TestScalableWatch:
+    def test_snapshot_filters_and_diff(self, tmp_path):
+        from pulsar_spark.sources import (
+            create_scalable_topic,
+            scalable_watch_diff,
+            scalable_watch_snapshot,
+        )
+
+        ns = str(tmp_path / "ns")
+        create_scalable_topic(os.path.join(ns, "a"), properties={"team": "x"})
+        create_scalable_topic(os.path.join(ns, "b"), properties={"team": "y"})
+        snap0 = scalable_watch_snapshot(ns)
+        assert snap0 == ["a", "b"]
+        assert scalable_watch_snapshot(ns, {"team": "x"}) == ["a"]
+
+        create_scalable_topic(os.path.join(ns, "c"), properties={"team": "x"})
+        snap1 = scalable_watch_snapshot(ns)
+        added, removed = scalable_watch_diff(snap0, snap1)
+        assert added == ["c"] and removed == []
+
+
+class TestScalablePatternStream:
+    def test_mid_stream_topic_and_split_pickup(self, spark, tmp_path):
+        """A topic created mid-stream AND a segment split mid-stream
+        are both consumed on the next trigger, no restart (watcher
+        onDiff + DAG update, rendered as the file source's re-list)."""
+        from pulsar_spark.sources import (
+            create_scalable_topic,
+            produce_scalable,
+            split_segment,
+        )
+        from pulsar_spark.streaming import run_to_end, subscribe_scalable_pattern
+
+        ns = str(tmp_path / "ns")
+        ta = os.path.join(ns, "orders")
+        create_scalable_topic(ta, num_initial_segments=2)
+        produce_scalable(_payload(spark, 100), ta, key_col="k")
+        ckpt = str(tmp_path / "ckpt")
+        glob = f"{ns}/*"
+
+        seen: list[tuple[str, str, int, int]] = []
+
+        def sink(run):
+            def _each(df, bid):
+                for r in df.groupBy("topic_name", "segment").count().collect():
+                    seen.append((run, r.topic_name, r.segment, r["count"]))
+
+            return _each
+
+        run_to_end(
+            subscribe_scalable_pattern(spark, glob)
+            .writeStream.foreachBatch(sink("r1"))
+            .option("checkpointLocation", ckpt)
+        )
+        assert sum(n for run, *_, n in seen if run == "r1") == 100
+
+        # mid-stream: split a segment of the existing topic AND create a
+        # brand-new topic, then produce to both
+        split_segment(ta, 0)
+        produce_scalable(_payload(spark, 80, base=1000), ta, key_col="k")
+        tb = os.path.join(ns, "clicks")
+        create_scalable_topic(tb, num_initial_segments=1)
+        produce_scalable(_payload(spark, 40, base=2000), tb, key_col="k")
+
+        run_to_end(
+            subscribe_scalable_pattern(spark, glob)
+            .writeStream.foreachBatch(sink("r2"))
+            .option("checkpointLocation", ckpt)
+        )
+        r2 = [(t, s, n) for run, t, s, n in seen if run == "r2"]
+        assert sum(n for *_, n in r2) == 120, f"got {r2}"
+        assert {t for t, *_ in r2} == {"orders", "clicks"}
+        # post-split rows landed in the children (ids 2,3), not parent 0
+        orders_segs = {s for t, s, _ in r2 if t == "orders"}
+        assert 0 not in orders_segs and orders_segs & {2, 3}
+
+
+class TestProcessingTimeoutPolicy:
+    NOW = "2024-01-20 00:00:00"
+
+    def _m(self, messages):
+        return messages.withColumn(
+            "redelivery_count", (F.col("event_id") % 4).cast("int")
+        )
+
+    def test_timeout_detection_and_backoff_schedule(self, spark, messages):
+        from pulsar_spark.operators import (
+            BackoffPolicy,
+            ProcessingTimeoutPolicy,
+            processing_timeout_redelivery,
+        )
+
+        now = F.lit(self.NOW).cast("timestamp")
+        pol = ProcessingTimeoutPolicy(
+            timeout_s=3600, redelivery_backoff=BackoffPolicy(4.0, 60.0, 2.0)
+        )
+        acked = F.col("event_id") % 7 != 0
+        out = processing_timeout_redelivery(self._m(messages), acked, pol, now=now)
+        rows = out.select("event_id", "redelivery_count", "deliver_at", "publish_time").collect()
+        assert rows, "fixture must contain stalled deliveries"
+        import datetime as dt
+
+        now_py = dt.datetime(2024, 1, 20)
+        cutoff = now_py - dt.timedelta(seconds=3600)
+        for r in rows:
+            assert r.event_id % 7 == 0  # only unacked
+            assert r.publish_time < cutoff  # only stalled past the timeout
+            n = r.redelivery_count  # already incremented
+            assert 1 <= n <= 4
+            expect = min(4.0 * 2.0 ** (n - 1), 60.0)
+            assert r.deliver_at == now_py + dt.timedelta(seconds=expect)
+
+    def test_none_backoff_redelivers_immediately(self, spark, messages):
+        from pulsar_spark.operators import (
+            ProcessingTimeoutPolicy,
+            processing_timeout_redelivery,
+        )
+
+        now = F.lit(self.NOW).cast("timestamp")
+        out = processing_timeout_redelivery(
+            self._m(messages),
+            F.col("event_id") % 7 != 0,
+            ProcessingTimeoutPolicy.of(3600),
+            now=now,
+        )
+        import datetime as dt
+
+        vals = {r.deliver_at for r in out.select("deliver_at").distinct().collect()}
+        assert vals == {dt.datetime(2024, 1, 20)}
+
+    def test_zero_timeout_disables(self, spark, messages):
+        from pulsar_spark.operators import (
+            ProcessingTimeoutPolicy,
+            processing_timeout_redelivery,
+        )
+
+        out = processing_timeout_redelivery(
+            self._m(messages), F.lit(False), ProcessingTimeoutPolicy.of(0)
+        )
+        assert out.count() == 0
+
+    def test_jitter_bounded_and_deterministic(self, spark, messages):
+        from pulsar_spark.operators import (
+            BackoffPolicy,
+            ProcessingTimeoutPolicy,
+            processing_timeout_redelivery,
+        )
+
+        now = F.lit(self.NOW).cast("timestamp")
+        pol = ProcessingTimeoutPolicy(
+            3600, BackoffPolicy(10.0, 10.0, 1.0, jitter_percent=20.0)
+        )
+        kw = dict(now=now, jitter_col=F.col("event_id"))
+        a = processing_timeout_redelivery(
+            self._m(messages), F.col("event_id") % 7 != 0, pol, **kw
+        )
+        import datetime as dt
+
+        now_py = dt.datetime(2024, 1, 20)
+        secs = [
+            (r.deliver_at - now_py).total_seconds()
+            for r in a.select("deliver_at").collect()
+        ]
+        # ±jitter/2 band around the 10s base
+        assert all(9.0 <= s <= 11.0 for s in secs)
+        assert len(set(secs)) > 1, "jitter should vary across rows"
+        # deterministic: the same rows get the same delays on a re-run
+        b = processing_timeout_redelivery(
+            self._m(messages), F.col("event_id") % 7 != 0, pol, **kw
+        )
+        assert sorted(secs) == sorted(
+            (r.deliver_at - now_py).total_seconds()
+            for r in b.select("deliver_at").collect()
+        )
+
+    def test_validation(self):
+        from pulsar_spark.operators import BackoffPolicy, ProcessingTimeoutPolicy
+
+        with pytest.raises(ValueError):
+            ProcessingTimeoutPolicy(-1)
+        with pytest.raises(ValueError):
+            BackoffPolicy(1, 2, multiplier=0.5)
+        with pytest.raises(ValueError):
+            BackoffPolicy(1, 2, jitter_percent=150)
+
+
+class TestStaleLayoutRouting:
+    def _route_scalar(self, h, meta):
+        for s in meta["segments"].values():
+            if s["state"] == "ACTIVE" and s["start"] <= h <= s["end"]:
+                return s["segment_id"]
+        raise AssertionError("active segments must cover the space")
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_stale_route_resolves_to_current_active(self, tmp_path, seed):
+        """ClientSegmentLayout.java:38: route against a CACHED layout,
+        resolve through lineage — every hash lands in exactly the
+        ACTIVE segment the current layout owns it with."""
+        import random
+
+        from pulsar_spark.sources import resolve_segment_lineage
+        from pulsar_spark.sources.scalable import (
+            active_segments,
+            create_scalable_topic,
+            merge_segments,
+            scalable_metadata,
+            split_segment,
+        )
+
+        rng = random.Random(seed)
+        d = str(tmp_path / f"t{seed}")
+        create_scalable_topic(d, num_initial_segments=2)
+        stale = scalable_metadata(d)  # the client's cached layout
+
+        # evolve the topic past the cache: random split/merge sequence
+        for _ in range(6):
+            segs = active_segments(scalable_metadata(d))
+            if len(segs) > 1 and rng.random() < 0.4:
+                # merge two adjacent actives if possible
+                by_start = sorted(segs, key=lambda s: s["start"])
+                pairs = [
+                    (a, b)
+                    for a, b in zip(by_start, by_start[1:])
+                    if a["end"] + 1 == b["start"]
+                ]
+                if pairs:
+                    a, b = rng.choice(pairs)
+                    merge_segments(d, a["segment_id"], b["segment_id"])
+                    continue
+            splittable = [s for s in segs if s["end"] > s["start"]]
+            if splittable:
+                split_segment(d, rng.choice(splittable)["segment_id"])
+        current = scalable_metadata(d)
+
+        for h in rng.sample(range(0x10000), 300):
+            stale_seg = self._route_scalar(h, stale)
+            resolved = resolve_segment_lineage(stale_seg, h, current)
+            assert resolved == self._route_scalar(h, current)
+
+    def test_unknown_segment_raises(self, tmp_path):
+        from pulsar_spark.sources import SegmentGoneError, resolve_segment_lineage
+        from pulsar_spark.sources.scalable import create_scalable_topic, scalable_metadata
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=1)
+        with pytest.raises(SegmentGoneError):
+            resolve_segment_lineage(99, 5, scalable_metadata(d))
