@@ -1003,6 +1003,70 @@ def _q_media_decode(spark, sf_dir):
     )
 
 
+def _q_media_decode_real(spark, sf_dir):
+    # REAL media decode (functions/multimodal.py): every payload is a
+    # genuine BMP (solid color derived from doc_id) or PCM WAV (silence
+    # of known length) encoded in-flight; decode_media(strict=True)
+    # proves no stub fallback runs — the oracle recomputes the expected
+    # dims / duration / channel sums in closed form, so a broken pixel
+    # or sample path is a hash mismatch, not a silent pass.
+    from pulsar_spark.functions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.multimodal import _encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    n = 1000 + (d % 50) * 8  # divisible by 8: exact ms
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(b"\x00\x00" * n)
+                    rows.append((d, "audio", "wav", buf.getvalue()))
+                else:
+                    w, h = 4 + d % 5, 3 + d % 4
+                    px = np.full(
+                        (h, w, 3), (d % 256, d * 7 % 256, d * 13 % 256), np.uint8
+                    )
+                    rows.append((d, "image", "bmp", _encode_bmp(px)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    out = decode_media(media, strict=True)
+    return out.select(
+        "media_id",
+        "modality",
+        "width",
+        "height",
+        "duration_ms",
+        "n_frames",
+        # feature[0] is the gray mean in [0,1]; x765 recovers the exact
+        # integer channel sum (engine-neutral, no float tolerance)
+        F.when(
+            F.col("modality") == "image",
+            F.round(F.element_at("feature", 1) * 765).cast("int"),
+        ).alias("rgb_sum"),
+        "decode_ok",
+    )
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     # max_bucket_size=512 keeps the mega-bucket star guard ON in the
     # checked path — the configuration you'd run on a corpus, where one
@@ -1743,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) new round-4 operators
         "scalable_multi_topic_stats": _q_scalable_multi_topic_stats,
         "processing_timeout": _q_processing_timeout,
+        "media_decode_real": _q_media_decode_real,
         # -- (d) driver-green r01/r02, not re-checked since
         "dlq": _q_dlq,
         "topic_stats": _q_topic_stats,
@@ -1785,8 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "embedding_knn_all": _q_embedding_knn_all,
         "message_by_id": _q_message_by_id,
-        "last_message_id": _q_last_message_id,
         # ---- 50-entry driver prefix ends here ----
+        "last_message_id": _q_last_message_id,
         "examine_message": _q_examine_message,
         "ack_timeout_redelivery": _q_ack_timeout_redelivery,
         # -- rotated out this round (driver-green r03; value-checked
@@ -2022,6 +2087,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT topic_name, CAST(segment AS INT) AS segment,
                    count(*) AS msg_count, count(DISTINCT key) AS key_count
             FROM u GROUP BY topic_name, segment
+        """,
+        "media_decode_real": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS modality,
+                   CAST(CASE WHEN doc_id % 3 <> 0 THEN 4 + doc_id % 5 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 3 <> 0 THEN 3 + doc_id % 4 END AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN (1000 + (doc_id % 50) * 8) / 8 END AS INT) AS duration_ms,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1000 + (doc_id % 50) * 8 ELSE 1 END AS INT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 3 <> 0
+                        THEN (doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256) END AS INT) AS rgb_sum,
+                   TRUE AS decode_ok
+            FROM documents
         """,
         "processing_timeout": f"""
             WITH {_M}

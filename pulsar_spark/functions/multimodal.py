@@ -3,11 +3,19 @@
 A large-scale training pipeline treats media as ``binary`` payloads
 with typed metadata (modality, codec, dims, duration) and runs
 decode / feature-extraction / resize / frame-sampling as Arrow-batched
-pandas stages over ``mapInPandas``. The media codec libraries are NOT
-in this container, so the decode kernels are STUBBED behind
-``_decode_stub`` (deterministic fake derived from the bytes) or raise
-NotImplementedError when ``strict=True`` — the Spark-side plumbing
-(schema, batching, partition sizing) is real and tested.
+pandas stages over ``mapInPandas``.
+
+Decode kernels come in two tiers:
+
+- REAL (numpy/stdlib only, fully implemented + tested): uncompressed
+  raster images (``bmp`` BI_RGB 24/32-bit, ``ppm`` P6, ``pgm`` P5) and
+  PCM audio (``wav`` 8/16-bit via the stdlib ``wave`` module),
+  including a real bilinear resize for the raster formats.
+- STUBBED: compressed codecs (jpeg/png/mp3/h264 ...) need libraries
+  this container doesn't have; those rows run ``_decode_stub``
+  (deterministic fake derived from the bytes) or raise
+  NotImplementedError under ``strict=True``. The Spark-side plumbing
+  (schema, batching, partition sizing) is identical for both tiers.
 
 Scale notes: media rows are large — ``media_repartition`` sizes
 partitions by estimated bytes, not row count, so a 100 TB scan doesn't
@@ -51,6 +59,212 @@ def attach_media(
     )
 
 
+# ------------------------------------------------- real kernels (numpy/stdlib)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed BI_RGB 24/32-bit BMP -> HxWx3 uint8 (RGB). Raises on
+    compressed or exotic variants (those are stub-tier)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError("only uncompressed 24/32-bit BMP is real-decoded")
+    flipped = h > 0
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, offset=data_off, count=stride * h)
+    px = px.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    if flipped:
+        px = px[::-1]
+    # BMP stores BGR(A); return RGB
+    return px[:, :, 2::-1].copy()
+
+
+def _encode_bmp(arr) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit BI_RGB BMP bytes (row-padded,
+    bottom-up) — the exact inverse of ``_decode_bmp``."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    body = rows.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def _decode_pnm(payload: bytes):
+    """P6 (RGB) / P5 (gray) binary PNM -> HxWx3 uint8."""
+    import numpy as np
+
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PNM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM is stub-tier")
+    ch = 3 if payload[:2] == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, offset=i, count=w * h * ch)
+    px = px.reshape(h, w, ch)
+    return np.repeat(px, 3, axis=2) if ch == 1 else px.copy()
+
+
+def _encode_ppm(arr) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def _decode_wav(payload: bytes):
+    """PCM WAV (8/16-bit) via the stdlib ``wave`` module -> (mono
+    float32 array in [-1, 1], sample_rate, n_channels)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError("only 8/16-bit PCM WAV is real-decoded")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate, nch
+
+
+def _feature_image(px) -> list[float]:
+    """16-dim image descriptor, all components in [0, 1]: gray
+    mean/std, RGB means, 8-bin gray histogram, normalized dims, aspect."""
+    import numpy as np
+
+    gray = px.mean(axis=2) / 255.0
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    hist = hist / max(1, gray.size)
+    h, w = gray.shape
+    return [
+        float(gray.mean()),
+        float(gray.std()),
+        float(px[:, :, 0].mean() / 255.0),
+        float(px[:, :, 1].mean() / 255.0),
+        float(px[:, :, 2].mean() / 255.0),
+        *[float(v) for v in hist],
+        float(min(w, 4096) / 4096.0),
+        float(min(h, 4096) / 4096.0),
+        float(min(w / max(h, 1), 8.0) / 8.0),
+    ]
+
+
+def _feature_audio(x, rate: int, nch: int) -> list[float]:
+    """16-dim audio descriptor: rms, zero-cross rate, peak, mean-abs, 8
+    log-ish FFT band energies (normalized), channels, rate, duration."""
+    import numpy as np
+
+    n = len(x)
+    if n == 0:
+        return [0.0] * 16
+    rms = float(np.sqrt(np.mean(x**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x[: min(n, 1 << 16)]))
+    total = spec.sum() or 1.0
+    edges = np.unique(
+        np.round(np.geomspace(1, len(spec), num=9)).astype(int)
+    )
+    bands = [float(spec[a:b].sum() / total) for a, b in zip(edges, edges[1:])]
+    bands += [0.0] * (8 - len(bands))
+    return [
+        rms,
+        zcr,
+        float(np.max(np.abs(x))),
+        float(np.mean(np.abs(x))),
+        *bands[:8],
+        float(min(nch, 8) / 8.0),
+        float(min(rate, 96000) / 96000.0),
+        float(min(n / rate, 600.0) / 600.0),
+        1.0,
+    ]
+
+
+#: codecs with REAL decode kernels in this container
+REAL_CODECS = ("bmp", "ppm", "pgm", "wav")
+
+
+def _decode_real(payload: bytes, codec: str) -> dict:
+    if codec in ("ppm", "pgm"):
+        px = _decode_pnm(payload)
+    elif codec == "bmp":
+        px = _decode_bmp(payload)
+    elif codec == "wav":
+        x, rate, nch = _decode_wav(payload)
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": int(round(len(x) / rate * 1000)),
+            "n_frames": len(x),
+            "feature": _feature_audio(x, rate, nch),
+        }
+    else:
+        raise ValueError(f"no real kernel for codec {codec}")
+    h, w = px.shape[:2]
+    return {
+        "width": w,
+        "height": h,
+        "duration_ms": None,
+        "n_frames": 1,
+        "feature": _feature_image(px),
+    }
+
+
+def _resize_bilinear(px, width: int, height: int):
+    """Real bilinear resize, pure numpy (HxWx3 uint8 -> height x width x 3)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int); y1 = np.minimum(y0 + 1, h - 1)
+    x0 = np.floor(xs).astype(int); x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    p = px.astype(np.float32)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
+
+
 def _decode_stub(payload: bytes, modality: str) -> dict:
     """Deterministic fake decode: derives stable pseudo-metadata and a
     16-dim feature vector from the bytes. Replace with PIL/ffmpeg/
@@ -71,19 +285,18 @@ def _decode_stub(payload: bytes, modality: str) -> dict:
 def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    ``strict=True`` raises NotImplementedError — the marker that a real
-    codec kernel must be dropped in; default mode runs the deterministic
-    stub so the distributed plumbing is exercised end-to-end.
+    Rows whose ``codec`` is in ``REAL_CODECS`` (bmp/ppm/pgm/wav) run the
+    REAL numpy/stdlib kernels — actual pixel/sample decode, actual
+    features; a malformed payload yields ``decode_ok=false`` with null
+    metadata (bad bytes are data, not exceptions, in a 100 TB crawl).
+    Other codecs run the deterministic stub, or raise
+    NotImplementedError under ``strict=True`` — the marker that a
+    compressed-codec kernel must be dropped in.
     """
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        if strict:
-            raise NotImplementedError(
-                "media codecs not available in this container; "
-                "replace _decode_stub with a real decode kernel"
-            )
         cols = [
             "media_id", "modality", "width", "height",
             "duration_ms", "n_frames", "feature", "decode_ok",
@@ -91,7 +304,26 @@ def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                d = _decode_stub(r["payload"], r["modality"])
+                # frames without a codec column (e.g. the thumbnailer
+                # example's bare media bytes) are stub-tier
+                codec = (r.get("codec") or "").lower()
+                if codec in REAL_CODECS:
+                    try:
+                        d = _decode_real(bytes(r["payload"] or b""), codec)
+                        ok = True
+                    except Exception:
+                        d = dict.fromkeys(
+                            ("width", "height", "duration_ms", "n_frames", "feature")
+                        )
+                        ok = False
+                elif strict:
+                    raise NotImplementedError(
+                        f"no codec library for {codec!r} in this container; "
+                        "real kernels cover " + "/".join(REAL_CODECS)
+                    )
+                else:
+                    d = _decode_stub(r["payload"], r["modality"])
+                    ok = True
                 out.append(
                     {
                         "media_id": r["media_id"],
@@ -101,7 +333,7 @@ def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -
                         "duration_ms": d["duration_ms"],
                         "n_frames": d["n_frames"],
                         "feature": d["feature"],
-                        "decode_ok": True,
+                        "decode_ok": ok,
                     }
                 )
             yield pd.DataFrame(out, columns=cols)
@@ -114,31 +346,49 @@ def resize_media(
 ) -> DataFrame:
     """Resize stage for visual media (image / video): re-encode the
     payload at ``width x height`` and stamp the new dims. Non-visual
-    rows (audio) pass through untouched. Same contract as
-    ``decode_media``: the resize KERNEL is the stub (deterministic
-    bytes derived from input payload + target dims — swap in
-    PIL.Image.resize / ffmpeg scale in a container that has them);
-    the Spark plumbing — Arrow batching, schema preservation, visual/
-    non-visual routing — is real and tested."""
+    rows (audio) pass through untouched.
+
+    bmp/ppm/pgm rows get a REAL bilinear resize (pure numpy) and are
+    re-encoded in their own container format (pgm upcasts to ppm —
+    the resized raster is RGB). Compressed codecs take the stub path
+    (deterministic bytes; swap in PIL/ffmpeg where available) or raise
+    under ``strict=True``."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
 
-        if strict:
-            raise NotImplementedError(
-                "media codecs not available in this container; "
-                "replace the resize stub with a real scale kernel"
-            )
         dim_tag = f"{width}x{height}".encode()
+
+        def one(payload, codec):
+            codec = (codec or "").lower()
+            if codec in ("bmp", "ppm", "pgm"):
+                px = _decode_bmp(bytes(payload)) if codec == "bmp" else _decode_pnm(bytes(payload))
+                resized = _resize_bilinear(px, width, height)
+                return (
+                    _encode_bmp(resized) if codec == "bmp" else _encode_ppm(resized)
+                )
+            if strict:
+                raise NotImplementedError(
+                    f"no codec library for {codec!r}; real resize covers bmp/ppm/pgm"
+                )
+            return hashlib.sha256(bytes(payload or b"") + dim_tag).digest()
+
         for pdf in batches:
             pdf = pdf.copy()
             visual = pdf["modality"].isin(["image", "video"])
+            codecs = (
+                pdf.loc[visual, "codec"]
+                if "codec" in pdf.columns
+                else [""] * int(visual.sum())
+            )
             pdf.loc[visual, "payload"] = [
-                hashlib.sha256(bytes(p or b"") + dim_tag).digest()
-                for p in pdf.loc[visual, "payload"]
+                one(p, c) for p, c in zip(pdf.loc[visual, "payload"], codecs)
             ]
             pdf.loc[visual, "width"] = width
             pdf.loc[visual, "height"] = height
+            if "codec" in pdf.columns:
+                # pgm re-encodes as ppm (RGB container)
+                pdf.loc[visual & (pdf["codec"].str.lower() == "pgm"), "codec"] = "ppm"
             yield pdf
 
     return media.mapInPandas(run, media.schema)

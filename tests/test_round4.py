@@ -331,6 +331,126 @@ class TestProcessingTimeoutPolicy:
             BackoffPolicy(1, 2, jitter_percent=150)
 
 
+def _bmp_bytes(arr):
+    from pulsar_spark.functions.multimodal import _encode_bmp
+
+    return _encode_bmp(arr)
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class TestRealMediaKernels:
+    """bmp/ppm/pgm/wav decode + resize are REAL (numpy/stdlib) — exact
+    pixel and sample math, not the deterministic stub."""
+
+    def test_bmp_roundtrip_exact(self):
+        import numpy as np
+
+        from pulsar_spark.functions.multimodal import _decode_bmp, _encode_bmp
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        assert (_decode_bmp(_encode_bmp(px)) == px).all()
+
+    def test_ppm_roundtrip_and_pgm_gray(self):
+        import numpy as np
+
+        from pulsar_spark.functions.multimodal import _decode_pnm, _encode_ppm
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        assert (_decode_pnm(_encode_ppm(px)) == px).all()
+        gray = b"P5\n# comment\n3 2\n255\n" + bytes(range(6))
+        g = _decode_pnm(gray)
+        assert g.shape == (2, 3, 3)
+        assert (g[:, :, 0] == g[:, :, 1]).all()
+
+    def test_decode_media_real_image_and_audio(self, spark):
+        import numpy as np
+
+        docs = [
+            (1, "image", "bmp", bytearray(_bmp_bytes(np.full((8, 4, 3), 128, np.uint8)))),
+            (2, "audio", "wav", bytearray(_wav_bytes(np.zeros(8000)))),
+            (3, "image", "bmp", bytearray(b"not a bmp at all")),
+        ]
+        from pulsar_spark.functions.multimodal import decode_media
+
+        media = spark.createDataFrame(
+            docs, "media_id long, modality string, codec string, payload binary"
+        ).selectExpr(
+            "media_id", "modality", "codec", "payload",
+            "CAST(NULL AS INT) width", "CAST(NULL AS INT) height",
+            "CAST(NULL AS INT) duration_ms", "CAST(NULL AS INT) n_frames",
+        )
+        rows = {r.media_id: r for r in decode_media(media).collect()}
+        img = rows[1]
+        assert img.decode_ok and (img.width, img.height) == (4, 8)
+        assert abs(img.feature[0] - 128 / 255) < 1e-6  # real gray mean
+        aud = rows[2]
+        assert aud.decode_ok and aud.duration_ms == 1000 and aud.n_frames == 8000
+        assert aud.feature[0] == 0.0  # rms of silence
+        bad = rows[3]
+        assert bad.decode_ok is False and bad.width is None
+
+    def test_strict_mode_still_runs_real_codecs(self, spark):
+        import numpy as np
+
+        from pulsar_spark.functions.multimodal import decode_media
+
+        media = spark.createDataFrame(
+            [(1, "image", "bmp", bytearray(_bmp_bytes(np.zeros((2, 2, 3), np.uint8))))],
+            "media_id long, modality string, codec string, payload binary",
+        )
+        assert decode_media(media, strict=True).count() == 1
+
+    def test_resize_real_bilinear(self, spark):
+        import numpy as np
+
+        from pulsar_spark.functions.multimodal import (
+            _decode_bmp,
+            attach_media,
+            resize_media,
+        )
+
+        solid = np.full((10, 10, 3), (10, 200, 30), np.uint8)
+        media = spark.createDataFrame(
+            [(1, bytearray(_bmp_bytes(solid)))], "media_id long, payload binary"
+        )
+        media = attach_media(media, "payload", "image", "bmp", "media_id")
+        out = resize_media(media, 4, 6).collect()[0]
+        assert (out.width, out.height) == (4, 6)
+        resized = _decode_bmp(bytes(out.payload))
+        assert resized.shape == (6, 4, 3)
+        # a solid image stays exactly solid under real bilinear resize
+        assert (resized == solid[0, 0]).all()
+
+    def test_resize_gradient_preserves_structure(self):
+        import numpy as np
+
+        from pulsar_spark.functions.multimodal import _resize_bilinear
+
+        # horizontal gradient: downscale keeps monotonicity along x
+        grad = np.tile(np.linspace(0, 255, 32, dtype=np.uint8), (8, 1))
+        px = np.stack([grad] * 3, axis=2)
+        small = _resize_bilinear(px, 8, 4).astype(int)
+        row = small[0, :, 0]
+        assert (np.diff(row) > 0).all()
+        assert small[:, 0, 0].std() == 0  # columns stay constant
+
+
 class TestStaleLayoutRouting:
     def _route_scalar(self, h, meta):
         for s in meta["segments"].values():
