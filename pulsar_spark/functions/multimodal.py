@@ -360,18 +360,28 @@ def resize_media(
         dim_tag = f"{width}x{height}".encode()
 
         def one(payload, codec):
+            """-> (new_payload, resized?). Malformed real-codec bytes
+            are data, not exceptions (same contract as decode_media):
+            the row passes through untouched with resized=False."""
             codec = (codec or "").lower()
             if codec in ("bmp", "ppm", "pgm"):
-                px = _decode_bmp(bytes(payload)) if codec == "bmp" else _decode_pnm(bytes(payload))
-                resized = _resize_bilinear(px, width, height)
+                try:
+                    px = (
+                        _decode_bmp(bytes(payload))
+                        if codec == "bmp"
+                        else _decode_pnm(bytes(payload))
+                    )
+                    resized = _resize_bilinear(px, width, height)
+                except Exception:
+                    return payload, False
                 return (
                     _encode_bmp(resized) if codec == "bmp" else _encode_ppm(resized)
-                )
+                ), True
             if strict:
                 raise NotImplementedError(
                     f"no codec library for {codec!r}; real resize covers bmp/ppm/pgm"
                 )
-            return hashlib.sha256(bytes(payload or b"") + dim_tag).digest()
+            return hashlib.sha256(bytes(payload or b"") + dim_tag).digest(), True
 
         for pdf in batches:
             pdf = pdf.copy()
@@ -381,14 +391,17 @@ def resize_media(
                 if "codec" in pdf.columns
                 else [""] * int(visual.sum())
             )
-            pdf.loc[visual, "payload"] = [
+            results = [
                 one(p, c) for p, c in zip(pdf.loc[visual, "payload"], codecs)
             ]
-            pdf.loc[visual, "width"] = width
-            pdf.loc[visual, "height"] = height
+            pdf.loc[visual, "payload"] = [p for p, _ in results]
+            ok = pdf.index[visual][[s for _, s in results]]
+            pdf.loc[ok, "width"] = width
+            pdf.loc[ok, "height"] = height
             if "codec" in pdf.columns:
                 # pgm re-encodes as ppm (RGB container)
-                pdf.loc[visual & (pdf["codec"].str.lower() == "pgm"), "codec"] = "ppm"
+                pgm_ok = pdf.index.isin(ok) & (pdf["codec"].str.lower() == "pgm")
+                pdf.loc[pgm_ok, "codec"] = "ppm"
             yield pdf
 
     return media.mapInPandas(run, media.schema)

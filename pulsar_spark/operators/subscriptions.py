@@ -35,7 +35,13 @@ def sticky_key_hash(key: Column, deterministic_mod: bool = False) -> Column:
     if deterministic_mod:
         # Knuth multiplicative hash — spreads small numeric keys across the
         # range and is expressible identically in any SQL dialect.
-        return F.pmod(key.cast("bigint") * F.lit(2654435761), F.lit(HASH_RANGE_SIZE)).cast("int")
+        # try_cast + masked crc32 keeps it total over non-numeric keys
+        # (a bare cast throws under the ANSI default).
+        basis = F.coalesce(
+            key.try_cast("bigint"),
+            F.crc32(key.cast("string").cast("binary")).bitwiseAND(F.lit(0x7FFFFFFF)),
+        )
+        return F.pmod(basis * F.lit(2654435761), F.lit(HASH_RANGE_SIZE)).cast("int")
     return F.pmod(F.hash(key), F.lit(HASH_RANGE_SIZE)).cast("int")
 
 

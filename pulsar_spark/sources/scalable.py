@@ -123,13 +123,16 @@ def segment_hash(key, deterministic_mod: bool = False):
     uses for cross-engine oracle tests (DuckDB has no murmur3)."""
     key_col = F.col(key) if isinstance(key, str) else key
     if deterministic_mod:
-        # Non-numeric keys would cast to NULL and fall through every
-        # routing CASE branch into the NULL hive partition (invisible to
-        # stats / segment logic). Hash the string bytes via crc32 instead
-        # so every non-null key gets a deterministic slot; the numeric
-        # path (the only one the DuckDB oracles exercise) is unchanged.
+        # Non-numeric keys must not fall out of the routing CASE into
+        # the NULL hive partition (invisible to stats / segment logic).
+        # try_cast (a plain cast throws CAST_INVALID_INPUT under the
+        # ANSI default) falls through to a crc32 of the string bytes,
+        # masked to 31 bits so basis * 2654435761 stays inside int64;
+        # the numeric path (the only one the DuckDB oracles exercise)
+        # is unchanged.
         basis = F.coalesce(
-            key_col.cast("bigint"), F.crc32(key_col.cast("string").cast("binary"))
+            key_col.try_cast("bigint"),
+            F.crc32(key_col.cast("string").cast("binary")).bitwiseAND(F.lit(0x7FFFFFFF)),
         )
         return F.pmod(basis * F.lit(2654435761), F.lit(MAX_HASH + 1)).cast("int")
     return (
@@ -187,7 +190,10 @@ def produce_scalable(
 
     spark = payload.sparkSession
     existing = _read_if_present(spark, topic_path)
-    w = Window.partitionBy("segment").orderBy(F.monotonically_increasing_id())
+    # send order captured BELOW the exchange (stable per input row, not
+    # shuffle-arrival order — see topics.produce for the contract)
+    df = df.withColumn("_send_order", F.monotonically_increasing_id())
+    w = Window.partitionBy("segment").orderBy("_send_order")
     # pin the offset-window shuffle to one task per active segment: the
     # window reuses the explicit hash partitioning (no second exchange)
     # and the per-segment dynamic write keeps its parallelism instead of
@@ -201,7 +207,7 @@ def produce_scalable(
             "event_time": F.col(event_time_col) if event_time_col else F.current_timestamp(),
             "key": F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"),
         }
-    )
+    ).drop("_send_order")
     if existing is not None:
         base = existing.groupBy("segment").agg(F.max("offset").alias("_base"))
         df = (
@@ -632,6 +638,12 @@ def read_namespace_from_checkpoint(
     Scale shape: one partition-pruned scan + one 8-ish-row max-offset
     aggregate per topic; the union is plan-level (no shuffle). The
     data is never collected.
+
+    Like the single-topic ``read_from_checkpoint``, a poll before ANY
+    matching topic has been produced to returns a
+    (topic_name, segment, offset) stub frame — the envelope schema
+    exists only once data does; empty polls after the first produce
+    carry the full schema.
     """
     names = scalable_watch_snapshot(namespace_dir, property_filters)
     frames: list[DataFrame] = []
@@ -705,9 +717,15 @@ def entry_bucket_hash(key, deterministic_mod: bool = False):
     two pseudo-rings independent cross-engine."""
     key_col = F.col(key) if isinstance(key, str) else key
     if deterministic_mod:
-        return F.pmod(key_col.cast("bigint") * F.lit(2246822519), F.lit(MAX_HASH + 1)).cast(
-            "int"
+        # same non-numeric-key treatment as segment_hash: try_cast +
+        # masked crc32 keeps the two pseudo-rings total over every
+        # non-null key (a bare cast would throw under ANSI / NULL out
+        # of the bucket ring otherwise)
+        basis = F.coalesce(
+            key_col.try_cast("bigint"),
+            F.crc32(key_col.cast("string").cast("binary")).bitwiseAND(F.lit(0x7FFFFFFF)),
         )
+        return F.pmod(basis * F.lit(2246822519), F.lit(MAX_HASH + 1)).cast("int")
     return F.hash(key_col).bitwiseAND(F.lit(MAX_HASH)).cast("int")
 
 

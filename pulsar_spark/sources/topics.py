@@ -364,7 +364,14 @@ def produce(
     import os
 
     topic_name = "persistent://public/default/" + os.path.basename(topic_path.rstrip("/"))
-    w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
+    # Send order must be captured BEFORE the shuffle: a monotonic id
+    # minted below the exchange is stable per input row, while one
+    # computed above it would follow shuffle-fetch arrival order —
+    # nondeterministic across runs/retries on a real cluster, which
+    # would break the offset=publish-order contract that compaction
+    # keep-latest and per-key reads rely on.
+    df = df.withColumn("_send_order", F.monotonically_increasing_id())
+    w = Window.partitionBy("partition").orderBy("_send_order")
     # Pin the offset-window shuffle to exactly one task per topic
     # partition. The window's ClusteredDistribution(partition) is
     # satisfied by this explicit hash partitioning, so no second
@@ -385,7 +392,7 @@ def produce(
             "event_time": F.col(event_time_col) if event_time_col else F.current_timestamp(),
             "key": F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"),
         }
-    )
+    ).drop("_send_order")
 
     base = _existing_offsets(existing)
     if base is not None:

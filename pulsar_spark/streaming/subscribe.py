@@ -147,6 +147,38 @@ def subscribe_multi(
     return out
 
 
+def _glob_stream(
+    spark: SparkSession,
+    pattern: str,
+    path_cols: dict,
+    subscription_type: str,
+    num_consumers: int,
+    max_files_per_trigger: int | None,
+    interceptors,
+) -> DataFrame:
+    """Shared core of the pattern subscriptions: a streaming file scan
+    over a multi-topic glob. Hive partition discovery refuses multiple
+    glob-matched topic roots (CONFLICTING_DIRECTORY_STRUCTURES — each
+    topic dir is its own table root), so discovery is disabled via
+    recursiveFileLookup and ``path_cols`` rebuilds the layout columns
+    from ``_metadata.file_path`` (populated by the file source in both
+    batch and streaming) — a narrow projection, no extra I/O. At least
+    one matching topic must exist up front for schema discovery (the
+    reference likewise resolves the schema from an existing topic)."""
+    static = spark.read.option("recursiveFileLookup", "true").parquet(pattern)
+    reader = spark.readStream.schema(static.schema).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pattern).withColumns(path_cols)
+    if subscription_type == "key_shared":
+        stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
+    for icept in interceptors or []:
+        stream = icept(stream)
+    return stream
+
+
 def subscribe_pattern(
     spark: SparkSession,
     pattern: str,
@@ -164,36 +196,24 @@ def subscribe_pattern(
     micro-batch, so a topic directory created mid-stream starts being
     consumed on the next trigger with no restart — the re-glob IS the
     reference's discovery timer. ``pattern`` is a filesystem glob over
-    topic directories (e.g. ``/data/topics/events-*``); at least one
-    topic must exist up front for schema discovery (the reference
-    likewise resolves the schema from an existing topic).
+    topic directories (e.g. ``/data/topics/events-*``).
 
     The envelope's ``topic`` column identifies each row's origin, so
     downstream routing stays per-topic even though the scan is unified.
     """
-    # Hive partition discovery refuses multiple glob-matched topic
-    # roots (CONFLICTING_DIRECTORY_STRUCTURES — each topic dir is its
-    # own table root), so discovery is disabled via recursiveFileLookup
-    # and the `partition` envelope column is recovered from the file
-    # path (`_metadata.file_path` is populated by the file source in
-    # both batch and streaming) — a narrow projection, no extra I/O.
-    static = spark.read.option("recursiveFileLookup", "true").parquet(pattern)
-    reader = spark.readStream.schema(static.schema).option(
-        "recursiveFileLookup", "true"
+    return _glob_stream(
+        spark,
+        pattern,
+        {
+            "partition": F.regexp_extract(
+                F.col("_metadata.file_path"), r"partition=(\d+)", 1
+            ).cast("int"),
+        },
+        subscription_type,
+        num_consumers,
+        max_files_per_trigger,
+        interceptors,
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(pattern).withColumn(
-        "partition",
-        F.regexp_extract(F.col("_metadata.file_path"), r"partition=(\d+)", 1).cast(
-            "int"
-        ),
-    )
-    if subscription_type == "key_shared":
-        stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
-    for icept in interceptors or []:
-        stream = icept(stream)
-    return stream
 
 
 def subscribe_scalable_pattern(
@@ -228,29 +248,19 @@ def subscribe_scalable_pattern(
     via an interceptor: re-evaluate ``scalable_watch_snapshot`` in
     foreachBatch and semi-join on ``topic_name``.
     """
-    static = spark.read.option("recursiveFileLookup", "true").parquet(namespace_glob)
-    reader = spark.readStream.schema(static.schema).option(
-        "recursiveFileLookup", "true"
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = (
-        reader.parquet(namespace_glob)
-        .withColumn(
-            "segment",
-            F.regexp_extract(F.col("_metadata.file_path"), r"segment=(\d+)", 1).cast(
-                "int"
-            ),
-        )
-        .withColumn(
-            "topic_name",
-            F.regexp_extract(
+    return _glob_stream(
+        spark,
+        namespace_glob,
+        {
+            "segment": F.regexp_extract(
+                F.col("_metadata.file_path"), r"segment=(\d+)", 1
+            ).cast("int"),
+            "topic_name": F.regexp_extract(
                 F.col("_metadata.file_path"), r"([^/]+)/segment=\d+/", 1
             ),
-        )
+        },
+        subscription_type,
+        num_consumers,
+        max_files_per_trigger,
+        interceptors,
     )
-    if subscription_type == "key_shared":
-        stream = stream.repartition(num_consumers, sticky_key_hash(F.col("key")))
-    for icept in interceptors or []:
-        stream = icept(stream)
-    return stream

@@ -97,6 +97,7 @@ KEYS = [
     "scalable_multi_topic_stats",
     "processing_timeout",
     "examine_message",
+    "ngram_jaccard_dedup",
     # rotated out of the driver's 50-entry prefix in round 4
     # (driver-green r03) — kept value-checked here
     "schema_avro_decode",

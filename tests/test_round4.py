@@ -437,6 +437,30 @@ class TestRealMediaKernels:
         # a solid image stays exactly solid under real bilinear resize
         assert (resized == solid[0, 0]).all()
 
+    def test_resize_malformed_payload_passes_through(self, spark):
+        """Bad bytes are data: a corrupt bmp row survives resize with
+        its payload and dims untouched instead of killing the stage."""
+        import numpy as np
+
+        from pulsar_spark.functions.multimodal import (
+            attach_media,
+            resize_media,
+        )
+
+        good = _bmp_bytes(np.zeros((3, 3, 3), np.uint8))
+        rows = [(1, bytearray(good)), (2, bytearray(b"corrupt"))]
+        media = attach_media(
+            spark.createDataFrame(rows, "media_id long, payload binary"),
+            "payload",
+            "image",
+            "bmp",
+            "media_id",
+        )
+        out = {r.media_id: r for r in resize_media(media, 2, 2).collect()}
+        assert (out[1].width, out[1].height) == (2, 2)
+        assert bytes(out[2].payload) == b"corrupt"
+        assert out[2].width is None  # dims not stamped on a failed row
+
     def test_resize_gradient_preserves_structure(self):
         import numpy as np
 
@@ -503,6 +527,37 @@ class TestStaleLayoutRouting:
             stale_seg = self._route_scalar(h, stale)
             resolved = resolve_segment_lineage(stale_seg, h, current)
             assert resolved == self._route_scalar(h, current)
+
+    def test_non_numeric_keys_route_deterministically(self, spark, tmp_path):
+        """Non-numeric keys under deterministic_mod hash via crc32
+        instead of crashing (ANSI cast) or vanishing into the NULL
+        hive partition — every row lands in a real active segment, and
+        the two pseudo-rings (segment + entry bucket) stay total."""
+        from pulsar_spark.sources import (
+            create_scalable_topic,
+            key_shared_buckets,
+            produce_scalable,
+            read_scalable,
+        )
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=4)
+        payload = spark.createDataFrame(
+            [(f"user-{i}",) for i in range(100)] + [(None,)], "k string"
+        )
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        got = read_scalable(spark, d)
+        assert got.count() == 101
+        assert got.where(F.col("segment").isNull()).count() == 0
+        same_key = got.where(F.col("key") == "user-7").select("segment").distinct()
+        assert same_key.count() == 1  # same key -> same segment, always
+
+        bucketed = key_shared_buckets(
+            got.where(F.col("key").isNotNull()),
+            splits=[16384, 32768],
+            deterministic_mod=True,
+        )
+        assert bucketed.where(F.col("bucket").isNull()).count() == 0
 
     def test_unknown_segment_raises(self, tmp_path):
         from pulsar_spark.sources import SegmentGoneError, resolve_segment_lineage
