@@ -294,6 +294,35 @@ def _q_processing_timeout(spark, sf_dir):
     )
 
 
+def _q_segment_load_rates(spark, sf_dir):
+    # PIP-483 load sampling (sources/autoscale.py segment_load_stats —
+    # SegmentLoadReporter's 60 s rolling TopicStats average): per-ACTIVE-
+    # segment msg/bytes in-rates over the trailing window. Freshly
+    # produced rows all fall inside the window, so the oracle recomputes
+    # rate = count/window and bytes/window from the routing arithmetic.
+    import tempfile
+
+    from pulsar_spark.sources import (
+        create_scalable_topic,
+        produce_scalable,
+        segment_load_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    payload = events.selectExpr("CAST(user_id AS STRING) AS k", "event_id")
+    d = tempfile.mkdtemp(prefix="psload_") + "/topic"
+    create_scalable_topic(d, num_initial_segments=4)
+    produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+    rates = segment_load_stats(spark, d, window_s=60.0, bytes_expr=F.octet_length("k"))
+    rows = [
+        (sid, round(st.msg_rate_in, 6), round(st.bytes_rate_in, 6))
+        for sid, st in sorted(rates.items())
+    ]
+    return spark.createDataFrame(
+        rows, "segment int, msg_rate_in double, bytes_rate_in double"
+    )
+
+
 def _q_key_shared_bucket_stats(spark, sf_dir):
     # PIP-486 entry-bucketing (sources/scalable.py key_shared_buckets):
     # producer-side bucket assignment over ordered split boundaries;
@@ -1808,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalable_multi_topic_stats": _q_scalable_multi_topic_stats,
         "processing_timeout": _q_processing_timeout,
         "media_decode_real": _q_media_decode_real,
+        "segment_load_rates": _q_segment_load_rates,
         # -- (d) driver-green r01/r02, not re-checked since
         "dlq": _q_dlq,
         "topic_stats": _q_topic_stats,
@@ -1849,8 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "embedding_knn_all": _q_embedding_knn_all,
-        "message_by_id": _q_message_by_id,
         # ---- 50-entry driver prefix ends here ----
+        "message_by_id": _q_message_by_id,
         "last_message_id": _q_last_message_id,
         "examine_message": _q_examine_message,
         "ack_timeout_redelivery": _q_ack_timeout_redelivery,
@@ -2087,6 +2117,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT topic_name, CAST(segment AS INT) AS segment,
                    count(*) AS msg_count, count(DISTINCT key) AS key_count
             FROM u GROUP BY topic_name, segment
+        """,
+        "segment_load_rates": """
+            WITH p AS (
+              SELECT (CAST(user_id AS BIGINT) * 2654435761) % 65536 AS slot,
+                     length(CAST(user_id AS VARCHAR)) AS b
+              FROM events
+            ), a AS (
+              SELECT CASE WHEN slot <= 16383 THEN 0
+                          WHEN slot <= 32767 THEN 1
+                          WHEN slot <= 49151 THEN 2
+                          ELSE 3 END AS segment,
+                     count(*) AS n, sum(b) AS sb
+              FROM p GROUP BY 1
+            ), segs(segment) AS (VALUES (0), (1), (2), (3))
+            SELECT CAST(s.segment AS INT) AS segment,
+                   round(coalesce(a.n, 0) / 60.0, 6) AS msg_rate_in,
+                   round(coalesce(a.sb, 0) / 60.0, 6) AS bytes_rate_in
+            FROM segs s LEFT JOIN a USING (segment)
         """,
         "media_decode_real": """
             SELECT doc_id AS media_id,

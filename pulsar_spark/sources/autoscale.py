@@ -1,0 +1,393 @@
+"""PIP-483 auto split/merge — per-segment load sampling plus the pure
+policy evaluator.
+
+Reference semantics:
+- ``SegmentLoadStats`` (pulsar-common/.../scalable/SegmentLoadStats.java):
+  per-segment in/out message and byte rates (60 s rolling), written by
+  the owning broker, read by the controller leader.
+- ``AutoScalePolicyEvaluator.decide`` (pulsar-broker/.../service/
+  scalable/AutoScalePolicyEvaluator.java:64): a pure, side-effect-free
+  function over (layout, load samples, consumer counts, config, clock)
+  returning exactly ONE decision — split pass first (consumer-driven,
+  then hottest overload score), merge pass only if no split fired
+  (adjacent actives, both durably cold, DAG-depth capped, coldest
+  combined pair wins).
+- ``AutoScaleConfig`` (AutoScaleConfig.java:40-75): thresholds,
+  cooldowns, mergeWindow, min/max segments, maxDagDepth.
+- ``SegmentLayout.mergeDepth`` (SegmentLayout.java:134): the number of
+  merge nodes (segments with >= 2 parents) in a segment's ancestry.
+
+Spark-first split: the LOAD SAMPLING is the distributed part — one
+windowed aggregate over the stored segments with the publish-time
+filter pushed into the scan; the DECISION runs driver-side over a
+bounded dict (one entry per segment), exactly like the reference's
+controller leader. The decision function performs no I/O, so it is
+property-testable in isolation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SegmentLoadStats:
+    """SegmentLoadStats.java: rolling per-segment rates."""
+
+    msg_rate_in: float = 0.0
+    bytes_rate_in: float = 0.0
+    msg_rate_out: float = 0.0
+    bytes_rate_out: float = 0.0
+
+
+ZERO_LOAD = SegmentLoadStats()
+
+
+@dataclass(frozen=True)
+class SegmentLoadSample:
+    """SegmentLoadSample.java: a load record plus the metadata store's
+    last-modified time (the merge pass measures 'cold for at least
+    mergeWindow' from it)."""
+
+    stats: SegmentLoadStats
+    modified_at_ms: int
+
+
+@dataclass(frozen=True)
+class AutoScaleConfig:
+    """AutoScaleConfig.java:40-75 (defaults mirror the broker's
+    cluster-wide policy shape; thresholds are per deployment)."""
+
+    enabled: bool = True
+    max_segments: int = 256
+    min_segments: int = 1
+    max_dag_depth: int = 8
+    split_cooldown_s: float = 30.0
+    merge_cooldown_s: float = 300.0
+    merge_window_s: float = 600.0
+    split_msg_rate_in: float = 10_000.0
+    split_bytes_rate_in: float = 100 * 1024 * 1024
+    split_msg_rate_out: float = 20_000.0
+    split_bytes_rate_out: float = 200 * 1024 * 1024
+    merge_msg_rate_in: float = 100.0
+    merge_bytes_rate_in: float = 1024 * 1024
+    merge_msg_rate_out: float = 200.0
+    merge_bytes_rate_out: float = 2 * 1024 * 1024
+
+    def __post_init__(self):
+        for name in (
+            "split_msg_rate_in",
+            "split_bytes_rate_in",
+            "split_msg_rate_out",
+            "split_bytes_rate_out",
+        ):
+            # overload is scored as rate / threshold; zero would make
+            # any traffic infinitely hot (AutoScaleConfig.java:185)
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be > 0")
+        if self.merge_window_s < 0:
+            raise ValueError("mergeWindow must not be negative")
+
+
+@dataclass(frozen=True)
+class AutoScaleDecision:
+    """AutoScaleDecision.java: none | split(segment) | merge(a, b)."""
+
+    kind: str  # "none" | "split" | "merge"
+    segment_id: int | None = None
+    merge_with: int | None = None
+    reason: str | None = None
+
+    NONE = None  # set after class definition
+
+
+AutoScaleDecision.NONE = AutoScaleDecision("none")
+
+
+def segment_load_stats(
+    spark: SparkSession,
+    topic_path: str,
+    window_s: float = 60.0,
+    now: Column | str | None = None,
+    bytes_expr: Column | None = None,
+    dispatched=None,
+) -> dict[int, SegmentLoadStats]:
+    """Per-ACTIVE-segment rolling load over the trailing ``window_s``
+    (the SegmentLoadReporter's 60 s TopicStats average, computed from
+    the stored log): one aggregate whose publish-time filter pushes
+    into the parquet scan, returning a bounded driver-side dict — one
+    entry per segment, never the data.
+
+    ``bytes_expr`` sizes a row (e.g. ``F.octet_length("val")``);
+    without it byte rates are 0. ``dispatched`` is an optional frame of
+    delivered rows (same segment/publish_time shape) for the out-rates;
+    a batch store has no dispatch log of its own, so out-rates default
+    to 0 — the decision function treats them symmetrically either way.
+    """
+    from pulsar_spark.sources.scalable import (
+        _read_if_present,
+        active_segments,
+        scalable_metadata,
+    )
+
+    meta = scalable_metadata(topic_path)
+    active = {s["segment_id"] for s in active_segments(meta)}
+    now_col = (
+        F.lit(now).cast("timestamp") if isinstance(now, str) else now
+    ) or F.current_timestamp()
+    cutoff = now_col - F.make_interval(secs=F.lit(float(window_s)))
+
+    def rates(df) -> dict[int, tuple[float, float]]:
+        if df is None:
+            return {}
+        sized = df.where(F.col("publish_time") >= cutoff).groupBy("segment").agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(bytes_expr).alias("b")
+                if bytes_expr is not None
+                else F.lit(0).alias("b")
+            ),
+        )
+        return {
+            int(r.segment): (r.n / window_s, (r.b or 0) / window_s)
+            for r in sized.collect()
+        }
+
+    in_rates = rates(_read_if_present(spark, topic_path))
+    out_rates = rates(dispatched)
+    out: dict[int, SegmentLoadStats] = {}
+    for sid in active:
+        mi, bi = in_rates.get(sid, (0.0, 0.0))
+        mo, bo = out_rates.get(sid, (0.0, 0.0))
+        out[sid] = SegmentLoadStats(mi, bi, mo, bo)
+    return out
+
+
+def is_material_change(
+    last: SegmentLoadStats, current: SegmentLoadStats, threshold: float = 0.25
+) -> bool:
+    """SegmentLoadReporter.isMaterialChange: any of the four rates moved
+    by more than ``threshold`` (relative), or crossed to/from zero —
+    any move off zero (idle -> active) is always material, staying at
+    zero never is."""
+
+    def changed(last_v: float, cur_v: float) -> bool:
+        if last_v == 0.0:
+            return cur_v != 0.0
+        return abs(cur_v - last_v) / last_v > threshold
+
+    return (
+        changed(last.msg_rate_in, current.msg_rate_in)
+        or changed(last.bytes_rate_in, current.bytes_rate_in)
+        or changed(last.msg_rate_out, current.msg_rate_out)
+        or changed(last.bytes_rate_out, current.bytes_rate_out)
+    )
+
+
+_LOAD_DIR = "_segment_load"
+
+
+def report_if_changed(
+    topic_path: str,
+    segment_id: int,
+    current: SegmentLoadStats,
+    threshold: float = 0.25,
+) -> bool:
+    """SegmentLoadReporter.reportIfChanged: persist the segment's load
+    record only when it materially changed since the LAST STORED value
+    (default ±25%, or a zero crossing). An immaterial sample is skipped
+    WITHOUT touching the record, so its modification time — what the
+    controller reads as "cold since" for the merge window — keeps
+    aging; rewriting on every tick would starve merges. The baseline is
+    re-seeded from the stored record (not reset) after an ownership
+    move, for the same reason. Returns True iff a write happened."""
+    import json
+    import os
+
+    d = os.path.join(topic_path, _LOAD_DIR)
+    path = os.path.join(d, f"{int(segment_id)}.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            v = json.load(fh)
+        last = SegmentLoadStats(
+            v["msg_rate_in"], v["bytes_rate_in"], v["msg_rate_out"], v["bytes_rate_out"]
+        )
+        if not is_material_change(last, current, threshold):
+            return False
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "msg_rate_in": current.msg_rate_in,
+                "bytes_rate_in": current.bytes_rate_in,
+                "msg_rate_out": current.msg_rate_out,
+                "bytes_rate_out": current.bytes_rate_out,
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+    return True
+
+
+def load_samples(topic_path: str) -> dict[int, SegmentLoadSample]:
+    """Read every stored load record plus its last-modified time — the
+    controller leader's input to ``auto_scale_decide`` (the record
+    store's Stat mtime is the 'cold since' clock)."""
+    import json
+    import os
+
+    d = os.path.join(topic_path, _LOAD_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[int, SegmentLoadSample] = {}
+    for name in os.listdir(d):
+        if not name.endswith(".json"):
+            continue
+        path = os.path.join(d, name)
+        with open(path) as fh:
+            v = json.load(fh)
+        out[int(name[:-5])] = SegmentLoadSample(
+            SegmentLoadStats(
+                v["msg_rate_in"],
+                v["bytes_rate_in"],
+                v["msg_rate_out"],
+                v["bytes_rate_out"],
+            ),
+            int(os.path.getmtime(path) * 1000),
+        )
+    return out
+
+
+def merge_depth(meta: dict, segment_id: int) -> int:
+    """SegmentLayout.mergeDepth (SegmentLayout.java:134): merge nodes
+    (>= 2 parents) in the segment's ancestry, deduplicated."""
+    segs = {int(s["segment_id"]): s for s in meta["segments"].values()}
+    depth, seen, stack = 0, set(), [int(segment_id)]
+    while stack:
+        sid = stack.pop()
+        if sid in seen:
+            continue
+        seen.add(sid)
+        s = segs.get(sid)
+        if s is None:
+            continue
+        if len(s["parent_ids"]) >= 2:
+            depth += 1
+        stack.extend(int(p) for p in s["parent_ids"])
+    return depth
+
+
+def auto_scale_decide(
+    meta: dict,
+    load_by_segment: dict[int, SegmentLoadSample],
+    stream_consumer_count: dict[str, int],
+    config: AutoScaleConfig,
+    now_ms: int,
+    last_split_at_ms: int | None = None,
+    last_merge_at_ms: int | None = None,
+) -> AutoScaleDecision:
+    """AutoScalePolicyEvaluator.decide (AutoScalePolicyEvaluator.java:64)
+    ported 1:1: pure function, no I/O, at most one action per tick.
+
+    Split pass (coalesced by splitCooldown): (a) consumer-driven — if
+    any managed subscription has more consumers than active segments,
+    split the busiest-by-msgRateIn segment (smaller id wins ties);
+    (b) load-driven — split the strictly-over-threshold segment with
+    the highest overload ratio. Merge pass only if no split fired:
+    adjacent ACTIVE pairs, both durably cold (sample present, older
+    than mergeWindow, every rate below its merge threshold), neither
+    at maxDagDepth, coldest combined pair wins.
+    """
+    from pulsar_spark.sources.scalable import active_segments
+
+    if not config.enabled:
+        return AutoScaleDecision.NONE
+    active = active_segments(meta)
+
+    def stats_of(sid: int) -> SegmentLoadStats:
+        sample = load_by_segment.get(sid)
+        return sample.stats if sample is not None else ZERO_LOAD
+
+    def within_cooldown(last_at, cooldown_s) -> bool:
+        return last_at is not None and now_ms - last_at < cooldown_s * 1000
+
+    # --- split pass ---
+    if len(active) < config.max_segments and not within_cooldown(
+        last_split_at_ms, config.split_cooldown_s
+    ):
+        required = max(stream_consumer_count.values(), default=0)
+        if required > len(active) and active:
+            # busiest by msgRateIn, smaller id on ties (stable across ticks)
+            target = max(
+                active,
+                key=lambda s: (stats_of(s["segment_id"]).msg_rate_in, -s["segment_id"]),
+            )
+            return AutoScaleDecision(
+                "split", target["segment_id"], reason="consumer-count"
+            )
+        hottest, hottest_score, hottest_reason = None, 1.0, None
+        for s in active:
+            st = stats_of(s["segment_id"])
+            ratios = [
+                (st.msg_rate_in / config.split_msg_rate_in, "msgRateIn"),
+                (st.bytes_rate_in / config.split_bytes_rate_in, "bytesRateIn"),
+                (st.msg_rate_out / config.split_msg_rate_out, "msgRateOut"),
+                (st.bytes_rate_out / config.split_bytes_rate_out, "bytesRateOut"),
+            ]
+            score, reason = max(ratios, key=lambda r: r[0])
+            if score > 1.0 and score > hottest_score:
+                hottest, hottest_score, hottest_reason = s, score, reason
+        if hottest is not None:
+            return AutoScaleDecision(
+                "split", hottest["segment_id"], reason=hottest_reason
+            )
+
+    # --- merge pass ---
+    if len(active) <= config.min_segments or within_cooldown(
+        last_merge_at_ms, config.merge_cooldown_s
+    ):
+        return AutoScaleDecision.NONE
+
+    def cold_enough(sid: int) -> bool:
+        sample = load_by_segment.get(sid)
+        if sample is None:
+            return False  # no evidence of durable cold — never eligible
+        if now_ms - sample.modified_at_ms < config.merge_window_s * 1000:
+            return False
+        st = sample.stats
+        return (
+            st.msg_rate_in < config.merge_msg_rate_in
+            and st.bytes_rate_in < config.merge_bytes_rate_in
+            and st.msg_rate_out < config.merge_msg_rate_out
+            and st.bytes_rate_out < config.merge_bytes_rate_out
+        )
+
+    def combined(sid: int) -> float:
+        st = stats_of(sid)
+        return st.msg_rate_in + st.bytes_rate_in + st.msg_rate_out + st.bytes_rate_out
+
+    ordered = sorted(active, key=lambda s: s["segment_id"])
+    coldest, coldest_combined = None, float("inf")
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1 :]:
+            adjacent = a["end"] + 1 == b["start"] or b["end"] + 1 == a["start"]
+            if not adjacent:
+                continue
+            if (
+                merge_depth(meta, a["segment_id"]) >= config.max_dag_depth
+                or merge_depth(meta, b["segment_id"]) >= config.max_dag_depth
+            ):
+                continue
+            if not (cold_enough(a["segment_id"]) and cold_enough(b["segment_id"])):
+                continue
+            c = combined(a["segment_id"]) + combined(b["segment_id"])
+            if c < coldest_combined:
+                coldest_combined = c
+                coldest = AutoScaleDecision(
+                    "merge", a["segment_id"], merge_with=b["segment_id"], reason="cold"
+                )
+    return coldest if coldest is not None else AutoScaleDecision.NONE

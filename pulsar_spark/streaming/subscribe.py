@@ -33,6 +33,7 @@ def subscribe(
     interceptors=None,
     start_offset: int | None = None,
     start_time: str | None = None,
+    initial_position: str = "earliest",
 ) -> DataFrame:
     """Open a streaming scan of a topic (consumer analog).
 
@@ -54,13 +55,43 @@ def subscribe(
     ConsumerInterceptor.beforeConsume chain
     (capi/ConsumerInterceptor.java:118), streaming flavor; the same
     chain ``read_topic`` applies in batch mode.
+
+    ``initial_position``: SubscriptionInitialPosition (capi-v5/config/
+    SubscriptionInitialPosition.java): ``earliest`` (default) delivers
+    the whole stored backlog; ``latest`` starts the new subscription's
+    cursor PAST the current last message of every partition — the
+    per-partition high watermark is snapshotted at subscribe time
+    (parquet footer stats, no data scan) and pushed down as an offset
+    filter, so only rows appended after subscribe are delivered. Like
+    the reference, the position applies at subscription CREATION only:
+    when restarting from an existing checkpoint, resubscribe with the
+    default — the checkpoint is the cursor, and the skipped backlog
+    files are already in its seen-files log.
     """
+    if initial_position not in ("earliest", "latest"):
+        raise ValueError(
+            f"initial_position must be earliest|latest, got {initial_position}"
+        )
     static = spark.read.parquet(topic_path)  # schema discovery only
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(topic_path)
 
+    if initial_position == "latest":
+        highs = static.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
+        # explicit casts: mixed int/long literals in one create_map is
+        # an AnalysisException once offsets pass 2^31
+        hi_map = F.create_map(
+            *[
+                x
+                for r in highs
+                for x in (F.lit(r.partition).cast("int"), F.lit(r.hi).cast("bigint"))
+            ]
+        )
+        stream = stream.where(
+            F.col("offset") > F.coalesce(hi_map[F.col("partition")], F.lit(-1))
+        )
     if start_offset is not None:
         stream = stream.where(F.col("offset") >= start_offset)
     if start_time is not None:

@@ -98,6 +98,7 @@ KEYS = [
     "processing_timeout",
     "examine_message",
     "ngram_jaccard_dedup",
+    "message_by_id",
     # rotated out of the driver's 50-entry prefix in round 4
     # (driver-green r03) — kept value-checked here
     "schema_avro_decode",

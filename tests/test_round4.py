@@ -331,6 +331,258 @@ class TestProcessingTimeoutPolicy:
             BackoffPolicy(1, 2, jitter_percent=150)
 
 
+class TestSubscriptionInitialPosition:
+    def test_latest_skips_stored_backlog(self, spark, tmp_path):
+        """SubscriptionInitialPosition.Latest: a new subscription's
+        cursor starts past the current last message — the stored
+        backlog is never delivered, rows appended after subscribe are."""
+        from pulsar_spark.sources.topics import produce
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        topic = str(tmp_path / "t")
+        payload = spark.range(100).selectExpr("CAST(id AS STRING) k", "id v")
+        produce(payload, topic, key_col="k", num_partitions=4, mode="overwrite")
+
+        seen: list[int] = []
+
+        def sink(df, bid):
+            seen.extend(r.v for r in df.select("v").collect())
+
+        ckpt = str(tmp_path / "ckpt")
+        stream = subscribe(spark, topic, initial_position="latest")
+        run_to_end(
+            stream.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt)
+        )
+        assert seen == []  # backlog skipped
+
+        produce(
+            spark.range(1000, 1050).selectExpr("CAST(id AS STRING) k", "id v"),
+            topic,
+            key_col="k",
+        )
+        # resume from the SAME checkpoint with the default position: the
+        # checkpoint IS the cursor (initialPosition only applies at
+        # subscription creation in the reference too), and the backlog
+        # files were already marked seen by run 1
+        stream2 = subscribe(spark, topic)
+        run_to_end(
+            stream2.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt)
+        )
+        assert sorted(seen) == list(range(1000, 1050))
+
+    def test_invalid_position_rejected(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce
+        from pulsar_spark.streaming import subscribe
+
+        topic = str(tmp_path / "t2")
+        produce(
+            spark.range(5).selectExpr("CAST(id AS STRING) k", "id v"),
+            topic,
+            key_col="k",
+            mode="overwrite",
+        )
+        with pytest.raises(ValueError):
+            subscribe(spark, topic, initial_position="middle")
+
+
+class TestAutoScalePolicy:
+    """AutoScalePolicyEvaluator.decide port (AutoScalePolicyEvaluator
+    .java:64): pure decision function, at most one action per tick."""
+
+    NOW = 10_000_000
+
+    def _meta(self, tmp_path, n=2, name="t"):
+        from pulsar_spark.sources.scalable import (
+            create_scalable_topic,
+            scalable_metadata,
+        )
+
+        d = str(tmp_path / name)
+        create_scalable_topic(d, num_initial_segments=n)
+        return d, scalable_metadata(d)
+
+    def _sample(self, mi=0.0, bi=0.0, mo=0.0, bo=0.0, age_s=10_000):
+        from pulsar_spark.sources import SegmentLoadSample, SegmentLoadStats
+
+        return SegmentLoadSample(
+            SegmentLoadStats(mi, bi, mo, bo), self.NOW - age_s * 1000
+        )
+
+    def test_disabled_and_cooldowns(self, tmp_path):
+        from pulsar_spark.sources import AutoScaleConfig, auto_scale_decide
+
+        _, meta = self._meta(tmp_path)
+        hot = {0: self._sample(mi=1e6), 1: self._sample()}
+        off = AutoScaleConfig(enabled=False)
+        assert auto_scale_decide(meta, hot, {}, off, self.NOW).kind == "none"
+        cfg = AutoScaleConfig(split_msg_rate_in=100.0, split_cooldown_s=30)
+        # within cooldown of a prior split: no action even when hot
+        d = auto_scale_decide(
+            meta, hot, {}, cfg, self.NOW, last_split_at_ms=self.NOW - 10_000
+        )
+        assert d.kind == "none"
+
+    def test_consumer_driven_split_picks_busiest(self, tmp_path):
+        from pulsar_spark.sources import AutoScaleConfig, auto_scale_decide
+
+        _, meta = self._meta(tmp_path)
+        load = {0: self._sample(mi=5.0), 1: self._sample(mi=50.0)}
+        d = auto_scale_decide(
+            meta, load, {"subA": 3}, AutoScaleConfig(), self.NOW
+        )
+        assert (d.kind, d.segment_id, d.reason) == ("split", 1, "consumer-count")
+
+    def test_load_driven_split_highest_overload_ratio(self, tmp_path):
+        from pulsar_spark.sources import AutoScaleConfig, auto_scale_decide
+
+        _, meta = self._meta(tmp_path)
+        cfg = AutoScaleConfig(split_msg_rate_in=100.0, split_bytes_rate_out=1000.0)
+        # seg0 is 2x over on msgRateIn; seg1 is 5x over on bytesRateOut
+        load = {0: self._sample(mi=200.0), 1: self._sample(bo=5000.0)}
+        d = auto_scale_decide(meta, load, {}, cfg, self.NOW)
+        assert (d.kind, d.segment_id, d.reason) == ("split", 1, "bytesRateOut")
+        # at-threshold (ratio == 1.0) must NOT split — strictly over only
+        d2 = auto_scale_decide(
+            meta, {0: self._sample(mi=100.0)}, {}, cfg, self.NOW
+        )
+        assert d2.kind == "none" or d2.kind == "merge"
+
+    def test_merge_requires_durable_cold_and_adjacency(self, tmp_path):
+        from pulsar_spark.sources import AutoScaleConfig, auto_scale_decide
+
+        _, meta = self._meta(tmp_path, n=4)
+        cfg = AutoScaleConfig(merge_window_s=600, min_segments=1)
+        cold = lambda age: self._sample(mi=1.0, age_s=age)
+        # all cold and old: coldest adjacent pair merges
+        load = {i: cold(10_000) for i in range(4)}
+        d = auto_scale_decide(meta, load, {}, cfg, self.NOW)
+        assert d.kind == "merge" and d.merge_with == d.segment_id + 1
+        # a too-fresh sample on one side blocks that pair
+        load2 = {0: cold(10), 1: cold(10_000), 2: cold(10), 3: cold(10)}
+        d2 = auto_scale_decide(meta, load2, {}, cfg, self.NOW)
+        assert d2.kind == "none"
+        # missing sample = no evidence of cold = ineligible
+        d3 = auto_scale_decide(meta, {}, {}, cfg, self.NOW)
+        assert d3.kind == "none"
+
+    def test_merge_respects_min_segments_and_split_wins(self, tmp_path):
+        from pulsar_spark.sources import AutoScaleConfig, auto_scale_decide
+
+        _, meta = self._meta(tmp_path)
+        cold = {0: self._sample(mi=1.0), 1: self._sample(mi=1.0)}
+        d = auto_scale_decide(
+            meta, cold, {}, AutoScaleConfig(min_segments=2), self.NOW
+        )
+        assert d.kind == "none"
+        # a split decision preempts any merge (one action per tick)
+        cfg = AutoScaleConfig(split_msg_rate_in=10.0, min_segments=1)
+        hot_and_cold = {0: self._sample(mi=100.0), 1: self._sample(mi=1.0)}
+        d2 = auto_scale_decide(meta, hot_and_cold, {}, cfg, self.NOW)
+        assert d2.kind == "split"
+
+    def test_merge_depth_gate(self, tmp_path):
+        from pulsar_spark.sources import AutoScaleConfig, auto_scale_decide, merge_depth
+        from pulsar_spark.sources.scalable import merge_segments, scalable_metadata
+
+        d, meta = self._meta(tmp_path, n=4)
+        # merge 0+1 -> a merge node; its child has depth 1
+        child = merge_segments(d, 0, 1)
+        meta = scalable_metadata(d)
+        assert merge_depth(meta, child) == 1
+        assert merge_depth(meta, 2) == 0
+        cfg = AutoScaleConfig(max_dag_depth=1, min_segments=1)
+        cold = {s["segment_id"]: self._sample(mi=1.0) for s in meta["segments"].values()}
+        dec = auto_scale_decide(meta, cold, {}, cfg, self.NOW)
+        # the merged child is at the cap; only the 2+3 pair remains
+        assert (dec.kind, dec.segment_id, dec.merge_with) == ("merge", 2, 3)
+
+    def test_load_reporter_material_change_and_mtime(self, tmp_path):
+        """SegmentLoadReporter.reportIfChanged: in-band samples are
+        skipped WITHOUT touching the record (the mtime is the merge
+        window's 'cold since' clock); off-zero moves always write."""
+        import os
+        import time
+
+        from pulsar_spark.sources import (
+            SegmentLoadStats,
+            is_material_change,
+            load_samples,
+            report_if_changed,
+        )
+
+        d = str(tmp_path / "t")
+        os.makedirs(d)
+        s100 = SegmentLoadStats(msg_rate_in=100.0)
+        assert report_if_changed(d, 0, s100) is True
+        rec = os.path.join(d, "_segment_load", "0.json")
+        t0 = os.path.getmtime(rec)
+        time.sleep(0.05)
+        # +20% is inside the ±25% band: skipped, mtime keeps aging
+        assert report_if_changed(d, 0, SegmentLoadStats(msg_rate_in=120.0)) is False
+        assert os.path.getmtime(rec) == t0
+        # +30% is material: written
+        assert report_if_changed(d, 0, SegmentLoadStats(msg_rate_in=130.0)) is True
+        assert os.path.getmtime(rec) > t0
+        # zero crossings are always material; staying at zero is not
+        assert is_material_change(SegmentLoadStats(), SegmentLoadStats(msg_rate_out=0.1))
+        assert not is_material_change(SegmentLoadStats(), SegmentLoadStats())
+        samples = load_samples(d)
+        assert samples[0].stats.msg_rate_in == 130.0
+        assert samples[0].modified_at_ms > 0
+
+    def test_reporter_feeds_evaluator_end_to_end(self, tmp_path):
+        """The full PIP-483 loop: report -> load_samples ->
+        auto_scale_decide sees the mtime-aged record as durably cold."""
+        import os
+
+        from pulsar_spark.sources import (
+            AutoScaleConfig,
+            SegmentLoadStats,
+            auto_scale_decide,
+            load_samples,
+            report_if_changed,
+        )
+        from pulsar_spark.sources.scalable import (
+            create_scalable_topic,
+            scalable_metadata,
+        )
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        for sid in (0, 1):
+            report_if_changed(d, sid, SegmentLoadStats(msg_rate_in=1.0))
+        samples = load_samples(d)
+        now_ms = max(s.modified_at_ms for s in samples.values())
+        cfg = AutoScaleConfig(merge_window_s=600, min_segments=1)
+        # records are fresh: not yet durably cold
+        assert auto_scale_decide(
+            scalable_metadata(d), samples, {}, cfg, now_ms
+        ).kind == "none"
+        # same records evaluated 10 merge-windows later: merge fires
+        dec = auto_scale_decide(
+            scalable_metadata(d), samples, {}, cfg, now_ms + 6_000_000
+        )
+        assert (dec.kind, dec.segment_id, dec.merge_with) == ("merge", 0, 1)
+
+    def test_segment_load_stats_rates(self, spark, tmp_path):
+        from pulsar_spark.sources import segment_load_stats
+        from pulsar_spark.sources.scalable import (
+            create_scalable_topic,
+            produce_scalable,
+        )
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        produce_scalable(_payload(spark, 120), d, key_col="k")
+        rates = segment_load_stats(
+            spark, d, window_s=60.0, bytes_expr=F.octet_length("k")
+        )
+        assert set(rates) == {0, 1}
+        assert abs(sum(r.msg_rate_in for r in rates.values()) - 2.0) < 1e-9
+        assert all(r.bytes_rate_in > 0 for r in rates.values())
+        assert all(r.msg_rate_out == 0.0 for r in rates.values())
+
+
 def _bmp_bytes(arr):
     from pulsar_spark.functions.multimodal import _encode_bmp
 
