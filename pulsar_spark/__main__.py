@@ -18,6 +18,8 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark split-segment    <topic_path> --segment ID
   python -m pulsar_spark merge-segments   <topic_path> --segments ID1 ID2
   python -m pulsar_spark scalable-stats   <topic_path>
+  python -m pulsar_spark consume-namespace <namespace_dir> [--checkpoint F] [--limit N]
+  python -m pulsar_spark autoscale        <topic_path> [--window S] [--apply]
 """
 
 from __future__ import annotations
@@ -99,6 +101,21 @@ def main(argv: list[str] | None = None) -> int:
 
     p_sstat = sub.add_parser("scalable-stats", help="per-segment range/state/counts")
     p_sstat.add_argument("topic")
+
+    p_ns = sub.add_parser(
+        "consume-namespace",
+        help="multi-topic scalable consume from a combined checkpoint",
+    )
+    p_ns.add_argument("namespace")
+    p_ns.add_argument("--checkpoint", help="path to the stored MultiCheckpoint bytes")
+    p_ns.add_argument("--limit", type=int, default=10)
+
+    p_auto = sub.add_parser(
+        "autoscale", help="PIP-483 tick: sample load, report, evaluate split/merge"
+    )
+    p_auto.add_argument("topic")
+    p_auto.add_argument("--window", type=float, default=60.0)
+    p_auto.add_argument("--apply", action="store_true", help="execute the decision")
 
     args = ap.parse_args(argv)
 
@@ -190,6 +207,56 @@ def main(argv: list[str] | None = None) -> int:
 
         for row in scalable_stats(spark, args.topic).collect():
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "consume-namespace":
+        import os as _os
+
+        from pulsar_spark.sources import (
+            MultiCheckpoint,
+            read_namespace_from_checkpoint,
+        )
+
+        ck = MultiCheckpoint.earliest()
+        if args.checkpoint and _os.path.exists(args.checkpoint):
+            with open(args.checkpoint, "rb") as fh:
+                ck = MultiCheckpoint.from_bytes(fh.read())
+        df, advanced = read_namespace_from_checkpoint(spark, args.namespace, ck)
+        cols = [c for c in ("topic_name", "segment", "offset", "key") if c in df.columns]
+        for row in df.orderBy(*cols).limit(args.limit).collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+        if args.checkpoint:
+            with open(args.checkpoint, "wb") as fh:
+                fh.write(advanced.to_bytes())
+    elif args.cmd == "autoscale":
+        import time as _time
+
+        from pulsar_spark.sources import (
+            AutoScaleConfig,
+            auto_scale_decide,
+            load_samples,
+            merge_segments,
+            report_if_changed,
+            scalable_metadata,
+            segment_load_stats,
+            split_segment,
+        )
+
+        for sid, st in segment_load_stats(spark, args.topic, window_s=args.window).items():
+            report_if_changed(args.topic, sid, st)
+        dec = auto_scale_decide(
+            scalable_metadata(args.topic),
+            load_samples(args.topic),
+            {},
+            AutoScaleConfig(),
+            int(_time.time() * 1000),
+        )
+        out = {"decision": dec.kind, "segment": dec.segment_id, "reason": dec.reason}
+        if dec.kind == "merge":
+            out["merge_with"] = dec.merge_with
+        if args.apply and dec.kind == "split":
+            out["children"] = list(split_segment(args.topic, dec.segment_id))
+        elif args.apply and dec.kind == "merge":
+            out["child"] = merge_segments(args.topic, dec.segment_id, dec.merge_with)
+        print(json.dumps(out))
     elif args.cmd == "last":
         from pulsar_spark.operators.seek import last_message_ids
         from pulsar_spark.sources.topics import read_topic
