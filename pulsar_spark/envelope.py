@@ -99,16 +99,23 @@ def envelope_exprs() -> dict:
         "sequence_id": F.when(
             ((F.col("event_id") % DUP_EVERY) == 0) & (base_seq > 0), base_seq - 1
         ).otherwise(base_seq),
-        "publish_time": F.col("ts"),
+        # .cast("timestamp") everywhere a raw parquet timestamp surfaces:
+        # Spark 4 sessions with spark.sql.parquet.inferTimestampNTZ.enabled=true
+        # (the correctness driver's default) read `ts` as TIMESTAMP_NTZ, which
+        # breaks unix_millis()/watermarks downstream. The cast is a no-op when
+        # the column is already TIMESTAMP and value-preserving under the UTC
+        # session timezone when it is NTZ, so every envelope consumer is
+        # NTZ-proof regardless of the reader session's inference conf.
+        "publish_time": F.col("ts").cast("timestamp"),
         "event_time": F.expr(
             f"ts - make_interval(0, 0, 0, 0, 0, 0, event_id % {EVENT_TIME_SKEW_S})"
-        ),
+        ).cast("timestamp"),
         "key": F.col("user_id").cast("string"),
         "tombstone": (F.col("event_id") % TOMBSTONE_EVERY) == 0,
         "deliver_at": F.when(
             (F.col("event_id") % DELAY_FRACTION_MOD) < 3,
             F.expr(f"ts + make_interval(0, 0, 0, 0, 0, 0, event_id % {DELAY_RANGE_S})"),
-        ),
+        ).cast("timestamp"),
         "redelivery_count": F.lit(0).cast("int"),
         "marker_type": F.when(
             (F.col("event_id") % MARKER_EVERY) == MARKER_EVERY - 1, F.lit(1)

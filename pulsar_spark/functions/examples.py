@@ -161,7 +161,7 @@ def merge_topic(
             "event_time",
             F.col("topic").alias("__original_topic"),
             # String.valueOf(msg.getPublishTime()) — epoch MILLIS string
-            F.unix_millis(F.col("publish_time")).cast("string").alias("__publish_time"),
+            F.unix_millis(F.col("publish_time").cast("timestamp")).cast("string").alias("__publish_time"),
             F.col("sequence_id").cast("string").alias("__sequence_id"),
             F.col("producer_name").alias("__producer_name"),
         )
@@ -334,7 +334,7 @@ def window_duration(
         .select(
             F.col("_w.end").alias("window_end"),
             F.concat(
-                F.col("joined"), F.lit(":"), F.unix_millis(F.col("_w.end")).cast("string")
+                F.col("joined"), F.lit(":"), F.unix_millis(F.col("_w.end").cast("timestamp")).cast("string")
             ).alias("result"),
         )
     )
@@ -669,7 +669,7 @@ def user_metric_window(
     if ctx is not None:
         last = (
             df.where(F.col(time_col).isNotNull())
-            .select(F.max(F.unix_millis(time_col)).alias("t"))
+            .select(F.max(F.unix_millis(F.col(time_col).cast("timestamp"))).alias("t"))
             .collect()[0]["t"]
         )
         if last is not None:

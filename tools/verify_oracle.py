@@ -2,7 +2,15 @@
 __spark_entry__.queries() entry and its oracle_sql() side-by-side,
 compare row count, column names/dtypes, and values (order-insensitive).
 
-Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+Usage: python tools/verify_oracle.py [--ntz] [sf_dir] [query ...]
+
+``--ntz`` builds the Spark session with
+``spark.sql.parquet.inferTimestampNTZ.enabled=true`` — the correctness
+driver's session default (Spark 4 reads parquet timestamps as
+TIMESTAMP_NTZ), which ``get_spark()`` deliberately pins false for the
+streaming-watermark reason documented in session.py. Running the gate
+once per round in each mode is what catches NTZ-only failures like the
+round-3/4 ``fn_merge_topic`` DATATYPE_MISMATCH before the driver does.
 """
 
 from __future__ import annotations
@@ -54,13 +62,20 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--ntz"]
+    ntz = "--ntz" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry
     from pulsar_spark import get_spark
 
-    spark = get_spark("verify-oracle")
+    extra = {"spark.sql.parquet.inferTimestampNTZ.enabled": "true"} if ntz else None
+    spark = get_spark("verify-oracle-ntz" if ntz else "verify-oracle", extra_conf=extra)
+    if ntz:
+        got = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+        assert got == "true", f"NTZ conf did not apply (getOrCreate reuse?): {got}"
+        print("NTZ mode: parquet timestamps read as TIMESTAMP_NTZ (driver mimic)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
