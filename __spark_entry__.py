@@ -297,9 +297,12 @@ def _q_processing_timeout(spark, sf_dir):
 def _q_segment_load_rates(spark, sf_dir):
     # PIP-483 load sampling (sources/autoscale.py segment_load_stats —
     # SegmentLoadReporter's 60 s rolling TopicStats average): per-ACTIVE-
-    # segment msg/bytes in-rates over the trailing window. Freshly
-    # produced rows all fall inside the window, so the oracle recomputes
-    # rate = count/window and bytes/window from the routing arithmetic.
+    # segment msg/bytes in-rates over the trailing window. The clock is
+    # PINNED (fixed future `now`, 2^32 s window whose cutoff predates any
+    # possible produce time) so the result is deterministic regardless of
+    # host speed — a wall-clock 60 s window would nondeterministically
+    # age rows out between produce and scan on a loaded host. 2^32 keeps
+    # count/window exact in binary, so the oracle matches bit-for-bit.
     import tempfile
 
     from pulsar_spark.sources import (
@@ -313,10 +316,15 @@ def _q_segment_load_rates(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="psload_") + "/topic"
     create_scalable_topic(d, num_initial_segments=4)
     produce_scalable(payload, d, key_col="k", deterministic_mod=True)
-    rates = segment_load_stats(spark, d, window_s=60.0, bytes_expr=F.octet_length("k"))
+    rates = segment_load_stats(
+        spark,
+        d,
+        window_s=float(2**32),
+        now="2100-01-01 00:00:00",
+        bytes_expr=F.octet_length("k"),
+    )
     rows = [
-        (sid, round(st.msg_rate_in, 6), round(st.bytes_rate_in, 6))
-        for sid, st in sorted(rates.items())
+        (sid, st.msg_rate_in, st.bytes_rate_in) for sid, st in sorted(rates.items())
     ]
     return spark.createDataFrame(
         rows, "segment int, msg_rate_in double, bytes_rate_in double"
@@ -2132,8 +2140,8 @@ def oracle_sql() -> dict[str, str]:
               FROM p GROUP BY 1
             ), segs(segment) AS (VALUES (0), (1), (2), (3))
             SELECT CAST(s.segment AS INT) AS segment,
-                   round(coalesce(a.n, 0) / 60.0, 6) AS msg_rate_in,
-                   round(coalesce(a.sb, 0) / 60.0, 6) AS bytes_rate_in
+                   coalesce(a.n, 0) / 4294967296.0 AS msg_rate_in,
+                   coalesce(a.sb, 0) / 4294967296.0 AS bytes_rate_in
             FROM segs s LEFT JOIN a USING (segment)
         """,
         "media_decode_real": """

@@ -116,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
     p_auto.add_argument("topic")
     p_auto.add_argument("--window", type=float, default=60.0)
     p_auto.add_argument("--apply", action="store_true", help="execute the decision")
+    p_auto.add_argument(
+        "--split-msg-rate",
+        type=float,
+        default=None,
+        help="override AutoScaleConfig.split_msg_rate_in (policy tuning)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -227,35 +233,19 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.checkpoint, "wb") as fh:
                 fh.write(advanced.to_bytes())
     elif args.cmd == "autoscale":
-        import time as _time
+        from pulsar_spark.sources import AutoScaleConfig, autoscale_tick
 
-        from pulsar_spark.sources import (
-            AutoScaleConfig,
-            auto_scale_decide,
-            load_samples,
-            merge_segments,
-            report_if_changed,
-            scalable_metadata,
-            segment_load_stats,
-            split_segment,
+        # Cooldown clocks persist in _autoscale_state.json under the topic
+        # dir, so repeated --apply ticks coalesce by split/merge cooldown
+        # the way ScalableTopicController does.
+        cfg = (
+            AutoScaleConfig(split_msg_rate_in=args.split_msg_rate)
+            if args.split_msg_rate is not None
+            else AutoScaleConfig()
         )
-
-        for sid, st in segment_load_stats(spark, args.topic, window_s=args.window).items():
-            report_if_changed(args.topic, sid, st)
-        dec = auto_scale_decide(
-            scalable_metadata(args.topic),
-            load_samples(args.topic),
-            {},
-            AutoScaleConfig(),
-            int(_time.time() * 1000),
+        out = autoscale_tick(
+            spark, args.topic, window_s=args.window, config=cfg, apply=args.apply
         )
-        out = {"decision": dec.kind, "segment": dec.segment_id, "reason": dec.reason}
-        if dec.kind == "merge":
-            out["merge_with"] = dec.merge_with
-        if args.apply and dec.kind == "split":
-            out["children"] = list(split_segment(args.topic, dec.segment_id))
-        elif args.apply and dec.kind == "merge":
-            out["child"] = merge_segments(args.topic, dec.segment_id, dec.merge_with)
         print(json.dumps(out))
     elif args.cmd == "last":
         from pulsar_spark.operators.seek import last_message_ids

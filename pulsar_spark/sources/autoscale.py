@@ -135,9 +135,14 @@ def segment_load_stats(
 
     meta = scalable_metadata(topic_path)
     active = {s["segment_id"] for s in active_segments(meta)}
-    now_col = (
-        F.lit(now).cast("timestamp") if isinstance(now, str) else now
-    ) or F.current_timestamp()
+    # Explicit branches: `col or default` would invoke Column.__bool__,
+    # which PySpark unconditionally raises (CANNOT_CONVERT_COLUMN_INTO_BOOL).
+    if now is None:
+        now_col = F.current_timestamp()
+    elif isinstance(now, str):
+        now_col = F.lit(now).cast("timestamp")
+    else:
+        now_col = now
     cutoff = now_col - F.make_interval(secs=F.lit(float(window_s)))
 
     def rates(df) -> dict[int, tuple[float, float]]:
@@ -259,6 +264,95 @@ def load_samples(topic_path: str) -> dict[int, SegmentLoadSample]:
             ),
             int(os.path.getmtime(path) * 1000),
         )
+    return out
+
+
+_STATE_FILE = "_autoscale_state.json"
+
+
+def load_autoscale_state(topic_path: str) -> dict:
+    """Controller tick state persisted next to the load records —
+    ScalableTopicController keeps lastSplitAt/lastMergeAt per topic so
+    the split/merge cooldowns coalesce actions ACROSS ticks, not just
+    within one evaluator call (ScalableTopicController.java — the
+    evaluator itself is pure; the controller owns the clocks). Returns
+    {"last_split_at_ms": int|None, "last_merge_at_ms": int|None}."""
+    import json
+    import os
+
+    path = os.path.join(topic_path, _STATE_FILE)
+    if not os.path.exists(path):
+        return {"last_split_at_ms": None, "last_merge_at_ms": None}
+    with open(path) as fh:
+        v = json.load(fh)
+    return {
+        "last_split_at_ms": v.get("last_split_at_ms"),
+        "last_merge_at_ms": v.get("last_merge_at_ms"),
+    }
+
+
+def record_autoscale_action(topic_path: str, kind: str, now_ms: int) -> None:
+    """Persist the action timestamp after an applied split/merge so the
+    next tick's ``auto_scale_decide`` sees the cooldown clock."""
+    import json
+    import os
+
+    if kind not in ("split", "merge"):
+        raise ValueError(f"kind must be split|merge, got {kind!r}")
+    state = load_autoscale_state(topic_path)
+    state[f"last_{kind}_at_ms"] = int(now_ms)
+    path = os.path.join(topic_path, _STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, path)
+
+
+def autoscale_tick(
+    spark,
+    topic_path: str,
+    window_s: float = 60.0,
+    config: AutoScaleConfig | None = None,
+    apply: bool = False,
+    now_ms: int | None = None,
+    stream_consumer_count: dict[str, int] | None = None,
+) -> dict:
+    """One composed controller tick: sample load -> report-if-changed ->
+    decide (with persisted cooldown clocks) -> optionally apply and
+    record the action timestamp. This is the loop the CLI ``autoscale``
+    command runs; factored here so the cooldown composition is testable
+    without the argparse layer."""
+    import time
+
+    from pulsar_spark.sources.scalable import (
+        merge_segments,
+        scalable_metadata,
+        split_segment,
+    )
+
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    for sid, st in segment_load_stats(spark, topic_path, window_s=window_s).items():
+        report_if_changed(topic_path, sid, st)
+    state = load_autoscale_state(topic_path)
+    dec = auto_scale_decide(
+        scalable_metadata(topic_path),
+        load_samples(topic_path),
+        stream_consumer_count or {},
+        config or AutoScaleConfig(),
+        now_ms,
+        last_split_at_ms=state["last_split_at_ms"],
+        last_merge_at_ms=state["last_merge_at_ms"],
+    )
+    out = {"decision": dec.kind, "segment": dec.segment_id, "reason": dec.reason}
+    if dec.kind == "merge":
+        out["merge_with"] = dec.merge_with
+    if apply and dec.kind == "split":
+        out["children"] = list(split_segment(topic_path, dec.segment_id))
+        record_autoscale_action(topic_path, "split", now_ms)
+    elif apply and dec.kind == "merge":
+        out["child"] = merge_segments(topic_path, dec.segment_id, dec.merge_with)
+        record_autoscale_action(topic_path, "merge", now_ms)
     return out
 
 
