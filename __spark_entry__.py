@@ -345,6 +345,108 @@ def _q_key_shared_bucket_stats(spark, sf_dir):
     )
 
 
+def _q_consumer_assignment(spark, sf_dir):
+    # Drain-gated segment->consumer assignment (sources/coordinator.py
+    # SubscriptionCoordinator.compute_assignment — broker/.../scalable/
+    # SubscriptionCoordinator.java:559, SegmentDrainChecker.java:18):
+    # an ACTIVE child of a split is assignable only after EVERY sealed
+    # parent is drained for the subscription. Scenario: 4 segments,
+    # produce, split segment 1 (children 4, 5), produce again (routes
+    # over the post-split actives); 3 consumers. phase=pre uses an
+    # Earliest (nothing-consumed) cursor -> children blocked, 4
+    # assignable segments round-robin; phase=post uses the checkpoint
+    # advanced past everything -> all 6 segments in (range, id) order.
+    # msg_count ties the assignment to the stored log (closed-form from
+    # the deterministic slot arithmetic, so DuckDB recomputes it).
+    import tempfile
+
+    from pulsar_spark.sources import SubscriptionCoordinator, checkpoint_drain_checker
+    from pulsar_spark.sources.scalable import (
+        Checkpoint,
+        create_scalable_topic,
+        produce_scalable,
+        read_from_checkpoint,
+        scalable_metadata,
+        split_segment,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    payload = events.selectExpr("CAST(user_id AS STRING) AS k", "event_id")
+    d = tempfile.mkdtemp(prefix="pscoord_") + "/topic"
+    create_scalable_topic(d, num_initial_segments=4)
+    produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+    split_segment(d, 1)  # seals 1, children 4 + 5
+    produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+    meta = scalable_metadata(d)
+
+    def assignment_rows(phase, ckpt):
+        coord = SubscriptionCoordinator(
+            "sub", d, layout=meta,
+            drain_checker=checkpoint_drain_checker(spark, d, ckpt),
+        )
+        for name in ("c-a", "c-b", "c-c"):
+            coord.register_consumer(name)
+        coord.poll_drain_status()  # the drain poller discovers sealed-parent drains
+        return [
+            (phase, name, s.segment_id, s.hash_start, s.hash_end, a.layout_epoch)
+            for name, a in coord.compute_assignment().items()
+            for s in a.segments
+        ]
+
+    # the post-drain cursor is the checkpoint a consumer holds after
+    # reading everything — the real drain signal, not a synthetic flag
+    _, consumed = read_from_checkpoint(spark, d, Checkpoint.earliest())
+    rows = assignment_rows("pre", Checkpoint.earliest()) + assignment_rows(
+        "post", consumed
+    )
+    assigned = spark.createDataFrame(
+        rows,
+        "phase string, consumer string, segment int, hash_start int, "
+        "hash_end int, epoch int",
+    )
+    from pulsar_spark.sources.scalable import _read_if_present
+
+    stored = _read_if_present(spark, d)
+    seg_counts = stored.groupBy("segment").agg(F.count("*").alias("msg_count"))
+    return (
+        assigned.join(
+            F.broadcast(seg_counts), assigned.segment == seg_counts.segment, "left"
+        )
+        .select(
+            "phase", "consumer", assigned.segment, "hash_start", "hash_end",
+            "epoch", F.coalesce("msg_count", F.lit(0)).alias("msg_count"),
+        )
+    )
+
+
+def _q_consumer_assignment_steps(spark, sf_dir):
+    # PIP-486 "segments first, entry-buckets absorb the surplus"
+    # (SubscriptionCoordinator.java:582, EntryBucketSplits.java): the
+    # assignment trace as consumers c1..c5 register one at a time
+    # against 2 segments with 4 entry-buckets each. Empty bucket list =
+    # whole segment (exclusive); shared segments hand every owner the
+    # full boundary list. The oracle is the javadoc-verbatim state
+    # table (independent spec, not derived from the engine).
+    import tempfile
+
+    from pulsar_spark.sources import SubscriptionCoordinator, assign_entry_buckets
+    from pulsar_spark.sources.scalable import create_scalable_topic, scalable_metadata
+
+    d = tempfile.mkdtemp(prefix="psbkt_") + "/topic"
+    create_scalable_topic(d, num_initial_segments=2)
+    assign_entry_buckets(d, budget=8)  # 4 buckets per segment
+    coord = SubscriptionCoordinator("sub", d, layout=scalable_metadata(d))
+    rows = []
+    for step, name in enumerate(["c1", "c2", "c3", "c4", "c5"], start=1):
+        result = coord.register_consumer(name)
+        for cname, a in result.items():
+            for s in a.segments:
+                rows.append((step, cname, s.segment_id, len(s.bucket_ranges)))
+    return spark.createDataFrame(
+        rows, "step int, consumer string, segment int, n_bucket_ranges int"
+    )
+
+
 def _q_topic_stats(spark, sf_dir):
     from pulsar_spark.operators import topic_stats
 
@@ -1846,6 +1948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "processing_timeout": _q_processing_timeout,
         "media_decode_real": _q_media_decode_real,
         "segment_load_rates": _q_segment_load_rates,
+        # -- (e) new round-5 operators (drain-gated assignment)
+        "consumer_assignment": _q_consumer_assignment,
+        "consumer_assignment_steps": _q_consumer_assignment_steps,
         # -- (d) driver-green r01/r02, not re-checked since
         "dlq": _q_dlq,
         "topic_stats": _q_topic_stats,
@@ -2143,6 +2248,61 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n, 0) / 4294967296.0 AS msg_rate_in,
                    coalesce(a.sb, 0) / 4294967296.0 AS bytes_rate_in
             FROM segs s LEFT JOIN a USING (segment)
+        """,
+        # Independent spec (SubscriptionCoordinator.java:559 worked out by
+        # hand): 4 segments, split(1) -> children 4 [16384,24575] + 5
+        # [24576,32767]; consumers {c-a,c-b,c-c} sorted by name over
+        # assignable segments sorted by (range, id). pre: children
+        # blocked (parent 1 undrained) -> 0,1,2,3 round-robin. post:
+        # 0,4,1,5,2,3 round-robin. Counts recompute the two produces
+        # from the slot arithmetic (second produce routes over actives).
+        "consumer_assignment": """
+            WITH slots AS (
+              SELECT (CAST(user_id AS BIGINT) * 2654435761) % 65536 AS slot
+              FROM events
+            ),
+            segs(segment, hash_start, hash_end, factor) AS (VALUES
+              (0, 0, 16383, 2), (1, 16384, 32767, 1), (2, 32768, 49151, 2),
+              (3, 49152, 65535, 2), (4, 16384, 24575, 1), (5, 24576, 32767, 1)),
+            counts AS (
+              SELECT s.segment,
+                     s.factor * count(sl.slot) AS msg_count
+              FROM segs s LEFT JOIN slots sl
+                ON sl.slot BETWEEN s.hash_start AND s.hash_end
+              GROUP BY s.segment, s.factor
+            ),
+            assign(phase, consumer, segment) AS (VALUES
+              ('pre', 'c-a', 0), ('pre', 'c-b', 1), ('pre', 'c-c', 2),
+              ('pre', 'c-a', 3),
+              ('post', 'c-a', 0), ('post', 'c-b', 4), ('post', 'c-c', 1),
+              ('post', 'c-a', 5), ('post', 'c-b', 2), ('post', 'c-c', 3))
+            SELECT a.phase, a.consumer, CAST(a.segment AS INT) AS segment,
+                   CAST(s.hash_start AS INT) AS hash_start,
+                   CAST(s.hash_end AS INT) AS hash_end,
+                   CAST(1 AS INT) AS epoch,
+                   CAST(c.msg_count AS BIGINT) AS msg_count
+            FROM assign a
+            JOIN segs s ON s.segment = a.segment
+            JOIN counts c ON c.segment = a.segment
+        """,
+        # Independent spec (SubscriptionCoordinator.java:582 + the
+        # SubscriptionCoordinatorTest fan-out cases, worked out by hand
+        # for 2 segments x 4 buckets as c1..c5 register): while
+        # consumers <= segments each whole segment is exclusive
+        # (0 ranges); surplus owners share by bucket, every sharer
+        # carrying the segment's FULL 4-entry boundary list.
+        "consumer_assignment_steps": """
+            SELECT CAST(step AS INT) AS step, consumer,
+                   CAST(segment AS INT) AS segment,
+                   CAST(n AS INT) AS n_bucket_ranges
+            FROM (VALUES
+              (1, 'c1', 0, 0), (1, 'c1', 1, 0),
+              (2, 'c1', 0, 0), (2, 'c2', 1, 0),
+              (3, 'c1', 0, 4), (3, 'c2', 0, 4), (3, 'c3', 1, 0),
+              (4, 'c1', 0, 4), (4, 'c2', 0, 4), (4, 'c3', 1, 4), (4, 'c4', 1, 4),
+              (5, 'c1', 0, 4), (5, 'c2', 0, 4), (5, 'c3', 0, 4),
+              (5, 'c4', 1, 4), (5, 'c5', 1, 4)
+            ) AS t(step, consumer, segment, n)
         """,
         "media_decode_real": """
             SELECT doc_id AS media_id,

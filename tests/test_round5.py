@@ -149,3 +149,321 @@ class TestAutoscaleCLI:
         main(argv)
         out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out2["decision"] == "none"
+
+
+def _layout(tmp_path, n=4, name="coord"):
+    from pulsar_spark.sources.scalable import create_scalable_topic, scalable_metadata
+
+    d = str(tmp_path / name)
+    create_scalable_topic(d, num_initial_segments=n)
+    return d, scalable_metadata(d)
+
+
+def _seg_ids(assignment):
+    return sorted(s.segment_id for s in assignment.segments)
+
+
+class TestSubscriptionCoordinator:
+    """SubscriptionCoordinator port (SubscriptionCoordinator.java:66),
+    mirrored on SubscriptionCoordinatorTest.java's cases."""
+
+    def _coord(self, tmp_path, n=4, name="coord", **kw):
+        from pulsar_spark.sources import SubscriptionCoordinator
+
+        d, meta = _layout(tmp_path, n, name)
+        return d, SubscriptionCoordinator("test-sub", d, layout=meta, **kw)
+
+    def test_single_consumer_gets_all_segments(self, tmp_path):
+        _, c = self._coord(tmp_path)
+        r = c.register_consumer("c1", 1)
+        assert _seg_ids(r["c1"]) == [0, 1, 2, 3]
+        assert r["c1"].layout_epoch == 0
+
+    def test_balanced_and_disjoint(self, tmp_path):
+        _, c = self._coord(tmp_path)
+        c.register_consumer("c1", 1)
+        r = c.register_consumer("c2", 2)
+        all_ids = _seg_ids(r["c1"]) + _seg_ids(r["c2"])
+        assert sorted(all_ids) == [0, 1, 2, 3] and len(set(all_ids)) == 4
+        assert len(r["c1"].segments) == 2 and len(r["c2"].segments) == 2
+
+    def test_three_consumers_four_segments(self, tmp_path):
+        _, c = self._coord(tmp_path)
+        for i, n in enumerate(["c1", "c2", "c3"]):
+            r = c.register_consumer(n, i)
+        total = sum(len(a.segments) for a in r.values())
+        assert total == 4
+        ids = [s.segment_id for a in r.values() for s in a.segments]
+        assert len(set(ids)) == 4  # no double assignment
+
+    def test_unregister_rebalances(self, tmp_path):
+        _, c = self._coord(tmp_path)
+        c.register_consumer("c1", 1)
+        c.register_consumer("c2", 2)
+        r = c.unregister_consumer("c2")
+        assert set(r) == {"c1"} and len(r["c1"].segments) == 4
+
+    def test_layout_change_no_checker_assigns_all(self, tmp_path):
+        from pulsar_spark.sources.scalable import scalable_metadata, split_segment
+
+        d, c = self._coord(tmp_path)
+        c.register_consumer("c1", 1)
+        split_segment(d, 0)
+        r = c.on_layout_change(scalable_metadata(d))
+        # no drain checker: 5 active + 1 sealed = 6 (DAG replay)
+        assert len(r["c1"].segments) == 6
+        assert r["c1"].layout_epoch == 1
+
+    def test_active_children_blocked_until_parent_drained(self, tmp_path):
+        from pulsar_spark.sources import SubscriptionCoordinator
+        from pulsar_spark.sources.scalable import scalable_metadata, split_segment
+
+        d, meta = _layout(tmp_path, 4, "gated")
+        drained = set()
+        checker = lambda seg: int(seg["segment_id"]) in drained
+        c = SubscriptionCoordinator("test-sub", d, layout=meta, drain_checker=checker)
+        c.register_consumer("c1", 1)
+        split_segment(d, 0)  # -> children 4, 5; parent 0 sealed
+        r = c.on_layout_change(scalable_metadata(d))
+        got = set(_seg_ids(r["c1"]))
+        assert {0, 1, 2, 3} <= got, got
+        assert 4 not in got and 5 not in got  # blocked: parent not drained
+        # the drain poll discovers the drain and triggers rebalance
+        drained.add(0)
+        newly = c.poll_drain_status()
+        assert newly == {0}
+        r2 = c.compute_assignment()
+        assert set(_seg_ids(r2["c1"])) == {0, 1, 2, 3, 4, 5}
+
+    def test_drain_backoff_grows_and_resets_on_progress(self, tmp_path):
+        from pulsar_spark.sources import SubscriptionCoordinator
+        from pulsar_spark.sources.scalable import scalable_metadata, split_segment
+
+        d, meta = _layout(tmp_path, 2, "backoff")
+        drained = set()
+        c = SubscriptionCoordinator(
+            "s", d, layout=meta,
+            drain_checker=lambda seg: int(seg["segment_id"]) in drained,
+            drain_initial_delay_s=2.0, drain_max_delay_s=16.0,
+        )
+        c.register_consumer("c1", 1)
+        split_segment(d, 0)
+        c.on_layout_change(scalable_metadata(d))
+        assert c.next_drain_delay_s() == 2.0  # progress event reset it
+        for expect in (4.0, 8.0, 16.0, 16.0):  # no-progress polls double, cap
+            c.poll_drain_status()
+            assert c.next_drain_delay_s() == expect
+        drained.add(0)
+        c.poll_drain_status()  # progress: reset to initial
+        assert c.next_drain_delay_s() == 2.0
+
+    def test_assignment_determinism(self, tmp_path):
+        _, c1 = self._coord(tmp_path, name="det1")
+        _, c2 = self._coord(tmp_path, name="det2")
+        for c in (c1, c2):
+            c.register_consumer("consumer-a", 1)
+            c.register_consumer("consumer-b", 2)
+        a1, a2 = c1.compute_assignment(), c2.compute_assignment()
+        assert _seg_ids(a1["consumer-a"]) == _seg_ids(a2["consumer-a"])
+        assert _seg_ids(a1["consumer-b"]) == _seg_ids(a2["consumer-b"])
+
+    def test_reconnect_within_grace_preserves_assignment(self, tmp_path):
+        _, c = self._coord(tmp_path, grace_period_s=60.0)
+        c.register_consumer("c1", 1, now_ms=0)
+        before = c.register_consumer("c2", 2, now_ms=0)
+        c.on_consumer_disconnect("c1", now_ms=1000)
+        assert set(c.sessions) == {"c1", "c2"}  # tracked during grace
+        assert c.evict_expired(now_ms=30_000) == []  # inside grace
+        after = c.register_consumer("c1", 99, now_ms=40_000)  # reconnect
+        assert _seg_ids(after["c1"]) == _seg_ids(before["c1"])
+        assert c.sessions["c1"].connected and c.sessions["c1"].consumer_id == 99
+
+    def test_expired_session_evicted_after_grace(self, tmp_path):
+        _, c = self._coord(tmp_path, grace_period_s=60.0)
+        c.register_consumer("c1", 1, now_ms=0)
+        c.register_consumer("c2", 2, now_ms=0)
+        c.on_consumer_disconnect("c1", now_ms=1000)
+        assert c.evict_expired(now_ms=61_001) == ["c1"]
+        assert set(c.sessions) == {"c2"}
+        assert len(c.compute_assignment()["c2"].segments) == 4
+
+    def test_restore_consumers_disconnected_with_fresh_grace(self, tmp_path):
+        _, c = self._coord(tmp_path, grace_period_s=60.0)
+        r = c.restore_consumers(["c1", "c2"], now_ms=1_000_000)
+        assert set(r) == {"c1", "c2"}
+        assert all(not s.connected for s in c.sessions.values())
+        # fresh grace clock from restore time, regardless of prior downtime
+        assert c.evict_expired(now_ms=1_000_000 + 59_000) == []
+        # reconnect resumes the same assignment
+        r2 = c.register_consumer("c1", 42, now_ms=1_030_000)
+        assert _seg_ids(r2["c1"]) == _seg_ids(r["c1"])
+        assert c.sessions["c1"].connected
+        # the never-reconnected one expires
+        assert c.evict_expired(now_ms=1_000_000 + 61_000) == ["c2"]
+
+    def test_install_drain_checker_after_restore(self, tmp_path):
+        from pulsar_spark.sources import SubscriptionCoordinator
+        from pulsar_spark.sources.scalable import scalable_metadata, split_segment
+
+        d, meta = _layout(tmp_path, 2, "install")
+        split_segment(d, 0)
+        meta = scalable_metadata(d)
+        c = SubscriptionCoordinator("s", d, layout=meta)  # restore path: no checker
+        c.register_consumer("c1", 1)
+        assert len(c.compute_assignment()["c1"].segments) == 4  # no gating
+        c.install_drain_checker(lambda seg: False)
+        got = set(_seg_ids(c.compute_assignment()["c1"]))
+        assert 2 not in got and 3 not in got  # gating now binds
+        c.install_drain_checker(None)  # no-op, never downgrade
+        assert c.drain_checker is not None
+
+
+class TestCoordinatorBuckets:
+    """PIP-486 'segments first, entry-buckets absorb the surplus'
+    (SubscriptionCoordinator.java:582, EntryBucketSplits.java)."""
+
+    def _bucketed(self, tmp_path, name="bkt"):
+        from pulsar_spark.sources import SubscriptionCoordinator, assign_entry_buckets
+        from pulsar_spark.sources.scalable import scalable_metadata
+
+        d, _ = _layout(tmp_path, 1, name)
+        assign_entry_buckets(d, budget=4)  # one segment, N=4 buckets
+        return d, SubscriptionCoordinator("s", d, layout=scalable_metadata(d))
+
+    def test_entry_bucket_helpers(self):
+        from pulsar_spark.sources import (
+            bucket_ranges,
+            buckets_for_budget,
+            equal_width_splits,
+        )
+
+        assert buckets_for_budget(4, 1) == 4
+        assert buckets_for_budget(7, 2) == 3
+        assert buckets_for_budget(1, 8) == 1
+        assert equal_width_splits(1) == []
+        assert equal_width_splits(4) == [0x4000, 0x8000, 0xC000]
+        assert bucket_ranges([]) == [(0, 0xFFFF)]
+        assert bucket_ranges([0x4000, 0x8000, 0xC000]) == [
+            (0, 0x3FFF), (0x4000, 0x7FFF), (0x8000, 0xBFFF), (0xC000, 0xFFFF)
+        ]
+
+    def test_lone_consumer_owns_bucketed_segment_whole(self, tmp_path):
+        _, c = self._bucketed(tmp_path)
+        r = c.register_consumer("c1", 1)
+        assert len(r["c1"].segments) == 1
+        assert r["c1"].segments[0].bucket_ranges == ()
+
+    def test_surplus_fans_out_with_full_boundary_list(self, tmp_path):
+        _, c = self._bucketed(tmp_path, "bkt2")
+        c.register_consumer("c1", 1)
+        r = c.register_consumer("c2", 2)
+        for a in r.values():
+            assert len(a.segments) == 1
+            assert a.segments[0].segment_id == 0
+            assert a.segments[0].bucket_ranges == (
+                (0, 0x3FFF), (0x4000, 0x7FFF), (0x8000, 0xBFFF), (0xC000, 0xFFFF)
+            )
+
+    def test_fanout_caps_at_bucket_count_rest_idle(self, tmp_path):
+        _, c = self._bucketed(tmp_path, "bkt3")
+        for i in range(1, 6):
+            r = c.register_consumer(f"c{i}", i)
+        sharers = [n for n, a in r.items() if len(a.segments) == 1]
+        idle = [n for n, a in r.items() if not a.segments]
+        assert len(sharers) == 4 and len(idle) == 1
+
+    def test_single_bucket_segments_have_no_ranges(self, tmp_path):
+        from pulsar_spark.sources import SubscriptionCoordinator
+        from pulsar_spark.sources.scalable import scalable_metadata
+
+        d, _ = _layout(tmp_path, 2, "nobkt")
+        c = SubscriptionCoordinator("s", d, layout=scalable_metadata(d))
+        c.register_consumer("c1", 1)
+        c.register_consumer("c2", 2)
+        c.register_consumer("c3", 3)  # 3 consumers > 2 segments, N=1 each
+        r = c.compute_assignment()
+        owning = [a for a in r.values() if a.segments]
+        assert len(owning) == 2  # capacity = 2 buckets total, one idles
+        for a in owning:
+            assert a.segments[0].bucket_ranges == ()
+
+
+class TestDrainGatedOrderingAcrossSplit:
+    """Two stream consumers attached across a split: per-key order is
+    preserved because the child segment is withheld until the parent is
+    drained for the subscription (SegmentDrainChecker.java:18 javadoc).
+    The drain signal is the real one — a caller-held Checkpoint whose
+    cursor reaches the sealed parent's end."""
+
+    def test_children_gated_then_released_by_real_drain(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            SubscriptionCoordinator,
+            checkpoint_drain_checker,
+        )
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            create_scalable_topic,
+            produce_scalable,
+            read_from_checkpoint,
+            scalable_metadata,
+            split_segment,
+        )
+
+        d = str(tmp_path / "ordering")
+        create_scalable_topic(d, num_initial_segments=2)
+        payload = spark.range(300).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        split_segment(d, 0)  # children 2, 3
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        meta = scalable_metadata(d)
+
+        # consumer cursor at the beginning: parent 0 NOT drained
+        coord = SubscriptionCoordinator(
+            "sub", d, layout=meta,
+            drain_checker=checkpoint_drain_checker(spark, d, Checkpoint.earliest()),
+        )
+        coord.register_consumer("reader-a", 1)
+        coord.register_consumer("reader-b", 2)
+        coord.poll_drain_status()
+        a = coord.compute_assignment()
+        assigned = {s.segment_id for x in a.values() for s in x.segments}
+        assert 0 in assigned and 1 in assigned  # sealed parent + sibling flow
+        assert 2 not in assigned and 3 not in assigned  # gated children
+        # 1:1 stream discipline: no segment on two consumers
+        ids = [s.segment_id for x in a.values() for s in x.segments]
+        assert len(ids) == len(set(ids))
+
+        # the subscription drains the parent (cursor to end), checker
+        # flips, poll discovers it, children become assignable
+        _, consumed = read_from_checkpoint(spark, d, Checkpoint.earliest())
+        coord.drain_checker = checkpoint_drain_checker(spark, d, consumed)
+        newly = coord.poll_drain_status()
+        assert 0 in newly
+        a2 = coord.compute_assignment()
+        assigned2 = {s.segment_id for x in a2.values() for s in x.segments}
+        assert assigned2 == {0, 1, 2, 3}
+        # per-key safety invariant: at no point was a child assigned
+        # while its parent held unread rows for this subscription
+        ids2 = [s.segment_id for x in a2.values() for s in x.segments]
+        assert len(ids2) == len(set(ids2))
+
+    def test_checkpoint_drain_checker_empty_and_partial(self, spark, tmp_path):
+        from pulsar_spark.sources import checkpoint_drain_checker
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            create_scalable_topic,
+            produce_scalable,
+        )
+
+        d = str(tmp_path / "drainck")
+        create_scalable_topic(d, num_initial_segments=2)
+        # never-produced topic: everything trivially drained
+        chk = checkpoint_drain_checker(spark, d, Checkpoint.earliest())
+        assert chk({"segment_id": 0}) and chk({"segment_id": 1})
+        payload = spark.range(100).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        # cursor mid-segment: not drained; cursor past the end: drained
+        chk2 = checkpoint_drain_checker(spark, d, Checkpoint({0: 1}))
+        assert not chk2({"segment_id": 0})
+        chk3 = checkpoint_drain_checker(spark, d, Checkpoint({0: 10_000}))
+        assert chk3({"segment_id": 0})
