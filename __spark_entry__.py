@@ -1206,6 +1206,51 @@ def _q_media_decode_real(spark, sf_dir):
     )
 
 
+def _q_media_decode_png(spark, sf_dir):
+    # REAL PNG decode (functions/multimodal.py _decode_png: stdlib zlib
+    # inflate + numpy scanline unfiltering + CRC verification): every
+    # payload is a genuine color-type-2 PNG encoded in-flight from
+    # solid pixels derived from doc_id; decode_media(strict=True)
+    # proves no stub fallback runs — the oracle recomputes dims and the
+    # exact channel sum in closed form.
+    from pulsar_spark.functions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.multimodal import _encode_png
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 3 + d % 6, 2 + d % 5
+                px = np.full(
+                    (h, w, 3), (d * 3 % 256, d * 5 % 256, d * 11 % 256), np.uint8
+                )
+                rows.append((d, "image", "png", _encode_png(px)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    out = decode_media(media, strict=True)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        # feature[0] is the gray mean in [0,1]; x765 recovers the exact
+        # integer channel sum (engine-neutral, no float tolerance)
+        F.round(F.element_at("feature", 1) * 765).cast("int").alias("rgb_sum"),
+        "decode_ok",
+    )
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     # max_bucket_size=512 keeps the mega-bucket star guard ON in the
     # checked path — the configuration you'd run on a corpus, where one
@@ -1948,9 +1993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "processing_timeout": _q_processing_timeout,
         "media_decode_real": _q_media_decode_real,
         "segment_load_rates": _q_segment_load_rates,
-        # -- (e) new round-5 operators (drain-gated assignment)
+        # -- (e) new round-5 operators (drain-gated assignment, PNG kernel)
         "consumer_assignment": _q_consumer_assignment,
         "consumer_assignment_steps": _q_consumer_assignment_steps,
+        "media_decode_png": _q_media_decode_png,
         # -- (d) driver-green r01/r02, not re-checked since
         "dlq": _q_dlq,
         "topic_stats": _q_topic_stats,
@@ -2303,6 +2349,15 @@ def oracle_sql() -> dict[str, str]:
               (5, 'c1', 0, 4), (5, 'c2', 0, 4), (5, 'c3', 0, 4),
               (5, 'c4', 1, 4), (5, 'c5', 1, 4)
             ) AS t(step, consumer, segment, n)
+        """,
+        "media_decode_png": """
+            SELECT doc_id AS media_id,
+                   CAST(3 + doc_id % 6 AS INT) AS width,
+                   CAST(2 + doc_id % 5 AS INT) AS height,
+                   CAST((doc_id * 3 % 256) + (doc_id * 5 % 256)
+                        + (doc_id * 11 % 256) AS INT) AS rgb_sum,
+                   TRUE AS decode_ok
+            FROM documents
         """,
         "media_decode_real": """
             SELECT doc_id AS media_id,

@@ -7,12 +7,13 @@ pandas stages over ``mapInPandas``.
 
 Decode kernels come in two tiers:
 
-- REAL (numpy/stdlib only, fully implemented + tested): uncompressed
-  raster images (``bmp`` BI_RGB 24/32-bit, ``ppm`` P6, ``pgm`` P5) and
-  PCM audio (``wav`` 8/16-bit via the stdlib ``wave`` module),
+- REAL (numpy/stdlib only, fully implemented + tested): raster images
+  (``png`` 8-bit gray/RGB/palette/alpha via stdlib ``zlib`` + numpy
+  scanline unfiltering, ``bmp`` BI_RGB 24/32-bit, ``ppm`` P6, ``pgm``
+  P5) and PCM audio (``wav`` 8/16-bit via the stdlib ``wave`` module),
   including a real bilinear resize for the raster formats.
-- STUBBED: compressed codecs (jpeg/png/mp3/h264 ...) need libraries
-  this container doesn't have; those rows run ``_decode_stub``
+- STUBBED: codecs that genuinely need external libraries (jpeg/mp3/
+  h264 ...); those rows run ``_decode_stub``
   (deterministic fake derived from the bytes) or raise
   NotImplementedError under ``strict=True``. The Spark-side plumbing
   (schema, batching, partition sizing) is identical for both tiers.
@@ -144,6 +145,125 @@ def _encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """8-bit non-interlaced PNG -> HxWx3 uint8 RGB, stdlib zlib + numpy
+    only (PNG spec, RFC 2083): chunk walk with CRC verification, IDAT
+    concatenation + inflate, per-scanline unfiltering (None/Sub/Up/
+    Average/Paeth), then color-type normalization (gray/palette/alpha
+    -> RGB). 16-bit and Adam7-interlaced files raise (stub tier)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, ihdr, plte, idat = 8, None, None, []
+    while i + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, i)
+        data = payload[i + 8 : i + 8 + ln]
+        if len(data) != ln or i + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({typ!r})")
+        i += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG is real-decoded")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None or (ctype == 3 and plte is None):
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, rows = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y]
+        if f == 0:  # None
+            line = cur.copy()
+        elif f == 1:  # Sub: add left pixel — cumsum mod 256 per channel
+            line = (
+                np.cumsum(cur.reshape(w, bpp).astype(np.uint32), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            line = cur + prev  # uint8 wraps mod 256 natively
+        elif f == 3:  # Average: sequential left-dependency
+            line = np.zeros(stride, dtype=np.uint8)
+            c32, p32 = cur.astype(np.int32), prev.astype(np.int32)
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (c32[x] + ((left + p32[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: sequential left-dependency
+            line = np.zeros(stride, dtype=np.uint8)
+            c32, p32 = cur.astype(np.int32), prev.astype(np.int32)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(p32[x])
+                cc = int(p32[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                line[x] = (c32[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 3:
+        return plte[px[:, :, 0]]
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA: drop alpha
+
+
+def _encode_png(arr) -> bytes:
+    """HxWx3 uint8 RGB -> 8-bit color-type-2 PNG (filter 0 scanlines,
+    one zlib-compressed IDAT) — the exact inverse of ``_decode_png``."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[y].astype("uint8").tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(payload: bytes):
     """PCM WAV (8/16-bit) via the stdlib ``wave`` module -> (mono
     float32 array in [-1, 1], sample_rate, n_channels)."""
@@ -219,12 +339,14 @@ def _feature_audio(x, rate: int, nch: int) -> list[float]:
 
 
 #: codecs with REAL decode kernels in this container
-REAL_CODECS = ("bmp", "ppm", "pgm", "wav")
+REAL_CODECS = ("png", "bmp", "ppm", "pgm", "wav")
 
 
 def _decode_real(payload: bytes, codec: str) -> dict:
     if codec in ("ppm", "pgm"):
         px = _decode_pnm(payload)
+    elif codec == "png":
+        px = _decode_png(payload)
     elif codec == "bmp":
         px = _decode_bmp(payload)
     elif codec == "wav":
@@ -348,11 +470,12 @@ def resize_media(
     payload at ``width x height`` and stamp the new dims. Non-visual
     rows (audio) pass through untouched.
 
-    bmp/ppm/pgm rows get a REAL bilinear resize (pure numpy) and are
-    re-encoded in their own container format (pgm upcasts to ppm —
-    the resized raster is RGB). Compressed codecs take the stub path
-    (deterministic bytes; swap in PIL/ffmpeg where available) or raise
-    under ``strict=True``."""
+    png/bmp/ppm/pgm rows get a REAL bilinear resize (pure numpy) and
+    are re-encoded in their own container format (pgm upcasts to ppm —
+    the resized raster is RGB; png re-encodes as color-type-2 RGB).
+    Library-bound codecs (jpeg/h264) take the stub path (deterministic
+    bytes; swap in PIL/ffmpeg where available) or raise under
+    ``strict=True``."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -364,22 +487,18 @@ def resize_media(
             are data, not exceptions (same contract as decode_media):
             the row passes through untouched with resized=False."""
             codec = (codec or "").lower()
-            if codec in ("bmp", "ppm", "pgm"):
+            if codec in ("png", "bmp", "ppm", "pgm"):
+                decoders = {"png": _decode_png, "bmp": _decode_bmp}
+                encoders = {"png": _encode_png, "bmp": _encode_bmp}
                 try:
-                    px = (
-                        _decode_bmp(bytes(payload))
-                        if codec == "bmp"
-                        else _decode_pnm(bytes(payload))
-                    )
+                    px = decoders.get(codec, _decode_pnm)(bytes(payload))
                     resized = _resize_bilinear(px, width, height)
                 except Exception:
                     return payload, False
-                return (
-                    _encode_bmp(resized) if codec == "bmp" else _encode_ppm(resized)
-                ), True
+                return encoders.get(codec, _encode_ppm)(resized), True
             if strict:
                 raise NotImplementedError(
-                    f"no codec library for {codec!r}; real resize covers bmp/ppm/pgm"
+                    f"no codec library for {codec!r}; real resize covers png/bmp/ppm/pgm"
                 )
             return hashlib.sha256(bytes(payload or b"") + dim_tag).digest(), True
 
