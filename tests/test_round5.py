@@ -606,3 +606,182 @@ class TestPngKernel:
         )
         out = decode_media(attach_media(df, "payload", "image", "png", "id")).collect()
         assert out[0].decode_ok is False
+
+
+class TestQueueRedeliveryLoop:
+    """Iterated queue-consumer discipline (capi-v5 ProcessingTimeout
+    sweep composed round after round): sweep -> redelivered frame ->
+    ack -> next sweep. Attempt counts are monotone (+1 per sweep), the
+    backoff schedule min(4*2^(n-1), 300)s binds exactly, and rows that
+    exhaust maxRedeliverCount land in the DLQ via dlq_split — nothing
+    is lost, nothing is double-counted."""
+
+    def test_iterated_sweep_to_dlq(self, spark):
+        from pulsar_spark.operators import (
+            BackoffPolicy,
+            ProcessingTimeoutPolicy,
+            dlq_split,
+            processing_timeout_redelivery,
+        )
+
+        n, max_redeliver = 80, 3
+        base = "2024-01-01 00:00:00"
+        pending = spark.range(n).selectExpr(
+            "id AS event_id",
+            "CAST(0 AS INT) AS redelivery_count",
+            f"CAST('{base}' AS TIMESTAMP) AS publish_time",
+        )
+        pol = ProcessingTimeoutPolicy(
+            timeout_s=60, redelivery_backoff=BackoffPolicy(4.0, 300.0, 2.0)
+        )
+        acked_total = 0
+        for k in range(1, max_redeliver + 1):
+            now = F.lit(base).cast("timestamp") + F.make_interval(
+                hours=F.lit(k)
+            )
+            # processor acks event_id % 4 == k-1 this round; %4==3 is stuck
+            ack = F.col("event_id") % 4 == (k - 1)
+            n_before = pending.count()
+            n_acked = pending.where(ack).count()
+            acked_total += n_acked
+            swept = processing_timeout_redelivery(
+                pending, ack, pol, now=now
+            ).cache()
+            rows = swept.collect()
+            # conservation: every unacked pending row is redelivered
+            assert len(rows) == n_before - n_acked
+            # attempt counts monotone: exactly k after the k-th sweep
+            assert {r.redelivery_count for r in rows} == {k}
+            # exact closed-form backoff: deliver_at = now + min(4*2^(k-1), 300)
+            expected_delay = min(4.0 * 2 ** (k - 1), 300.0)
+            now_val = spark.range(1).select(now.alias("t")).collect()[0].t
+            for r in rows:
+                assert (r.deliver_at - now_val).total_seconds() == expected_delay
+            # next round: the redelivery becomes the new delivery —
+            # its publish_time is the redelivered deliver_at
+            pending = swept.withColumn("publish_time", F.col("deliver_at")).select(
+                "event_id", "redelivery_count", "publish_time"
+            )
+        # rows that exhausted maxRedeliverCount go to the DLQ
+        delivered, dlq = dlq_split(
+            pending, F.col("redelivery_count") >= max_redeliver, max_redeliver
+        )
+        assert delivered.count() == 0  # everything left is exhausted
+        dlq_rows = dlq.collect()
+        assert all(r.event_id % 4 == 3 for r in dlq_rows)
+        assert all(r.redelivery_count == max_redeliver for r in dlq_rows)
+        # conservation across the whole loop: acked + DLQ == initial
+        assert acked_total + len(dlq_rows) == n
+
+    def test_timeout_zero_disables_sweep(self, spark):
+        from pulsar_spark.operators import (
+            ProcessingTimeoutPolicy,
+            processing_timeout_redelivery,
+        )
+
+        pending = spark.range(10).selectExpr(
+            "id AS event_id",
+            "CAST(0 AS INT) AS redelivery_count",
+            "CAST('2024-01-01' AS TIMESTAMP) AS publish_time",
+        )
+        pol = ProcessingTimeoutPolicy(timeout_s=0, redelivery_backoff=None)
+        out = processing_timeout_redelivery(pending, F.lit(False), pol)
+        assert out.count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("register"), st.integers(0, 5)),
+        st.tuples(st.just("disconnect"), st.integers(0, 5)),
+        st.tuples(st.just("evict"), st.integers(0, 200)),
+        st.tuples(st.just("unregister"), st.integers(0, 5)),
+        st.tuples(st.just("split"), st.integers(0, 3)),
+        st.tuples(st.just("drain"), st.integers(0, 12)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+class TestCoordinatorProperties:
+    """Property suite over the ConsumerSession/SubscriptionCoordinator
+    state machine (stretch item: lifecycle feeding the assignment
+    function). Invariants hold under ANY operation interleaving:
+    determinism, 1:1 stream discipline, the parent-drain gate, and
+    grace-period eviction correctness."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(ops=_OPS)
+    def test_lifecycle_invariants(self, ops, tmp_path_factory):
+        from pulsar_spark.sources import SubscriptionCoordinator
+        from pulsar_spark.sources.scalable import (
+            create_scalable_topic,
+            scalable_metadata,
+            split_segment,
+        )
+
+        d = str(tmp_path_factory.mktemp("prop") / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        drained: set[int] = set()
+        c = SubscriptionCoordinator(
+            "s",
+            d,
+            layout=scalable_metadata(d),
+            grace_period_s=60.0,
+            drain_checker=lambda seg: int(seg["segment_id"]) in drained,
+        )
+        clock = 0
+        for op, arg in ops:
+            clock += 1000
+            if op == "register":
+                c.register_consumer(f"c{arg}", arg, now_ms=clock)
+            elif op == "disconnect":
+                c.on_consumer_disconnect(f"c{arg}", now_ms=clock)
+            elif op == "evict":
+                clock += arg * 1000
+                evicted = c.evict_expired(now_ms=clock)
+                for name in evicted:  # only grace-expired sessions go
+                    assert name not in c.sessions
+            elif op == "unregister":
+                c.unregister_consumer(f"c{arg}")
+            elif op == "split":
+                meta = c.layout
+                actives = [
+                    s for s in meta["segments"].values()
+                    if s["state"] == "ACTIVE" and s["end"] - s["start"] + 1 >= 2
+                ]
+                if actives:
+                    target = actives[arg % len(actives)]
+                    split_segment(d, target["segment_id"])
+                    c.on_layout_change(scalable_metadata(d))
+            elif op == "drain":
+                drained.add(arg)
+                c.poll_drain_status()
+
+            # --- invariants after every step ---
+            a1 = c.compute_assignment()
+            a2 = c.compute_assignment()
+            assert a1 == a2  # deterministic
+            seg_owners: dict[int, int] = {}
+            for assignment in a1.values():
+                for s in assignment.segments:
+                    if s.bucket_ranges == ():  # whole-segment assignment
+                        seg_owners[s.segment_id] = seg_owners.get(s.segment_id, 0) + 1
+            assert all(v == 1 for v in seg_owners.values())  # 1:1 discipline
+            # parent-drain gate: an assigned ACTIVE segment never has an
+            # undrained in-layout parent
+            layout_ids = {
+                int(s["segment_id"]) for s in c.layout["segments"].values()
+            }
+            by_id = {int(s["segment_id"]): s for s in c.layout["segments"].values()}
+            for sid in seg_owners:
+                seg = by_id[sid]
+                if seg["state"] == "ACTIVE":
+                    for pid in seg["parent_ids"]:
+                        assert int(pid) not in layout_ids or int(pid) in drained
+            # sessions tracked during grace, never negative state
+            for s in c.sessions.values():
+                assert s.connected or s.disconnected_at_ms is not None
