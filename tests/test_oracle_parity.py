@@ -123,6 +123,12 @@ KEYS = [
     "region_revenue",
     "doc_exact_dedup",
     "embedding_knn",
+    # round-5 additions (also in the round-5 driver prefix; kept here so
+    # future rotations can't orphan them)
+    "segment_load_rates",
+    "consumer_assignment",
+    "consumer_assignment_steps",
+    "media_decode_png",
 ]
 
 
