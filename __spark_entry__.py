@@ -365,8 +365,8 @@ def _q_consumer_assignment(spark, sf_dir):
         Checkpoint,
         create_scalable_topic,
         produce_scalable,
-        read_from_checkpoint,
         scalable_metadata,
+        segment_high_watermarks,
         split_segment,
     )
 
@@ -378,11 +378,16 @@ def _q_consumer_assignment(spark, sf_dir):
     split_segment(d, 1)  # seals 1, children 4 + 5
     produce_scalable(payload, d, key_col="k", deterministic_mod=True)
     meta = scalable_metadata(d)
+    # one watermark aggregate serves both phases' drain checkers AND the
+    # post-drain cursor (the checkpoint a consumer holds after reading
+    # everything is exactly highs+1 — the real drain signal)
+    highs = segment_high_watermarks(spark, d)
+    consumed = Checkpoint({sid: hi + 1 for sid, hi in highs.items()})
 
     def assignment_rows(phase, ckpt):
         coord = SubscriptionCoordinator(
             "sub", d, layout=meta,
-            drain_checker=checkpoint_drain_checker(spark, d, ckpt),
+            drain_checker=checkpoint_drain_checker(spark, d, ckpt, highs=highs),
         )
         for name in ("c-a", "c-b", "c-c"):
             coord.register_consumer(name)
@@ -393,9 +398,6 @@ def _q_consumer_assignment(spark, sf_dir):
             for s in a.segments
         ]
 
-    # the post-drain cursor is the checkpoint a consumer holds after
-    # reading everything — the real drain signal, not a synthetic flag
-    _, consumed = read_from_checkpoint(spark, d, Checkpoint.earliest())
     rows = assignment_rows("pre", Checkpoint.earliest()) + assignment_rows(
         "post", consumed
     )

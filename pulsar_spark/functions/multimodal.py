@@ -146,6 +146,9 @@ def _encode_ppm(arr) -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: decode cap for untrusted payloads: 64M pixels = ~192 MB of RGB —
+#: above it, reject before allocating (decompression-bomb guard)
+_PNG_MAX_PIXELS = 64 * 1024 * 1024
 
 
 def _decode_png(payload: bytes):
@@ -187,9 +190,19 @@ def _decode_png(payload: bytes):
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if ch is None or (ctype == 3 and plte is None):
         raise ValueError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
+    # Decompression-bomb guard for untrusted crawl payloads: reject
+    # declared dimensions beyond the pixel cap BEFORE inflating, and
+    # bound the inflate itself to the declared scanline size so a tiny
+    # crafted IDAT can never allocate beyond expected+1 bytes (the +1
+    # detects oversized streams without materializing them).
+    if w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} exceed the decode cap")
     stride = w * ch
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    extra = b"" if dec.eof else dec.decompress(dec.unconsumed_tail, 1)
+    if len(raw) != expected or extra:
         raise ValueError("PNG scanline data length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, rows = arr[:, 0], arr[:, 1:]

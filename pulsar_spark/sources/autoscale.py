@@ -330,14 +330,27 @@ def autoscale_tick(
         split_segment,
     )
 
+    wall_ms = int(time.time() * 1000)
     if now_ms is None:
-        now_ms = int(time.time() * 1000)
+        now_ms = wall_ms
     for sid, st in segment_load_stats(spark, topic_path, window_s=window_s).items():
         report_if_changed(topic_path, sid, st)
     state = load_autoscale_state(topic_path)
+    samples = load_samples(topic_path)
+    if now_ms != wall_ms:
+        # Samples carry WALL-clock mtimes. Under a pinned logical clock
+        # the merge pass would compare incoherent frames (a 1970-pinned
+        # now makes every sample look from the future; a future-pinned
+        # now makes fresh samples look durably cold) — shift the mtimes
+        # into the pinned frame so sample AGE stays the wall-measured age.
+        shift = now_ms - wall_ms
+        samples = {
+            sid: SegmentLoadSample(s.stats, s.modified_at_ms + shift)
+            for sid, s in samples.items()
+        }
     dec = auto_scale_decide(
         scalable_metadata(topic_path),
-        load_samples(topic_path),
+        samples,
         stream_consumer_count or {},
         config or AutoScaleConfig(),
         now_ms,

@@ -188,7 +188,7 @@ class SubscriptionCoordinator:
     # --- register / unregister / reconnect (SubscriptionCoordinator.java:184) ---
 
     def register_consumer(
-        self, consumer_name: str, consumer_id: int = 0, now_ms: int = 0
+        self, consumer_name: str, consumer_id: int = 0
     ) -> dict[str, ConsumerAssignment]:
         existing = self.sessions.get(consumer_name)
         if existing is not None:
@@ -390,28 +390,28 @@ class SubscriptionCoordinator:
         return result
 
 
-def checkpoint_drain_checker(spark, topic_path: str, checkpoint):
+def checkpoint_drain_checker(
+    spark, topic_path: str, checkpoint, highs: dict[int, int] | None = None
+):
     """A SegmentDrainChecker over the stored log and a caller-held
     Checkpoint vector: a sealed segment is drained when the
     subscription's next-offset is past the segment's stored high
     watermark (the cursor on a sealed topic with msgBacklog == 0 is by
-    definition at the end — SegmentDrainChecker.java:30). One bounded
-    grouped aggregate per construction; the returned callable is pure."""
-    from pyspark.sql import functions as F
+    definition at the end — SegmentDrainChecker.java:30). A ``latest``
+    sentinel checkpoint is drained everywhere: a latest cursor is
+    created at the end of every segment, so the drain check completes
+    immediately (SegmentDrainChecker.java:33-35). Pass ``highs`` (from
+    ``segment_high_watermarks``) to reuse an already-computed watermark
+    map; otherwise one bounded grouped aggregate runs at construction.
+    The returned callable is pure."""
+    from pulsar_spark.sources.scalable import segment_high_watermarks
 
-    from pulsar_spark.sources.scalable import _read_if_present
-
-    df = _read_if_present(spark, topic_path)
-    highs: dict[int, int] = (
-        {}
-        if df is None
-        else {
-            int(r.segment): int(r.mx)
-            for r in df.groupBy("segment").agg(F.max("offset").alias("mx")).collect()
-        }
-    )
+    if highs is None:
+        highs = segment_high_watermarks(spark, topic_path)
 
     def is_drained(segment: dict) -> bool:
+        if getattr(checkpoint, "latest", False):
+            return True  # latest cursor: zero backlog by definition
         sid = int(segment["segment_id"])
         if sid not in highs:
             return True  # no stored data: trivially drained

@@ -473,6 +473,21 @@ class Checkpoint:
         return cls(d.get("offsets", {}), latest=bool(d.get("latest")))
 
 
+def segment_high_watermarks(spark: SparkSession, topic_path: str) -> dict[int, int]:
+    """Per-segment max stored offset, as one bounded grouped aggregate
+    (parquet footer-stat scale). Shared by the checkpoint reader (the
+    advanced vector is high+1) and the drain checker (drained = cursor
+    past high) so the two definitions cannot drift. Empty dict for a
+    never-produced topic."""
+    df = _read_if_present(spark, topic_path)
+    if df is None:
+        return {}
+    return {
+        int(r.segment): int(r.mx)
+        for r in df.groupBy("segment").agg(F.max("offset").alias("mx")).collect()
+    }
+
+
 def read_from_checkpoint(
     spark: SparkSession, topic_path: str, ckpt: Checkpoint
 ) -> tuple[DataFrame, Checkpoint]:
@@ -490,8 +505,7 @@ def read_from_checkpoint(
         empty = spark.createDataFrame([], "segment int, offset bigint")
         return empty, Checkpoint(dict(ckpt.offsets), latest=False)
     highs = {
-        r.segment: r.mx + 1
-        for r in df.groupBy("segment").agg(F.max("offset").alias("mx")).collect()
+        sid: mx + 1 for sid, mx in segment_high_watermarks(spark, topic_path).items()
     }
     if ckpt.latest:
         return df.limit(0), Checkpoint(highs)

@@ -269,19 +269,19 @@ class TestSubscriptionCoordinator:
 
     def test_reconnect_within_grace_preserves_assignment(self, tmp_path):
         _, c = self._coord(tmp_path, grace_period_s=60.0)
-        c.register_consumer("c1", 1, now_ms=0)
-        before = c.register_consumer("c2", 2, now_ms=0)
+        c.register_consumer("c1", 1)
+        before = c.register_consumer("c2", 2)
         c.on_consumer_disconnect("c1", now_ms=1000)
         assert set(c.sessions) == {"c1", "c2"}  # tracked during grace
         assert c.evict_expired(now_ms=30_000) == []  # inside grace
-        after = c.register_consumer("c1", 99, now_ms=40_000)  # reconnect
+        after = c.register_consumer("c1", 99)  # reconnect cancels the grace timer
         assert _seg_ids(after["c1"]) == _seg_ids(before["c1"])
         assert c.sessions["c1"].connected and c.sessions["c1"].consumer_id == 99
 
     def test_expired_session_evicted_after_grace(self, tmp_path):
         _, c = self._coord(tmp_path, grace_period_s=60.0)
-        c.register_consumer("c1", 1, now_ms=0)
-        c.register_consumer("c2", 2, now_ms=0)
+        c.register_consumer("c1", 1)
+        c.register_consumer("c2", 2)
         c.on_consumer_disconnect("c1", now_ms=1000)
         assert c.evict_expired(now_ms=61_001) == ["c1"]
         assert set(c.sessions) == {"c2"}
@@ -295,7 +295,7 @@ class TestSubscriptionCoordinator:
         # fresh grace clock from restore time, regardless of prior downtime
         assert c.evict_expired(now_ms=1_000_000 + 59_000) == []
         # reconnect resumes the same assignment
-        r2 = c.register_consumer("c1", 42, now_ms=1_030_000)
+        r2 = c.register_consumer("c1", 42)
         assert _seg_ids(r2["c1"]) == _seg_ids(r["c1"])
         assert c.sessions["c1"].connected
         # the never-reconnected one expires
@@ -737,7 +737,7 @@ class TestCoordinatorProperties:
         for op, arg in ops:
             clock += 1000
             if op == "register":
-                c.register_consumer(f"c{arg}", arg, now_ms=clock)
+                c.register_consumer(f"c{arg}", arg)
             elif op == "disconnect":
                 c.on_consumer_disconnect(f"c{arg}", now_ms=clock)
             elif op == "evict":
@@ -785,3 +785,103 @@ class TestCoordinatorProperties:
             # sessions tracked during grace, never negative state
             for s in c.sessions.values():
                 assert s.connected or s.disconnected_at_ms is not None
+
+
+class TestReviewFixesRound5:
+    """Regressions for the round-5 code-review findings."""
+
+    def test_latest_checkpoint_is_drained_everywhere(self, spark, tmp_path):
+        # SegmentDrainChecker.java:33-35: a Latest cursor is created at
+        # the end of every segment, so the drain check completes
+        # immediately — split children must not be gated forever.
+        from pulsar_spark.sources import (
+            SubscriptionCoordinator,
+            checkpoint_drain_checker,
+        )
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            scalable_metadata,
+            split_segment,
+        )
+
+        d = _mk_topic(spark, tmp_path, name="latest")
+        split_segment(d, 0)
+        chk = checkpoint_drain_checker(spark, d, Checkpoint.latest())
+        assert chk({"segment_id": 0})  # sealed parent with data: drained
+        c = SubscriptionCoordinator(
+            "s", d, layout=scalable_metadata(d), drain_checker=chk
+        )
+        c.register_consumer("c1", 1)
+        c.poll_drain_status()
+        got = {s.segment_id for a in c.compute_assignment().values() for s in a.segments}
+        assert got == {0, 1, 2}  # children assignable immediately
+
+    def test_shared_highs_reused_by_checker(self, spark, tmp_path):
+        from pulsar_spark.sources import checkpoint_drain_checker
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            segment_high_watermarks,
+        )
+
+        d = _mk_topic(spark, tmp_path, n_rows=50, name="highs")
+        highs = segment_high_watermarks(spark, d)
+        assert highs == {0: 49}
+        consumed = Checkpoint({sid: hi + 1 for sid, hi in highs.items()})
+        chk = checkpoint_drain_checker(spark, d, consumed, highs=highs)
+        assert chk({"segment_id": 0})
+
+    def test_png_decompression_bomb_rejected(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from pulsar_spark.functions.multimodal import _PNG_SIG, _decode_png
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        # declared 20000x20000 with a tiny IDAT: rejected BEFORE inflate
+        bomb = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="decode cap"):
+            _decode_png(bomb)
+        # honest small dims but an oversized deflate stream: bounded
+        # inflate detects without materializing
+        over = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100_000))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="length mismatch"):
+            _decode_png(over)
+
+    def test_autoscale_pinned_clock_merge_coherent(self, spark, tmp_path):
+        # autoscale_tick with a pinned now_ms must not let wall-clock
+        # sample mtimes corrupt the merge-window math: a freshly hot
+        # pair is NOT "durably cold" under a future-pinned clock.
+        from pulsar_spark.sources import AutoScaleConfig, autoscale_tick
+
+        d = _mk_topic(spark, tmp_path, n_segments=2, name="pin")
+        cfg = AutoScaleConfig(
+            split_msg_rate_in=1e12,  # never split
+            merge_msg_rate_in=1e12,  # any load counts as cold by RATE
+            merge_window_s=600.0,
+            min_segments=1,
+        )
+        far_future = 4_000_000_000_000  # ~2096, way past any wall clock
+        out = autoscale_tick(
+            spark, d, window_s=float(2**32), config=cfg, apply=False,
+            now_ms=far_future,
+        )
+        # samples were written THIS tick: wall-age ~0s < mergeWindow, so
+        # no merge despite the pinned clock being far in the future
+        assert out["decision"] == "none"
