@@ -421,6 +421,65 @@ def _q_consumer_assignment(spark, sf_dir):
     )
 
 
+def _q_segment_gc(spark, sf_dir):
+    # Sealed-segment GC (sources/scalable.py gc_sealed_segments —
+    # ScalableTopicController.runGcTickAsync:1125 + SegmentLayout
+    # .pruneSegment:250): produce, split segment 0, produce again, then
+    # a fully-consumed subscription checkpoint drains the sealed parent
+    # and a zero-retention GC tick prunes it — DAG edges rewritten in
+    # one sidecar write, backing storage deleted. Output: the surviving
+    # layout joined with stored counts; the oracle recomputes both from
+    # the slot arithmetic and the verbatim post-prune layout.
+    import tempfile
+
+    from pulsar_spark.sources import gc_sealed_segments, segment_high_watermarks
+    from pulsar_spark.sources.scalable import (
+        Checkpoint,
+        _read_if_present,
+        create_scalable_topic,
+        produce_scalable,
+        scalable_metadata,
+        split_segment,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    payload = events.selectExpr("CAST(user_id AS STRING) AS k", "event_id")
+    d = tempfile.mkdtemp(prefix="psgc_") + "/topic"
+    create_scalable_topic(d, num_initial_segments=2)
+    produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+    split_segment(d, 0)  # seals 0 -> children 2 [0,16383], 3 [16384,32767]
+    produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+    consumed = Checkpoint(
+        {sid: hi + 1 for sid, hi in segment_high_watermarks(spark, d).items()}
+    )
+    pruned = gc_sealed_segments(spark, d, retention_ms=0, subscriptions={"s": consumed})
+    assert pruned == [0], pruned
+    meta = scalable_metadata(d)
+    layout = spark.createDataFrame(
+        [
+            (
+                int(s["segment_id"]),
+                s["state"],
+                int(s["start"]),
+                int(s["end"]),
+                len(s["parent_ids"]),
+                int(meta["epoch"]),
+            )
+            for s in meta["segments"].values()
+        ],
+        "segment int, state string, hash_start int, hash_end int, "
+        "n_parents int, epoch int",
+    )
+    stored = _read_if_present(spark, d)
+    counts = stored.groupBy("segment").agg(F.count("*").alias("msg_count"))
+    return layout.join(
+        F.broadcast(counts), layout.segment == counts.segment, "left"
+    ).select(
+        layout.segment, "state", "hash_start", "hash_end", "n_parents", "epoch",
+        F.coalesce("msg_count", F.lit(0).cast("bigint")).alias("msg_count"),
+    )
+
+
 def _q_consumer_assignment_steps(spark, sf_dir):
     # PIP-486 "segments first, entry-buckets absorb the surplus"
     # (SubscriptionCoordinator.java:582, EntryBucketSplits.java): the
@@ -1993,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consumer_assignment": _q_consumer_assignment,
         "consumer_assignment_steps": _q_consumer_assignment_steps,
         "media_decode_png": _q_media_decode_png,
+        "segment_gc": _q_segment_gc,
         # -- rotate-in: driver-green r02/r03, not re-checked since — the
         #    NTZ central cast changed envelope timestamp types, so these
         #    envelope-reading queries get driver re-confirmation now
@@ -2000,7 +2060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_message_id": _q_last_message_id,
         "examine_message": _q_examine_message,
         "ack_timeout_redelivery": _q_ack_timeout_redelivery,
-        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "training_set_select": _q_training_set_select,
         "training_set_select_scalable": _q_training_set_select_scalable,
         "pretraining_pipeline": _q_pretraining_pipeline,
@@ -2042,6 +2101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_integer_addition": _q_fn_integer_addition,
         "fn_comma_window": _q_fn_comma_window,
         # ---- 50-entry driver prefix ends here ----
+        # (ngram_jaccard_dedup moved below the marker for segment_gc:
+        #  documents-based, unaffected by the NTZ envelope cast,
+        #  driver-green r02 and kept in test_oracle_parity)
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         # -- driver-checked r4 (green); value-checked locally by
         #    tests/test_oracle_parity.py
         "key_shared_bucket_stats": _q_key_shared_bucket_stats,
@@ -2339,6 +2402,30 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a
             JOIN segs s ON s.segment = a.segment
             JOIN counts c ON c.segment = a.segment
+        """,
+        # Independent spec (worked out by hand from the GC scenario):
+        # split(0) at mid 16383 -> children 2 [0,16383] + 3 [16384,32767]
+        # (epoch 1); GC prunes the drained sealed parent (epoch 2) and
+        # rewrites the children's parent edges to empty. Counts: produce 1
+        # routed over {0,1}, produce 2 over {2,3,1}; segment 0's rows are
+        # deleted with it, so seg1 keeps both passes and the children one.
+        "segment_gc": """
+            WITH slots AS (
+              SELECT (CAST(user_id AS BIGINT) * 2654435761) % 65536 AS slot
+              FROM events
+            ),
+            segs(segment, hash_start, hash_end, factor) AS (VALUES
+              (1, 32768, 65535, 2), (2, 0, 16383, 1), (3, 16384, 32767, 1))
+            SELECT CAST(s.segment AS INT) AS segment,
+                   'ACTIVE' AS state,
+                   CAST(s.hash_start AS INT) AS hash_start,
+                   CAST(s.hash_end AS INT) AS hash_end,
+                   CAST(0 AS INT) AS n_parents,
+                   CAST(2 AS INT) AS epoch,
+                   CAST(s.factor * count(sl.slot) AS BIGINT) AS msg_count
+            FROM segs s LEFT JOIN slots sl
+              ON sl.slot BETWEEN s.hash_start AND s.hash_end
+            GROUP BY s.segment, s.hash_start, s.hash_end, s.factor
         """,
         # Independent spec (SubscriptionCoordinator.java:582 + the
         # SubscriptionCoordinatorTest fan-out cases, worked out by hand

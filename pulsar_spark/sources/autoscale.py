@@ -291,6 +291,26 @@ def load_autoscale_state(topic_path: str) -> dict:
     }
 
 
+def seed_cooldowns_from_layout(meta: dict) -> dict:
+    """ScalableTopicController.seedAutoScaleCooldownsFromLayout
+    (ScalableTopicController.java:207): a fresh leader (or a topic whose
+    state sidecar is missing) derives the cooldown clocks from segment
+    lineage — the last split is the newest 1-parent segment's creation
+    time, the last merge the newest >= 2-parent segment's — so a leader
+    takeover right after a split does not immediately split again."""
+    split_at, merge_at = None, None
+    for s in meta["segments"].values():
+        created = s.get("created_at_ms")
+        if created is None:
+            continue
+        n_parents = len(s["parent_ids"])
+        if n_parents == 1:
+            split_at = created if split_at is None else max(split_at, created)
+        elif n_parents >= 2:
+            merge_at = created if merge_at is None else max(merge_at, created)
+    return {"last_split_at_ms": split_at, "last_merge_at_ms": merge_at}
+
+
 def record_autoscale_action(topic_path: str, kind: str, now_ms: int) -> None:
     """Persist the action timestamp after an applied split/merge so the
     next tick's ``auto_scale_decide`` sees the cooldown clock."""
@@ -335,7 +355,19 @@ def autoscale_tick(
         now_ms = wall_ms
     for sid, st in segment_load_stats(spark, topic_path, window_s=window_s).items():
         report_if_changed(topic_path, sid, st)
+    meta = scalable_metadata(topic_path)
     state = load_autoscale_state(topic_path)
+    if state["last_split_at_ms"] is None and state["last_merge_at_ms"] is None:
+        # no persisted tick state (fresh controller / lost sidecar):
+        # seed the clocks from segment lineage like a new leader does
+        seeded = seed_cooldowns_from_layout(meta)
+        if now_ms != wall_ms:
+            # lineage stamps are wall-clock too — shift into the pinned frame
+            seeded = {
+                k: (v + (now_ms - wall_ms) if v is not None else None)
+                for k, v in seeded.items()
+            }
+        state = seeded
     samples = load_samples(topic_path)
     if now_ms != wall_ms:
         # Samples carry WALL-clock mtimes. Under a pinned logical clock
@@ -349,7 +381,7 @@ def autoscale_tick(
             for sid, s in samples.items()
         }
     dec = auto_scale_decide(
-        scalable_metadata(topic_path),
+        meta,
         samples,
         stream_consumer_count or {},
         config or AutoScaleConfig(),

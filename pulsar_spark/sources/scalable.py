@@ -59,6 +59,12 @@ class SegmentGoneError(RuntimeError):
     send)."""
 
 
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
 def _write_meta(topic_path: str, meta: dict) -> None:
     os.makedirs(topic_path, exist_ok=True)
     with open(os.path.join(topic_path, _META), "w") as fh:
@@ -97,6 +103,8 @@ def create_scalable_topic(
             "child_ids": [],
             "created_at_epoch": 0,
             "sealed_at_epoch": None,
+            "created_at_ms": _now_ms(),
+            "sealed_at_ms": None,
         }
     _write_meta(
         topic_path,
@@ -282,9 +290,12 @@ def split_segment(
             "child_ids": [],
             "created_at_epoch": epoch,
             "sealed_at_epoch": None,
+            "created_at_ms": _now_ms(),
+            "sealed_at_ms": None,
         }
     s["state"] = "SEALED"
     s["sealed_at_epoch"] = epoch
+    s["sealed_at_ms"] = _now_ms()
     s["child_ids"] = list(ids)
     meta["epoch"] = epoch
     meta["next_segment_id"] += 2
@@ -314,15 +325,112 @@ def merge_segments(topic_path: str, id_a: int, id_b: int) -> int:
         "child_ids": [],
         "created_at_epoch": epoch,
         "sealed_at_epoch": None,
+        "created_at_ms": _now_ms(),
+        "sealed_at_ms": None,
     }
     for sid, s in ((id_a, a), (id_b, b)):
         s["state"] = "SEALED"
         s["sealed_at_epoch"] = epoch
+        s["sealed_at_ms"] = _now_ms()
         s["child_ids"] = [cid]
     meta["epoch"] = epoch
     meta["next_segment_id"] += 1
     _write_meta(topic_path, meta)
     return cid
+
+
+def prune_segment(meta: dict, segment_id: int) -> dict:
+    """SegmentLayout.pruneSegment (SegmentLayout.java:250): remove a
+    SEALED segment from the DAG, rewriting its children's parent lists
+    and its parents' child lists, and bump the epoch. Pure function on
+    the metadata dict (the caller coalesces multiple prunes into one
+    sidecar write — the reference's single-CAS contract). Consumers on
+    the post-prune layout see the segment as 'no longer present', which
+    the coordinator's parent-drain gate treats as drained."""
+    s = meta["segments"].get(str(segment_id))
+    if s is None:
+        raise ValueError(f"segment not found: {segment_id}")
+    if s["state"] == "ACTIVE":
+        raise ValueError(f"cannot prune an active segment: {segment_id}")
+    del meta["segments"][str(segment_id)]
+    for cid in s["child_ids"]:
+        child = meta["segments"].get(str(cid))
+        if child is not None:
+            child["parent_ids"] = [p for p in child["parent_ids"] if int(p) != segment_id]
+    for pid in s["parent_ids"]:
+        parent = meta["segments"].get(str(pid))
+        if parent is not None:
+            parent["child_ids"] = [c for c in parent["child_ids"] if int(c) != segment_id]
+    meta["epoch"] += 1
+    return meta
+
+
+def gc_sealed_segments(
+    spark: SparkSession,
+    topic_path: str,
+    retention_ms: int | None,
+    subscriptions: dict | None = None,
+    now_ms: int | None = None,
+) -> list[int]:
+    """One sealed-segment GC tick (ScalableTopicController.runGcTickAsync,
+    ScalableTopicController.java:1125): sealed segments past the
+    retention horizon whose data EVERY subscription has drained are
+    pruned from the DAG — one coalesced sidecar write — and their
+    backing storage deleted. Returns the pruned segment ids.
+
+    ``retention_ms`` None = retain forever (no GC — the unset/negative
+    policy contract). ``subscriptions`` maps subscription name to its
+    ``Checkpoint`` position; a value of None models a CHECKPOINT
+    subscription whose position the controller cannot see — it blocks
+    pruning of every data-bearing segment while registered, exactly the
+    reference's NotFoundException -> "still in use" behavior.
+
+    The drain math reuses one ``segment_high_watermarks`` aggregate for
+    all candidates; the data itself is never collected."""
+    import shutil
+
+    if retention_ms is None:
+        return []
+    if now_ms is None:
+        now_ms = _now_ms()
+    meta = scalable_metadata(topic_path)
+    candidates = [
+        s
+        for s in meta["segments"].values()
+        if s["state"] != "ACTIVE"
+        and s.get("sealed_at_ms")
+        and now_ms - s["sealed_at_ms"] >= retention_ms
+    ]
+    if not candidates:
+        return []
+    highs = segment_high_watermarks(spark, topic_path)
+
+    def drained_for_all(seg: dict) -> bool:
+        sid = int(seg["segment_id"])
+        if sid not in highs:
+            return True  # no stored data: nothing to drain
+        for ckpt in (subscriptions or {}).values():
+            if ckpt is None:
+                return False  # opaque checkpoint subscription: in use
+            if getattr(ckpt, "latest", False):
+                continue  # latest cursor: zero backlog by definition
+            if int(ckpt.offsets.get(sid, 0)) <= highs[sid]:
+                return False
+        return True
+
+    pruned = [int(s["segment_id"]) for s in candidates if drained_for_all(s)]
+    if not pruned:
+        return []
+    for sid in pruned:
+        prune_segment(meta, sid)
+    # one coalesced metadata write for all prunes (the reference chains
+    # pruneSegment per id — epoch + N — then persists via a single CAS),
+    # THEN the per-segment storage deletes — a crash between the two
+    # leaves orphaned directories, not a layout referencing deleted data
+    _write_meta(topic_path, meta)
+    for sid in pruned:
+        shutil.rmtree(os.path.join(topic_path, f"segment={sid}"), ignore_errors=True)
+    return pruned
 
 
 def scalable_stats(spark: SparkSession, topic_path: str) -> DataFrame:

@@ -129,6 +129,7 @@ KEYS = [
     "consumer_assignment",
     "consumer_assignment_steps",
     "media_decode_png",
+    "segment_gc",
 ]
 
 

@@ -885,3 +885,135 @@ class TestReviewFixesRound5:
         # samples were written THIS tick: wall-age ~0s < mergeWindow, so
         # no merge despite the pinned clock being far in the future
         assert out["decision"] == "none"
+
+
+class TestSealedSegmentGC:
+    """Sealed-segment GC (ScalableTopicController.runGcTickAsync,
+    ScalableTopicController.java:1125 + SegmentLayout.pruneSegment:250):
+    sealed past retention + drained by EVERY subscription -> pruned from
+    the DAG in one coalesced sidecar write, backing storage deleted."""
+
+    def test_gc_prunes_drained_sealed_segment(self, spark, tmp_path):
+        import os
+
+        from pulsar_spark.sources import gc_sealed_segments, segment_high_watermarks
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            scalable_metadata,
+            split_segment,
+        )
+
+        d = _mk_topic(spark, tmp_path, n_segments=2, name="gc")
+        split_segment(d, 0)  # seals 0 -> children 2, 3
+        # retain-forever: no GC
+        assert gc_sealed_segments(spark, d, None) == []
+        # undrained subscription blocks the prune
+        subs = {"s1": Checkpoint.earliest()}
+        assert gc_sealed_segments(spark, d, 0, subs) == []
+        assert "0" in scalable_metadata(d)["segments"]
+        # opaque CHECKPOINT subscription (position invisible) blocks too
+        consumed = Checkpoint(
+            {sid: hi + 1 for sid, hi in segment_high_watermarks(spark, d).items()}
+        )
+        assert gc_sealed_segments(spark, d, 0, {"s1": consumed, "s2": None}) == []
+        # fully drained everywhere: pruned
+        epoch_before = scalable_metadata(d)["epoch"]
+        assert gc_sealed_segments(spark, d, 0, {"s1": consumed}) == [0]
+        meta = scalable_metadata(d)
+        assert "0" not in meta["segments"]
+        assert meta["epoch"] == epoch_before + 1
+        # children's parent edges rewritten -> coordinator treats them
+        # as unblocked (pruned parent == drained)
+        for cid in ("2", "3"):
+            assert meta["segments"][cid]["parent_ids"] == []
+        assert not os.path.exists(os.path.join(d, "segment=0"))
+        # idempotent: second tick finds nothing
+        assert gc_sealed_segments(spark, d, 0, {"s1": consumed}) == []
+
+    def test_gc_latest_cursor_counts_as_drained(self, spark, tmp_path):
+        from pulsar_spark.sources import gc_sealed_segments
+        from pulsar_spark.sources.scalable import Checkpoint, split_segment
+
+        d = _mk_topic(spark, tmp_path, name="gclatest")
+        split_segment(d, 0)
+        assert gc_sealed_segments(spark, d, 0, {"s1": Checkpoint.latest()}) == [0]
+
+    def test_gc_dataless_sealed_segment_prunes_without_drain(self, spark, tmp_path):
+        from pulsar_spark.sources import gc_sealed_segments
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            create_scalable_topic,
+            split_segment,
+        )
+
+        d = str(tmp_path / "gcempty")
+        create_scalable_topic(d, num_initial_segments=1)
+        split_segment(d, 0)  # sealed parent never held data
+        assert gc_sealed_segments(spark, d, 0, {"s1": Checkpoint.earliest()}) == [0]
+
+    def test_retention_window_gates_gc(self, spark, tmp_path):
+        from pulsar_spark.sources import gc_sealed_segments
+        from pulsar_spark.sources.scalable import Checkpoint, split_segment
+
+        d = _mk_topic(spark, tmp_path, name="gcret")
+        split_segment(d, 0)
+        # 1-hour retention, clock just after the seal: not yet eligible
+        assert (
+            gc_sealed_segments(spark, d, 3_600_000, {"s": Checkpoint.latest()}) == []
+        )
+
+
+class TestCooldownSeeding:
+    """seedAutoScaleCooldownsFromLayout (ScalableTopicController.java:207):
+    with no persisted tick state, the clocks seed from segment lineage so
+    a fresh controller does not re-split right after a manual split."""
+
+    def test_seed_from_layout(self, tmp_path):
+        from pulsar_spark.sources import seed_cooldowns_from_layout
+        from pulsar_spark.sources.scalable import (
+            create_scalable_topic,
+            merge_segments,
+            scalable_metadata,
+            split_segment,
+        )
+
+        d = str(tmp_path / "seed")
+        create_scalable_topic(d, num_initial_segments=2)
+        assert seed_cooldowns_from_layout(scalable_metadata(d)) == {
+            "last_split_at_ms": None,
+            "last_merge_at_ms": None,
+        }
+        split_segment(d, 0)  # children 2, 3 (1 parent each)
+        seeded = seed_cooldowns_from_layout(scalable_metadata(d))
+        assert seeded["last_split_at_ms"] is not None
+        assert seeded["last_merge_at_ms"] is None
+        merge_segments(d, 2, 3)  # child 4 (2 parents)
+        seeded = seed_cooldowns_from_layout(scalable_metadata(d))
+        assert seeded["last_merge_at_ms"] is not None
+
+    def test_fresh_tick_respects_lineage_cooldown(self, spark, tmp_path):
+        # Wall frame: the lineage stamp's AGE is what gates the tick (a
+        # pinned clock preserves wall-age by design, so fast-forwarding
+        # now_ms cannot skip a cooldown — only real elapsed time can).
+        from pulsar_spark.sources import AutoScaleConfig, autoscale_tick
+        from pulsar_spark.sources.scalable import (
+            _write_meta,
+            scalable_metadata,
+            split_segment,
+        )
+
+        d = _mk_topic(spark, tmp_path, n_segments=2, name="seedtick")
+        split_segment(d, 1)  # a manual split moments ago; NO state file
+        cfg = AutoScaleConfig(split_msg_rate_in=1e-9, split_cooldown_s=30.0)
+        out = autoscale_tick(spark, d, window_s=float(2**32), config=cfg)
+        # segment 0 is still hot, but the lineage-seeded split clock is
+        # ~now, so the tick is inside the cooldown
+        assert out["decision"] == "none"
+        # age the split lineage past the cooldown (stand-in for waiting)
+        meta = scalable_metadata(d)
+        for s in meta["segments"].values():
+            if len(s["parent_ids"]) == 1:
+                s["created_at_ms"] -= 40_000
+        _write_meta(d, meta)
+        out2 = autoscale_tick(spark, d, window_s=float(2**32), config=cfg)
+        assert out2["decision"] == "split"
