@@ -480,6 +480,21 @@ def _q_segment_gc(spark, sf_dir):
     )
 
 
+def _q_stream_cumulative_ack(spark, sf_dir):
+    # Cross-segment cumulative ack (sources/coordinator.py
+    # cumulative_ack_vector — ScalableStreamConsumer.java:66-73 +
+    # MessageIdV5 position vectors): acking the k-th message of the
+    # multiplexed (offset, partition)-interleaved delivery advances
+    # EVERY partition to its vector position. k = half the log; the
+    # oracle ranks the same interleave and takes per-partition maxes.
+    from pulsar_spark.sources import cumulative_ack_vector
+
+    m = _messages(spark, sf_dir)
+    k = m.count() // 2
+    out = cumulative_ack_vector(m, k, segment_col="partition")
+    return out.select(F.col("partition").cast("int"), "acked_offset")
+
+
 def _q_consumer_assignment_steps(spark, sf_dir):
     # PIP-486 "segments first, entry-buckets absorb the surplus"
     # (SubscriptionCoordinator.java:582, EntryBucketSplits.java): the
@@ -2105,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  documents-based, unaffected by the NTZ envelope cast,
         #  driver-green r02 and kept in test_oracle_parity)
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "stream_cumulative_ack": _q_stream_cumulative_ack,
         # -- driver-checked r4 (green); value-checked locally by
         #    tests/test_oracle_parity.py
         "key_shared_bucket_stats": _q_key_shared_bucket_stats,
@@ -2409,6 +2425,18 @@ def oracle_sql() -> dict[str, str]:
         # rewrites the children's parent edges to empty. Counts: produce 1
         # routed over {0,1}, produce 2 over {2,3,1}; segment 0's rows are
         # deleted with it, so seg1 keeps both passes and the children one.
+        "stream_cumulative_ack": f"""
+            WITH {_M}, ranked AS (
+              SELECT partition, "offset",
+                     row_number() OVER (ORDER BY "offset", partition) AS rn
+              FROM messages
+            )
+            SELECT CAST(partition AS INT) AS partition,
+                   CAST(max("offset") AS BIGINT) AS acked_offset
+            FROM ranked
+            WHERE rn <= (SELECT count(*) // 2 FROM messages)
+            GROUP BY partition
+        """,
         "segment_gc": """
             WITH slots AS (
               SELECT (CAST(user_id AS BIGINT) * 2654435761) % 65536 AS slot

@@ -390,6 +390,38 @@ class SubscriptionCoordinator:
         return result
 
 
+def cumulative_ack_vector(
+    delivered,
+    ack_index: int,
+    segment_col: str = "segment",
+    offset_col: str = "offset",
+):
+    """The v5 stream-consumer cumulative ack (ScalableStreamConsumer
+    .java:66-73 + MessageIdV5 position vectors): every delivered message
+    snapshots the latest-delivered position per segment, and
+    ``acknowledgeCumulative(msg)`` advances EVERY segment to that
+    vector — not just the segment the message came from. Delivery order
+    for the multiplexed queue is modeled as the (offset, segment)
+    interleave; acking the ``ack_index``-th delivered message yields one
+    row per segment seen so far: (segment, acked_offset).
+
+    Scale shape: ``orderBy().limit(k)`` compiles to TakeOrdered (a
+    per-partition top-k + driver merge), not a global sort, and the
+    follow-up is one small aggregation — no full-shuffle stage. A real
+    consumer's delivered frame is additionally bounded by its receiver
+    queue, so k is small by construction."""
+    from pyspark.sql import functions as F
+
+    first_k = (
+        delivered.select(segment_col, offset_col)
+        .orderBy(offset_col, segment_col)
+        .limit(int(ack_index))
+    )
+    return first_k.groupBy(segment_col).agg(
+        F.max(offset_col).alias("acked_offset")
+    )
+
+
 def checkpoint_drain_checker(
     spark, topic_path: str, checkpoint, highs: dict[int, int] | None = None
 ):

@@ -130,6 +130,7 @@ KEYS = [
     "consumer_assignment_steps",
     "media_decode_png",
     "segment_gc",
+    "stream_cumulative_ack",
 ]
 
 

@@ -1017,3 +1017,46 @@ class TestCooldownSeeding:
         _write_meta(d, meta)
         out2 = autoscale_tick(spark, d, window_s=float(2**32), config=cfg)
         assert out2["decision"] == "split"
+
+
+class TestCumulativeAckVector:
+    """Cross-segment cumulative ack (ScalableStreamConsumer position
+    vectors): acking message k advances every segment to the latest
+    position delivered before it — and the plan is TakeOrdered (top-k),
+    not a global sort."""
+
+    def test_vector_matches_manual_interleave(self, spark, messages):
+        from pulsar_spark.sources import cumulative_ack_vector
+
+        rows = sorted(
+            messages.select("partition", "offset").collect(),
+            key=lambda r: (r.offset, r.partition),
+        )
+        k = 137
+        expected = {}
+        for r in rows[:k]:
+            expected[r.partition] = max(expected.get(r.partition, -1), r.offset)
+        got = {
+            r.partition: r.acked_offset
+            for r in cumulative_ack_vector(messages, k, segment_col="partition").collect()
+        }
+        assert got == expected
+
+    def test_plan_is_take_ordered_not_global_sort(self, spark, messages):
+        from pulsar_spark.sources import cumulative_ack_vector
+
+        plan = cumulative_ack_vector(
+            messages, 100, segment_col="partition"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_ack_zero_and_past_end(self, spark, messages):
+        from pulsar_spark.sources import cumulative_ack_vector
+
+        assert cumulative_ack_vector(messages, 0, segment_col="partition").count() == 0
+        n = messages.count()
+        full = cumulative_ack_vector(messages, n, segment_col="partition")
+        per_seg = messages.groupBy("partition").agg(F.max("offset").alias("m"))
+        assert {
+            (r.partition, r.acked_offset) for r in full.collect()
+        } == {(r.partition, r.m) for r in per_seg.collect()}
