@@ -390,6 +390,26 @@ class SubscriptionCoordinator:
         return result
 
 
+def read_assignment(spark, topic_path: str, assignment: ConsumerAssignment):
+    """A consumer's view of the topic under its ConsumerAssignment: rows
+    of exactly the assigned segments, ordered for per-key replay as
+    (segment, offset). The hive ``segment=N`` layout turns the
+    membership filter into storage partition PRUNING — a consumer
+    holding 2 of 64 segments scans 1/32 of the data, the same
+    distribution property the reference gets from per-segment topics.
+    Bucket-shared segments are scanned whole: WHICH entry-buckets this
+    consumer ends up owning is decided dispatch-side (the broker's
+    deterministic spread — ConsumerAssignment.java:40-45), so the
+    storage layer cannot pre-filter them."""
+    from pyspark.sql import functions as F
+
+    from pulsar_spark.sources.scalable import read_scalable
+
+    seg_ids = [s.segment_id for s in assignment.segments]
+    df = read_scalable(spark, topic_path)
+    return df.where(F.col("segment").isin(seg_ids)) if seg_ids else df.limit(0)
+
+
 def cumulative_ack_vector(
     delivered,
     ack_index: int,

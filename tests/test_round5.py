@@ -1060,3 +1060,40 @@ class TestCumulativeAckVector:
         assert {
             (r.partition, r.acked_offset) for r in full.collect()
         } == {(r.partition, r.m) for r in per_seg.collect()}
+
+
+class TestReadAssignment:
+    """read_assignment: a consumer scans exactly its assigned segments,
+    and the segment membership filter reaches the scan as storage
+    PARTITION PRUNING (the distribution property the reference gets
+    from per-segment topics)."""
+
+    def test_scan_covers_exactly_assignment_and_prunes(self, spark, tmp_path):
+        from pulsar_spark.sources import SubscriptionCoordinator, read_assignment
+        from pulsar_spark.sources.scalable import scalable_metadata
+
+        d = _mk_topic(spark, tmp_path, n_rows=400, n_segments=4, name="readassign")
+        c = SubscriptionCoordinator("s", d, layout=scalable_metadata(d))
+        c.register_consumer("c1", 1)
+        r = c.register_consumer("c2", 2)
+        seen = {}
+        for name in ("c1", "c2"):
+            df = read_assignment(spark, d, r[name])
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters" in plan and "segment" in plan
+            for row in df.select("segment", "offset", "key").collect():
+                seen.setdefault((row.segment, row.offset), []).append(name)
+            got_segs = {x.segment for x in df.select("segment").distinct().collect()}
+            assert got_segs <= {s.segment_id for s in r[name].segments}
+        # the two consumers' views partition the log: no row twice, none lost
+        from pulsar_spark.sources.scalable import read_scalable
+
+        total = read_scalable(spark, d).count()
+        assert len(seen) == total
+        assert all(len(v) == 1 for v in seen.values())
+
+    def test_empty_assignment_reads_nothing(self, spark, tmp_path):
+        from pulsar_spark.sources import ConsumerAssignment, read_assignment
+
+        d = _mk_topic(spark, tmp_path, name="readempty")
+        assert read_assignment(spark, d, ConsumerAssignment(0, ())).count() == 0
