@@ -148,11 +148,14 @@ def segment_hash(key, deterministic_mod: bool = False):
     ).cast("int")
 
 
-def route_segment(key, meta: dict, deterministic_mod: bool = False):
-    """Hash -> owning ACTIVE segment id as a literal CASE over the
-    current layout (the SegmentRouter.route loop, compiled into the
-    plan — assignment rides the scan, no join)."""
-    h = segment_hash(key, deterministic_mod)
+def route_hash_ranges(h, meta: dict):
+    """Precomputed 16-bit hash COLUMN -> owning ACTIVE segment id as a
+    literal CASE over the current layout. Callers that nest the route
+    inside another conditional MUST pass an already-projected hash
+    column here rather than inlining ``segment_hash``: the nested
+    32-branch CASE with the hash expression repeated per branch blows
+    past the codegen method limit and drops the whole projection to
+    interpreted evaluation (measured 10x on the 50x produce path)."""
     segs = active_segments(meta)
     if not segs:
         raise SegmentGoneError("no active segments")
@@ -161,6 +164,28 @@ def route_segment(key, meta: dict, deterministic_mod: bool = False):
         cond = (h >= s["start"]) & (h <= s["end"])
         expr = F.when(cond, s["segment_id"]) if expr is None else expr.when(cond, s["segment_id"])
     return expr.cast("int")
+
+
+def route_segment(key, meta: dict, deterministic_mod: bool = False):
+    """Hash -> owning ACTIVE segment id as a literal CASE over the
+    current layout (the SegmentRouter.route loop, compiled into the
+    plan — assignment rides the scan, no join)."""
+    return route_hash_ranges(segment_hash(key, deterministic_mod), meta)
+
+
+def _null_safe_segment(df, key_col, meta, keyless, deterministic_mod):
+    """Two-projection routing: project the key hash once (NULL for NULL
+    keys), route the range CASE over that COLUMN, fall back to the
+    keyless round-robin for NULL keys. The intermediate projection is
+    deliberate — see ``route_hash_ranges`` on why inlining is 10x."""
+    df = df.withColumn(
+        "_seg_hash",
+        F.when(F.col(key_col).isNotNull(), segment_hash(key_col, deterministic_mod)),
+    )
+    seg = F.when(
+        F.col("_seg_hash").isNotNull(), route_hash_ranges(F.col("_seg_hash"), meta)
+    ).otherwise(keyless)
+    return df.withColumn("segment", seg).drop("_seg_hash")
 
 
 def produce_scalable(
@@ -189,12 +214,9 @@ def produce_scalable(
         # without a key round-robins) — also closes the hole where a
         # cast-null deterministic hash would fall through every CASE
         # branch into a NULL hive partition.
-        seg = F.when(
-            F.col(key_col).isNotNull(), route_segment(key_col, meta, deterministic_mod)
-        ).otherwise(keyless)
+        df = _null_safe_segment(payload, key_col, meta, keyless, deterministic_mod)
     else:
-        seg = keyless
-    df = payload.withColumn("segment", seg)
+        df = payload.withColumn("segment", keyless)
 
     spark = payload.sparkSession
     existing = _read_if_present(spark, topic_path)
@@ -511,12 +533,9 @@ def migrate_to_scalable(
     mapping = F.create_map(
         *[F.lit(x) for i, s in enumerate(segs) for x in (i, s["segment_id"])]
     )
-    seg = F.when(
-        F.col("key").isNotNull(), route_segment("key", meta, deterministic_mod)
-    ).otherwise(mapping[idx])
     w = Window.partitionBy("segment").orderBy("partition", "offset")
     (
-        src.withColumn("segment", seg)
+        _null_safe_segment(src, "key", meta, mapping[idx], deterministic_mod)
         .withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
         .drop("partition")
         .write.mode("append")
