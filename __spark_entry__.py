@@ -866,6 +866,19 @@ def _q_doc_bpe_tokens(spark, sf_dir):
     )
 
 
+def _q_doc_rag_chunks(spark, sf_dir):
+    # RAG chunking (functions/text.py chunk_documents): 64-token chunks
+    # advancing by 48 (16-token overlap); one row per chunk with stable
+    # (doc_id, chunk_index), token count, and md5 content hash. The
+    # oracle recomputes the identical windows with list_slice.
+    from pulsar_spark.functions import chunk_documents
+
+    out = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap_tokens=16
+    )
+    return out.select("doc_id", "chunk_index", "n_chunk_tokens", "chunk_hash")
+
+
 def _q_doc_rolling_fingerprint(spark, sf_dir):
     from pulsar_spark.functions import rolling_fingerprint
 
@@ -2121,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  driver-green r02 and kept in test_oracle_parity)
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "stream_cumulative_ack": _q_stream_cumulative_ack,
+        "doc_rag_chunks": _q_doc_rag_chunks,
         # -- driver-checked r4 (green); value-checked locally by
         #    tests/test_oracle_parity.py
         "key_shared_bucket_stats": _q_key_shared_bucket_stats,
@@ -2425,6 +2439,23 @@ def oracle_sql() -> dict[str, str]:
         # rewrites the children's parent edges to empty. Counts: produce 1
         # routed over {0,1}, produce 2 over {2,3,1}; segment 0's rows are
         # deleted with it, so seg1 keeps both passes and the children one.
+        "doc_rag_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS tk
+              FROM documents
+            ), sized AS (
+              SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+            ), starts AS (
+              SELECT doc_id, tk, n, unnest(range(0, CAST(n AS BIGINT), 48)) AS start
+              FROM sized
+            )
+            SELECT doc_id,
+                   CAST(start // 48 AS INT) AS chunk_index,
+                   CAST(least(64, n - start) AS INT) AS n_chunk_tokens,
+                   md5(array_to_string(list_slice(tk, start + 1, start + 64), ' ')) AS chunk_hash
+            FROM starts
+        """,
         "stream_cumulative_ack": f"""
             WITH {_M}, ranked AS (
               SELECT partition, "offset",

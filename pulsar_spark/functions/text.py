@@ -80,6 +80,55 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping chunking: split each document into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens -
+    overlap_tokens`` (so consecutive chunks share ``overlap_tokens``);
+    the final chunk may be short. Output one row per chunk with a
+    stable ``(doc_id, chunk_index)`` identity, the chunk text, its
+    token count, and an md5 content hash (the dedup/index key).
+
+    Scale shape: tokenize + sequence + explode + slice — all built-in
+    expressions riding the scan; the only multiplication is the explode
+    (rows x chunks-per-doc), exactly the output size. No shuffle, no
+    UDF, no state."""
+    stride = chunk_tokens - overlap_tokens
+    if stride <= 0:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    return (
+        toks.where(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            ).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_start") / stride).cast("int").alias("chunk_index"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).cast(
+                "int"
+            ).alias("n_chunk_tokens"),
+        )
+        .withColumn("chunk_hash", F.md5(F.col("chunk_text")))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit document fingerprint (md5 of lowercase,
     space-normalized text) — exact-dup key and cache key."""

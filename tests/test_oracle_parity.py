@@ -131,6 +131,7 @@ KEYS = [
     "media_decode_png",
     "segment_gc",
     "stream_cumulative_ack",
+    "doc_rag_chunks",
 ]
 
 

@@ -1097,3 +1097,55 @@ class TestReadAssignment:
 
         d = _mk_topic(spark, tmp_path, name="readempty")
         assert read_assignment(spark, d, ConsumerAssignment(0, ())).count() == 0
+
+
+class TestRagChunking:
+    """chunk_documents: overlapping token windows with stable identity;
+    coverage and overlap invariants, no UDFs in the plan."""
+
+    def test_windows_cover_and_overlap(self, spark):
+        from pulsar_spark.functions import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(150))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=64, overlap_tokens=16).collect(),
+            key=lambda r: r.chunk_index,
+        )
+        # starts at 0, 48, 96, 144 -> 4 chunks; last is short
+        assert [r.chunk_index for r in rows] == [0, 1, 2, 3]
+        assert [r.n_chunk_tokens for r in rows] == [64, 64, 54, 6]
+        # consecutive chunks share exactly the overlap
+        t0 = rows[0].chunk_text.split(" ")
+        t1 = rows[1].chunk_text.split(" ")
+        assert t0[-16:] == t1[:16]
+        # concatenating stride-sized prefixes reconstructs the doc
+        recon = []
+        for r in rows:
+            recon.extend(r.chunk_text.split(" ")[:48])
+        assert recon[:150] == text.split(" ")
+
+    def test_empty_and_short_docs(self, spark):
+        from pulsar_spark.functions import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "only three tokens")], "doc_id bigint, text string"
+        )
+        rows = chunk_documents(df, chunk_tokens=64, overlap_tokens=16).collect()
+        assert len(rows) == 1  # empty doc yields nothing
+        assert rows[0].doc_id == 2 and rows[0].n_chunk_tokens == 3
+
+    def test_rejects_degenerate_stride(self, spark):
+        import pytest as _pytest
+
+        from pulsar_spark.functions import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
+
+    def test_no_python_udf_in_plan(self, spark, documents):
+        from pulsar_spark.functions import chunk_documents
+
+        plan = chunk_documents(documents)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
