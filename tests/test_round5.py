@@ -1149,3 +1149,47 @@ class TestRagChunking:
 
         plan = chunk_documents(documents)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCheckpointAcrossGC:
+    """V5CheckpointConsumerSkipDeletedSegmentTest mirror: a checkpoint
+    holding a position for a segment that GC has since pruned resumes
+    silently — no error, no rows from the deleted segment, no loss on
+    the surviving segments."""
+
+    def test_resume_skips_pruned_segment(self, spark, tmp_path):
+        from pulsar_spark.sources import gc_sealed_segments, segment_high_watermarks
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            create_scalable_topic,
+            produce_scalable,
+            read_from_checkpoint,
+            split_segment,
+        )
+
+        d = str(tmp_path / "ckgc")
+        create_scalable_topic(d, num_initial_segments=2)
+        payload = spark.range(200).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        # a consumer checkpoints mid-log: segment 0 at its end, segment 1
+        # partially read
+        highs = segment_high_watermarks(spark, d)
+        ck = Checkpoint({0: highs[0] + 1, 1: 5})
+        split_segment(d, 0)
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        # GC prunes the drained sealed parent (this subscription drained it)
+        consumed_everything = Checkpoint(
+            {sid: hi + 1 for sid, hi in segment_high_watermarks(spark, d).items()}
+        )
+        assert gc_sealed_segments(spark, d, 0, {"s": consumed_everything}) == [0]
+        # resume from the PRE-GC checkpoint: the stale segment-0 entry is
+        # ignored (its data is gone), the rest resumes exactly
+        df, advanced = read_from_checkpoint(spark, d, ck)
+        segs = {r.segment for r in df.select("segment").distinct().collect()}
+        assert 0 not in segs
+        assert df.where("segment = 1").where("offset < 5").count() == 0  # no re-read
+        # every surviving row past the vector is delivered (children from 0)
+        assert df.where("segment = 2").count() > 0 or df.where("segment = 3").count() > 0
+        # the advanced vector is usable: next resume returns nothing new
+        df2, _ = read_from_checkpoint(spark, d, advanced)
+        assert df2.count() == 0
