@@ -1340,6 +1340,70 @@ def _q_media_decode_png(spark, sf_dir):
     )
 
 
+def _q_media_decode_jpeg(spark, sf_dir):
+    # REAL baseline-JPEG decode (functions/jpeg.py: Annex K Huffman
+    # tables, byte-unstuffing bit reader, batched einsum IDCT, 4:2:0
+    # chroma upsampling, restart markers). Every payload is a genuine
+    # JPEG encoded in-flight with a FLAT quantization table and pixel
+    # content chosen so the lossy roundtrip is EXACT (constant 8x8
+    # blocks carry only an integer DC coefficient; the color rows are
+    # achromatic so Cb=Cr=128 survives 4:2:0 averaging): the oracle
+    # recomputes dims and channel sums in closed form. Three payload
+    # families exercise three decoder paths: grayscale+DRI restart
+    # markers, 3-component 4:2:0 (full YCbCr + upsample path), and
+    # plain grayscale 4:4:4.
+    from pulsar_spark.functions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.jpeg import FLAT_QUANT, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:  # grayscale + restart markers
+                    v, w, h = d * 29 % 256, 8 * (1 + d % 2), 8
+                    payload = encode_jpeg(
+                        np.full((h, w), v, np.uint8),
+                        quant=FLAT_QUANT,
+                        restart_interval=2,
+                    )
+                elif d % 3 == 1:  # achromatic RGB through the 4:2:0 path
+                    v, w, h = d * 31 % 256, 16, 16 * (1 + d % 2)
+                    payload = encode_jpeg(
+                        np.full((h, w, 3), v, np.uint8),
+                        quant=FLAT_QUANT,
+                        subsampling="420",
+                    )
+                else:  # plain grayscale 4:4:4
+                    v = d * 37 % 256
+                    w, h = 8 * (1 + d % 7 % 3), 8 * (1 + d % 5 % 2)
+                    payload = encode_jpeg(np.full((h, w), v, np.uint8), quant=FLAT_QUANT)
+                rows.append((d, "image", "jpeg", payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    out = decode_media(media, strict=True)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        # feature[0] is the gray mean in [0,1]; x765 recovers the exact
+        # integer channel sum (engine-neutral, no float tolerance)
+        F.round(F.element_at("feature", 1) * 765).cast("int").alias("rgb_sum"),
+        "decode_ok",
+    )
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     # max_bucket_size=512 keeps the mega-bucket star guard ON in the
     # checked path — the configuration you'd run on a corpus, where one
@@ -2080,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consumer_assignment": _q_consumer_assignment,
         "consumer_assignment_steps": _q_consumer_assignment_steps,
         "media_decode_png": _q_media_decode_png,
+        "media_decode_jpeg": _q_media_decode_jpeg,
         "segment_gc": _q_segment_gc,
         # -- rotate-in: driver-green r02/r03, not re-checked since — the
         #    NTZ central cast changed envelope timestamp types, so these
@@ -2511,6 +2576,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 + doc_id % 5 AS INT) AS height,
                    CAST((doc_id * 3 % 256) + (doc_id * 5 % 256)
                         + (doc_id * 11 % 256) AS INT) AS rgb_sum,
+                   TRUE AS decode_ok
+            FROM documents
+        """,
+        "media_decode_jpeg": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 8 * (1 + doc_id % 2)
+                        WHEN 1 THEN 16
+                        ELSE 8 * (1 + doc_id % 7 % 3) END AS INT) AS width,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 8
+                        WHEN 1 THEN 16 * (1 + doc_id % 2)
+                        ELSE 8 * (1 + doc_id % 5 % 2) END AS INT) AS height,
+                   CAST(3 * (CASE doc_id % 3
+                        WHEN 0 THEN doc_id * 29
+                        WHEN 1 THEN doc_id * 31
+                        ELSE doc_id * 37 END % 256) AS INT) AS rgb_sum,
                    TRUE AS decode_ok
             FROM documents
         """,

@@ -1,0 +1,584 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure numpy + stdlib.
+
+The reference treats compressed images as opaque payloads flowing
+through topics; this repo's media stage decodes them into pixels
+(functions/multimodal.py). BMP/PNM/PNG/WAV kernels are implemented
+there; this module adds the remaining mainstream raster codec, baseline
+sequential JPEG, so real crawl corpora (overwhelmingly jpeg/png) decode
+for real in this container:
+
+- ``decode_jpeg``: baseline DCT sequential (SOF0), grayscale or YCbCr
+  with sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
+  markers (DRI/RSTn), multi-segment DQT/DHT, APPn/COM skip ->
+  HxWx3 uint8 RGB. Progressive (SOF2), arithmetic coding, 12-bit
+  precision and hierarchical modes raise ValueError (stub tier —
+  they are rare in crawl data and genuinely separate decoders).
+- ``encode_jpeg``: the matching baseline encoder (grayscale 1x1 or
+  YCbCr 4:4:4, standard Annex K Huffman tables, caller-supplied
+  quantization), used by tests and the in-flight oracle payload
+  builder. With a flat all-ones quant table, constant 8x8 blocks
+  round-trip EXACTLY (only the DC coefficient is nonzero and it is an
+  integer), which is what makes the driver oracle closed-form.
+
+Everything here is public knowledge: the JPEG interchange format and
+the Annex K example tables are in the freely published T.81 spec.
+
+Scale note: decode runs inside Arrow-batched ``mapInPandas`` stages
+(multimodal.decode_media); the per-block Huffman loop is Python but the
+dequant + IDCT runs as one batched einsum over all blocks of an image.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+
+#: zig-zag scan order: ZIGZAG[i] = raster index of the i-th scanned coeff
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: T.81 Annex K.1 example luminance quantization table (raster order)
+STD_LUMA_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.uint16)
+
+#: flat table: lossless-for-DC-only-blocks configuration used by tests
+FLAT_QUANT = np.ones(64, dtype=np.uint16)
+
+# T.81 Annex K.3 example Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+#: orthonormal 8-point DCT-II basis; fdct = T @ B @ T.T, idct = T.T @ F @ T
+_T = np.array([
+    [0.5 * (1 / np.sqrt(2) if u == 0 else 1.0) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 C.2 canonical code assignment -> {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Inverse map {(length, code): symbol} for the bit-serial decoder."""
+    return {(length, code): sym for sym, (code, length) in _huff_codes(bits, vals).items()}
+
+
+def _category(v: int) -> int:
+    """DC/AC magnitude category (number of magnitude bits, T.81 F.1.2)."""
+    return int(abs(v)).bit_length()
+
+
+# ------------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits per spec
+
+
+def _encode_coeff_bits(v: int) -> tuple[int, int]:
+    """Signed value -> (category, magnitude bits) per T.81 F.1.2.1/F.1.4."""
+    s = _category(v)
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _fdct_quant(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """All 8x8 blocks of one component plane -> (nby, nbx, 64) quantized
+    zig-zag coefficients. ``plane`` dims must be multiples of 8."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coeffs = np.einsum("ux,byxz,vz->byuv", _T, blocks, _T)
+    q = np.round(coeffs.reshape(h // 8, w // 8, 64) / quant.reshape(8, 8).reshape(64))
+    return q[:, :, ZIGZAG].astype(np.int64)
+
+
+def _encode_blocks(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    """Huffman-encode one component's (n, 64) zig-zag blocks; returns the
+    final DC predictor."""
+    for blk in zz:
+        s, bits_ = _encode_coeff_bits(int(blk[0]) - pred)
+        pred = int(blk[0])
+        code, ln = dc_codes[s]
+        writer.put(code, ln)
+        if s:
+            writer.put(bits_, s)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.put(code, ln)
+                run -= 16
+            s, bits_ = _encode_coeff_bits(v)
+            code, ln = ac_codes[(run << 4) | s]
+            writer.put(code, ln)
+            writer.put(bits_, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.put(code, ln)
+    return pred
+
+
+def _dht_segment(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = table
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _dqt_segment(tq: int, quant: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(quant[z]) for z in ZIGZAG)
+    return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: np.ndarray = STD_LUMA_QUANT,
+    chroma_quant: np.ndarray | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB, encoded as YCbCr) uint8 ->
+    baseline SOF0 JPEG bytes with Annex K Huffman tables.
+
+    ``subsampling``: '444' (one block per component per MCU) or '420'
+    (chroma averaged 2x2; MCU = 4 Y + Cb + Cr). ``restart_interval``
+    emits DRI + RSTn markers every N MCUs. Dimensions must be multiples
+    of 8 ('444') / 16 ('420') — no edge replication; the encoder exists
+    for tests/oracles, the decoder handles arbitrary dims."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    mcu_mult = 16 if (subsampling == "420" and not gray) else 8
+    if h % mcu_mult or w % mcu_mult:
+        raise ValueError(f"encode_jpeg requires dims that are multiples of {mcu_mult}")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    ys, cs = (0x22, 0x11) if (subsampling == "420" and not gray) else (0x11, 0x11)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _dqt_segment(0, quant)
+    comps = [(1, ys, 0)]  # (id, sampling h<<4|v, quant table)
+    if not gray:
+        cq = chroma_quant if chroma_quant is not None else quant
+        out += _dqt_segment(1, cq)
+        comps += [(2, cs, 1), (3, cs, 1)]
+    # SOF0
+    body = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, samp, tq in comps:
+        body += bytes([cid, samp, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(body)) + body
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    body = bytes([len(comps)])
+    for cid, _, tq in comps:
+        body += bytes([cid, (tq << 4) | tq])  # dc table tq, ac table tq
+    body += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    if gray:
+        planes = [(arr.astype(np.float64), quant, 0)]
+    else:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cq = chroma_quant if chroma_quant is not None else quant
+        if subsampling == "420":
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        planes = [(y, quant, 0), (cb, cq, 1), (cr, cq, 1)]
+
+    # per-component (nby, nbx, 64) zig-zag grids
+    zz = [_fdct_quant(np.clip(np.round(p), 0, 255), q) for p, q, _ in planes]
+    samp = [(c[1] >> 4, c[1] & 0xF) for c in comps]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    dc_maps = [_huff_codes(*t) for t in (_DC_LUMA, _DC_CHROMA)]
+    ac_maps = [_huff_codes(*t) for t in (_AC_LUMA, _AC_CHROMA)]
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_index = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for c, (_, _, tid) in enumerate(planes):
+                hs, vs = samp[c]
+                for v in range(vs):
+                    for u in range(hs):
+                        blk = zz[c][my * vs + v, mx * hs + u]
+                        preds[c] = _encode_blocks(
+                            writer, blk[None, :], dc_maps[tid], ac_maps[tid], preds[c]
+                        )
+            mcu_index += 1
+    writer.flush()
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any real marker (returns it via
+    ``marker``)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d, i = self.data, self.pos
+        if i >= len(d):
+            return False
+        b = d[i]
+        if b == 0xFF:
+            if i + 1 < len(d) and d[i + 1] == 0x00:
+                self.pos = i + 2
+            else:
+                self.marker = d[i + 1] if i + 1 < len(d) else None
+                return False
+        else:
+            self.pos = i + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bit(self) -> int:
+        if self.n == 0 and not self._fill():
+            raise ValueError("JPEG entropy stream truncated")
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Skip to the next marker (for RSTn); returns the marker byte."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        i = self.pos
+        while i + 1 < len(d):
+            if d[i] == 0xFF and d[i + 1] != 0x00:
+                self.pos = i + 2
+                self.marker = d[i + 1]
+                return self.marker
+            i += 1
+        self.pos = len(d)
+        return None
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: magnitude bits -> signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> HxWx3 uint8 RGB (grayscale is
+    replicated across channels, matching the other raster kernels)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = payload[i + 1]
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:  # TEM / RSTn: no length
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        seg = payload[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported (stub tier)")
+                t = np.zeros(64, dtype=np.uint16)
+                t[ZIGZAG] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                quant[tq] = t
+                j += 65
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_map(bits, vals)
+                j += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/SOF1 baseline(-ext) sequential
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError("only 8-bit precision JPEG is real-decoded")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/arithmetic/hierarchical JPEG is stub-tier")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tabs >> 4, tabs & 0xF))
+            return _decode_scan(
+                payload, i, frame, scan, quant, dc_tabs, ac_tabs, restart_interval
+            )
+        elif m == 0xD9:  # EOI before SOS
+            break
+        # else: APPn / COM / DNL — skipped
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(
+    payload, pos, frame, scan, quant, dc_tabs, ac_tabs, restart_interval
+) -> np.ndarray:
+    h, w, comps = frame
+    if h <= 0 or w <= 0 or h * w > 64 * 1024 * 1024:
+        raise ValueError(f"JPEG dimensions {w}x{h} exceed the decode cap")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors beyond 2x2 are stub-tier")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    # per-scan-component state: coefficient store sized to the MCU grid
+    state = []
+    for cs, td, ta in scan:
+        hs, vs, tq = by_id[cs]
+        nbx, nby = mcux * hs, mcuy * vs
+        state.append({
+            "coeff": np.zeros((nby * nbx, 64), dtype=np.int32),
+            "hs": hs, "vs": vs, "tq": tq, "td": td, "ta": ta,
+            "nbx": nbx, "pred": 0,
+        })
+    reader = _BitReader(payload, pos)
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                m = reader.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError("expected JPEG restart marker")
+                for st in state:
+                    st["pred"] = 0
+            for st in state:
+                for v in range(st["vs"]):
+                    for u in range(st["hs"]):
+                        blk = st["coeff"][
+                            (my * st["vs"] + v) * st["nbx"] + mx * st["hs"] + u
+                        ]
+                        s = _decode_huff(reader, dc_tabs[st["td"]])
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        st["pred"] += diff
+                        blk[0] = st["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, ac_tabs[st["ta"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            blk[k] = _extend(reader.bits(s), s)
+                            k += 1
+            mcu_index += 1
+    # dequantize + batched IDCT per component, then upsample to full res
+    planes = []
+    for st in state:
+        q = quant[st["tq"]].astype(np.float64)
+        deq = np.zeros((st["coeff"].shape[0], 64))
+        deq[:, ZIGZAG] = st["coeff"] * q[ZIGZAG]
+        blocks = deq.reshape(-1, 8, 8)
+        px = np.einsum("xu,buv,vy->bxy", _T.T, blocks, _T) + 128.0
+        nby = blocks.shape[0] // st["nbx"]
+        plane = (
+            px.reshape(nby, st["nbx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, st["nbx"] * 8)
+        )
+        # upsample subsampled chroma by pixel replication to hmax/vmax grid
+        ry, rx = vmax // st["vs"], hmax // st["hs"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

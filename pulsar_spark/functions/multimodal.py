@@ -8,12 +8,14 @@ pandas stages over ``mapInPandas``.
 Decode kernels come in two tiers:
 
 - REAL (numpy/stdlib only, fully implemented + tested): raster images
-  (``png`` 8-bit gray/RGB/palette/alpha via stdlib ``zlib`` + numpy
-  scanline unfiltering, ``bmp`` BI_RGB 24/32-bit, ``ppm`` P6, ``pgm``
-  P5) and PCM audio (``wav`` 8/16-bit via the stdlib ``wave`` module),
-  including a real bilinear resize for the raster formats.
-- STUBBED: codecs that genuinely need external libraries (jpeg/mp3/
-  h264 ...); those rows run ``_decode_stub``
+  (``jpeg`` baseline sequential via the Huffman+IDCT codec in
+  functions/jpeg.py, ``png`` 8-bit gray/RGB/palette/alpha via stdlib
+  ``zlib`` + numpy scanline unfiltering, ``bmp`` BI_RGB 24/32-bit,
+  ``ppm`` P6, ``pgm`` P5) and PCM audio (``wav`` 8/16-bit via the
+  stdlib ``wave`` module), including a real bilinear resize for the
+  raster formats.
+- STUBBED: codecs that genuinely need external libraries (progressive
+  jpeg/mp3/h264 ...); those rows run ``_decode_stub``
   (deterministic fake derived from the bytes) or raise
   NotImplementedError under ``strict=True``. The Spark-side plumbing
   (schema, batching, partition sizing) is identical for both tiers.
@@ -352,12 +354,16 @@ def _feature_audio(x, rate: int, nch: int) -> list[float]:
 
 
 #: codecs with REAL decode kernels in this container
-REAL_CODECS = ("png", "bmp", "ppm", "pgm", "wav")
+REAL_CODECS = ("jpeg", "jpg", "png", "bmp", "ppm", "pgm", "wav")
 
 
 def _decode_real(payload: bytes, codec: str) -> dict:
     if codec in ("ppm", "pgm"):
         px = _decode_pnm(payload)
+    elif codec in ("jpeg", "jpg"):
+        from pulsar_spark.functions.jpeg import decode_jpeg
+
+        px = decode_jpeg(bytes(payload))
     elif codec == "png":
         px = _decode_png(payload)
     elif codec == "bmp":
@@ -483,26 +489,38 @@ def resize_media(
     payload at ``width x height`` and stamp the new dims. Non-visual
     rows (audio) pass through untouched.
 
-    png/bmp/ppm/pgm rows get a REAL bilinear resize (pure numpy) and
-    are re-encoded in their own container format (pgm upcasts to ppm —
-    the resized raster is RGB; png re-encodes as color-type-2 RGB).
-    Library-bound codecs (jpeg/h264) take the stub path (deterministic
-    bytes; swap in PIL/ffmpeg where available) or raise under
-    ``strict=True``."""
+    jpeg/png/bmp/ppm/pgm rows get a REAL bilinear resize (pure numpy)
+    and are re-encoded in their own container format (pgm upcasts to
+    ppm — the resized raster is RGB; png re-encodes as color-type-2
+    RGB; jpeg re-encodes as baseline 4:4:4 when the target dims are
+    multiples of 8 and upcasts to png otherwise — the pure-numpy
+    encoder has no edge-replication path). Library-bound codecs
+    (h264 ...) take the stub path (deterministic bytes; swap in
+    ffmpeg where available) or raise under ``strict=True``."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
 
         dim_tag = f"{width}x{height}".encode()
+        jpeg_ok = width % 8 == 0 and height % 8 == 0
 
         def one(payload, codec):
             """-> (new_payload, resized?). Malformed real-codec bytes
             are data, not exceptions (same contract as decode_media):
             the row passes through untouched with resized=False."""
             codec = (codec or "").lower()
-            if codec in ("png", "bmp", "ppm", "pgm"):
-                decoders = {"png": _decode_png, "bmp": _decode_bmp}
+            if codec in ("jpeg", "jpg", "png", "bmp", "ppm", "pgm"):
+                from pulsar_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+                decoders = {
+                    "png": _decode_png, "bmp": _decode_bmp,
+                    "jpeg": decode_jpeg, "jpg": decode_jpeg,
+                }
                 encoders = {"png": _encode_png, "bmp": _encode_bmp}
+                if jpeg_ok:
+                    encoders["jpeg"] = encoders["jpg"] = encode_jpeg
+                else:  # jpeg -> png container upcast (see docstring)
+                    encoders["jpeg"] = encoders["jpg"] = _encode_png
                 try:
                     px = decoders.get(codec, _decode_pnm)(bytes(payload))
                     resized = _resize_bilinear(px, width, height)
@@ -511,7 +529,8 @@ def resize_media(
                 return encoders.get(codec, _encode_ppm)(resized), True
             if strict:
                 raise NotImplementedError(
-                    f"no codec library for {codec!r}; real resize covers png/bmp/ppm/pgm"
+                    f"no codec library for {codec!r}; real resize covers "
+                    "jpeg/png/bmp/ppm/pgm"
                 )
             return hashlib.sha256(bytes(payload or b"") + dim_tag).digest(), True
 
@@ -534,6 +553,11 @@ def resize_media(
                 # pgm re-encodes as ppm (RGB container)
                 pgm_ok = pdf.index.isin(ok) & (pdf["codec"].str.lower() == "pgm")
                 pdf.loc[pgm_ok, "codec"] = "ppm"
+                if not jpeg_ok:  # jpeg upcast to png at non-x8 target dims
+                    j = pdf.index.isin(ok) & pdf["codec"].str.lower().isin(
+                        ["jpeg", "jpg"]
+                    )
+                    pdf.loc[j, "codec"] = "png"
             yield pdf
 
     return media.mapInPandas(run, media.schema)
