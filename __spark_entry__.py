@@ -1404,6 +1404,116 @@ def _q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = [
+    ("q1", ["query", "window", "scan"]),
+    ("q2", ["customer", "stream", "merge", "slow"]),
+    ("q3", ["fast", "key", "sort", "join", "the"]),
+]
+
+
+def _q_doc_bm25(spark, sf_dir):
+    # Okapi BM25 top-10 per query over the corpus (functions/text.py
+    # bm25_scores): one vocabulary-filtered explode -> (doc, term) tf
+    # agg -> broadcast idf/query-expansion joins -> per-query window
+    # rank on the 6dp-rounded score (doc_id tie-break keeps the cutoff
+    # deterministic across engines).
+    from pulsar_spark.functions.text import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_QUERIES)
+
+
+def _q_embedding_kmeans(spark, sf_dir):
+    # Deterministic distributed k-means (functions/clustering.py): seeds
+    # = the 10 smallest vec_ids, 2 Lloyd iterations, centroids rounded
+    # to 6dp after every update so both engines feed identical literals
+    # into the next pass; empty clusters keep their previous centroid.
+    # Output = final (vec_id, cluster, squared-L2 dist).
+    from pulsar_spark.functions.clustering import kmeans_fit_predict
+
+    return kmeans_fit_predict(
+        load_table(spark, sf_dir, "embeddings"), k=10, iters=2
+    )
+
+
+def _q_embedding_semantic_dedup(spark, sf_dir):
+    # SemDeDup composition (functions/clustering.py semantic_dedup):
+    # the deterministic k-means above + within-cluster cosine pruning
+    # (a vector is a dup if a smaller-id same-cluster vector has
+    # rounded cosine >= 0.4). The pair scan is cluster-bounded — the
+    # scale contract that distinguishes SemDeDup from the global
+    # quadratic embedding_cosine_near_dups oracle twin.
+    from pulsar_spark.functions.clustering import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), k=10, iters=2, threshold=0.4
+    )
+
+
+#: DuckDB CTE chain mirroring kmeans_fit_predict(k=10, iters=2):
+#: seeds c0 = 10 smallest vec_ids; assignment via the dot-product
+#: identity with (dist, cluster) tie-break; centroid updates rounded to
+#: 6dp; empty clusters keep the previous centroid (coalesce). ``ka`` is
+#: the final assignment (vec_id, cluster, dist).
+_KMEANS_CTES = """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+              FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 10)
+            ),
+            a1 AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM (
+                  SELECT e.vec_id, e.v, c0.cluster,
+                         list_dot_product(e.v, e.v) + list_dot_product(c0.c, c0.c)
+                           - 2 * list_dot_product(e.v, c0.c) AS dist
+                  FROM emb e, c0
+                ) d
+              ) WHERE rn = 1
+            ),
+            c1 AS (
+              SELECT c0.cluster, coalesce(u.c, c0.c) AS c
+              FROM c0 LEFT JOIN (
+                SELECT cluster, list(m ORDER BY i) AS c FROM (
+                  SELECT cluster, i, round(avg(v[i]), 6) AS m
+                  FROM a1, generate_series(1, 64) AS s(i)
+                  GROUP BY cluster, i
+                ) GROUP BY cluster
+              ) u USING (cluster)
+            ),
+            a2 AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM (
+                  SELECT e.vec_id, e.v, c1.cluster,
+                         list_dot_product(e.v, e.v) + list_dot_product(c1.c, c1.c)
+                           - 2 * list_dot_product(e.v, c1.c) AS dist
+                  FROM emb e, c1
+                ) d
+              ) WHERE rn = 1
+            ),
+            c2 AS (
+              SELECT c1.cluster, coalesce(u.c, c1.c) AS c
+              FROM c1 LEFT JOIN (
+                SELECT cluster, list(m ORDER BY i) AS c FROM (
+                  SELECT cluster, i, round(avg(v[i]), 6) AS m
+                  FROM a2, generate_series(1, 64) AS s(i)
+                  GROUP BY cluster, i
+                ) GROUP BY cluster
+              ) u USING (cluster)
+            ),
+            ka AS (
+              SELECT vec_id, cluster, dist FROM (
+                SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM (
+                  SELECT e.vec_id, c2.cluster,
+                         list_dot_product(e.v, e.v) + list_dot_product(c2.c, c2.c)
+                           - 2 * list_dot_product(e.v, c2.c) AS dist
+                  FROM emb e, c2
+                ) d
+              ) WHERE rn = 1
+            )"""
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     # max_bucket_size=512 keeps the mega-bucket star guard ON in the
     # checked path — the configuration you'd run on a corpus, where one
@@ -2145,6 +2255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consumer_assignment_steps": _q_consumer_assignment_steps,
         "media_decode_png": _q_media_decode_png,
         "media_decode_jpeg": _q_media_decode_jpeg,
+        "doc_bm25": _q_doc_bm25,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_semantic_dedup": _q_embedding_semantic_dedup,
         "segment_gc": _q_segment_gc,
         # -- rotate-in: driver-green r02/r03, not re-checked since — the
         #    NTZ central cast changed envelope timestamp types, so these
@@ -2578,6 +2691,63 @@ def oracle_sql() -> dict[str, str]:
                         + (doc_id * 11 % 256) AS INT) AS rgb_sum,
                    TRUE AS decode_ok
             FROM documents
+        """,
+        "doc_bm25": """
+            WITH tok AS (
+              SELECT doc_id, t.tok AS term
+              FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            dl AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl
+              FROM documents
+            ),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qmap(query_id, term) AS (VALUES
+              ('q1','query'), ('q1','window'), ('q1','scan'),
+              ('q2','customer'), ('q2','stream'), ('q2','merge'), ('q2','slow'),
+              ('q3','fast'), ('q3','key'), ('q3','sort'), ('q3','join'), ('q3','the')
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok WHERE term IN (SELECT term FROM qmap)
+              GROUP BY doc_id, term
+            ),
+            idf AS (
+              SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+              FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term), stats
+            ),
+            scored AS (
+              SELECT query_id, tf.doc_id,
+                     round(sum(idf.idf * tf.tf * 2.2
+                               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+              FROM tf
+              JOIN idf USING (term)
+              JOIN qmap USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id, stats
+              GROUP BY query_id, tf.doc_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+                   doc_id, score
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+        "embedding_kmeans": f"""
+            WITH {_KMEANS_CTES}
+            SELECT vec_id, cluster, round(dist, 6) AS dist FROM ka
+        """,
+        "embedding_semantic_dedup": f"""
+            WITH {_KMEANS_CTES},
+            t AS (SELECT e.vec_id, ka.cluster, e.v FROM emb e JOIN ka USING (vec_id)),
+            dup AS (
+              SELECT DISTINCT a.vec_id FROM t a
+              JOIN t b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+            )
+            SELECT t.vec_id, t.cluster, (dup.vec_id IS NOT NULL) AS is_dup
+            FROM t LEFT JOIN dup USING (vec_id)
         """,
         "media_decode_jpeg": """
             SELECT doc_id AS media_id,

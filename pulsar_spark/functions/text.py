@@ -373,3 +373,78 @@ def perplexity_scores(
         scored.groupBy(id_col)
         .agg(F.round(-F.avg("logprob"), 6).alias("nll"), F.count("tok").alias("n_tokens"))
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = 10,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a small query set —
+    the retrieval scorer a RAG/data-curation pipeline runs next to the
+    embedding ANN (functions/similarity.py). Okapi BM25 (Robertson et
+    al., TREC-3; the +1-smoothed idf Lucene uses so df=N terms never go
+    negative):
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d, q) = sum_t idf(t) * tf * (k1+1)
+                            / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Returns (query_id, rank, doc_id, score) with rank 1..top_k per
+    query (ties broken by doc_id on the 6dp-rounded score; pass
+    top_k=None for all matches).
+
+    Scale shape: one explode filtered to the query vocabulary (a
+    broadcast literal — the scan never materializes non-query tokens
+    past the filter), ONE shuffle to the (doc, term) tf agg, then
+    broadcast joins for idf / query expansion / corpus stats; the final
+    per-query rank is a window over query_id — as many partitions as
+    queries, each holding only docs that matched, which is the
+    invariant that keeps it bounded at 100 TB (queries are few, matches
+    are filtered).
+    """
+    from pyspark.sql.window import Window
+
+    vocab = sorted({t for _, terms in queries for t in terms})
+    spark = docs.sparkSession
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, term string",
+    )
+    dl = token_count(F.col(text_col)).cast("double")
+    toks = docs.select(
+        F.col(id_col), dl.alias("dl"), F.explode(tokenize(F.col(text_col))).alias("term")
+    ).where(F.col("term").isin(vocab))
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count("*").cast("double").alias("tf"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(dl).alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))  # tf rows are distinct per doc
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = F.col("idf") * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qmap), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    ranked = scored.select(
+        "query_id", F.row_number().over(w).alias("rank"), id_col, "score"
+    )
+    return ranked.where(F.col("rank") <= top_k) if top_k else ranked

@@ -1,0 +1,139 @@
+"""BM25 ranking (functions/text.py) and k-means / SemDeDup clustering
+(functions/clustering.py) — closed-form value checks on tiny corpora
+plus contract tests. Cross-engine parity runs in tools/verify_oracle.py
+(doc_bm25 / embedding_kmeans / embedding_semantic_dedup)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pulsar_spark.functions.clustering import kmeans_fit_predict, semantic_dedup
+from pulsar_spark.functions.text import bm25_scores
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "cat dog cat"),
+            (1, "dog dog dog dog"),
+            (2, "cat fish"),
+            (3, "bird"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+class TestBM25:
+    def test_hand_computed_scores(self, tiny_docs):
+        # corpus: N=4, dls = [3,4,2,1], avgdl = 2.5
+        # 'cat': df=2 -> idf = ln(1 + 2.5/2.5) = ln 2
+        # doc0 tf=2 dl=3: 2*2.2 / (2 + 1.2*(0.25 + 0.75*3/2.5))
+        rows = {
+            (r["query_id"], r["doc_id"]): r
+            for r in bm25_scores(tiny_docs, [("q", ["cat"])], top_k=None).collect()
+        }
+        k1, b = 1.2, 0.75
+        idf = math.log(2.0)
+
+        def expect(tf, dl):
+            return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.5)), 6)
+
+        assert rows[("q", 0)]["score"] == pytest.approx(expect(2, 3), abs=1e-9)
+        assert rows[("q", 2)]["score"] == pytest.approx(expect(1, 2), abs=1e-9)
+        assert ("q", 1) not in rows  # no 'cat' in doc1
+        assert ("q", 3) not in rows
+
+    def test_rank_order_and_ties(self, tiny_docs):
+        out = bm25_scores(tiny_docs, [("q", ["cat", "dog"])]).collect()
+        by_rank = sorted(out, key=lambda r: r["rank"])
+        scores = [r["score"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
+        # equal scores must rank by doc_id ascending
+        for a, c in zip(by_rank, by_rank[1:]):
+            if a["score"] == c["score"]:
+                assert a["doc_id"] < c["doc_id"]
+
+    def test_top_k_limits(self, tiny_docs):
+        out = bm25_scores(tiny_docs, [("q", ["cat", "dog", "fish"])], top_k=2).collect()
+        assert len(out) == 2
+        assert {r["rank"] for r in out} == {1, 2}
+
+    def test_multi_query_independent(self, tiny_docs):
+        out = bm25_scores(
+            tiny_docs, [("qc", ["cat"]), ("qd", ["dog"])], top_k=None
+        ).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+        assert per_q == {"qc": {0, 2}, "qd": {0, 1}}
+
+
+@pytest.fixture(scope="module")
+def two_blob_vecs(spark):
+    # two tight blobs around (0,0) and (10,10); ids 0/1 are the seeds
+    rows = [
+        (0, [0.0, 0.1]), (1, [10.0, 10.1]),
+        (2, [0.2, 0.0]), (3, [9.9, 10.0]),
+        (4, [0.1, 0.2]), (5, [10.1, 9.8]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+class TestKMeans:
+    def test_separated_blobs_cluster_cleanly(self, two_blob_vecs):
+        out = {r["vec_id"]: r for r in
+               kmeans_fit_predict(two_blob_vecs, k=2, iters=2).collect()}
+        assert {out[i]["cluster"] for i in (0, 2, 4)} == {0}
+        assert {out[i]["cluster"] for i in (1, 3, 5)} == {1}
+        # dist is squared L2 to the final centroid: small within a blob
+        assert all(out[i]["dist"] < 1.0 for i in out)
+
+    def test_fixed_iters_deterministic(self, two_blob_vecs):
+        a = sorted(map(tuple, kmeans_fit_predict(two_blob_vecs, k=2, iters=2).collect()))
+        b = sorted(map(tuple, kmeans_fit_predict(two_blob_vecs, k=2, iters=2).collect()))
+        assert a == b
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # seed 1 is a far outlier duplicated nowhere: after iter 1 it
+        # keeps only itself; drop it from the data via ids>=2 all near
+        # seed 0 -> cluster 1 = exactly the outlier, never empty-crashes
+        rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0])] + [
+            (i, [0.01 * i, 0.0]) for i in range(2, 8)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = {r["vec_id"]: r["cluster"] for r in
+               kmeans_fit_predict(df, k=2, iters=3).collect()}
+        assert out[1] == 1
+        assert all(out[i] == 0 for i in out if i != 1)
+
+
+class TestSemanticDedup:
+    def test_within_cluster_dup_flagged_smaller_id_kept(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),   # seeds
+            (2, [1.0, 0.001, 0.0]),   # near-parallel to id 0 -> dup
+            (3, [0.0, 1.0, 0.9]),     # same cluster as 1, cos ~0.74 < 0.95
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(df, k=2, iters=1, threshold=0.95).collect()}
+        assert out[0]["is_dup"] is False  # smallest id in its group kept
+        assert out[2]["is_dup"] is True
+        assert out[1]["is_dup"] is False
+        assert out[3]["is_dup"] is False
+
+    def test_cross_cluster_parallel_not_compared(self, spark):
+        # identical vectors forced into different clusters are NOT
+        # flagged: the pair scan is cluster-bounded by design
+        rows = [
+            (0, [1.0, 0.0]), (1, [-1.0, 0.05]),
+            (2, [-1.0, 0.05]),  # identical to 1 -> same cluster, dup
+            (3, [1.0, 0.001]),  # joins cluster 0, near-parallel to 0 -> dup
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = {r["vec_id"]: r["is_dup"] for r in
+               semantic_dedup(df, k=2, iters=1, threshold=0.99).collect()}
+        assert out == {0: False, 1: False, 2: True, 3: True}
