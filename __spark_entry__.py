@@ -2255,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consumer_assignment_steps": _q_consumer_assignment_steps,
         "media_decode_png": _q_media_decode_png,
         "media_decode_jpeg": _q_media_decode_jpeg,
+        "stream_cumulative_ack": _q_stream_cumulative_ack,
+        "doc_rag_chunks": _q_doc_rag_chunks,
         "doc_bm25": _q_doc_bm25,
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_semantic_dedup": _q_embedding_semantic_dedup,
@@ -2300,19 +2302,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalable_split_stats": _q_scalable_split_stats,
         "delivery_delay_fixed": _q_delivery_delay_fixed,
         "backlog_quota": _q_backlog_quota,
+        # ---- 50-entry driver prefix ends here ----
+        # (the six entries below slid out of the prefix when the six
+        #  new round-5 operators — media_decode_jpeg, doc_bm25,
+        #  embedding_kmeans, embedding_semantic_dedup,
+        #  stream_cumulative_ack, doc_rag_chunks — took prefix slots:
+        #  all six are driver-green r3 and kept in test_oracle_parity)
         "key_shared_consistent": _q_key_shared_consistent,
         "key_shared": _q_key_shared,
         "key_shared_auto_split": _q_key_shared_auto_split,
         "fn_exclamation": _q_fn_exclamation,
         "fn_integer_addition": _q_fn_integer_addition,
         "fn_comma_window": _q_fn_comma_window,
-        # ---- 50-entry driver prefix ends here ----
-        # (ngram_jaccard_dedup moved below the marker for segment_gc:
+        # (ngram_jaccard_dedup below the marker since the r5 rotation:
         #  documents-based, unaffected by the NTZ envelope cast,
         #  driver-green r02 and kept in test_oracle_parity)
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
-        "stream_cumulative_ack": _q_stream_cumulative_ack,
-        "doc_rag_chunks": _q_doc_rag_chunks,
         # -- driver-checked r4 (green); value-checked locally by
         #    tests/test_oracle_parity.py
         "key_shared_bucket_stats": _q_key_shared_bucket_stats,
