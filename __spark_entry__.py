@@ -2638,6 +2638,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(64, n - start) AS INT) AS n_chunk_tokens,
                    md5(array_to_string(list_slice(tk, start + 1, start + 64), ' ')) AS chunk_hash
             FROM starts
+            -- a trailing start inside the 16-token overlap adds no new
+            -- tokens (previous chunk already covers it) — same filter
+            -- as chunk_documents
+            WHERE start = 0 OR n - start > 16
         """,
         "stream_cumulative_ack": f"""
             WITH {_M}, ranked AS (

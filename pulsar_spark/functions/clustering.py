@@ -27,14 +27,12 @@ bounded by the model size, never the data. Total cost for 100 TB =
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+# shared sequential left-to-right dot product — the summation-order
+# determinism contract lives in ONE place (similarity.py)
+from pulsar_spark.functions.similarity import _dot
 
 
 def _assign(vecs: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
@@ -69,6 +67,11 @@ def kmeans_fit_predict(
         .collect()
     )
     centroids = [list(r["v"]) for r in seeds]
+    if not centroids:
+        raise ValueError("kmeans_fit_predict: input has no rows")
+    # fewer rows than k: degrade to n clusters (ids stay 0..n-1) instead
+    # of indexing past the seed list in the empty-cluster carry-over
+    k = len(centroids)
     for _ in range(iters):
         assigned = _assign(embeddings, centroids, vec_col)
         cent_rows = (
@@ -120,9 +123,9 @@ def semantic_dedup(
     """
     from pulsar_spark.functions.similarity import cosine_similarity
 
-    assign = kmeans_fit_predict(embeddings, k, iters, id_col, vec_col).select(
-        id_col, "cluster"
-    )
+    assign = kmeans_fit_predict(
+        embeddings, k, iters, id_col, vec_col, round_dp
+    ).select(id_col, "cluster")
     t = (
         embeddings.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -145,6 +148,13 @@ def semantic_dedup(
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    return t.join(dups, id_col, "left").select(
+    out = t.join(dups, id_col, "left").select(
         id_col, "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
     )
+    # materialize the (small: id, cluster, bool) result so the cached
+    # join can be released NOW instead of pinning executor storage for
+    # the session lifetime; the eager job is in character — kmeans
+    # above already ran collect()-per-iteration jobs
+    out = out.localCheckpoint(eager=True)
+    t.unpersist()
+    return out

@@ -436,6 +436,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         m = payload[i + 1]
+        if m == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker code
+            i += 1
+            continue
         if m in (0x01,) or 0xD0 <= m <= 0xD7:  # TEM / RSTn: no length
             i += 2
             continue
@@ -480,6 +483,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # per-component sequential scans would need a
+                # component-specific (non-interleaved) MCU grid;
+                # refuse rather than decode the first scan as
+                # grayscale and report silently-wrong pixels
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG is stub-tier"
+                )
             scan = []
             for c in range(ns):
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]

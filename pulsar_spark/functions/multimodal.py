@@ -501,8 +501,20 @@ def resize_media(
     def run(batches: Iterator) -> Iterator:
         import hashlib
 
+        from pulsar_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
         dim_tag = f"{width}x{height}".encode()
         jpeg_ok = width % 8 == 0 and height % 8 == 0
+        # codec tables are fixed per task — build once, not per row
+        decoders = {
+            "png": _decode_png, "bmp": _decode_bmp,
+            "jpeg": decode_jpeg, "jpg": decode_jpeg,
+        }
+        encoders = {"png": _encode_png, "bmp": _encode_bmp}
+        if jpeg_ok:
+            encoders["jpeg"] = encoders["jpg"] = encode_jpeg
+        else:  # jpeg -> png container upcast (see docstring)
+            encoders["jpeg"] = encoders["jpg"] = _encode_png
 
         def one(payload, codec):
             """-> (new_payload, resized?). Malformed real-codec bytes
@@ -510,17 +522,6 @@ def resize_media(
             the row passes through untouched with resized=False."""
             codec = (codec or "").lower()
             if codec in ("jpeg", "jpg", "png", "bmp", "ppm", "pgm"):
-                from pulsar_spark.functions.jpeg import decode_jpeg, encode_jpeg
-
-                decoders = {
-                    "png": _decode_png, "bmp": _decode_bmp,
-                    "jpeg": decode_jpeg, "jpg": decode_jpeg,
-                }
-                encoders = {"png": _encode_png, "bmp": _encode_bmp}
-                if jpeg_ok:
-                    encoders["jpeg"] = encoders["jpg"] = encode_jpeg
-                else:  # jpeg -> png container upcast (see docstring)
-                    encoders["jpeg"] = encoders["jpg"] = _encode_png
                 try:
                     px = decoders.get(codec, _decode_pnm)(bytes(payload))
                     resized = _resize_bilinear(px, width, height)

@@ -115,6 +115,14 @@ def chunk_documents(
                 F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
             ).alias("_start"),
         )
+        # drop a trailing start whose window adds no new tokens (when
+        # n mod stride lands inside the overlap the previous chunk
+        # already covers it; emitting it would index duplicate content
+        # under a fresh chunk_hash)
+        .where(
+            (F.col("_start") == 0)
+            | (F.col("_n") - F.col("_start") > F.lit(overlap_tokens))
+        )
         .select(
             F.col(id_col),
             (F.col("_start") / stride).cast("int").alias("chunk_index"),
@@ -447,4 +455,5 @@ def bm25_scores(
     ranked = scored.select(
         "query_id", F.row_number().over(w).alias("rank"), id_col, "score"
     )
-    return ranked.where(F.col("rank") <= top_k) if top_k else ranked
+    # top_k=0 means "no rows", only None means "all matches"
+    return ranked.where(F.col("rank") <= top_k) if top_k is not None else ranked

@@ -416,14 +416,25 @@ def gc_sealed_segments(
     if now_ms is None:
         now_ms = _now_ms()
     meta = scalable_metadata(topic_path)
+    # lazily backfill seal stamps on segments sealed before the stamp
+    # field existed (legacy sidecars): their retention clock starts at
+    # first GC observation — without this they are silently never
+    # GC-eligible while retention_ms appears to be in force
+    backfilled = False
+    for s in meta["segments"].values():
+        if s["state"] != "ACTIVE" and s.get("sealed_at_ms") is None:
+            s["sealed_at_ms"] = now_ms
+            backfilled = True
     candidates = [
         s
         for s in meta["segments"].values()
         if s["state"] != "ACTIVE"
-        and s.get("sealed_at_ms")
+        and s.get("sealed_at_ms") is not None
         and now_ms - s["sealed_at_ms"] >= retention_ms
     ]
     if not candidates:
+        if backfilled:
+            _write_meta(topic_path, meta)
         return []
     highs = segment_high_watermarks(spark, topic_path)
 
@@ -442,6 +453,8 @@ def gc_sealed_segments(
 
     pruned = [int(s["segment_id"]) for s in candidates if drained_for_all(s)]
     if not pruned:
+        if backfilled:
+            _write_meta(topic_path, meta)
         return []
     for sid in pruned:
         prune_segment(meta, sid)

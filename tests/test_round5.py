@@ -1112,18 +1112,21 @@ class TestRagChunking:
             chunk_documents(df, chunk_tokens=64, overlap_tokens=16).collect(),
             key=lambda r: r.chunk_index,
         )
-        # starts at 0, 48, 96, 144 -> 4 chunks; last is short
-        assert [r.chunk_index for r in rows] == [0, 1, 2, 3]
-        assert [r.n_chunk_tokens for r in rows] == [64, 64, 54, 6]
+        # starts at 0, 48, 96 -> 3 chunks; the 144-start window (6
+        # tokens, all inside chunk 2's 16-token overlap reach) is a
+        # strict sub-span of chunk 2 and is dropped, not re-indexed
+        assert [r.chunk_index for r in rows] == [0, 1, 2]
+        assert [r.n_chunk_tokens for r in rows] == [64, 64, 54]
         # consecutive chunks share exactly the overlap
         t0 = rows[0].chunk_text.split(" ")
         t1 = rows[1].chunk_text.split(" ")
         assert t0[-16:] == t1[:16]
         # concatenating stride-sized prefixes reconstructs the doc
         recon = []
-        for r in rows:
+        for r in rows[:-1]:
             recon.extend(r.chunk_text.split(" ")[:48])
-        assert recon[:150] == text.split(" ")
+        recon.extend(rows[-1].chunk_text.split(" "))
+        assert recon == text.split(" ")
 
     def test_empty_and_short_docs(self, spark):
         from pulsar_spark.functions import chunk_documents
