@@ -1,0 +1,173 @@
+"""Distributed trained quality classifier — fixed-iteration full-batch
+logistic regression over cheap engineered text features, the
+fasttext-style "model-based quality filter" stage of a pretraining
+pipeline (score every document with a trained linear model, keep the
+high-scoring tail). The label here is weak supervision (is the doc in
+the target language) — swap in any deterministic label expression.
+
+Determinism contract (what makes a closed-form DuckDB oracle possible,
+same philosophy as clustering.kmeans_fit_predict):
+
+- weights start at zero and update for a FIXED number of full-batch
+  gradient-descent iterations (no convergence test, no RNG, no
+  shuffling — full batch means iteration order cannot matter);
+- every per-row feature is rounded to 6 decimals at construction, so
+  both engines feed identical doubles into identical left-to-right
+  dot products;
+- the gradient is summed in INTEGER MICRO-UNITS: each row's
+  contribution ``(p - y) * x_j`` is scaled by 1e6, rounded, and cast
+  to bigint BEFORE the aggregate, so the distributed sum is exact and
+  order-independent — no fp-summation-order hazard between Spark's
+  partial aggregates and DuckDB's single-threaded sum;
+- probabilities are rounded to 6 decimals after the sigmoid, absorbing
+  the <=1-ulp divergence between ``java.lang.Math.exp`` and libm
+  ``exp``.
+
+Scale shape: each iteration is ONE narrow map (the d literal weights
+ride the scan, JVM-side expressions only) plus ONE global aggregate
+that reduces to a single d-column row — partial aggregation combines
+map-side, the driver collects d numbers, never data. Total cost for
+100 TB = ``iters + 1`` scans of a 6-column projection, like k-means.
+
+Reference framing: the reference ships user-code Functions for exactly
+this shape of per-message model scoring (pulsar-functions/api-java/
+src/main/java/org/apache/pulsar/functions/api/Function.java:34); this
+operator is the trained variant a curation pipeline needs, expressed
+as Catalyst expressions instead of a per-row runtime.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_spark.functions.text import STOPWORDS, tokenize
+
+#: feature names in model order; x0 is the bias term
+FEATURES = ("x0", "x1", "x2", "x3", "x4")
+
+
+def doc_features(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, y, x0..x4): bias, tokens/100, mean token length/10,
+    stopword ratio, distinct-token ratio — every value rounded to 6
+    decimals so both engines see identical doubles. Empty docs are
+    dropped (no denominators)."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size("_toks").cast("double")
+    return (
+        docs.select(
+            F.col(id_col),
+            label.cast("double").alias("y"),
+            tokenize(F.col(text_col)).alias("_toks"),
+        )
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "y",
+            F.lit(1.0).alias("x0"),
+            F.round(n / 100.0, 6).alias("x1"),
+            F.round(
+                F.aggregate(F.col("_toks"), F.lit(0), lambda a, t: a + F.length(t))
+                .cast("double")
+                / n
+                / 10.0,
+                6,
+            ).alias("x2"),
+            F.round(
+                F.size(
+                    F.filter(F.col("_toks"), lambda t: F.array_contains(stop_arr, t))
+                ).cast("double")
+                / n,
+                6,
+            ).alias("x3"),
+            F.round(F.size(F.array_distinct(F.col("_toks"))).cast("double") / n, 6).alias(
+                "x4"
+            ),
+        )
+    )
+
+
+def _z(weights: list[float]) -> Column:
+    """Left-to-right literal dot product — the same association order
+    the SQL twin writes out."""
+    z: Column = F.lit(weights[0]) * F.col(FEATURES[0])
+    for w, name in zip(weights[1:], FEATURES[1:]):
+        z = z + F.lit(w) * F.col(name)
+    return z
+
+
+def _prob(weights: list[float]) -> Column:
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(weights))), 6)
+
+
+def _fit(feats: DataFrame, iters: int, lr: float) -> list[float]:
+    n_rows = feats.count()
+    if n_rows == 0:
+        raise ValueError("logistic regression: no non-empty documents")
+    weights = [0.0] * len(FEATURES)
+    for _ in range(iters):
+        # p under the current literal weights; w=0 on the first pass
+        # makes p identically 0.5 (both engines agree exactly)
+        p = _prob(weights)
+        grad_row = feats.select(
+            *[
+                F.sum(
+                    F.round((p - F.col("y")) * F.col(name) * 1000000.0, 0).cast(
+                        "bigint"
+                    )
+                ).alias(name)
+                for name in FEATURES
+            ]
+        ).head()
+        weights = [
+            round(w - lr * ((int(grad_row[name]) / 1000000.0) / n_rows), 6)
+            for w, name in zip(weights, FEATURES)
+        ]
+    return weights
+
+
+def fitted_weights(
+    docs: DataFrame,
+    label: Column,
+    iters: int = 2,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[float]:
+    """The trained weight vector alone (for inspection / reuse on a
+    different corpus without retraining)."""
+    return _fit(doc_features(docs, label, text_col, id_col), iters, lr)
+
+
+def logreg_fit_predict(
+    docs: DataFrame,
+    label: Column,
+    iters: int = 2,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-and-score: returns (id, score, pred, label) where
+    ``score`` is the final-model probability (rounded to 6 decimals)
+    and ``pred = score >= 0.5``."""
+    feats = doc_features(docs, label, text_col, id_col)
+    weights = _fit(feats, iters, lr)
+    score = _prob(weights)
+    return feats.select(
+        id_col,
+        score.alias("score"),
+        (score >= 0.5).alias("pred"),
+        F.col("y").cast("int").alias("label"),
+    )
+
+
+def sigmoid(z: float) -> float:
+    """Driver-side reference sigmoid for tests."""
+    return 1.0 / (1.0 + math.exp(-z))

@@ -32,6 +32,7 @@ __all__ = [
     "domain_mix",
     "per_group_cap",
     "deterministic_shuffle",
+    "dsir_select",
 ]
 
 # 2^32: the hash prefix is 8 hex chars = 32 bits.
@@ -196,4 +197,83 @@ def deterministic_shuffle(
         .withColumn("shard", shard)
         .withColumn("position", (F.row_number().over(w) - 1).cast("bigint"))
         .drop("_digest")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 64,
+    tau: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how much its hashed-unigram distribution
+    looks like a TARGET subset of the corpus versus the raw corpus,
+    then select docs above ``tau``.
+
+    Per token bucket ``b`` (md5-hashed into ``buckets`` bins, same
+    engine-portable hash as ``uniform_hash``), the importance weight is
+    the add-one-smoothed log-likelihood ratio::
+
+        w_b = ln((tgt_b + 1) / (tgt_total + B)) -
+              ln((raw_b + 1) / (raw_total + B))
+
+    and a document's score is its mean token weight. The paper samples
+    with Gumbel noise; this deterministic variant thresholds instead
+    (``selected = score >= tau``), keeping the whole operator a pure
+    function of the corpus.
+
+    Determinism contract: weights are quantized to integer MICRO-UNITS
+    (``round(w * 1e6)`` as bigint) before the per-document sum, so the
+    distributed aggregate is exact and order-independent; the <=1-ulp
+    ``ln`` divergence between engines is absorbed by the rounding (see
+    functions/classifier.py for the same trick on gradients).
+
+    Scale shape: one explode -> groupBy(bucket) aggregate whose output
+    is B rows (the model — bounded, broadcastable), then one
+    broadcast join of the weights back onto the exploded tokens and a
+    per-document sum with map-side partial aggregation. Two shuffles
+    total, both keyed; no collect of data (the B-row weight table never
+    touches the driver).
+    """
+    from pulsar_spark.functions.text import tokenize
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+    base = docs.select(
+        F.col(id_col),
+        target.cast("int").alias("_t"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).select(id_col, "_t", bucket.alias("b"))
+    counts = base.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_n"), F.sum("_t").alias("tgt_n")
+    )
+    totals = counts.agg(
+        F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    bf = float(buckets)
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("tgt_n") + 1.0) / (F.col("tgt_tot") + bf))
+                - F.log((F.col("raw_n") + 1.0) / (F.col("raw_tot") + bf))
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("w_int"),
+    )
+    score = F.round((F.sum("w_int") / F.lit(1000000.0)) / F.count(F.lit(1)), 6)
+    return (
+        base.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(score.alias("score"))
+        .select(id_col, "score", (F.col("score") >= tau).alias("selected"))
     )

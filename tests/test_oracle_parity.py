@@ -132,6 +132,8 @@ KEYS = [
     "segment_gc",
     "stream_cumulative_ack",
     "doc_rag_chunks",
+    "doc_quality_classifier",
+    "doc_dsir_select",
 ]
 
 
