@@ -1454,6 +1454,19 @@ def _q_doc_dsir_select(spark, sf_dir):
     )
 
 
+def _q_doc_bpe_merges(spark, sf_dir):
+    # Distributed BPE tokenizer training (functions/text.py
+    # bpe_learn_merges): top-3 byte-pair merges from corpus word
+    # frequencies. One corpus shuffle builds the cached vocab; each
+    # round is a pair explode + weighted count + TakeOrdered(1) + a
+    # narrow engine-identical string rewrite. The oracle unrolls the 3
+    # rounds; matches canonical BPE on this corpus (see
+    # TestBpeLearnMerges for the canonical-equivalence check).
+    from pulsar_spark.functions.text import bpe_learn_merges
+
+    return bpe_learn_merges(load_table(spark, sf_dir, "documents"), num_merges=3)
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     # Deterministic distributed k-means (functions/clustering.py): seeds
     # = the 10 smallest vec_ids, 2 Lloyd iterations, centroids rounded
@@ -2295,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_gc": _q_segment_gc,
         "doc_quality_classifier": _q_doc_quality_classifier,
         "doc_dsir_select": _q_doc_dsir_select,
+        "doc_bpe_merges": _q_doc_bpe_merges,
         # -- rotate-in: driver-green r02/r03, not re-checked since — the
         #    NTZ central cast changed envelope timestamp types, so these
         #    envelope-reading queries get driver re-confirmation now
@@ -2333,13 +2347,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_publish_order": _q_compact_publish_order,
         "compaction_trigger": _q_compaction_trigger,
         "dedup": _q_dedup,
-        "scalable_split_stats": _q_scalable_split_stats,
         # ---- 50-entry driver prefix ends here ----
-        # (delivery_delay_fixed and backlog_quota slid below the marker
-        #  when doc_quality_classifier / doc_dsir_select took their
-        #  slots: both driver-green r3 and kept in test_oracle_parity,
-        #  and the NTZ envelope re-confirmation they were queued for is
+        # (delivery_delay_fixed, backlog_quota and scalable_split_stats
+        #  slid below the marker when doc_quality_classifier /
+        #  doc_dsir_select / doc_bpe_merges took their slots: all three
+        #  driver-green r3 and kept in test_oracle_parity, and the NTZ
+        #  envelope re-confirmation the first two were queued for is
         #  covered by the 30+ other envelope queries still in prefix)
+        "scalable_split_stats": _q_scalable_split_stats,
         "delivery_delay_fixed": _q_delivery_delay_fixed,
         "backlog_quota": _q_backlog_quota,
         # (the six entries below slid out of the prefix when the six
@@ -2797,6 +2812,55 @@ def oracle_sql() -> dict[str, str]:
               FROM f, w2
             )
             SELECT doc_id, score, score >= 0.5 AS pred, label FROM sc
+        """,
+        # Unrolled 3-round BPE merge learning over the word-frequency
+        # table. Symbol sequences live in a unit-separator string; a
+        # merge is two applications of plain replace() (identical
+        # left-to-right non-overlap semantics in both engines).
+        "doc_bpe_merges": """
+            WITH words AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) AS s
+                FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+                WHERE NOT contains(tok, chr(31))
+              ) GROUP BY s
+            ),
+            p1 AS (
+              SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+              FROM (SELECT cnt, list_filter(string_split(s, chr(31)), x -> x <> '') AS sym FROM words) w,
+                   unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS u(p)
+              GROUP BY l, r
+            ),
+            m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+            s1 AS (
+              SELECT replace(replace(s, chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)),
+                             chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS s, cnt
+              FROM words, m1
+            ),
+            p2 AS (
+              SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+              FROM (SELECT cnt, list_filter(string_split(s, chr(31)), x -> x <> '') AS sym FROM s1) w,
+                   unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS u(p)
+              GROUP BY l, r
+            ),
+            m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+            s2 AS (
+              SELECT replace(replace(s, chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)),
+                             chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS s, cnt
+              FROM s1, m2
+            ),
+            p3 AS (
+              SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+              FROM (SELECT cnt, list_filter(string_split(s, chr(31)), x -> x <> '') AS sym FROM s2) w,
+                   unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS u(p)
+              GROUP BY l, r
+            ),
+            m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+            SELECT CAST(1 AS INT) AS step, l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_count FROM m1
+            UNION ALL
+            SELECT CAST(2 AS INT), l, r, l || r, c FROM m2
+            UNION ALL
+            SELECT CAST(3 AS INT), l, r, l || r, c FROM m3
         """,
         # DSIR hashed-unigram importance weights: same md5 bucket hash
         # as uniform_hash, add-one smoothing, weights quantized to

@@ -457,3 +457,94 @@ def bm25_scores(
     )
     # top_k=0 means "no rows", only None means "all matches"
     return ranked.where(F.col("rank") <= top_k) if top_k is not None else ranked
+
+
+#: unit-separator control char — the symbol boundary in the BPE merge
+#: string representation (never appears in natural tokens; words
+#: containing it are excluded defensively)
+BPE_SEP = "\x1f"
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    num_merges: int = 3,
+    text_col: str = "text",
+    passes: int = 2,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn the top ``num_merges`` byte-pair merges
+    from corpus word frequencies. Returns the merge table
+    (step, left_sym, right_sym, merged, pair_count) — the model a
+    tokenizer ships, in merge-priority order.
+
+    Algorithm: classic BPE on the word-frequency table. Words start as
+    character sequences; each round counts adjacent symbol pairs
+    weighted by word frequency, picks the most frequent pair
+    (ties -> lexicographically smallest), and merges it everywhere.
+
+    Engine-parity representation: a word's symbol sequence is stored as
+    a single string with every symbol wrapped in unit separators
+    (``\\x1f a \\x1f b \\x1f``), and a merge is ``passes`` applications
+    of plain ``replace(s, sep+l+sep+r+sep, sep+lr+sep)`` — Spark and
+    DuckDB share exact left-to-right non-overlapping replace semantics,
+    so the oracle is closed-form. (On runs of >=5 identical symbols the
+    two-pass rewrite can merge one fewer pair than canonical
+    left-to-right BPE; natural-language words don't hit this, and BOTH
+    engines implement the identical rewrite, which is what the oracle
+    checks.)
+
+    Scale shape: ONE corpus-wide shuffle builds the word-frequency
+    table (vocabulary-sized, cached); each merge round then runs over
+    the vocabulary only — an adjacent-pair explode + weighted count
+    whose argmax is a TakeOrdered(1) (no global sort), plus a narrow
+    string rewrite. The driver ever holds num_merges single rows; at
+    100 TB the corpus is scanned exactly once."""
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .where(~F.col("w").contains(BPE_SEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(BPE_SEP), F.array_join(F.split("w", ""), BPE_SEP), F.lit(BPE_SEP)
+            ).alias("s"),
+            "cnt",
+        )
+        .persist()
+    )
+    merges: list[tuple] = []
+    cur = words
+    try:
+        for step in range(1, num_merges + 1):
+            syms = F.filter(F.split("s", BPE_SEP), lambda x: x != "")
+            pair = F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                )
+            )
+            top = (
+                cur.select("cnt", pair.alias("p"))
+                .select("cnt", F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"))
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merges.append((step, l, r, l + r, c))
+            pat = F.lit(BPE_SEP + l + BPE_SEP + r + BPE_SEP)
+            rep = F.lit(BPE_SEP + l + r + BPE_SEP)
+            s = F.col("s")
+            for _ in range(passes):
+                s = F.replace(s, pat, rep)
+            cur = cur.select(s.alias("s"), "cnt")
+    finally:
+        words.unpersist()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, pair_count bigint",
+    )

@@ -134,6 +134,7 @@ KEYS = [
     "doc_rag_chunks",
     "doc_quality_classifier",
     "doc_dsir_select",
+    "doc_bpe_merges",
 ]
 
 

@@ -259,3 +259,82 @@ class TestDsirSelect:
         n_loose = loose.where("selected").count()
         n_tight = tight.where("selected").count()
         assert n_loose == loose.count() and n_tight == 0
+
+
+class TestBpeLearnMerges:
+    """functions/text.py bpe_learn_merges — distributed BPE tokenizer
+    training."""
+
+    @staticmethod
+    def _canonical(word_counts, num_merges):
+        vocab = {tuple(w): c for w, c in word_counts.items()}
+        out = []
+        for step in range(1, num_merges + 1):
+            counts = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + c
+            if not counts:
+                break
+            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, l, r, l + r, c))
+            new = {}
+            for syms, cnt in vocab.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                new[tuple(ns)] = new.get(tuple(ns), 0) + cnt
+            vocab = new
+        return out
+
+    def test_matches_canonical_bpe_with_cascade(self, spark):
+        from pulsar_spark.functions.text import bpe_learn_merges
+
+        # 'lower' x4, 'lowest' x3, 'low' x2: merge 1 = (l,o); merge 2
+        # = (lo,w) — a CASCADE, the merged symbol feeds the next round
+        docs = spark.createDataFrame(
+            [(0, "lower lower lower lower lowest lowest lowest low low")],
+            "doc_id bigint, text string",
+        )
+        got = [tuple(r) for r in bpe_learn_merges(docs, num_merges=3).collect()]
+        want = self._canonical({"lower": 4, "lowest": 3, "low": 2}, 3)
+        assert got == want
+        assert got[0][1:4] == ("l", "o", "lo")
+        assert got[1][1:4] == ("lo", "w", "low")
+
+    def test_matches_canonical_on_corpus(self, spark):
+        from pulsar_spark.functions.text import bpe_learn_merges
+
+        docs = _docs(spark)
+        got = [tuple(r) for r in bpe_learn_merges(docs, num_merges=3).collect()]
+        counts: dict = {}
+        for row in docs.select("text").collect():
+            for w in row.text.split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        assert got == self._canonical(counts, 3)
+
+    def test_deterministic_under_repartition(self, spark):
+        from pulsar_spark.functions.text import bpe_learn_merges
+
+        docs = _docs(spark)
+        a = [tuple(r) for r in bpe_learn_merges(docs, num_merges=2).collect()]
+        b = [
+            tuple(r)
+            for r in bpe_learn_merges(docs.repartition(11), num_merges=2).collect()
+        ]
+        assert a == b
+
+    def test_exhausted_vocab_stops_early(self, spark):
+        from pulsar_spark.functions.text import bpe_learn_merges
+
+        # single 2-char word: one merge possible, then no pairs remain
+        docs = spark.createDataFrame([(0, "ab ab")], "doc_id bigint, text string")
+        rows = [tuple(r) for r in bpe_learn_merges(docs, num_merges=5).collect()]
+        assert rows == [(1, "a", "b", "ab", 2)]
