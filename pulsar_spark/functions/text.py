@@ -548,3 +548,64 @@ def bpe_learn_merges(
         merges,
         "step int, left_sym string, right_sym string, merged string, pair_count bigint",
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    passes: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a learned BPE merge table (the second
+    half of train-tokenizer -> encode-corpus): per document, the
+    character-symbol count before merging, the BPE symbol count after
+    applying ``merges`` in priority order, and the compression ratio.
+    ``merges`` is the (left, right) list ``bpe_learn_merges`` returns —
+    a bounded model that rides into the plan as literals.
+
+    Scale shape: a single 0-shuffle narrow map — per word the same
+    unit-separator string rewrite as training (``passes`` x len(merges)
+    engine-identical ``replace`` calls), all inside one codegen'd
+    projection riding the scan. Words containing the separator are
+    excluded exactly as in training."""
+    toks = F.filter(
+        tokenize(F.col(text_col)), lambda w: ~w.contains(BPE_SEP)
+    )
+
+    def word_syms(w: Column) -> Column:
+        s = F.concat(
+            F.lit(BPE_SEP), F.array_join(F.split(w, ""), BPE_SEP), F.lit(BPE_SEP)
+        )
+        for l, r in merges:
+            pat = F.lit(BPE_SEP + l + BPE_SEP + r + BPE_SEP)
+            rep = F.lit(BPE_SEP + l + r + BPE_SEP)
+            for _ in range(passes):
+                s = F.replace(s, pat, rep)
+        return F.size(F.filter(F.split(s, BPE_SEP), lambda x: x != ""))
+
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            F.aggregate(
+                F.transform(F.col("_toks"), lambda w: F.length(w)),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            .cast("bigint")
+            .alias("n_char_tokens"),
+            F.aggregate(
+                F.transform(F.col("_toks"), word_syms),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("n_bpe_tokens") / F.col("n_char_tokens"), 6),
+        )
+    )

@@ -338,3 +338,58 @@ class TestBpeLearnMerges:
         docs = spark.createDataFrame([(0, "ab ab")], "doc_id bigint, text string")
         rows = [tuple(r) for r in bpe_learn_merges(docs, num_merges=5).collect()]
         assert rows == [(1, "a", "b", "ab", 2)]
+
+
+class TestBpeEncodeCounts:
+    """functions/text.py bpe_encode_counts — corpus encoding with a
+    learned merge table (second half of train -> encode)."""
+
+    def test_hand_computed_counts(self, spark):
+        from pulsar_spark.functions.text import bpe_encode_counts
+
+        # merges: (l,o) then (lo,w). 'lower' = l o w e r -> lo w e r ->
+        # low e r = 3 syms; 'low' -> 1 sym; 'cat' untouched = 3 syms.
+        docs = spark.createDataFrame(
+            [(0, "lower low"), (1, "cat low low")],
+            "doc_id bigint, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in bpe_encode_counts(docs, [("l", "o"), ("lo", "w")]).collect()
+        }
+        assert rows[0].n_char_tokens == 8 and rows[0].n_bpe_tokens == 4
+        assert rows[1].n_char_tokens == 9 and rows[1].n_bpe_tokens == 5
+        assert rows[0].compression == round(4 / 8, 6)
+        assert rows[1].compression == round(5 / 9, 6)
+
+    def test_empty_merge_table_is_char_tokenizer(self, spark):
+        from pulsar_spark.functions.text import bpe_encode_counts
+
+        docs = spark.createDataFrame(
+            [(0, "ab cde"), (1, "")], "doc_id bigint, text string"
+        )
+        rows = bpe_encode_counts(docs, []).collect()
+        # doc 1 has no tokens and is excluded, matching training
+        assert len(rows) == 1
+        assert rows[0].n_char_tokens == 5 and rows[0].n_bpe_tokens == 5
+        assert rows[0].compression == 1.0
+
+    def test_roundtrip_with_learned_merges(self, spark):
+        from pulsar_spark.functions.text import (
+            bpe_encode_counts,
+            bpe_learn_merges,
+        )
+
+        docs = _docs(spark).limit(100)
+        merges = [
+            (r.left_sym, r.right_sym)
+            for r in bpe_learn_merges(docs, num_merges=3).collect()
+        ]
+        assert len(merges) == 3
+        out = bpe_encode_counts(docs, merges)
+        agg = out.agg(
+            F.sum("n_bpe_tokens").alias("b"), F.sum("n_char_tokens").alias("c")
+        ).first()
+        # merges strictly compress a natural corpus, never expand it
+        assert 0 < agg.b < agg.c
+        assert out.where("n_bpe_tokens > n_char_tokens").count() == 0
