@@ -38,42 +38,36 @@ from pulsar_spark.functions.similarity import _dot
 def _assign(vecs: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
     """Add ``cluster`` (argmin squared-L2, ties -> smaller id) and
     ``dist`` columns against literal centroids."""
-    v = F.col(vec_col).cast("array<double>")
-    self_dot = _dot(v, v)
-    cands = []
-    for j, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        c_dot = sum(x * x for x in c)  # python fp64, sequential like the SQL twin
-        d = self_dot + F.lit(c_dot) - 2.0 * _dot(v, lit)
-        cands.append(F.struct(d.alias("dist"), F.lit(j).alias("cluster")))
-    best = F.array_min(F.array(*cands))
-    return vecs.withColumn("cluster", best["cluster"]).withColumn("dist", best["dist"])
+    best = _argmin_code(F.col(vec_col).cast("array<double>"), centroids)
+    return vecs.withColumn("cluster", best["code"]).withColumn("dist", best["dist"])
 
 
-def kmeans_fit_predict(
-    embeddings: DataFrame,
-    k: int = 10,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_dp: int = 6,
-) -> DataFrame:
-    """Deterministic k-means; returns (id, cluster, dist) with ``dist``
-    the squared L2 distance to the final centroid, rounded."""
+def _fit_centroids(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+) -> list[list[float]]:
+    """The Lloyd loop of :func:`kmeans_fit_predict`, returning the
+    final centroid list (the model) under the same determinism
+    contract: smallest-id seeds, fixed ``iters``, per-update rounding,
+    empty clusters keep their previous centroid."""
     seeds = (
-        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        vecs.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
         .limit(k)
         .collect()
     )
     centroids = [list(r["v"]) for r in seeds]
     if not centroids:
-        raise ValueError("kmeans_fit_predict: input has no rows")
+        raise ValueError("kmeans: input has no rows")
     # fewer rows than k: degrade to n clusters (ids stay 0..n-1) instead
     # of indexing past the seed list in the empty-cluster carry-over
     k = len(centroids)
     for _ in range(iters):
-        assigned = _assign(embeddings, centroids, vec_col)
+        assigned = _assign(vecs, centroids, vec_col)
         cent_rows = (
             assigned.select(
                 "cluster",
@@ -94,8 +88,164 @@ def kmeans_fit_predict(
             else centroids[j]
             for j in range(k)
         ]
+    return centroids
+
+
+def kmeans_fit_predict(
+    embeddings: DataFrame,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic k-means; returns (id, cluster, dist) with ``dist``
+    the squared L2 distance to the final centroid, rounded."""
+    centroids = _fit_centroids(embeddings, k, iters, id_col, vec_col, round_dp)
     return _assign(embeddings, centroids, vec_col).select(
         id_col, "cluster", F.round("dist", round_dp).alias("dist")
+    )
+
+
+def _argmin_code(sv, centroids: list[list[float]]):
+    """(dist, code) struct of the nearest centroid to expression ``sv``
+    (squared L2 via the dot-product identity, ties -> smaller code)."""
+    self_dot = _dot(sv, sv)
+    cands = []
+    for j, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        c_dot = sum(x * x for x in c)  # python fp64, sequential like the SQL twin
+        d = self_dot + F.lit(c_dot) - 2.0 * _dot(sv, lit)
+        cands.append(F.struct(d.alias("dist"), F.lit(j).alias("code")))
+    return F.array_min(F.array(*cands))
+
+
+def product_quantize(
+    embeddings: DataFrame,
+    m: int = 4,
+    codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each D-dim vector into ``m``
+    contiguous D/m-dim subvectors and learn an independent ``codes``-
+    entry codebook per subspace with the deterministic Lloyd loop
+    (:func:`_fit_centroids` — same smallest-id seeding / fixed-iters /
+    rounded-update contract as :func:`kmeans_fit_predict`, so the
+    DuckDB oracle is closed-form). Returns per vector the ``m`` code
+    assignments (``code_0..code_{m-1}``) and ``recon_error`` — the
+    squared L2 distance between the vector and its reconstruction,
+    i.e. the sum of per-subspace quantization errors (summed left to
+    right, rounded).
+
+    This is the compression layer real 100 TB ANN stacks run on: a
+    64-dim float vector (256 B) becomes ``m`` small codes (``m`` bytes
+    at codes<=256), an ~64x storage cut, searched via asymmetric
+    distance (:func:`pq_topk`) without ever decoding.
+
+    Scale shape: training runs on the bounded subspace model
+    (m x (iters+1) scans, each one narrow map + one (code, dim) agg
+    whose output is codes x D/m rows); encoding is ONE narrow
+    codegen'd projection over broadcast literal codebooks — no
+    shuffle, no Python.
+    """
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("product_quantize: input has no rows")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"product_quantize: dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    books = [
+        _fit_centroids(
+            embeddings.select(id_col, F.slice(v, j * subdim + 1, subdim).alias("_sv")),
+            codes,
+            iters,
+            id_col,
+            "_sv",
+            round_dp,
+        )
+        for j in range(m)
+    ]
+    cols: list = [F.col(id_col)]
+    err = None
+    for j, cents in enumerate(books):
+        best = _argmin_code(F.slice(v, j * subdim + 1, subdim), cents)
+        cols.append(best["code"].alias(f"code_{j}"))
+        err = best["dist"] if err is None else err + best["dist"]
+    return embeddings.select(*cols, F.round(err, round_dp).alias("recon_error"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 5,
+    m: int = 4,
+    codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: the query
+    stays un-quantized; per subspace its squared distance to each of
+    the ``codes`` codebook entries forms a tiny lookup table, and a
+    database vector's approximate distance is the sum of its ``m``
+    table entries — computed here by re-deriving each vector's code
+    per subspace and summing the matching table literal (CASE ladder
+    over ``codes`` entries), left to right, rounded. Returns
+    (rank, vec_id, adc_dist) for the ``k`` nearest (ties -> smaller
+    id).
+
+    At scale the codes are materialized once by
+    :func:`product_quantize` and the scan reads m bytes per vector;
+    the top-k is a TakeOrdered (no global sort)."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_topk: input has no rows")
+    dim = len(first[0])
+    if dim % m or len(query) != dim:
+        raise ValueError(f"pq_topk: dim {dim} vs m={m}, query {len(query)}")
+    subdim = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    adc = None
+    for j in range(m):
+        cents = _fit_centroids(
+            embeddings.select(id_col, F.slice(v, j * subdim + 1, subdim).alias("_sv")),
+            codes,
+            iters,
+            id_col,
+            "_sv",
+            round_dp,
+        )
+        q_sub = query[j * subdim : (j + 1) * subdim]
+        # python fp64 table: ||q_sub - c||^2 via the same sequential identity
+        table = [
+            sum(x * x for x in q_sub)
+            + sum(x * x for x in c)
+            - 2.0 * sum(a * b for a, b in zip(q_sub, c))
+            for c in cents
+        ]
+        code = _argmin_code(F.slice(v, j * subdim + 1, subdim), cents)["code"]
+        lookup = F.element_at(F.array(*[F.lit(t) for t in table]), code + 1)
+        adc = lookup if adc is None else adc + lookup
+    scored = embeddings.select(
+        F.col(id_col), F.round(adc, round_dp).alias("adc_dist")
+    )
+    w_cols = [F.col("adc_dist").asc(), F.col(id_col).asc()]
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*w_cols)
+    # global row_number over a k-bounded candidate set: pre-trim with a
+    # TakeOrdered-shaped limit so the single-partition window only ever
+    # sees k rows, not the corpus
+    cands = scored.orderBy(*w_cols).limit(k)
+    return cands.select(
+        F.row_number().over(w).alias("rank"), id_col, "adc_dist"
     )
 
 

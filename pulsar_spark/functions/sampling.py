@@ -30,6 +30,7 @@ __all__ = [
     "uniform_hash",
     "hash_sample",
     "domain_mix",
+    "temperature_mix",
     "per_group_cap",
     "deterministic_shuffle",
     "dsir_select",
@@ -115,6 +116,67 @@ def domain_mix(
             F.least(
                 F.lit(1.0),
                 (F.col("_wt") / F.col("_wsum") * F.lit(float(total_rows)))
+                / F.col("_cnt"),
+            ),
+        )
+        .select(group_col, "_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(uniform_hash(key_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    temperature: float,
+    total_rows: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-LM /
+    data-mixture recipe, arXiv:1901.07291 §3.1): a group with corpus
+    share ``s_g = n_g / N`` gets mixture probability
+    ``q_g = s_g^(1/T) / sum_h s_h^(1/T)`` — T=1 reproduces the natural
+    distribution, T→inf flattens toward uniform, so minority domains
+    are boosted relative to their share. Each group's row budget is
+    ``q_g * total_rows``, hash-sampled at ``min(1, budget / n_g)``
+    (downsample-only, like :func:`domain_mix`).
+
+    Determinism/oracle notes: the tempered weights are quantized to
+    integer micro-units BEFORE normalization so the cross-group sum is
+    order-independent (double summation is not); ``T == 2`` uses
+    ``sqrt`` — IEEE-correctly-rounded in both Spark and DuckDB — so the
+    driver oracle is bit-exact, while other T go through ``pow``
+    (within 1 ulp; the micro-unit rounding absorbs it away from
+    boundaries).
+
+    Scale shape: one tiny groupBy count, two single-row broadcast
+    totals, then a broadcast rate join — the row-level pass is a
+    narrow filter that rides the scan.
+    """
+    inv_t = 1.0 / float(temperature)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_cnt"))
+    tot = counts.agg(F.sum("_cnt").alias("_n"))
+    share = F.col("_cnt") / F.col("_n")
+    tempered = F.sqrt(share) if float(temperature) == 2.0 else F.pow(share, F.lit(inv_t))
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_pu", F.round(tempered * F.lit(1_000_000.0), 0).cast("bigint")
+    )
+    psum = scored.agg(F.sum("_pu").alias("_psum"))
+    rates = (
+        scored.crossJoin(F.broadcast(psum))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                (
+                    F.col("_pu").cast("double")
+                    / F.col("_psum")
+                    * F.lit(float(total_rows))
+                )
                 / F.col("_cnt"),
             ),
         )

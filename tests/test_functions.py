@@ -372,6 +372,50 @@ class TestSampling:
         # budget >> corpus: every row survives (no upsampling)
         assert domain_mix(documents, weights={}, total_rows=n * 10).count() == n
 
+    def test_temperature_mix_flattens_toward_uniform(self, spark):
+        from pulsar_spark.functions import temperature_mix
+
+        # 9:1 skewed corpus — the sf tables have uniform sources, which
+        # would make temperature a no-op
+        tot = {"big": 1800, "small": 200}
+        rows = [(i, "big" if i < 1800 else "small") for i in range(2000)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+        budget = 600
+
+        def mix_share(t):
+            out = temperature_mix(docs, temperature=t, total_rows=budget, seed=5)
+            c = {
+                r["source"]: r["count"]
+                for r in out.groupBy("source").count().collect()
+            }
+            n = sum(c.values())
+            return c.get("small", 0) / n, c.get("big", 0) / n
+
+        nat_min = tot["small"] / 2000
+        min_t1, _ = mix_share(1.0)
+        min_t8, maj_t8 = mix_share(8.0)
+        # T=1 ~ natural share; high T boosts the minority toward uniform
+        assert abs(min_t1 - nat_min) < 0.05
+        assert min_t8 > min_t1 + 0.1
+        assert maj_t8 < tot["big"] / 2000
+
+    def test_temperature_mix_stable_under_repartition(self, documents):
+        from pulsar_spark.functions import temperature_mix
+
+        a = {
+            r.doc_id
+            for r in temperature_mix(
+                documents, temperature=2.0, total_rows=200, seed=9
+            ).collect()
+        }
+        b = {
+            r.doc_id
+            for r in temperature_mix(
+                documents.repartition(17), temperature=2.0, total_rows=200, seed=9
+            ).collect()
+        }
+        assert a == b and 100 < len(a) < 300
+
     def test_deterministic_shuffle_is_a_stable_permutation(self, documents):
         from pulsar_spark.functions import deterministic_shuffle
 

@@ -393,3 +393,69 @@ class TestBpeEncodeCounts:
         # merges strictly compress a natural corpus, never expand it
         assert 0 < agg.b < agg.c
         assert out.where("n_bpe_tokens > n_char_tokens").count() == 0
+
+
+class TestProductQuantization:
+    """functions/clustering.py product_quantize / pq_topk."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from pulsar_spark.sources import load_table
+
+        from tests.conftest import SF_DIR
+
+        return load_table(spark, SF_DIR, "embeddings").cache()
+
+    def test_codes_in_range_and_one_row_per_vector(self, emb):
+        from pulsar_spark.functions.clustering import product_quantize
+
+        out = product_quantize(emb, m=4, codes=8, iters=1)
+        n = emb.count()
+        assert out.count() == n
+        for j in range(4):
+            bad = out.where(f"code_{j} < 0 OR code_{j} >= 8").count()
+            assert bad == 0
+        assert out.where("recon_error < 0").count() == 0
+
+    def test_more_codes_reduce_reconstruction_error(self, emb):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions.clustering import product_quantize
+
+        e8 = product_quantize(emb, m=4, codes=8, iters=1).agg(
+            F.sum("recon_error")
+        ).first()[0]
+        e32 = product_quantize(emb, m=4, codes=32, iters=1).agg(
+            F.sum("recon_error")
+        ).first()[0]
+        assert e32 < e8
+
+    def test_m1_degenerates_to_kmeans(self, emb):
+        from pulsar_spark.functions.clustering import (
+            kmeans_fit_predict,
+            product_quantize,
+        )
+
+        pq = {
+            r.vec_id: (r.code_0, r.recon_error)
+            for r in product_quantize(emb, m=1, codes=10, iters=2).collect()
+        }
+        km = {
+            r.vec_id: (r.cluster, r.dist)
+            for r in kmeans_fit_predict(emb, k=10, iters=2).collect()
+        }
+        assert pq == km
+
+    def test_pq_topk_self_is_rank_one(self, emb):
+        from pulsar_spark.functions.clustering import pq_topk
+
+        qrow = emb.orderBy("vec_id").first()
+        out = pq_topk(
+            emb, [float(x) for x in qrow.embedding], k=5, m=4, codes=8, iters=1
+        ).collect()
+        assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+        # ADC distance of the query to its own codes is the global
+        # minimum (per-subspace table minima), and it has the smallest id
+        assert out[0].vec_id == qrow.vec_id
+        dists = [r.adc_dist for r in out]
+        assert dists == sorted(dists)
