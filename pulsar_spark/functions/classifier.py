@@ -64,7 +64,10 @@ def doc_features(
     return (
         docs.select(
             F.col(id_col),
-            label.cast("double").alias("y"),
+            # NULL labels (e.g. a predicate over a NULL column) train as
+            # negatives rather than silently dropping out of the
+            # gradient sums — the CASE ... ELSE 0.0 the SQL twin writes
+            F.coalesce(label.cast("double"), F.lit(0.0)).alias("y"),
             tokenize(F.col(text_col)).alias("_toks"),
         )
         .where(F.size("_toks") > 0)
@@ -74,8 +77,9 @@ def doc_features(
             F.lit(1.0).alias("x0"),
             F.round(n / 100.0, 6).alias("x1"),
             F.round(
-                F.aggregate(F.col("_toks"), F.lit(0), lambda a, t: a + F.length(t))
-                .cast("double")
+                # total token chars via one codegen'd concat+length,
+                # not an interpreted per-element HOF fold (text.py:55)
+                F.length(F.concat_ws("", F.col("_toks"))).cast("double")
                 / n
                 / 10.0,
                 6,
@@ -143,7 +147,11 @@ def fitted_weights(
 ) -> list[float]:
     """The trained weight vector alone (for inspection / reuse on a
     different corpus without retraining)."""
-    return _fit(doc_features(docs, label, text_col, id_col), iters, lr)
+    feats = doc_features(docs, label, text_col, id_col).persist()
+    try:
+        return _fit(feats, iters, lr)
+    finally:
+        feats.unpersist()
 
 
 def logreg_fit_predict(
@@ -157,15 +165,23 @@ def logreg_fit_predict(
     """Train-and-score: returns (id, score, pred, label) where
     ``score`` is the final-model probability (rounded to 6 decimals)
     and ``pred = score >= 0.5``."""
-    feats = doc_features(docs, label, text_col, id_col)
+    # persist: tokenization + feature engineering feed the count, every
+    # gradient pass AND the final scoring — without it each pass would
+    # re-derive the features from the raw corpus
+    feats = doc_features(docs, label, text_col, id_col).persist()
     weights = _fit(feats, iters, lr)
     score = _prob(weights)
-    return feats.select(
+    out = feats.select(
         id_col,
         score.alias("score"),
         (score >= 0.5).alias("pred"),
         F.col("y").cast("int").alias("label"),
     )
+    # materialize the small scored result so the cache can be released
+    # now (same rationale as clustering.semantic_dedup)
+    out = out.localCheckpoint(eager=True)
+    feats.unpersist()
+    return out
 
 
 def sigmoid(z: float) -> float:

@@ -307,11 +307,18 @@ def dsir_select(
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
         % buckets
     )
-    base = docs.select(
-        F.col(id_col),
-        target.cast("int").alias("_t"),
-        F.explode(tokenize(F.col(text_col))).alias("tok"),
-    ).select(id_col, "_t", bucket.alias("b"))
+    # persist: the exploded+hashed token relation feeds both the bucket
+    # counts and the weight join — without it the tokenize/explode/md5
+    # pipeline (the expensive stage) runs twice over the corpus
+    base = (
+        docs.select(
+            F.col(id_col),
+            target.cast("int").alias("_t"),
+            F.explode(tokenize(F.col(text_col))).alias("tok"),
+        )
+        .select(id_col, "_t", bucket.alias("b"))
+        .persist()
+    )
     counts = base.groupBy("b").agg(
         F.count(F.lit(1)).alias("raw_n"), F.sum("_t").alias("tgt_n")
     )
@@ -333,9 +340,14 @@ def dsir_select(
         .alias("w_int"),
     )
     score = F.round((F.sum("w_int") / F.lit(1000000.0)) / F.count(F.lit(1)), 6)
-    return (
+    out = (
         base.join(F.broadcast(weights), "b")
         .groupBy(id_col)
         .agg(score.alias("score"))
         .select(id_col, "score", (F.col("score") >= tau).alias("selected"))
     )
+    # materialize the small per-doc result so the token cache can be
+    # released now (same rationale as clustering.semantic_dedup)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -589,11 +589,10 @@ def bpe_encode_counts(
         .where(F.size("_toks") > 0)
         .select(
             id_col,
-            F.aggregate(
-                F.transform(F.col("_toks"), lambda w: F.length(w)),
-                F.lit(0),
-                lambda a, x: a + x,
-            )
+            # total token chars via one codegen'd concat+length, not an
+            # interpreted per-element HOF fold (same form as
+            # quality_metrics above)
+            F.length(F.concat_ws("", F.col("_toks")))
             .cast("bigint")
             .alias("n_char_tokens"),
             F.aggregate(

@@ -30,6 +30,12 @@ TABLES = [
 
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
+    # round-5 additions: unit tests cover semantics but only this
+    # harness regresses their DuckDB oracle twins locally
+    "doc_bpe_encode",
+    "doc_temperature_mix",
+    "embedding_pq",
+    "embedding_pq_knn",
     "doc_shuffle_shards",
     "dlq",
     "topic_stats",

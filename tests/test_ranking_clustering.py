@@ -192,6 +192,28 @@ class TestLogregClassifier:
         with pytest.raises(ValueError):
             logreg_fit_predict(empty, F.col("n_chars") >= 250)
 
+    def test_null_label_trains_as_negative(self, spark):
+        from pulsar_spark.functions.classifier import logreg_fit_predict
+
+        docs = spark.createDataFrame(
+            [
+                (0, "long long long long text here", 300),
+                (1, "short words", 100),
+                (2, "null label doc", None),  # n_chars NULL -> label NULL
+            ],
+            "doc_id bigint, text string, n_chars bigint",
+        )
+        rows = {
+            r.doc_id: r
+            for r in logreg_fit_predict(
+                docs, F.col("n_chars") >= 250, iters=1
+            ).collect()
+        }
+        # the SQL twin's CASE ... ELSE 0.0: NULL trains (and reports) as
+        # 0, never as a silently dropped gradient row or a NULL label
+        assert rows[2].label == 0
+        assert all(r.label is not None and r.score is not None for r in rows.values())
+
     def test_gradient_matches_numpy(self, spark):
         import math
 
