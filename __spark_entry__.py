@@ -810,6 +810,15 @@ def _q_doc_temperature_mix(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_doc_gopher_rules(spark, sf_dir):
+    # Gopher quality rules (arXiv:2112.11446 Appendix A.1.1, word-level
+    # subset; functions/text.py gopher_rules): per-doc rule inputs +
+    # composite pass flag, one 0-shuffle codegen'd projection.
+    from pulsar_spark.functions.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
 def _q_doc_dup_spans(spark, sf_dir):
     # cross-document duplicated-span analysis: fraction of each doc's
     # word 5-grams that also occur in some OTHER document (the
@@ -2420,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": _q_doc_temperature_mix,
         "embedding_pq": _q_embedding_pq,
         "embedding_pq_knn": _q_embedding_pq_knn,
+        "doc_gopher_rules": _q_doc_gopher_rules,
         # -- rotate-in: driver-green r02/r03, not re-checked since — the
         #    NTZ central cast changed envelope timestamp types, so these
         #    envelope-reading queries get driver re-confirmation now
@@ -2453,18 +2463,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_pojo_hierarchy": _q_fn_pojo_hierarchy,
         "fn_cursor_management": _q_fn_cursor_management,
         "priority_shared": _q_priority_shared,
-        "dispatch_throttle": _q_dispatch_throttle,
         # ---- 50-entry driver prefix ends here ----
         # (delivery_delay_fixed, backlog_quota, scalable_split_stats,
-        #  dedup, compaction_trigger, compact_publish_order and
-        #  failover_partitions slid below the marker as the round-5
-        #  document/embedding additions (doc_quality_classifier,
-        #  doc_dsir_select, doc_bpe_merges, doc_bpe_encode,
-        #  doc_temperature_mix, embedding_pq, embedding_pq_knn) took
-        #  their slots: all seven driver-green r3 and kept in
-        #  test_oracle_parity, and the NTZ envelope re-confirmation
-        #  they were queued for is covered by the 30+ other envelope
-        #  queries still in prefix)
+        #  dedup, compaction_trigger, compact_publish_order,
+        #  failover_partitions and dispatch_throttle slid below the
+        #  marker as the round-5 document/embedding additions
+        #  (doc_quality_classifier, doc_dsir_select, doc_bpe_merges,
+        #  doc_bpe_encode, doc_temperature_mix, embedding_pq,
+        #  embedding_pq_knn, doc_gopher_rules) took their slots: all
+        #  eight driver-green r3 and kept in test_oracle_parity, and
+        #  the NTZ envelope re-confirmation they were queued for is
+        #  covered by the 30+ other envelope queries still in prefix)
+        "dispatch_throttle": _q_dispatch_throttle,
         "failover_partitions": _q_failover_partitions,
         "compact_publish_order": _q_compact_publish_order,
         "compaction_trigger": _q_compaction_trigger,
@@ -3480,6 +3490,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (source)
             WHERE (('0x' || substr(md5('7:' || d.doc_id), 1, 8))::UBIGINT)
                   / 4294967296.0 < r.rate
+        """,
+        # Gopher word-level rules: every ratio rounded to 6dp before
+        # the threshold comparisons (engine-stable pass/fail).
+        "doc_gopher_rules": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS words
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     round(length(array_to_string(words, ''))
+                           / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
+                     round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                           / CAST(len(words) AS DOUBLE), 6) AS alpha_frac,
+                     round(((length(text) - length(replace(text, '#', '')))
+                            + (length(text) - length(replace(text, '...', ''))) / 3)
+                           / CAST(len(words) AS DOUBLE), 6) AS symbol_ratio,
+                     CAST(len(list_intersect(words,
+                          ['the','a','of','to','and','in','is','it'])) AS BIGINT)
+                       AS n_stop_distinct
+              FROM d
+            )
+            SELECT m.*,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio < 0.1
+                    AND alpha_frac >= 0.8
+                    AND n_stop_distinct >= 2) AS gopher_pass
+            FROM m
         """,
         # Temperature mixture sampling, T=2: tempered share sqrt(n_g/N)
         # quantized to integer micro-units before the cross-group sum

@@ -58,6 +58,57 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+    Appendix A.1.1) — the word-level subset that applies to a
+    whitespace corpus: word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (``#`` and ``...``) below 0.1, at
+    least 80% of words containing an alphabetic character, and at
+    least 2 distinct stopwords present. (The line-level rules —
+    bullet/ellipsis line fractions, duplicate-line fractions — need
+    newline structure this corpus doesn't carry; the repetition family
+    is covered separately by ``repetition_stats``.)
+
+    Returns per doc every rule input plus the composite
+    ``gopher_pass``, so downstream pipelines can both filter on the
+    composite and audit which rule fired. Ratios are rounded to 6dp
+    BEFORE the threshold comparisons so pass/fail is engine-stable.
+
+    Scale shape: one narrow codegen'd projection riding the scan — no
+    shuffle, no Python, no joins."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    nd = n.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    text = F.col(text_col)
+    mean_len = F.round(F.length(F.concat_ws("", toks)) / nd, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / nd, 6
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis) / nd, 6)
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    out = docs.withColumn("_toks", tokenize(text)).select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.cast("bigint").alias("n_stop_distinct"),
+    )
+    gopher_pass = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: score = count of profile marker words
     present; argmax over languages (ties -> lexicographically last).

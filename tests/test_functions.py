@@ -27,6 +27,38 @@ class TestText:
         )
         assert bad.count() == 0
 
+    def test_gopher_rules_fire_individually(self, spark):
+        from pulsar_spark.functions.text import gopher_rules
+
+        ok_words = ("the is " + "word " * 60).strip()  # 62 words, 2 stopwords
+        docs = spark.createDataFrame(
+            [
+                (0, ok_words),  # passes every rule
+                (1, "the is too short"),  # <50 words
+                (2, ("the is " + "# " * 60).strip()),  # symbol-heavy + non-alpha
+                (3, ("xx yy " + "word " * 60).strip()),  # <2 distinct stopwords
+                (4, ("the is " + "ab " * 60).strip()),  # mean word len < 3
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+        assert rows[0].gopher_pass
+        assert not rows[1].gopher_pass and rows[1].n_words < 50
+        assert not rows[2].gopher_pass
+        assert rows[2].symbol_ratio >= 0.1 and rows[2].alpha_frac < 0.8
+        assert not rows[3].gopher_pass and rows[3].n_stop_distinct < 2
+        assert not rows[4].gopher_pass and rows[4].mean_word_len < 3.0
+
+    def test_gopher_rules_ellipsis_counts(self, spark):
+        from pulsar_spark.functions.text import gopher_rules
+
+        docs = spark.createDataFrame(
+            [(0, "... ... word here now")], "doc_id bigint, text string"
+        )
+        r = gopher_rules(docs).first()
+        # 2 ellipses over 5 words = 0.4
+        assert r.symbol_ratio == 0.4
+
     def test_fingerprint_stable_under_case_and_padding(self, spark):
         from pulsar_spark.functions import fingerprint
 

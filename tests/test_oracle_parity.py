@@ -36,6 +36,7 @@ KEYS = [
     "doc_temperature_mix",
     "embedding_pq",
     "embedding_pq_knn",
+    "doc_gopher_rules",
     "doc_shuffle_shards",
     "dlq",
     "topic_stats",
