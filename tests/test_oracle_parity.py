@@ -37,6 +37,7 @@ KEYS = [
     "embedding_pq",
     "embedding_pq_knn",
     "doc_gopher_rules",
+    "pretraining_pipeline_v4",
     "doc_shuffle_shards",
     "dlq",
     "topic_stats",

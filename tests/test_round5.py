@@ -1196,3 +1196,36 @@ class TestCheckpointAcrossGC:
         # the advanced vector is usable: next resume returns nothing new
         df2, _ = read_from_checkpoint(spark, d, advanced)
         assert df2.count() == 0
+
+
+class TestPretrainingPipelineV4:
+    """Capstone v4 — gopher gate -> trained classifier gate ->
+    temperature mix -> packed shards. Value parity runs in
+    tools/verify_oracle.py / test_oracle_parity; these are the
+    structural invariants."""
+
+    def test_stagewise_containment_and_bins(self, spark):
+        from pyspark.sql import functions as F
+
+        import __spark_entry__ as e
+        from pulsar_spark.sources import load_table
+        from pulsar_spark.functions.text import gopher_rules
+
+        from tests.conftest import SF_DIR
+
+        out = e.queries()["pretraining_pipeline_v4"](spark, SF_DIR)
+        rows = out.collect()
+        assert rows, "pipeline produced no shards"
+        # bin ids contiguous from 0 per shard; every bin non-empty
+        by_shard: dict = {}
+        for r in rows:
+            assert r.n_docs > 0 and r.sum_tokens > 0 and r.shard_text
+            by_shard.setdefault(r.shard, []).append(r.bin_id)
+        for bins in by_shard.values():
+            assert sorted(bins) == list(range(len(bins)))
+        assert set(by_shard) <= set(range(4))
+        # the packed corpus is a subset of the gopher-passing corpus
+        docs = load_table(spark, SF_DIR, "documents")
+        n_gate = gopher_rules(docs).where("gopher_pass").count()
+        total_docs = sum(r.n_docs for r in rows)
+        assert 0 < total_docs <= n_gate
