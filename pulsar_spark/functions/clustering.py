@@ -152,12 +152,26 @@ def product_quantize(
     codegen'd projection over broadcast literal codebooks — no
     shuffle, no Python.
     """
+    books, subdim = _pq_books(embeddings, m, codes, iters, id_col, vec_col, round_dp)
+    return _pq_encode(embeddings, books, subdim, id_col, vec_col, round_dp)
+
+
+def _pq_books(
+    embeddings: DataFrame,
+    m: int,
+    codes: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+) -> tuple[list[list[list[float]]], int]:
+    """Train the ``m`` per-subspace codebooks; returns (books, subdim)."""
     first = embeddings.select(vec_col).first()
     if first is None:
-        raise ValueError("product_quantize: input has no rows")
+        raise ValueError("product quantization: input has no rows")
     dim = len(first[0])
     if dim % m:
-        raise ValueError(f"product_quantize: dim {dim} not divisible by m={m}")
+        raise ValueError(f"product quantization: dim {dim} not divisible by m={m}")
     subdim = dim // m
     v = F.col(vec_col).cast("array<double>")
     books = [
@@ -171,6 +185,20 @@ def product_quantize(
         )
         for j in range(m)
     ]
+    return books, subdim
+
+
+def _pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """One narrow codegen'd projection: (id, code_0..code_{m-1},
+    recon_error) against literal codebooks."""
+    v = F.col(vec_col).cast("array<double>")
     cols: list = [F.col(id_col)]
     err = None
     for j, cents in enumerate(books):
@@ -204,49 +232,113 @@ def pq_topk(
     At scale the codes are materialized once by
     :func:`product_quantize` and the scan reads m bytes per vector;
     the top-k is a TakeOrdered (no global sort)."""
-    first = embeddings.select(vec_col).first()
-    if first is None:
-        raise ValueError("pq_topk: input has no rows")
-    dim = len(first[0])
-    if dim % m or len(query) != dim:
-        raise ValueError(f"pq_topk: dim {dim} vs m={m}, query {len(query)}")
-    subdim = dim // m
+    books, subdim = _pq_books(embeddings, m, codes, iters, id_col, vec_col, round_dp)
+    if len(query) != subdim * m:
+        raise ValueError(f"pq_topk: query dim {len(query)} != {subdim * m}")
     v = F.col(vec_col).cast("array<double>")
     adc = None
-    for j in range(m):
-        cents = _fit_centroids(
-            embeddings.select(id_col, F.slice(v, j * subdim + 1, subdim).alias("_sv")),
-            codes,
-            iters,
-            id_col,
-            "_sv",
-            round_dp,
-        )
-        q_sub = query[j * subdim : (j + 1) * subdim]
-        # python fp64 table: ||q_sub - c||^2 via the same sequential identity
-        table = [
-            sum(x * x for x in q_sub)
-            + sum(x * x for x in c)
-            - 2.0 * sum(a * b for a, b in zip(q_sub, c))
-            for c in cents
-        ]
+    for j, cents in enumerate(books):
+        table = _adc_table(query[j * subdim : (j + 1) * subdim], cents)
         code = _argmin_code(F.slice(v, j * subdim + 1, subdim), cents)["code"]
         lookup = F.element_at(F.array(*[F.lit(t) for t in table]), code + 1)
         adc = lookup if adc is None else adc + lookup
     scored = embeddings.select(
         F.col(id_col), F.round(adc, round_dp).alias("adc_dist")
     )
-    w_cols = [F.col("adc_dist").asc(), F.col(id_col).asc()]
+    return _rank_topk(scored, k, id_col)
+
+
+def _adc_table(q_sub: list[float], cents: list[list[float]]) -> list[float]:
+    """Python fp64 lookup table ||q_sub - c||^2 per codebook entry, via
+    the same sequential dot-product identity as the SQL twin."""
+    return [
+        sum(x * x for x in q_sub)
+        + sum(x * x for x in c)
+        - 2.0 * sum(a * b for a, b in zip(q_sub, c))
+        for c in cents
+    ]
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(rank, id, adc_dist) for the k nearest — pre-trim with a
+    TakeOrdered-shaped limit so the single-partition row_number window
+    only ever sees k rows, not the corpus."""
     from pyspark.sql import Window
 
+    w_cols = [F.col("adc_dist").asc(), F.col(id_col).asc()]
     w = Window.orderBy(*w_cols)
-    # global row_number over a k-bounded candidate set: pre-trim with a
-    # TakeOrdered-shaped limit so the single-partition window only ever
-    # sees k rows, not the corpus
     cands = scored.orderBy(*w_cols).limit(k)
-    return cands.select(
-        F.row_number().over(w).alias("rank"), id_col, "adc_dist"
-    )
+    return cands.select(F.row_number().over(w).alias("rank"), id_col, "adc_dist")
+
+
+def pq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 4,
+    codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Materialize a PQ index: the per-vector codes as a parquet store
+    (``<path>/codes``) plus the codebooks alongside
+    (``<path>/codebooks``: subspace, code, centroid). Returns the
+    codebooks.
+
+    At 100 TB this is the PQ payoff made physical: a search through
+    :func:`pq_topk_indexed` reads ONLY the m small code columns — the
+    float vectors are never touched again — so scan bytes drop ~64x
+    versus the raw store, and the codebook side stays KBs regardless of
+    corpus size. Composes with the IVF store (partition pruning cuts
+    WHICH rows are read; PQ codes cut the BYTES per row)."""
+    books, subdim = _pq_books(embeddings, m, codes, iters, id_col, vec_col, round_dp)
+    enc = _pq_encode(embeddings, books, subdim, id_col, vec_col, round_dp)
+    enc.write.mode("overwrite").parquet(path.rstrip("/") + "/codes")
+    spark = embeddings.sparkSession
+    rows = [
+        (j, c, [float(x) for x in cent])
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/codebooks")
+    return books
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """ADC top-k against a materialized PQ store: load the KB-sized
+    codebook table driver-side, build the per-subspace distance tables,
+    and scan the code store reading ONLY (id, code_*) columns — check
+    ``.explain``: ReadSchema carries no vector or recon_error column.
+    Same ranking contract as :func:`pq_topk` (ties -> smaller id)."""
+    cb = spark.read.parquet(path.rstrip("/") + "/codebooks").collect()
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in cb:
+        books.setdefault(r["subspace"], {})[r["code"]] = list(r["centroid"])
+    m = len(books)
+    subdim = len(next(iter(books[0].values())))
+    if len(query) != m * subdim:
+        raise ValueError(f"pq_topk_indexed: query dim {len(query)} != {m * subdim}")
+    codes_df = spark.read.parquet(path.rstrip("/") + "/codes")
+    adc = None
+    for j in range(m):
+        cents = [books[j][c] for c in sorted(books[j])]
+        table = _adc_table(query[j * subdim : (j + 1) * subdim], cents)
+        lookup = F.element_at(
+            F.array(*[F.lit(t) for t in table]), F.col(f"code_{j}") + 1
+        )
+        adc = lookup if adc is None else adc + lookup
+    scored = codes_df.select(F.col(id_col), F.round(adc, round_dp).alias("adc_dist"))
+    return _rank_topk(scored, k, id_col)
 
 
 def semantic_dedup(

@@ -481,3 +481,56 @@ class TestProductQuantization:
         assert out[0].vec_id == qrow.vec_id
         dists = [r.adc_dist for r in out]
         assert dists == sorted(dists)
+
+
+class TestPQStore:
+    """pq_write_index / pq_topk_indexed — the materialized PQ layout."""
+
+    def test_indexed_matches_inline_and_prunes_columns(self, spark, tmp_path):
+        from pulsar_spark.functions.clustering import (
+            pq_topk,
+            pq_topk_indexed,
+            pq_write_index,
+        )
+        from pulsar_spark.sources import load_table
+
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        q = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        path = str(tmp_path / "pqidx")
+        books = pq_write_index(emb, path, m=4, codes=8, iters=1)
+        assert len(books) == 4 and all(len(b) == 8 for b in books)
+
+        inline = [tuple(r) for r in pq_topk(emb, q, k=5, m=4, codes=8, iters=1).collect()]
+        indexed_df = pq_topk_indexed(spark, path, q, k=5)
+        indexed = [tuple(r) for r in indexed_df.collect()]
+        assert indexed == inline
+
+        # the search plan reads ONLY id + code columns from the store
+        plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read and "recon_error" not in read[0]
+        assert "code_0" in read[0] and "vec_id" in read[0]
+
+    def test_store_roundtrips_codes(self, spark, tmp_path):
+        from pulsar_spark.functions.clustering import (
+            product_quantize,
+            pq_write_index,
+        )
+        from pulsar_spark.sources import load_table
+
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "pqidx2")
+        pq_write_index(emb, path, m=4, codes=8, iters=1)
+        stored = {
+            r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+            for r in spark.read.parquet(path + "/codes").collect()
+        }
+        live = {
+            r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+            for r in product_quantize(emb, m=4, codes=8, iters=1).collect()
+        }
+        assert stored == live
