@@ -20,6 +20,7 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark scalable-stats   <topic_path>
   python -m pulsar_spark consume-namespace <namespace_dir> [--checkpoint F] [--limit N]
   python -m pulsar_spark autoscale        <topic_path> [--window S] [--apply]
+  python -m pulsar_spark curate <docs.parquet> --out DIR [--seq-len N] [--shards N]
 """
 
 from __future__ import annotations
@@ -109,6 +110,25 @@ def main(argv: list[str] | None = None) -> int:
     p_ns.add_argument("namespace")
     p_ns.add_argument("--checkpoint", help="path to the stored MultiCheckpoint bytes")
     p_ns.add_argument("--limit", type=int, default=10)
+
+    p_cur = sub.add_parser(
+        "curate",
+        help="corpus parquet -> packed trainer shards (gopher gate, "
+        "trained quality gate, temperature mix, shuffle, pack)",
+    )
+    p_cur.add_argument("input", help="documents parquet (doc_id, text, source, n_chars)")
+    p_cur.add_argument("--out", required=True, help="output dir for shard parquet")
+    p_cur.add_argument("--seq-len", type=int, default=512)
+    p_cur.add_argument("--shards", type=int, default=8)
+    p_cur.add_argument("--total-rows", type=int, default=1000)
+    p_cur.add_argument("--temperature", type=float, default=2.0)
+    p_cur.add_argument("--seed", type=int, default=17)
+    p_cur.add_argument(
+        "--label-chars",
+        type=int,
+        default=400,
+        help="n_chars threshold used as the classifier's training label",
+    )
 
     p_auto = sub.add_parser(
         "autoscale", help="PIP-483 tick: sample load, report, evaluate split/merge"
@@ -276,6 +296,61 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.topic, event_time_order=args.event_time_order
         )
         print(json.dumps({"compacted_horizon": horizon}))
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions import (
+            deterministic_shuffle,
+            materialize_packed_shards,
+            temperature_mix,
+        )
+        from pulsar_spark.functions.classifier import logreg_fit_predict
+        from pulsar_spark.functions.text import gopher_rules
+
+        docs = spark.read.parquet(args.input).select(
+            "doc_id", "text", "source", "n_chars"
+        )
+        gate = gopher_rules(docs).where("gopher_pass").select("doc_id")
+        gated = docs.join(gate, "doc_id")
+        scored = logreg_fit_predict(
+            gated, F.col("n_chars") >= args.label_chars, iters=2, lr=4.0
+        )
+        kept = gated.join(scored.where("pred").select("doc_id"), "doc_id")
+        mixed = temperature_mix(
+            kept,
+            temperature=args.temperature,
+            total_rows=args.total_rows,
+            seed=args.seed,
+        )
+        shuffled = deterministic_shuffle(
+            mixed.select("doc_id", "text"),
+            key_col="doc_id",
+            seed=args.seed,
+            num_shards=args.shards,
+        )
+        bins = materialize_packed_shards(
+            shuffled, seq_len=args.seq_len, shard_col="shard", id_col="position"
+        )
+        bins.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(args.out)
+        written = spark.read.parquet(args.out)
+        stats = written.agg(
+            F.count("*").alias("bins"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("sum_tokens").alias("tokens"),
+        ).first()
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "docs_in": docs.count(),
+                    "docs_packed": int(stats["docs"] or 0),
+                    "bins": int(stats["bins"] or 0),
+                    "tokens": int(stats["tokens"] or 0),
+                }
+            )
+        )
     if owns_session:
         spark.stop()
     return 0

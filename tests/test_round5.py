@@ -1229,3 +1229,29 @@ class TestPretrainingPipelineV4:
         n_gate = gopher_rules(docs).where("gopher_pass").count()
         total_docs = sum(r.n_docs for r in rows)
         assert 0 < total_docs <= n_gate
+
+
+class TestCurateCLI:
+    """`python -m pulsar_spark curate` — thin shim over the v4 recipe."""
+
+    def test_curate_end_to_end(self, spark, tmp_path, capsys):
+        from pulsar_spark.__main__ import main
+
+        from tests.conftest import SF_DIR
+
+        out_dir = str(tmp_path / "curated")
+        main(
+            [
+                "curate", f"{SF_DIR}/documents.parquet",
+                "--out", out_dir,
+                "--shards", "4", "--seq-len", "256", "--total-rows", "150",
+            ]
+        )
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["docs_in"] == 500
+        assert 0 < stats["docs_packed"] <= stats["docs_in"]
+        assert stats["bins"] > 0 and stats["tokens"] > 0
+        written = spark.read.parquet(out_dir)
+        # hive-partitioned by shard; bins carry the packed text
+        assert "shard" in written.columns and "shard_text" in written.columns
+        assert written.where("n_docs <= 0").count() == 0
