@@ -195,11 +195,12 @@ def _pq_encode(
     id_col: str,
     vec_col: str,
     round_dp: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One narrow codegen'd projection: (id, code_0..code_{m-1},
-    recon_error) against literal codebooks."""
+    """One narrow codegen'd projection: (id, [extra_cols,]
+    code_0..code_{m-1}, recon_error) against literal codebooks."""
     v = F.col(vec_col).cast("array<double>")
-    cols: list = [F.col(id_col)]
+    cols: list = [F.col(id_col), *[F.col(c) for c in extra_cols]]
     err = None
     for j, cents in enumerate(books):
         best = _argmin_code(F.slice(v, j * subdim + 1, subdim), cents)
@@ -400,3 +401,123 @@ def semantic_dedup(
     out = out.localCheckpoint(eager=True)
     t.unpersist()
     return out
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = 4,
+    codes: int = 8,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+):
+    """IVFADC (Jégou et al. 2011 §IV): the composed 100 TB ANN layout.
+    A coarse IVF quantizer partitions the corpus into inverted lists;
+    each vector's RESIDUAL against its list centroid is product-
+    quantized; the store is parquet hive-partitioned by ``centroid_id``
+    carrying only the m codes. A probe therefore prunes at BOTH axes:
+    partition pruning cuts WHICH lists are read (~n_probe/n_centroids
+    of the rows), the code columns cut the BYTES per row read (~64x) —
+    together the scan for one query is ~n_probe/(n_centroids*64) of
+    the raw store. Returns (centroids, codebooks).
+
+    Residual encoding (not raw-vector PQ) is what makes the codebooks
+    sharp: within a list the residual cloud is centered, so the same
+    ``codes`` budget spends its resolution near the data."""
+    from pulsar_spark.functions.similarity import ivf_assign, ivf_fit
+
+    centroids = ivf_fit(embeddings, dim, n_centroids, ivf_iters, vec_col, id_col)
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    resid = F.zip_with(
+        v, F.element_at(cent_lit, F.col("centroid_id") + 1), lambda a, b: a - b
+    )
+    rdf = assigned.select(
+        F.col(id_col), F.col("centroid_id"), resid.alias("_resid")
+    ).persist()
+    try:
+        books, subdim = _pq_books(rdf, m, codes, pq_iters, id_col, "_resid", round_dp)
+        enc = _pq_encode(
+            rdf, books, subdim, id_col, "_resid", round_dp, extra_cols=("centroid_id",)
+        )
+        enc.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(path.rstrip("/") + "/codes")
+    finally:
+        rdf.unpersist()
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in cent])
+            for j, book in enumerate(books)
+            for c, cent in enumerate(book)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/codebooks")
+    return centroids, books
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVFADC search: rank the KB-sized centroid table driver-side
+    (cosine, same probe order as ``ivf_topk``), then for each probed
+    list build the ADC tables from the RESIDUAL query (q - centroid)
+    and scan only that list's partition reading only the code columns.
+    Check ``.explain``: PartitionFilters prunes non-probed lists AND
+    ReadSchema carries no vector column. Ranking ties -> smaller id."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(path.rstrip("/") + "/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["centroid_id"])],
+        dtype=np.float64,
+    )
+    cb = spark.read.parquet(path.rstrip("/") + "/codebooks").collect()
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in cb:
+        books.setdefault(r["subspace"], {})[r["code"]] = list(r["centroid"])
+    m = len(books)
+    subdim = len(next(iter(books[0].values())))
+    if len(query) != m * subdim:
+        raise ValueError(f"ivfpq_topk: query dim {len(query)} != {m * subdim}")
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    probe = np.argsort(-((centroids / norms[:, None]) @ qn))[: int(n_probe)]
+    codes_df = spark.read.parquet(path.rstrip("/") + "/codes")
+    scored = None
+    for cid in probe:
+        rq = [float(x) for x in (q - centroids[int(cid)])]
+        adc = None
+        for j in range(m):
+            cents = [books[j][c] for c in sorted(books[j])]
+            table = _adc_table(rq[j * subdim : (j + 1) * subdim], cents)
+            lookup = F.element_at(
+                F.array(*[F.lit(t) for t in table]), F.col(f"code_{j}") + 1
+            )
+            adc = lookup if adc is None else adc + lookup
+        part = codes_df.where(F.col("centroid_id") == int(cid)).select(
+            F.col(id_col), F.round(adc, round_dp).alias("adc_dist")
+        )
+        scored = part if scored is None else scored.unionAll(part)
+    return _rank_topk(scored, k, id_col)

@@ -534,3 +534,67 @@ class TestPQStore:
             for r in product_quantize(emb, m=4, codes=8, iters=1).collect()
         }
         assert stored == live
+
+
+class TestIVFPQ:
+    """ivfpq_write_index / ivfpq_topk — the composed IVFADC layout."""
+
+    @pytest.fixture(scope="class")
+    def store(self, spark, tmp_path_factory):
+        from pulsar_spark.functions.clustering import ivfpq_write_index
+        from pulsar_spark.sources import load_table
+
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings").cache()
+        path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+        centroids, books = ivfpq_write_index(
+            emb, path, dim=64, n_centroids=8, ivf_iters=2, m=4, codes=8
+        )
+        return emb, path, centroids, books
+
+    def test_store_layout_and_full_probe_contains_self(self, spark, store):
+        from pulsar_spark.functions.clustering import ivfpq_topk
+
+        emb, path, centroids, books = store
+        assert len(centroids) == 8 and len(books) == 4
+        qrow = emb.orderBy("vec_id").first()
+        out = ivfpq_topk(
+            spark, path, [float(x) for x in qrow.embedding], k=5, n_probe=8
+        ).collect()
+        assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+        # the query's own row survives residual quantization into top-k
+        assert qrow.vec_id in {r.vec_id for r in out}
+        dists = [r.adc_dist for r in out]
+        assert dists == sorted(dists)
+
+    def test_probe_prunes_partitions_and_columns(self, spark, store):
+        from pulsar_spark.functions.clustering import ivfpq_topk
+
+        emb, path, _, _ = store
+        q = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        df = ivfpq_topk(spark, path, q, k=5, n_probe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read and all("recon_error" not in ln for ln in read)
+        # narrower probe returns a subset-quality result with k rows
+        assert df.count() == 5
+
+    def test_residual_beats_raw_reconstruction(self, spark, store):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions.clustering import product_quantize
+
+        emb, path, _, _ = store
+        # residual-PQ recon error (stored) vs raw-vector PQ at the same
+        # code budget: centering per list must not be worse overall
+        resid_err = (
+            spark.read.parquet(path + "/codes").agg(F.sum("recon_error")).first()[0]
+        )
+        raw_err = (
+            product_quantize(emb, m=4, codes=8, iters=1)
+            .agg(F.sum("recon_error"))
+            .first()[0]
+        )
+        assert resid_err < raw_err
