@@ -1724,6 +1724,24 @@ def _q_embedding_lsh_knn(spark, sf_dir):
     return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), dim=64, k=3)
 
 
+def _q_embedding_ivfpq_knn(spark, sf_dir):
+    # IVFADC end-to-end (clustering.py ivfpq_write_index/ivfpq_topk):
+    # build the composed residual-PQ store in a temp dir, probe 4 of 8
+    # lists with per-list ADC tables. Rows-only by design: the coarse
+    # quantizer trains with unrounded numpy means (the production
+    # shape), so no closed-form SQL twin exists; recall/pruning are
+    # asserted in TestIVFPQ.
+    import tempfile
+
+    from pulsar_spark.functions.clustering import ivfpq_topk, ivfpq_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    ivfpq_write_index(emb, path, dim=64, n_centroids=8, ivf_iters=2, m=4, codes=8)
+    q = emb.orderBy("vec_id").first()["embedding"]
+    return ivfpq_topk(spark, path, [float(x) for x in q], k=5, n_probe=4)
+
+
 def _q_ngram_jaccard_dedup(spark, sf_dir):
     # exact n-gram (k=3 word shingles) Jaccard near-dup pairs
     from pulsar_spark.functions import ngram_jaccard_pairs
@@ -2602,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_lsh_knn": _q_embedding_lsh_knn,
+        "embedding_ivfpq_knn": _q_embedding_ivfpq_knn,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_ivf_knn_quantized": _q_embedding_ivf_knn_quantized,
         "datagen_people": _q_datagen,

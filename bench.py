@@ -210,6 +210,14 @@ def main() -> None:
             lambda: _entry.queries()["pretraining_pipeline_v3"](spark, sf_dir).count(),
             remeasure=True,
         )
+        # x7: capstone v4 — the modern curation recipe (gopher gate ->
+        # trained classifier gate -> temperature mix -> packed shards).
+        # Extra (added round 5), not in headline_total.
+        timed(
+            "x7_curation_v4",
+            lambda: _entry.queries()["pretraining_pipeline_v4"](spark, sf_dir).count(),
+            remeasure=True,
+        )
 
         # x5: corpus-hygiene pass (deterministic half-sample -> PII
         # scrub -> cross-doc duplicated-5-gram fraction) — the narrow
@@ -241,7 +249,11 @@ def main() -> None:
     # round-over-round trend stays meaningful; queries added in later
     # rounds (x4b) are timed and reported but listed under extras —
     # adding a brand-new query must not read as a perf regression.
-    extras = ["x4b_training_select_scalable", "x6_pretraining_to_shards"]
+    extras = [
+        "x4b_training_select_scalable",
+        "x6_pretraining_to_shards",
+        "x7_curation_v4",
+    ]
     total = round(sum(v for k, v in timings.items() if k not in extras), 3)
     print(
         json.dumps(
