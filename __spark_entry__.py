@@ -1935,27 +1935,20 @@ def _q_pretraining_pipeline_v4(spark, sf_dir):
     # stage is a round-5 scale-path operator; the oracle mirrors all of
     # it (rule gate, both unrolled gradient steps, tempered rates, md5
     # shuffle, bin cumsum).
-    from pulsar_spark.functions import (
-        deterministic_shuffle,
-        materialize_packed_shards,
-        temperature_mix,
-    )
-    from pulsar_spark.functions.classifier import logreg_fit_predict
-    from pulsar_spark.functions.text import gopher_rules
+    from pulsar_spark.functions.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )
-    gate = gopher_rules(docs).where("gopher_pass").select("doc_id")
-    gated = docs.join(gate, "doc_id")
-    scored = logreg_fit_predict(gated, F.col("n_chars") >= 400, iters=2, lr=4.0)
-    kept = gated.join(scored.where("pred").select("doc_id"), "doc_id")
-    mixed = temperature_mix(kept, temperature=2.0, total_rows=150, seed=17)
-    shuffled = deterministic_shuffle(
-        mixed.select("doc_id", "text"), key_col="doc_id", seed=19, num_shards=4
-    )
-    return materialize_packed_shards(
-        shuffled, seq_len=256, shard_col="shard", id_col="position"
+    return curate_corpus(
+        docs,
+        total_rows=150,
+        label=F.col("n_chars") >= 400,
+        temperature=2.0,
+        mix_seed=17,
+        shuffle_seed=19,
+        num_shards=4,
+        seq_len=256,
     )
 
 

@@ -129,6 +129,13 @@ def main(argv: list[str] | None = None) -> int:
         default=400,
         help="n_chars threshold used as the classifier's training label",
     )
+    p_cur.add_argument(
+        "--shuffle-seed",
+        type=int,
+        default=None,
+        help="shard-shuffle seed; defaults to seed+2 — MUST differ from "
+        "--seed or shard order degenerates to the sampling hash",
+    )
 
     p_auto = sub.add_parser(
         "autoscale", help="PIP-483 tick: sample load, report, evaluate split/merge"
@@ -299,37 +306,22 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         from pyspark.sql import functions as F
 
-        from pulsar_spark.functions import (
-            deterministic_shuffle,
-            materialize_packed_shards,
-            temperature_mix,
-        )
-        from pulsar_spark.functions.classifier import logreg_fit_predict
-        from pulsar_spark.functions.text import gopher_rules
+        from pulsar_spark.functions.curation import curate_corpus
 
         docs = spark.read.parquet(args.input).select(
             "doc_id", "text", "source", "n_chars"
         )
-        gate = gopher_rules(docs).where("gopher_pass").select("doc_id")
-        gated = docs.join(gate, "doc_id")
-        scored = logreg_fit_predict(
-            gated, F.col("n_chars") >= args.label_chars, iters=2, lr=4.0
-        )
-        kept = gated.join(scored.where("pred").select("doc_id"), "doc_id")
-        mixed = temperature_mix(
-            kept,
-            temperature=args.temperature,
+        bins = curate_corpus(
+            docs,
             total_rows=args.total_rows,
-            seed=args.seed,
-        )
-        shuffled = deterministic_shuffle(
-            mixed.select("doc_id", "text"),
-            key_col="doc_id",
-            seed=args.seed,
+            label=F.col("n_chars") >= args.label_chars,
+            temperature=args.temperature,
+            mix_seed=args.seed,
+            shuffle_seed=(
+                args.shuffle_seed if args.shuffle_seed is not None else args.seed + 2
+            ),
             num_shards=args.shards,
-        )
-        bins = materialize_packed_shards(
-            shuffled, seq_len=args.seq_len, shard_col="shard", id_col="position"
+            seq_len=args.seq_len,
         )
         bins.repartition("shard").write.mode("overwrite").partitionBy(
             "shard"

@@ -233,9 +233,11 @@ def pq_topk(
     At scale the codes are materialized once by
     :func:`product_quantize` and the scan reads m bytes per vector;
     the top-k is a TakeOrdered (no global sort)."""
+    # reject a malformed query BEFORE the distributed codebook training
+    first = embeddings.select(vec_col).first()
+    if first is not None and len(query) != len(first[0]):
+        raise ValueError(f"pq_topk: query dim {len(query)} != {len(first[0])}")
     books, subdim = _pq_books(embeddings, m, codes, iters, id_col, vec_col, round_dp)
-    if len(query) != subdim * m:
-        raise ValueError(f"pq_topk: query dim {len(query)} != {subdim * m}")
     v = F.col(vec_col).cast("array<double>")
     adc = None
     for j, cents in enumerate(books):
@@ -321,25 +323,42 @@ def pq_topk_indexed(
     and scan the code store reading ONLY (id, code_*) columns — check
     ``.explain``: ReadSchema carries no vector or recon_error column.
     Same ranking contract as :func:`pq_topk` (ties -> smaller id)."""
-    cb = spark.read.parquet(path.rstrip("/") + "/codebooks").collect()
-    books: dict[int, dict[int, list[float]]] = {}
-    for r in cb:
-        books.setdefault(r["subspace"], {})[r["code"]] = list(r["centroid"])
-    m = len(books)
-    subdim = len(next(iter(books[0].values())))
-    if len(query) != m * subdim:
-        raise ValueError(f"pq_topk_indexed: query dim {len(query)} != {m * subdim}")
+    books, subdim = _load_codebooks(spark, path)
+    if len(query) != len(books) * subdim:
+        raise ValueError(
+            f"pq_topk_indexed: query dim {len(query)} != {len(books) * subdim}"
+        )
     codes_df = spark.read.parquet(path.rstrip("/") + "/codes")
+    adc = _adc_lookup_expr(query, books, subdim)
+    scored = codes_df.select(F.col(id_col), F.round(adc, round_dp).alias("adc_dist"))
+    return _rank_topk(scored, k, id_col)
+
+
+def _load_codebooks(spark, path: str) -> tuple[list[list[list[float]]], int]:
+    """Load a store's KB-sized codebook table driver-side; returns
+    (books — per subspace the code-ordered centroid list, subdim)."""
+    cb = spark.read.parquet(path.rstrip("/") + "/codebooks").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in cb:
+        by_sub.setdefault(r["subspace"], {})[r["code"]] = list(r["centroid"])
+    books = [
+        [by_sub[j][c] for c in sorted(by_sub[j])] for j in sorted(by_sub)
+    ]
+    return books, len(books[0][0])
+
+
+def _adc_lookup_expr(query: list[float], books, subdim: int):
+    """The ADC accumulation over stored code columns: per subspace the
+    ``query`` slice's distance table as literals, indexed by ``code_j``,
+    summed left to right."""
     adc = None
-    for j in range(m):
-        cents = [books[j][c] for c in sorted(books[j])]
+    for j, cents in enumerate(books):
         table = _adc_table(query[j * subdim : (j + 1) * subdim], cents)
         lookup = F.element_at(
             F.array(*[F.lit(t) for t in table]), F.col(f"code_{j}") + 1
         )
         adc = lookup if adc is None else adc + lookup
-    scored = codes_df.select(F.col(id_col), F.round(adc, round_dp).alias("adc_dist"))
-    return _rank_topk(scored, k, id_col)
+    return adc
 
 
 def semantic_dedup(
@@ -486,19 +505,18 @@ def ivfpq_topk(
     ReadSchema carries no vector column. Ranking ties -> smaller id."""
     import numpy as np
 
+    if int(n_probe) < 1:
+        raise ValueError(f"ivfpq_topk: n_probe must be >= 1, got {n_probe}")
     cent_rows = spark.read.parquet(path.rstrip("/") + "/centroids").collect()
     centroids = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["centroid_id"])],
         dtype=np.float64,
     )
-    cb = spark.read.parquet(path.rstrip("/") + "/codebooks").collect()
-    books: dict[int, dict[int, list[float]]] = {}
-    for r in cb:
-        books.setdefault(r["subspace"], {})[r["code"]] = list(r["centroid"])
-    m = len(books)
-    subdim = len(next(iter(books[0].values())))
-    if len(query) != m * subdim:
-        raise ValueError(f"ivfpq_topk: query dim {len(query)} != {m * subdim}")
+    books, subdim = _load_codebooks(spark, path)
+    if len(query) != len(books) * subdim:
+        raise ValueError(
+            f"ivfpq_topk: query dim {len(query)} != {len(books) * subdim}"
+        )
     q = np.asarray(query, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     norms = np.linalg.norm(centroids, axis=1)
@@ -508,14 +526,7 @@ def ivfpq_topk(
     scored = None
     for cid in probe:
         rq = [float(x) for x in (q - centroids[int(cid)])]
-        adc = None
-        for j in range(m):
-            cents = [books[j][c] for c in sorted(books[j])]
-            table = _adc_table(rq[j * subdim : (j + 1) * subdim], cents)
-            lookup = F.element_at(
-                F.array(*[F.lit(t) for t in table]), F.col(f"code_{j}") + 1
-            )
-            adc = lookup if adc is None else adc + lookup
+        adc = _adc_lookup_expr(rq, books, subdim)
         part = codes_df.where(F.col("centroid_id") == int(cid)).select(
             F.col(id_col), F.round(adc, round_dp).alias("adc_dist")
         )

@@ -1255,3 +1255,28 @@ class TestCurateCLI:
         # hive-partitioned by shard; bins carry the packed text
         assert "shard" in written.columns and "shard_text" in written.columns
         assert written.where("n_docs <= 0").count() == 0
+
+
+class TestCurateCorpusSeeds:
+    def test_shared_seed_rejected(self, spark):
+        from pulsar_spark.functions.curation import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(0, "a b c", "s", 5)], "doc_id bigint, text string, source string, n_chars bigint"
+        )
+        with pytest.raises(ValueError, match="must differ"):
+            curate_corpus(docs, total_rows=10, mix_seed=7, shuffle_seed=7)
+
+    def test_cli_same_seed_override_rejected(self, spark, tmp_path):
+        from pulsar_spark.__main__ import main
+
+        from tests.conftest import SF_DIR
+
+        with pytest.raises(ValueError, match="must differ"):
+            main(
+                [
+                    "curate", f"{SF_DIR}/documents.parquet",
+                    "--out", str(tmp_path / "x"),
+                    "--seed", "5", "--shuffle-seed", "5",
+                ]
+            )
