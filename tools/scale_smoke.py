@@ -137,6 +137,21 @@ def main() -> None:
         sketch_token_stats(bigdocs, group_col="source").count()
         out["sketch_stats_sec"] = round(time.perf_counter() - t0, 2)
 
+        # round-5 curation capstone at scale: gopher gate + trained
+        # classifier + temperature mix + shuffle + pack over the
+        # replicated corpus — all stages keyed/broadcast, so wall time
+        # should track corpus size, not blow up
+        from pulsar_spark.functions.curation import curate_corpus
+
+        t0 = time.perf_counter()
+        curate_corpus(
+            bigdocs.select("doc_id", "text", "source", "n_chars"),
+            total_rows=nd // 10,
+            num_shards=64,
+            seq_len=2048,
+        ).count()
+        out["curate_v4_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
+
         # scalable-topic ingest at scale: range routing + per-segment
         # offset window — same shape as classic produce, so throughput
         # should match B1
