@@ -148,42 +148,50 @@ def temperature_mix(
     Determinism/oracle notes: the tempered weights are quantized to
     integer micro-units BEFORE normalization so the cross-group sum is
     order-independent (double summation is not); ``T == 2`` uses
-    ``sqrt`` — IEEE-correctly-rounded in both Spark and DuckDB — so the
-    driver oracle is bit-exact, while other T go through ``pow``
+    ``sqrt`` — IEEE-correctly-rounded in Python, Spark AND DuckDB — so
+    the driver oracle is bit-exact, while other T go through ``pow``
     (within 1 ulp; the micro-unit rounding absorbs it away from
-    boundaries).
+    boundaries). The rate math runs driver-side on the collected
+    per-group counts with the exact same IEEE operation sequence the
+    SQL twin writes (int/int -> double division, sqrt, *1e6,
+    half-up round via floor(x+0.5), int sum, division chain left to
+    right), so the literal rates are bit-identical to engine-computed
+    ones.
 
-    Scale shape: one tiny groupBy count, two single-row broadcast
-    totals, then a broadcast rate join — the row-level pass is a
-    narrow filter that rides the scan.
+    Scale shape: ONE corpus groupBy count whose result is the bounded
+    per-group model (collected driver-side like kmeans centroids),
+    then a broadcast literal-rate join — the row-level pass is a
+    narrow filter that rides the scan; the returned plan has zero
+    corpus shuffles.
     """
+    import math
+
     inv_t = 1.0 / float(temperature)
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_cnt"))
-    tot = counts.agg(F.sum("_cnt").alias("_n"))
-    share = F.col("_cnt") / F.col("_n")
-    tempered = F.sqrt(share) if float(temperature) == 2.0 else F.pow(share, F.lit(inv_t))
-    scored = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "_pu", F.round(tempered * F.lit(1_000_000.0), 0).cast("bigint")
-    )
-    psum = scored.agg(F.sum("_pu").alias("_psum"))
-    rates = (
-        scored.crossJoin(F.broadcast(psum))
-        .withColumn(
-            "_rate",
-            F.least(
-                F.lit(1.0),
-                (
-                    F.col("_pu").cast("double")
-                    / F.col("_psum")
-                    * F.lit(float(total_rows))
-                )
-                / F.col("_cnt"),
-            ),
+    rows = df.groupBy(group_col).agg(F.count("*").alias("_cnt")).collect()
+    spark = df.sparkSession
+    if not rows:
+        rates_df = spark.createDataFrame([], f"{group_col} string, _rate double")
+        return (
+            df.join(F.broadcast(rates_df), group_col)
+            .where(uniform_hash(key_col, seed) < F.col("_rate"))
+            .drop("_rate")
         )
-        .select(group_col, "_rate")
-    )
+    counts = {r[group_col]: int(r["_cnt"]) for r in rows}
+    n = sum(counts.values())
+    # half-up on a positive double == both engines' round(x, 0)
+    pu = {
+        g: int(math.floor((math.sqrt(c / n) if float(temperature) == 2.0
+                           else math.pow(c / n, inv_t)) * 1_000_000.0 + 0.5))
+        for g, c in counts.items()
+    }
+    psum = sum(pu.values())
+    rates = [
+        (g, min(1.0, (pu[g] / psum * float(total_rows)) / counts[g]))
+        for g in counts
+    ]
+    rates_df = spark.createDataFrame(rates, f"{group_col} string, _rate double")
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(F.broadcast(rates_df), group_col)
         .where(uniform_hash(key_col, seed) < F.col("_rate"))
         .drop("_rate")
     )

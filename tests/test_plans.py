@@ -138,3 +138,46 @@ class TestRound3PlanBudgets:
         # window cumsum + (shard,bin) agg; agg may reuse the window's
         # hash partitioning but gets its own exchange when keys widen
         assert exchange_count(df) <= 2
+
+
+class TestRound5PlanBudgets:
+    """Exchange budgets for the round-5 corpus operators — regressions
+    here mean an accidental extra shuffle at 100 TB."""
+
+    def test_gopher_rules_is_narrow(self, spark, documents):
+        from pulsar_spark.functions.text import gopher_rules
+
+        df = gopher_rules(documents)
+        df.collect()
+        assert exchange_count(df) == 0
+
+    def test_bpe_encode_is_narrow(self, spark, documents):
+        from pulsar_spark.functions.text import bpe_encode_counts
+
+        df = bpe_encode_counts(documents, [("a", "b"), ("c", "d")])
+        df.collect()
+        assert exchange_count(df) == 0
+
+    def test_pq_encode_is_narrow(self, spark):
+        from pulsar_spark.functions.clustering import product_quantize
+        from pulsar_spark.sources import load_table
+
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        df = product_quantize(emb, m=4, codes=8, iters=1)
+        df.collect()
+        # the encode projection itself: 0 shuffles, no Python
+        assert exchange_count(df) == 0
+        assert plan_summary(df)["python_stages"] == 0
+
+    def test_temperature_mix_row_pass_is_broadcast_join(self, spark, documents):
+        from pulsar_spark.functions import temperature_mix
+
+        df = temperature_mix(documents, temperature=2.0, total_rows=200, seed=3)
+        df.collect()
+        # the per-group rate model is computed driver-side (bounded,
+        # like kmeans centroids); the returned row pass is a broadcast
+        # literal-rate join with ZERO corpus shuffles
+        assert broadcast_join_count(df) >= 1
+        assert exchange_count(df) == 0
