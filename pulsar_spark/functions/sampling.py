@@ -88,41 +88,37 @@ def domain_mix(
     this operator only downsamples (upsampling is a repeat-read
     concern, not a selection concern).
 
-    Scale shape: one groupBy(group) count over the corpus (map-side
-    partial agg, tiny result), then a **broadcast** join of the
-    per-group rate table back onto the rows — the row-level pass stays
-    a narrow filter. The expected mix is exact in expectation; actual
+    Scale shape: ONE groupBy(group) count over the corpus whose result
+    is the bounded per-group model (collected driver-side like kmeans
+    centroids; the old shape recomputed it for the weight total), then
+    a **broadcast** literal-rate join back onto the rows — the
+    row-level pass stays a narrow filter with zero corpus shuffles in
+    the returned plan. The expected mix is exact in expectation; actual
     counts deviate by O(sqrt(n)) like any Bernoulli sampler.
+
+    Rate math runs driver-side with the same IEEE operation sequence
+    the SQL twin writes (double sum of the bounded weight list in
+    sorted-group order is exact here because weights are small exact
+    doubles; division chain left to right), so the literal rates match
+    engine-computed ones bit for bit.
     """
-    wexpr = F.coalesce(
-        *[
-            F.when(F.col(group_col) == g, F.lit(float(w)))
-            for g, w in sorted(weights.items())
-        ],
-        F.lit(float(default_weight)),
-    )
-    groups = (
-        df.groupBy(group_col)
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn("_wt", wexpr)
-    )
-    # sum of weights over PRESENT groups (driver-free: window-less agg
-    # over the tiny group table, cross-joined back — still tiny).
-    wsum = groups.agg(F.sum("_wt").alias("_wsum"))
-    rates = (
-        groups.crossJoin(F.broadcast(wsum))
-        .withColumn(
-            "_rate",
-            F.least(
-                F.lit(1.0),
-                (F.col("_wt") / F.col("_wsum") * F.lit(float(total_rows)))
-                / F.col("_cnt"),
-            ),
+    rows = df.groupBy(group_col).agg(F.count("*").alias("_cnt")).collect()
+    spark = df.sparkSession
+    if not rows:
+        rates_df = spark.createDataFrame([], f"{group_col} string, _rate double")
+    else:
+        counts = {r[group_col]: int(r["_cnt"]) for r in rows}
+        wt = {g: float(weights.get(g, default_weight)) for g in counts}
+        wsum = sum(wt[g] for g in sorted(wt))
+        rates_df = spark.createDataFrame(
+            [
+                (g, min(1.0, (wt[g] / wsum * float(total_rows)) / counts[g]))
+                for g in counts
+            ],
+            f"{group_col} string, _rate double",
         )
-        .select(group_col, "_rate")
-    )
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(F.broadcast(rates_df), group_col)
         .where(uniform_hash(key_col, seed) < F.col("_rate"))
         .drop("_rate")
     )
