@@ -3558,7 +3558,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(list_intersect(words,
                           ['the','a','of','to','and','in','is','it'])) AS BIGINT)
                        AS n_stop_distinct
-              FROM d
+              FROM d WHERE len(words) > 0
             )
             SELECT m.*,
                    (n_words BETWEEN 50 AND 100000
@@ -4276,7 +4276,7 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(tk) AS DOUBLE), 6) AS symbol_ratio,
                        CAST(len(list_intersect(tk,
                             ['the','a','of','to','and','in','is','it'])) AS BIGINT) AS n_stop
-                FROM d0
+                FROM d0 WHERE len(tk) > 0
               ) WHERE n_words BETWEEN 50 AND 100000
                   AND mean_word_len BETWEEN 3.0 AND 10.0
                   AND symbol_ratio < 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2

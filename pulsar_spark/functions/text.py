@@ -74,6 +74,11 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     composite and audit which rule fired. Ratios are rounded to 6dp
     BEFORE the threshold comparisons so pass/fail is engine-stable.
 
+    Empty documents (zero words) are dropped, like ``doc_features`` and
+    ``bpe_encode_counts`` — they have no denominators, and under ANSI
+    mode an unguarded 0-division would fail the whole job on one bad
+    row.
+
     Scale shape: one narrow codegen'd projection riding the scan — no
     shuffle, no Python, no joins."""
     toks = F.col("_toks")
@@ -91,7 +96,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ) / F.lit(3)
     symbol_ratio = F.round((n_hash + n_ellipsis) / nd, 6)
     n_stop = F.size(F.array_intersect(toks, stop_arr))
-    out = docs.withColumn("_toks", tokenize(text)).select(
+    out = docs.withColumn("_toks", tokenize(text)).where(n > 0).select(
         "doc_id",
         n.cast("bigint").alias("n_words"),
         mean_len.alias("mean_word_len"),

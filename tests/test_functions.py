@@ -868,3 +868,83 @@ class TestIncrementalDedup:
         assert incremental_exact_dedup(b3, store, update_store=False).count() == 1
         commit_fingerprints(out3, store)
         assert incremental_exact_dedup(b3, store, update_store=False).count() == 0
+
+
+class TestRandomizedReferenceChecks:
+    """Randomized (fixed-seed) corpora checked row-for-row against pure
+    Python reference implementations — one Spark job per test, many
+    generated cases inside it."""
+
+    def test_gopher_rules_match_python_reference(self, spark):
+        import random
+
+        from pulsar_spark.functions.text import STOPWORDS, gopher_rules
+
+        rng = random.Random(20260815)
+        vocab = ["word", "ab", "x", "longishtoken", "the", "a", "of", "#", "...",
+                 "99", "mixed9", "zz#zz"]
+        docs = []
+        for i in range(300):
+            n = rng.choice([0, 3, 49, 50, 51, 120, rng.randint(1, 200)])
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {r.doc_id: r for r in gopher_rules(df).collect()}
+        # empty docs are dropped (no denominators), never crash the job
+        assert set(got) == {i for i, t in docs if [w for w in t.split(" ") if w]}
+
+        for doc_id, text in docs:
+            words = [w for w in text.split(" ") if w]
+            if not words:
+                continue  # dropped row, asserted above
+            n = len(words)
+            mean_len = round(sum(len(w) for w in words) / n, 6)
+            alpha = round(sum(1 for w in words if any(c.isalpha() and c.isascii() for c in w)) / n, 6)
+            n_hash = text.count("#")
+            n_ell = text.count("...")
+            symbol = round((n_hash + n_ell) / n, 6)
+            n_stop = len(set(words) & set(STOPWORDS))
+            expect_pass = (
+                50 <= n <= 100_000
+                and 3.0 <= mean_len <= 10.0
+                and symbol < 0.1
+                and alpha >= 0.8
+                and n_stop >= 2
+            )
+            r = got[doc_id]
+            assert r.n_words == n
+            assert r.mean_word_len == mean_len
+            assert r.alpha_frac == alpha
+            assert r.symbol_ratio == symbol
+            assert r.n_stop_distinct == n_stop
+            assert r.gopher_pass == expect_pass, (doc_id, text)
+
+    def test_temperature_mix_matches_python_reference(self, spark):
+        import hashlib
+        import math
+        import random
+
+        from pulsar_spark.functions import temperature_mix
+
+        rng = random.Random(7)
+        sources = {"s0": 900, "s1": 300, "s2": 60, "s3": 7}
+        rows, i = [], 0
+        for src, cnt in sources.items():
+            for _ in range(cnt):
+                rows.append((i, src))
+                i += 1
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id bigint, source string")
+        total, seed = 400, 23
+        got = {r.doc_id for r in temperature_mix(df, 2.0, total, seed=seed).collect()}
+
+        # independent reference: same rate math + md5 hash, pure python
+        n = sum(sources.values())
+        pu = {g: math.floor(math.sqrt(c / n) * 1e6 + 0.5) for g, c in sources.items()}
+        psum = sum(pu.values())
+        rate = {g: min(1.0, (pu[g] / psum * float(total)) / sources[g]) for g in sources}
+        expect = set()
+        for doc_id, src in rows:
+            h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+            if int(h[:8], 16) / 4294967296.0 < rate[src]:
+                expect.add(doc_id)
+        assert got == expect
