@@ -948,3 +948,44 @@ class TestRandomizedReferenceChecks:
             if int(h[:8], 16) / 4294967296.0 < rate[src]:
                 expect.add(doc_id)
         assert got == expect
+
+    def test_bpe_encode_matches_python_reference(self, spark):
+        import random
+
+        from pulsar_spark.functions.text import (
+            BPE_SEP,
+            bpe_encode_counts,
+            bpe_learn_merges,
+        )
+
+        rng = random.Random(99)
+        vocab = ["low", "lower", "lowest", "new", "newer", "wide", "ab", "a"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        merges = [
+            (r.left_sym, r.right_sym)
+            for r in bpe_learn_merges(df, num_merges=4).collect()
+        ]
+        got = {r.doc_id: r for r in bpe_encode_counts(df, merges).collect()}
+
+        def ref(text):
+            words = [w for w in text.split(" ") if w and BPE_SEP not in w]
+            nchar, nbpe = 0, 0
+            for w in words:
+                nchar += len(w)
+                s = BPE_SEP + BPE_SEP.join(w) + BPE_SEP
+                for l, r in merges:
+                    pat = BPE_SEP + l + BPE_SEP + r + BPE_SEP
+                    rep = BPE_SEP + l + r + BPE_SEP
+                    s = s.replace(pat, rep).replace(pat, rep)
+                nbpe += len([x for x in s.split(BPE_SEP) if x])
+            return nchar, nbpe
+
+        for doc_id, text in docs:
+            nchar, nbpe = ref(text)
+            assert got[doc_id].n_char_tokens == nchar, (doc_id, text)
+            assert got[doc_id].n_bpe_tokens == nbpe, (doc_id, text)
+            assert got[doc_id].compression == round(nbpe / nchar, 6)
