@@ -3157,8 +3157,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT query_id, tf.doc_id,
-                     round(sum(idf.idf * tf.tf * 2.2
-                               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+                     CAST(sum(CAST(round(idf.idf * tf.tf * 2.2
+                               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                               * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS score
               FROM tf
               JOIN idf USING (term)
               JOIN qmap USING (term)
@@ -3523,14 +3524,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_mix": """
             WITH g AS (
               SELECT source, count(*) AS cnt,
-                     CASE WHEN source = 'src0' THEN 4.0
-                          WHEN source = 'src1' THEN 2.0
-                          ELSE 1.0 END AS wt
+                     CAST(round(CASE WHEN source = 'src0' THEN 4.0
+                                     WHEN source = 'src1' THEN 2.0
+                                     ELSE 1.0 END * 1000000.0, 0) AS BIGINT) AS wtu
               FROM documents GROUP BY source
-            ), s AS (SELECT sum(wt) AS wsum FROM g),
+            ), s AS (SELECT sum(wtu) AS wsum FROM g),
             r AS (
               SELECT source,
-                     least(1.0, (wt / (SELECT wsum FROM s) * 300.0) / cnt) AS rate
+                     least(1.0, (CAST(wtu AS DOUBLE) / (SELECT wsum FROM s)
+                                 * 300.0) / cnt) AS rate
               FROM g
             )
             SELECT d.doc_id, d.source

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pulsar_spark.functions.text import STOPWORDS, tokenize
+from pulsar_spark.functions.materialize import materialize
 
 #: feature names in model order; x0 is the bias term
 FEATURES = ("x0", "x1", "x2", "x3", "x4")
@@ -130,11 +131,18 @@ def _fit(feats: DataFrame, iters: int, lr: float) -> list[float]:
                 for name in FEATURES
             ]
         ).head()
+        # half-away-from-zero 6dp, matching Spark HALF_UP and DuckDB
+        # round() — Python's round() is banker's and would diverge on
+        # an exact 6dp midpoint of the update
         weights = [
-            round(w - lr * ((int(grad_row[name]) / 1000000.0) / n_rows), 6)
+            _round6_half_away(w - lr * ((int(grad_row[name]) / 1000000.0) / n_rows))
             for w, name in zip(weights, FEATURES)
         ]
     return weights
+
+
+def _round6_half_away(x: float) -> float:
+    return math.copysign(math.floor(abs(x) * 1_000_000.0 + 0.5), x) / 1_000_000.0
 
 
 def fitted_weights(
@@ -179,7 +187,7 @@ def logreg_fit_predict(
     )
     # materialize the small scored result so the cache can be released
     # now (same rationale as clustering.semantic_dedup)
-    out = out.localCheckpoint(eager=True)
+    out = materialize(out)
     feats.unpersist()
     return out
 

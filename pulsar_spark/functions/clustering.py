@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 # shared sequential left-to-right dot product — the summation-order
 # determinism contract lives in ONE place (similarity.py)
 from pulsar_spark.functions.similarity import _dot
+from pulsar_spark.functions.materialize import materialize
 
 
 def _assign(vecs: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
@@ -417,7 +418,7 @@ def semantic_dedup(
     # join can be released NOW instead of pinning executor storage for
     # the session lifetime; the eager job is in character — kmeans
     # above already ran collect()-per-iteration jobs
-    out = out.localCheckpoint(eager=True)
+    out = materialize(out)
     t.unpersist()
     return out
 

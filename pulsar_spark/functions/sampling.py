@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pulsar_spark.functions.materialize import materialize
 
 __all__ = [
     "uniform_hash",
@@ -97,22 +98,32 @@ def domain_mix(
     counts deviate by O(sqrt(n)) like any Bernoulli sampler.
 
     Rate math runs driver-side with the same IEEE operation sequence
-    the SQL twin writes (double sum of the bounded weight list in
-    sorted-group order is exact here because weights are small exact
-    doubles; division chain left to right), so the literal rates match
-    engine-computed ones bit for bit.
+    the SQL twin writes. Weights are quantized to integer micro-units
+    (half-up ``floor(w*1e6+0.5)`` == Spark HALF_UP == DuckDB
+    half-away-from-zero for positive doubles) BEFORE the cross-group
+    sum, exactly like :func:`temperature_mix` — an integer sum is
+    order-independent, so non-integer user weights (0.1, 0.3, ...)
+    stay bit-identical across engines and partition orders; a plain
+    double sum would depend on addend order in the last ulp.
     """
+    import math
+
     rows = df.groupBy(group_col).agg(F.count("*").alias("_cnt")).collect()
     spark = df.sparkSession
     if not rows:
         rates_df = spark.createDataFrame([], f"{group_col} string, _rate double")
     else:
         counts = {r[group_col]: int(r["_cnt"]) for r in rows}
-        wt = {g: float(weights.get(g, default_weight)) for g in counts}
-        wsum = sum(wt[g] for g in sorted(wt))
+        wu = {
+            g: int(math.floor(float(weights.get(g, default_weight)) * 1_000_000.0 + 0.5))
+            for g in counts
+        }
+        if min(wu.values()) < 0:
+            raise ValueError("domain_mix weights must be non-negative")
+        wsum = sum(wu.values())
         rates_df = spark.createDataFrame(
             [
-                (g, min(1.0, (wt[g] / wsum * float(total_rows)) / counts[g]))
+                (g, min(1.0, (wu[g] / wsum * float(total_rows)) / counts[g]))
                 for g in counts
             ],
             f"{group_col} string, _rate double",
@@ -352,6 +363,6 @@ def dsir_select(
     )
     # materialize the small per-doc result so the token cache can be
     # released now (same rationale as clustering.semantic_dedup)
-    out = out.localCheckpoint(eager=True)
+    out = materialize(out)
     base.unpersist()
     return out

@@ -501,11 +501,17 @@ def bm25_scores(
     contrib = F.col("idf") * F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    # per-term contributions quantized to integer micro-units BEFORE the
+    # cross-term sum (the determinism contract classifier/DSIR/
+    # temperature_mix use): integer sums are order-independent, so
+    # Spark partial-agg order vs a single-threaded oracle can't differ
+    # in the last ulp and flip a rank tie-break
+    contrib_u = F.round(contrib * 1_000_000.0, 0).cast("bigint")
     scored = (
         tf.join(F.broadcast(idf), "term")
         .join(F.broadcast(qmap), "term")
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .agg((F.sum(contrib_u).cast("double") / 1_000_000.0).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     ranked = scored.select(

@@ -295,14 +295,23 @@ class SubscriptionCoordinator:
         the backoff when no progress was made."""
         if self.drain_checker is None:
             return set()
+        to_check = [
+            s
+            for s in self.layout["segments"].values()
+            if s["state"] != "ACTIVE"
+            and int(s["segment_id"]) not in self.drained_segment_ids
+        ]
+        if not to_check:
+            # fully drained topic: the reference resets the backoff and
+            # stops polling when toCheck is empty (java:430) — advancing
+            # it here would drift an idle topic to drain_max_delay_s
+            self.reset_drain_backoff()
+            return set()
         newly: set[int] = set()
-        for s in self.layout["segments"].values():
-            sid = int(s["segment_id"])
-            if s["state"] == "ACTIVE" or sid in self.drained_segment_ids:
-                continue
+        for s in to_check:
             try:
                 if self.drain_checker(s):
-                    newly.add(sid)
+                    newly.add(int(s["segment_id"]))
             except Exception:
                 pass  # treat as not-drained; retry next poll (java:451)
         if newly:

@@ -178,14 +178,19 @@ def _null_safe_segment(df, key_col, meta, keyless, deterministic_mod):
     keys), route the range CASE over that COLUMN, fall back to the
     keyless round-robin for NULL keys. The intermediate projection is
     deliberate — see ``route_hash_ranges`` on why inlining is 10x."""
+    # internal temp name guarded against payloads that already carry it
+    # (a bare "_seg_hash" would silently clobber and drop a user column)
+    tmp = "__ps_seg_hash__"
+    while tmp in df.columns:
+        tmp += "_"
     df = df.withColumn(
-        "_seg_hash",
+        tmp,
         F.when(F.col(key_col).isNotNull(), segment_hash(key_col, deterministic_mod)),
     )
     seg = F.when(
-        F.col("_seg_hash").isNotNull(), route_hash_ranges(F.col("_seg_hash"), meta)
+        F.col(tmp).isNotNull(), route_hash_ranges(F.col(tmp), meta)
     ).otherwise(keyless)
-    return df.withColumn("segment", seg).drop("_seg_hash")
+    return df.withColumn("segment", seg).drop(tmp)
 
 
 def produce_scalable(

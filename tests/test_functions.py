@@ -404,6 +404,37 @@ class TestSampling:
         # budget >> corpus: every row survives (no upsampling)
         assert domain_mix(documents, weights={}, total_rows=n * 10).count() == n
 
+    def test_domain_mix_fractional_weights_scale_invariant(self, documents):
+        # micro-unit quantization makes fractional weights exact:
+        # {0.1, 0.3} must select the SAME rows as {1.0, 3.0} (only the
+        # weight RATIOS matter). With plain double sums 0.1/0.4 !=
+        # 1.0/4.0 in the last ulp and boundary keys could flip.
+        from pulsar_spark.functions import domain_mix
+
+        kw = dict(total_rows=200, seed=5, default_weight=0.2)
+        a = {
+            r.doc_id
+            for r in domain_mix(
+                documents, weights={"src0": 0.1, "src1": 0.3}, **kw
+            ).collect()
+        }
+        kw2 = dict(total_rows=200, seed=5, default_weight=2.0)
+        b = {
+            r.doc_id
+            for r in domain_mix(
+                documents, weights={"src0": 1.0, "src1": 3.0}, **kw2
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_domain_mix_negative_weight_rejected(self, documents):
+        import pytest as _pytest
+
+        from pulsar_spark.functions import domain_mix
+
+        with _pytest.raises(ValueError):
+            domain_mix(documents, weights={"src0": -1.0}, total_rows=100).count()
+
     def test_temperature_mix_flattens_toward_uniform(self, spark):
         from pulsar_spark.functions import temperature_mix
 

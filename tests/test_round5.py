@@ -256,6 +256,12 @@ class TestSubscriptionCoordinator:
         drained.add(0)
         c.poll_drain_status()  # progress: reset to initial
         assert c.next_drain_delay_s() == 2.0
+        # fully drained topic: nothing left to check — the reference
+        # RESETS the backoff when toCheck is empty (java:430); an idle
+        # topic must not drift toward drain_max_delay_s
+        for _ in range(4):
+            assert c.poll_drain_status() == set()
+            assert c.next_drain_delay_s() == 2.0
 
     def test_assignment_determinism(self, tmp_path):
         _, c1 = self._coord(tmp_path, name="det1")

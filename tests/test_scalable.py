@@ -309,6 +309,24 @@ class TestNullKeyRouting:
         # keyless rows spread across several segments
         assert got.where(F.col("key").isNull()).select("segment").distinct().count() > 1
 
+    def test_payload_seg_hash_column_not_clobbered(self, spark, tmp_path):
+        """The routing temp column must not collide with a payload column
+        of the same name — the guard picks a fresh internal name, so a
+        user column named __ps_seg_hash__ survives the produce."""
+        from pulsar_spark.sources.scalable import _null_safe_segment, scalable_metadata
+        from pulsar_spark.sources import create_scalable_topic
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        meta = scalable_metadata(d)
+        payload = spark.range(10).selectExpr(
+            "CAST(id AS STRING) AS k", "id AS __ps_seg_hash__"
+        )
+        out = _null_safe_segment(payload, "k", meta, F.lit(0), True)
+        assert "__ps_seg_hash__" in out.columns and "segment" in out.columns
+        vals = {r["__ps_seg_hash__"] for r in out.collect()}
+        assert vals == set(range(10))  # untouched user values
+
 
 class TestScalableAdmin:
     def test_list_by_properties(self, tmp_path):
