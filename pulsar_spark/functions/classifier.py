@@ -192,6 +192,66 @@ def logreg_fit_predict(
     return out
 
 
+#: default threshold grid for :func:`pr_curve`
+PR_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def pr_curve(
+    scored: DataFrame,
+    thresholds: tuple[float, ...] = PR_THRESHOLDS,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 threshold sweep over a scored frame (the
+    output of :func:`logreg_fit_predict`, or any (score, label) pair) —
+    turns the trained gate's fixed 0.5 cut into a tunable operator,
+    matching how fasttext-style quality filters are actually deployed
+    (pick the threshold from the PR trade-off, then filter).
+
+    Returns one row per threshold:
+    ``(threshold, n_pred_pos, tp, fp, fn, precision, recall, f1)``
+    with NULL precision/recall/f1 where the denominator is zero (no
+    predicted positives / no actual positives), guarded so ANSI mode
+    never divides by zero.
+
+    Determinism: tp/fp/fn are integer conditional counts; each ratio is
+    one bigint/bigint true division rounded to 6dp (identical across
+    engines); ``score >= threshold`` compares the 6dp-rounded score to
+    the same literal double both engines parse.
+
+    Scale shape: a 9x row explode immediately absorbed by a map-side
+    partial aggregate on the 9 threshold keys — each task emits at most
+    ``len(thresholds)`` rows, one tiny exchange.
+    """
+    per = scored.select(
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold"),
+    )
+    pos = F.col("_s") >= F.col("threshold")
+    y1 = F.col("_y") == 1
+    agg = per.groupBy("threshold").agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("n_pred_pos"),
+        F.sum(F.when(pos & y1, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pos & ~y1, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pos & y1, 1).otherwise(0)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "threshold",
+        "n_pred_pos",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6)).alias("precision"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("recall"),
+        F.when(
+            F.lit(2) * tp + fp + fn > 0,
+            F.round(F.lit(2) * tp / (F.lit(2) * tp + fp + fn), 6),
+        ).alias("f1"),
+    )
+
+
 def sigmoid(z: float) -> float:
     """Driver-side reference sigmoid for tests."""
     return 1.0 / (1.0 + math.exp(-z))

@@ -699,6 +699,156 @@ def checkpoint_at_timestamp(
     return Checkpoint({r.segment: (r.lo if r.lo is not None else r.mx + 1) for r in rows})
 
 
+# ------------------------------------------- subscription lifecycle (admin)
+
+#: persisted subscription registry file inside the topic directory —
+#: the SubscriptionMetadata store of ScalableTopicController.java
+_SUBS = "_subscriptions.json"
+
+
+def _read_subscriptions(topic_path: str) -> dict:
+    f = os.path.join(topic_path, _SUBS)
+    if not os.path.exists(f):
+        return {}
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _write_subscriptions(topic_path: str, subs: dict) -> None:
+    with open(os.path.join(topic_path, _SUBS), "w") as fh:
+        json.dump(subs, fh, indent=1, sort_keys=True)
+
+
+def create_subscription(
+    topic_path: str, subscription: str, sub_type: str = "Stream"
+) -> bool:
+    """ScalableTopicController.createSubscription (java:851): persist
+    the subscription entry, cursor at EARLIEST on every segment so no
+    messages are lost. Idempotent — re-creating an existing
+    subscription is a no-op (java:858 AlreadyExistsException swallow)
+    and returns False.
+
+    In the checkpoint model "cursor at earliest on each active segment"
+    is the empty position vector (``Checkpoint.earliest()``): missing
+    segments read from offset 0, which also covers segments created by
+    LATER splits, exactly like the reference's lazily-propagated
+    per-segment cursors."""
+    scalable_metadata(topic_path)  # raises if not a scalable topic
+    subs = _read_subscriptions(topic_path)
+    if subscription in subs:
+        return False
+    subs[subscription] = {
+        "type": sub_type,
+        "created_at_ms": _now_ms(),
+        "checkpoint": json.loads(Checkpoint.earliest().to_bytes()),
+    }
+    _write_subscriptions(topic_path, subs)
+    return True
+
+
+def delete_subscription(
+    topic_path: str, subscription: str, coordinator=None
+) -> bool:
+    """ScalableTopicController.deleteSubscription (java:870): drop the
+    in-memory coordinator's consumers FIRST (so no new consumer attaches
+    mid-teardown), then delete the persisted metadata — which removes
+    the per-segment cursors (they live inside the entry's checkpoint
+    vector). Returns False if the subscription didn't exist."""
+    if coordinator is not None:
+        for name in sorted(coordinator.sessions):
+            coordinator.unregister_consumer(name)
+    subs = _read_subscriptions(topic_path)
+    if subscription not in subs:
+        return False
+    del subs[subscription]
+    _write_subscriptions(topic_path, subs)
+    return True
+
+
+def list_subscriptions(topic_path: str) -> list[str]:
+    """Names of the persisted subscriptions, sorted."""
+    return sorted(_read_subscriptions(topic_path))
+
+
+def subscription_checkpoint(topic_path: str, subscription: str) -> Checkpoint:
+    """The persisted position vector for ``subscription``."""
+    subs = _read_subscriptions(topic_path)
+    if subscription not in subs:
+        raise ValueError(f"no such subscription: {subscription}")
+    d = subs[subscription]["checkpoint"]
+    return Checkpoint(d.get("offsets", {}), latest=bool(d.get("latest")))
+
+
+def save_subscription_checkpoint(
+    topic_path: str, subscription: str, ckpt: Checkpoint
+) -> None:
+    """Persist an advanced position vector (the ack path for a
+    persisted subscription)."""
+    subs = _read_subscriptions(topic_path)
+    if subscription not in subs:
+        raise ValueError(f"no such subscription: {subscription}")
+    subs[subscription]["checkpoint"] = json.loads(ckpt.to_bytes())
+    _write_subscriptions(topic_path, subs)
+
+
+def clear_backlog(spark: SparkSession, topic_path: str, subscription: str) -> Checkpoint:
+    """ScalableTopicController.clearBacklog (java:941): skip every
+    undelivered message by advancing EVERY segment cursor in the DAG —
+    sealed segments included — to past-the-end. Closed form over the
+    checkpoint vector: ``{segment_id: high_watermark + 1}`` for every
+    layout segment (0 for never-produced segments), one bounded grouped
+    aggregate (``segment_high_watermarks``).
+
+    Coordinator composition: after a clear, this subscription's cursor
+    is past the end of every sealed segment, so a
+    ``checkpoint_drain_checker`` over the new vector reports every
+    sealed parent drained — split children become assignable
+    immediately (the backlog the drain gate was protecting no longer
+    exists for this subscription)."""
+    meta = scalable_metadata(topic_path)
+    highs = segment_high_watermarks(spark, topic_path)
+    vector = Checkpoint(
+        {
+            int(s["segment_id"]): highs.get(int(s["segment_id"]), -1) + 1
+            for s in meta["segments"].values()
+        }
+    )
+    save_subscription_checkpoint(topic_path, subscription, vector)
+    return vector
+
+
+def subscription_backlog(spark: SparkSession, topic_path: str, subscription: str):
+    """Per-segment backlog (rows at or past the cursor) for a persisted
+    subscription — the getBacklog admin view. Returns a DataFrame
+    ``(segment int, backlog bigint)`` with an explicit 0 for every
+    layout segment so a cleared subscription is visibly empty.
+
+    Scale shape: one grouped count over the cursor filter (the filter
+    is a literal map lookup riding the scan), left-joined onto the
+    bounded layout segment list."""
+    meta = scalable_metadata(topic_path)
+    ckpt = subscription_checkpoint(topic_path, subscription)
+    seg_rows = [(int(s["segment_id"]),) for s in meta["segments"].values()]
+    segs = spark.createDataFrame(seg_rows, "segment int")
+    df = _read_if_present(spark, topic_path)
+    if df is None or ckpt.latest:
+        return segs.select("segment", F.lit(0).cast("bigint").alias("backlog"))
+    if ckpt.offsets:
+        start = F.create_map(
+            *[
+                x
+                for sid, off in sorted(ckpt.offsets.items())
+                for x in (F.lit(sid).cast("int"), F.lit(off).cast("bigint"))
+            ]
+        )
+        df = df.where(F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0)))
+    counts = df.groupBy("segment").agg(F.count("*").alias("_c"))
+    return (
+        segs.join(counts, "segment", "left")
+        .select("segment", F.coalesce("_c", F.lit(0)).cast("bigint").alias("backlog"))
+    )
+
+
 # ------------------------------------------- multi-topic checkpoint consumer
 
 

@@ -30,6 +30,10 @@ TABLES = [
 
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
+    # round-6 additions (preemptive: keep green when rotated out)
+    "corpus_report",
+    "doc_classifier_pr",
+    "subscription_lifecycle",
     # round-5 additions: unit tests cover semantics but only this
     # harness regresses their DuckDB oracle twins locally
     "doc_bpe_encode",
@@ -137,6 +141,8 @@ KEYS = [
     "consumer_assignment",
     "consumer_assignment_steps",
     "media_decode_png",
+    "media_decode_jpeg",
+    "embedding_kmeans",
     "segment_gc",
     "stream_cumulative_ack",
     "doc_rag_chunks",

@@ -1,0 +1,210 @@
+"""Round-6 additions: subscription lifecycle (create/clearBacklog/
+delete, ScalableTopicController.java:851/:870/:941), the classifier
+PR-curve sweep, and the corpus_report dataset card."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestSubscriptionLifecycle:
+    def _topic(self, spark, tmp_path, n=200, segments=2):
+        from pulsar_spark.sources import create_scalable_topic, produce_scalable
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=segments)
+        payload = spark.range(n).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        return d, payload
+
+    def test_create_is_idempotent(self, spark, tmp_path):
+        from pulsar_spark.sources import create_subscription, list_subscriptions
+
+        d, _ = self._topic(spark, tmp_path)
+        assert create_subscription(d, "s") is True
+        assert create_subscription(d, "s") is False  # AlreadyExists no-op
+        assert list_subscriptions(d) == ["s"]
+
+    def test_create_requires_scalable_topic(self, tmp_path):
+        from pulsar_spark.sources import create_subscription
+
+        with pytest.raises(ValueError):
+            create_subscription(str(tmp_path / "nope"), "s")
+
+    def test_backlog_and_clear(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            clear_backlog,
+            create_subscription,
+            produce_scalable,
+            subscription_backlog,
+        )
+
+        d, payload = self._topic(spark, tmp_path, n=200)
+        create_subscription(d, "s")
+        total = sum(r.backlog for r in subscription_backlog(spark, d, "s").collect())
+        assert total == 200
+        clear_backlog(spark, d, "s")
+        rows = subscription_backlog(spark, d, "s").collect()
+        # explicit zero rows for every layout segment
+        assert len(rows) == 2 and all(r.backlog == 0 for r in rows)
+        # only NEW rows backlog after a further produce
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        total2 = sum(r.backlog for r in subscription_backlog(spark, d, "s").collect())
+        assert total2 == 200
+
+    def test_delete_drops_entry_and_consumers(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            SubscriptionCoordinator,
+            create_subscription,
+            delete_subscription,
+            list_subscriptions,
+            subscription_checkpoint,
+        )
+
+        d, _ = self._topic(spark, tmp_path)
+        create_subscription(d, "a")
+        create_subscription(d, "b")
+        coord = SubscriptionCoordinator("a", d)
+        coord.register_consumer("c1", 1)
+        coord.register_consumer("c2", 2)
+        assert delete_subscription(d, "a", coordinator=coord) is True
+        assert coord.sessions == {}  # dropAllConsumers ran first
+        assert list_subscriptions(d) == ["b"]
+        assert delete_subscription(d, "a") is False
+        with pytest.raises(ValueError):
+            subscription_checkpoint(d, "a")
+        # subscription "b" untouched
+        assert subscription_checkpoint(d, "b").offsets == {}
+
+    def test_clear_mid_split_regates_children(self, spark, tmp_path):
+        """The VERDICT ordering case: a sealed parent with backlog gates
+        its children; clearBacklog computed AFTER the split covers the
+        children too and lifts the drain gate for this subscription."""
+        from pulsar_spark.sources import (
+            SubscriptionCoordinator,
+            checkpoint_drain_checker,
+            clear_backlog,
+            create_subscription,
+            split_segment,
+            subscription_backlog,
+            subscription_checkpoint,
+        )
+
+        d, _ = self._topic(spark, tmp_path, n=200)
+        create_subscription(d, "s")
+        split_segment(d, 0)  # seals 0 -> children; subscription has backlog on 0
+
+        def seg_ids(coord):
+            coord.poll_drain_status()
+            a = coord.compute_assignment()["c1"]
+            return {s.segment_id for s in a.segments}
+
+        before = SubscriptionCoordinator(
+            "s", d,
+            drain_checker=checkpoint_drain_checker(
+                spark, d, subscription_checkpoint(d, "s")
+            ),
+        )
+        before.register_consumer("c1", 1)
+        got = seg_ids(before)
+        assert 0 in got and not {2, 3} <= got  # children gated
+
+        vec = clear_backlog(spark, d, "s")
+        # the post-split vector covers the children as well
+        assert set(vec.offsets) == {0, 1, 2, 3}
+        rows = subscription_backlog(spark, d, "s").collect()
+        assert len(rows) == 4 and all(r.backlog == 0 for r in rows)
+
+        after = SubscriptionCoordinator(
+            "s", d, drain_checker=checkpoint_drain_checker(spark, d, vec)
+        )
+        after.register_consumer("c1", 1)
+        assert {0, 1, 2, 3} <= seg_ids(after)  # gate lifted
+
+    def test_saved_checkpoint_resumes_reads(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            create_subscription,
+            read_from_checkpoint,
+            save_subscription_checkpoint,
+            subscription_checkpoint,
+        )
+
+        d, payload = self._topic(spark, tmp_path, n=100)
+        create_subscription(d, "s")
+        batch, nxt = read_from_checkpoint(spark, d, subscription_checkpoint(d, "s"))
+        assert batch.count() == 100
+        save_subscription_checkpoint(d, "s", nxt)
+        batch2, _ = read_from_checkpoint(spark, d, subscription_checkpoint(d, "s"))
+        assert batch2.count() == 0  # acked position persisted
+
+
+class TestPrCurve:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, score double, label int")
+
+    def test_known_confusion_counts(self, spark):
+        from pulsar_spark.functions import pr_curve
+
+        scored = self._scored(
+            spark,
+            [("a", 0.9, 1), ("b", 0.7, 1), ("c", 0.4, 0), ("d", 0.2, 1)],
+        )
+        row = {
+            r.threshold: r for r in pr_curve(scored, thresholds=(0.5,)).collect()
+        }[0.5]
+        assert (row.tp, row.fp, row.fn, row.n_pred_pos) == (2, 0, 1, 2)
+        assert row.precision == 1.0
+        assert row.recall == round(2 / 3, 6)
+        assert row.f1 == 0.8  # 2*2 / (4 + 0 + 1)
+
+    def test_zero_denominators_are_null(self, spark):
+        from pulsar_spark.functions import pr_curve
+
+        # no predicted positives at 0.99; no actual positives at all
+        scored = self._scored(spark, [("a", 0.3, 0), ("b", 0.1, 0)])
+        rows = {r.threshold: r for r in pr_curve(scored, thresholds=(0.99,)).collect()}
+        r = rows[0.99]
+        assert r.precision is None and r.recall is None and r.f1 is None
+
+    def test_monotone_predicted_positives(self, spark, documents):
+        from pulsar_spark.functions import pr_curve
+        from pulsar_spark.functions.classifier import logreg_fit_predict
+
+        scored = logreg_fit_predict(documents, F.col("n_chars") >= 250)
+        rows = pr_curve(scored).orderBy("threshold").collect()
+        counts = [r.n_pred_pos for r in rows]
+        assert counts == sorted(counts, reverse=True)  # higher cut, fewer positives
+
+
+class TestCorpusReport:
+    def test_known_corpus(self, spark):
+        from pulsar_spark.functions import corpus_report
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b", "en", "srcA"),
+                (2, "a b", "en", "srcA"),
+                (3, "c", "es", "srcA"),
+                (4, "x y z", "de", "srcB"),
+            ],
+            "doc_id bigint, text string, lang string, source string",
+        )
+        rows = {r.source: r for r in corpus_report(docs).collect()}
+        a = rows["srcA"]
+        assert (a.n_docs, a.n_tokens, a.total_chars) == (3, 5, 7)
+        # lengths sorted [1, 3, 3]: p25 idx (2*25)//100=0 -> 1; p50/p75/p90 idx 1 -> 3
+        assert (a.p25_chars, a.p50_chars, a.p75_chars, a.p90_chars) == (1, 3, 3, 3)
+        assert a.top_lang == "en" and a.top_lang_frac == round(2 / 3, 6)
+        assert a.n_langs == 2
+        assert a.dup_rate == round(1 / 3, 6)  # "a b" twice -> 1 redundant copy
+        b = rows["srcB"]
+        assert b.n_docs == 1 and b.dup_rate == 0.0 and b.p90_chars == 5
+
+    def test_top_lang_tiebreak_lexicographic(self, spark):
+        from pulsar_spark.functions import corpus_report
+
+        docs = spark.createDataFrame(
+            [(1, "q", "fr", "s"), (2, "r", "de", "s")],
+            "doc_id bigint, text string, lang string, source string",
+        )
+        r = corpus_report(docs).collect()[0]
+        assert r.top_lang == "de"  # tie 1-1 -> lexicographically smallest
