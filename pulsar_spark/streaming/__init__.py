@@ -4,6 +4,7 @@ from pulsar_spark.streaming.subscribe import (
     subscribe_pattern,
     subscribe_scalable_pattern,
     subscribe_typed,
+    subscribe_assigned,
     run_to_end,
 )
 from pulsar_spark.streaming.tableview import table_view_stream, table_view_merge_sink
@@ -18,6 +19,7 @@ __all__ = [
     "subscribe_pattern",
     "subscribe_scalable_pattern",
     "subscribe_typed",
+    "subscribe_assigned",
     "run_to_end",
     "table_view_stream",
     "table_view_merge_sink",

@@ -129,6 +129,58 @@ def subscribe_typed(
     return registry.read_with_latest(stream, key)
 
 
+def subscribe_assigned(
+    spark: SparkSession,
+    topic_path: str,
+    assignment,
+    start_checkpoint=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming consumer view of a scalable topic under a
+    ``ConsumerAssignment`` (sources/coordinator.py — the consumer-side
+    reaction to SubscriptionCoordinator.sendAssignmentUpdate,
+    ConsumerSession.java:175): a streaming scan filtered to exactly the
+    assigned segments, starting at the subscription's cursor.
+
+    ``start_checkpoint`` (a ``sources.scalable.Checkpoint``) is the
+    SUBSCRIPTION cursor: per-segment start offsets below which rows are
+    not (re-)delivered. This is what makes assignment HANDOVER safe —
+    when a rebalance moves a segment to a different consumer, the new
+    owner resumes from the subscription's position, not from earliest,
+    exactly like the reference where the cursor lives on the
+    subscription rather than the consumer. On receiving an assignment
+    update, stop the current stream and re-open with the advanced
+    cursor (the bounded ``run_to_end`` drain per assignment epoch is
+    the batch-ish rendering of that consumer loop).
+
+    Scale shape: the segment membership filter is a predicate on the
+    hive ``segment=N`` partition column, so each micro-batch's file
+    listing PRUNES to the assigned segments — a consumer holding 2 of
+    64 segments streams 1/32 of the arriving files. The offset filter
+    rides the scan as a row-group-stat predicate."""
+    seg_ids = [int(s.segment_id) for s in assignment.segments]
+    static = spark.read.parquet(topic_path)  # schema discovery only
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(topic_path)
+    stream = (
+        stream.where(F.col("segment").isin(seg_ids)) if seg_ids else stream.limit(0)
+    )
+    if start_checkpoint is not None and start_checkpoint.offsets:
+        start = F.create_map(
+            *[
+                x
+                for sid, off in sorted(start_checkpoint.offsets.items())
+                for x in (F.lit(int(sid)).cast("int"), F.lit(int(off)).cast("bigint"))
+            ]
+        )
+        stream = stream.where(
+            F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0))
+        )
+    return stream
+
+
 def run_to_end(stream_writer, timeout_s: int = 120):
     """Run a streaming query with Trigger.AvailableNow to the current
     end of the topic and wait (the reference's ``reachedEndOfTopic``
