@@ -1427,6 +1427,69 @@ def _q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+def _q_media_decode_progressive(spark, sf_dir):
+    # REAL progressive-JPEG decode (functions/jpeg.py SOF2, T.81 Annex
+    # G: spectral selection + successive approximation, EOB-run coding,
+    # DC/AC refinement scans). Payloads are encoded in-flight with the
+    # progressive encoder over FLAT-quant solid-color pixels (exact
+    # roundtrip: DC-only blocks, achromatic RGB keeps Cb=Cr=128), with
+    # three families exercising deep DC successive approximation,
+    # combined DC+AC refinement over two spectral bands, and
+    # spectral-selection-only with three bands. The oracle recomputes
+    # dims + channel sums in closed form, like media_decode_jpeg.
+    from pulsar_spark.functions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.jpeg import FLAT_QUANT, encode_jpeg_progressive
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:  # grayscale, deep DC successive approximation
+                    v, w, h = d * 29 % 256, 8 * (1 + d % 2), 8
+                    payload = encode_jpeg_progressive(
+                        np.full((h, w), v, np.uint8),
+                        quant=FLAT_QUANT, dc_al=3, ac_al=0,
+                    )
+                elif d % 3 == 1:  # achromatic RGB, DC+AC refinement, 2 bands
+                    v, w, h = d * 31 % 256, 16, 8
+                    payload = encode_jpeg_progressive(
+                        np.full((h, w, 3), v, np.uint8),
+                        quant=FLAT_QUANT, dc_al=1, ac_al=1,
+                        bands=((1, 5), (6, 63)),
+                    )
+                else:  # grayscale, spectral selection only, 3 bands
+                    v = d * 37 % 256
+                    w, h = 8 * (1 + d % 7 % 3), 8 * (1 + d % 5 % 2)
+                    payload = encode_jpeg_progressive(
+                        np.full((h, w), v, np.uint8),
+                        quant=FLAT_QUANT, dc_al=0, ac_al=0,
+                        bands=((1, 2), (3, 20), (21, 63)),
+                    )
+                rows.append((d, "image", "jpeg", payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    out = decode_media(media, strict=True)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * 765).cast("int").alias("rgb_sum"),
+        "decode_ok",
+    )
+
+
 _BM25_QUERIES = [
     ("q1", ["query", "window", "scan"]),
     ("q2", ["customer", "stream", "merge", "slow"]),
@@ -2586,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "doc_classifier_pr": _q_doc_classifier_pr,
         "subscription_lifecycle": _q_subscription_lifecycle,
+        "media_decode_progressive": _q_media_decode_progressive,
         # -- re-checks: code changed this round AFTER their last
         #    driver check (VERDICT r5 hygiene rule) — domain_mix
         #    micro-unit weights, bm25 micro-unit contributions,
@@ -2641,8 +2705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_view": _q_table_view,
         "ttl_expiry": _q_ttl_expiry,
         "delayed_visibility": _q_delayed_visibility,
-        "seek_by_timestamp": _q_seek_by_timestamp,
         # ---- 50-entry driver prefix ends here ----
+        # (seek_by_timestamp slid below the marker when
+        #  media_decode_progressive took its slot: driver-green r4,
+        #  kept in test_oracle_parity)
+        "seek_by_timestamp": _q_seek_by_timestamp,
         # (the full round-5 prefix rotates out: every entry is
         #  driver-green r5 at its current implementation and locally
         #  value-checked by tests/test_oracle_parity.py)
@@ -3329,6 +3396,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 3
                         WHEN 0 THEN 8
                         WHEN 1 THEN 16 * (1 + doc_id % 2)
+                        ELSE 8 * (1 + doc_id % 5 % 2) END AS INT) AS height,
+                   CAST(3 * (CASE doc_id % 3
+                        WHEN 0 THEN doc_id * 29
+                        WHEN 1 THEN doc_id * 31
+                        ELSE doc_id * 37 END % 256) AS INT) AS rgb_sum,
+                   TRUE AS decode_ok
+            FROM documents
+        """,
+        "media_decode_progressive": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 8 * (1 + doc_id % 2)
+                        WHEN 1 THEN 16
+                        ELSE 8 * (1 + doc_id % 7 % 3) END AS INT) AS width,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 8
+                        WHEN 1 THEN 8
                         ELSE 8 * (1 + doc_id % 5 % 2) END AS INT) AS height,
                    CAST(3 * (CASE doc_id % 3
                         WHEN 0 THEN doc_id * 29

@@ -7,18 +7,25 @@ there; this module adds the remaining mainstream raster codec, baseline
 sequential JPEG, so real crawl corpora (overwhelmingly jpeg/png) decode
 for real in this container:
 
-- ``decode_jpeg``: baseline DCT sequential (SOF0), grayscale or YCbCr
-  with sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
-  markers (DRI/RSTn), multi-segment DQT/DHT, APPn/COM skip ->
-  HxWx3 uint8 RGB. Progressive (SOF2), arithmetic coding, 12-bit
-  precision and hierarchical modes raise ValueError (stub tier —
-  they are rare in crawl data and genuinely separate decoders).
+- ``decode_jpeg``: baseline DCT sequential (SOF0/SOF1) AND progressive
+  (SOF2, T.81 Annex G: spectral selection + successive approximation,
+  EOB-run coding, DC/AC refinement scans, interleaved DC +
+  non-interleaved AC block grids), grayscale or YCbCr with sampling
+  factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers
+  (DRI/RSTn), multi-segment DQT/DHT, APPn/COM skip -> HxWx3 uint8 RGB.
+  Arithmetic coding, 12-bit precision and hierarchical modes raise
+  ValueError (stub tier — rare in crawl data and genuinely separate
+  decoders).
 - ``encode_jpeg``: the matching baseline encoder (grayscale 1x1 or
   YCbCr 4:4:4, standard Annex K Huffman tables, caller-supplied
   quantization), used by tests and the in-flight oracle payload
   builder. With a flat all-ones quant table, constant 8x8 blocks
   round-trip EXACTLY (only the DC coefficient is nonzero and it is an
   integer), which is what makes the driver oracle closed-form.
+- ``encode_jpeg_progressive``: progressive encoder (spectral bands +
+  successive approximation over identical quantized coefficients), so
+  round-trip tests can assert progressive decode == baseline decode
+  pixel-for-pixel on the same input.
 
 Everything here is public knowledge: the JPEG interchange format and
 the Annex K example tables are in the freely published T.81 spec.
@@ -123,6 +130,19 @@ _AC_CHROMA = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+#: AC table for PROGRESSIVE scans: the Annex K example tables carry no
+#: EOBn symbols (0x10..0xE0 — end-of-band runs longer than 1 exist only
+#: in progressive mode, T.81 G.1.2.2), so a progressive encoder needs
+#: its own table. This one holds every possible RS byte: 254 symbols at
+#: 8 bits + 2 at 9 bits (canonical code space 2^8 = 256 → 254 leaves
+#: one 8-bit prefix = two 9-bit codes; the all-ones code stays unused).
+#: Deliberately flat — it exists for correctness tests/oracles, not
+#: compression ratio.
+_AC_FULL = (
+    [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
 )
 
 #: orthonormal 8-point DCT-II basis; fdct = T @ B @ T.T, idct = T.T @ F @ T
@@ -344,6 +364,256 @@ def encode_jpeg(
     return bytes(out)
 
 
+# -------------------------------------------------------- progressive encoder
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating TOWARD ZERO
+    (T.81 G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _EobState:
+    """End-of-band run accumulator for progressive AC scans, plus the
+    correction bits deferred behind the next emitted symbol
+    (refinement scans only)."""
+
+    def __init__(self, writer: _BitWriter, ac_codes: dict) -> None:
+        self.writer = writer
+        self.ac = ac_codes
+        self.run = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.run > 0:
+            cat = self.run.bit_length() - 1
+            code, ln = self.ac[cat << 4]
+            self.writer.put(code, ln)
+            if cat:
+                self.writer.put(self.run - (1 << cat), cat)
+            self.run = 0
+        for b in self.pending:
+            self.writer.put(b, 1)
+        self.pending = []
+
+    def add_block(self, bits: list[int]) -> None:
+        self.run += 1
+        self.pending.extend(bits)
+        if self.run == 0x7FFF:  # EOBRUN cap (T.81 G.1.2.2)
+            self.flush()
+
+
+def _enc_ac_first(writer, blocks, ss, se, al, ac_codes, eob: _EobState) -> None:
+    """AC first scan (Ah=0) for one component band, EOB-run coded."""
+    for blk in blocks:
+        r = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            v = _pt(int(blk[k]), al)
+            if v == 0:
+                r += 1
+                continue
+            eob.flush()
+            while r > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.put(code, ln)
+                r -= 16
+            s, bits_ = _encode_coeff_bits(v)
+            code, ln = ac_codes[(r << 4) | s]
+            writer.put(code, ln)
+            writer.put(bits_, s)
+            r = 0
+            emitted = True
+        if r > 0 or not emitted:
+            eob.add_block([])
+
+
+def _enc_ac_refine(writer, blocks, ss, se, al, ac_codes, eob: _EobState) -> None:
+    """AC refinement scan (Ah=Al+1): one correction bit per
+    already-nonzero coefficient, newly-significant values as ±1 with
+    deferred correction bits (T.81 G.1.2.3)."""
+    for blk in blocks:
+        vt = [_pt(int(blk[k]), al) for k in range(ss, se + 1)]
+        mag = [abs(v) for v in vt]
+        last_new = -1
+        for idx, m in enumerate(mag):
+            if m == 1:
+                last_new = idx
+        r = 0
+        held: list[int] = []  # correction bits inside the current run
+        for idx in range(last_new + 1):
+            m = mag[idx]
+            if m == 0:
+                r += 1
+                continue
+            # ZRL must be emitted at the FIRST nonzero coefficient once
+            # the zero-history run exceeds 15 — history or new alike —
+            # so that the correction bits buffered so far are exactly
+            # the ones the decoder's 16-zero walk will pass (emitting
+            # at the newly-significant coefficient only would strand a
+            # history bit beyond the walk's span)
+            while r > 15:
+                eob.flush()
+                code, ln = ac_codes[0xF0]
+                writer.put(code, ln)
+                r -= 16
+                for b in held:
+                    writer.put(b, 1)
+                held = []
+            if m > 1:  # history coefficient: one correction bit, deferred
+                held.append(m & 1)
+                continue
+            # newly significant (magnitude exactly 1 at this precision)
+            eob.flush()
+            code, ln = ac_codes[(r << 4) | 1]
+            writer.put(code, ln)
+            writer.put(1 if vt[idx] > 0 else 0, 1)
+            for b in held:
+                writer.put(b, 1)
+            held = []
+            r = 0
+        # the trailing region joins the EOB run, with history correction
+        # bits riding along — but ONLY if the block's coded content
+        # ended before Se: when the last newly-significant coefficient
+        # sits exactly at the band end, the decoder leaves the block
+        # with nothing left to signal and an EOB here would desync it
+        # onto the NEXT block
+        if last_new < len(mag) - 1:
+            tail_bits = held + [
+                mag[i] & 1 for i in range(last_new + 1, len(mag)) if mag[i] > 1
+            ]
+            eob.add_block(tail_bits)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: np.ndarray = STD_LUMA_QUANT,
+    chroma_quant: np.ndarray | None = None,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB as YCbCr 4:4:4) uint8 ->
+    progressive SOF2 JPEG (T.81 Annex G): spectral selection over
+    ``bands`` plus successive approximation (``dc_al``/``ac_al`` extra
+    precision scans; 0 = spectral selection only). Quantized
+    coefficients are identical to :func:`encode_jpeg`'s for the same
+    input, so the two encodings decode to IDENTICAL pixels — which is
+    what the round-trip tests assert. Dimensions must be multiples
+    of 8 (encoder exists for tests/oracles; the decoder handles
+    arbitrary dims)."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_progressive requires dims that are multiples of 8")
+    lo = 0
+    for ss, se in bands:
+        if ss != lo + 1 or se < ss or se > 63:
+            raise ValueError("AC bands must contiguously cover [1, 63]")
+        lo = se
+    if lo != 63:
+        raise ValueError("AC bands must contiguously cover [1, 63]")
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, quant)
+    comps = [(1, 0x11, 0)]
+    if not gray:
+        cq = chroma_quant if chroma_quant is not None else quant
+        out += _dqt_segment(1, cq)
+        comps += [(2, 0x11, 1), (3, 0x11, 1)]
+    body = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, samp, tq in comps:
+        body += bytes([cid, samp, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(body)) + body  # SOF2
+    # DC uses the Annex K tables; AC uses the full progressive table
+    # (EOBn symbols are absent from the example tables — see _AC_FULL)
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_FULL)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_FULL)
+
+    if gray:
+        planes = [(arr.astype(np.float64), quant)]
+    else:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cq = chroma_quant if chroma_quant is not None else quant
+        planes = [(y, quant), (cb, cq), (cr, cq)]
+    zz = [
+        _fdct_quant(np.clip(np.round(p), 0, 255), q).reshape(-1, 64)
+        for p, q in planes
+    ]
+    nbx, nby = w // 8, h // 8
+    dc_maps = [_huff_codes(*t) for t in (_DC_LUMA, _DC_CHROMA)]
+    _full = _huff_codes(*_AC_FULL)
+    ac_maps = [_full, _full]
+
+    def sos_header(comp_idxs: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_idxs)])
+        for c in comp_idxs:
+            cid, _, tq = comps[c]
+            body += bytes([cid, (tq << 4) | tq])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, interleaved, point transform dc_al
+    out += sos_header(list(range(len(comps))), 0, 0, 0, dc_al)
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(nby):
+        for mx in range(nbx):
+            for c in range(len(comps)):
+                tid = comps[c][2]
+                v = int(zz[c][my * nbx + mx][0]) >> dc_al  # arithmetic shift
+                s, bits_ = _encode_coeff_bits(v - preds[c])
+                preds[c] = v
+                code, ln = dc_maps[tid][s]
+                writer.put(code, ln)
+                if s:
+                    writer.put(bits_, s)
+    writer.flush()
+    out += writer.buf
+
+    # DC refinement scans: one raw bit per block per precision level
+    for al in range(dc_al - 1, -1, -1):
+        out += sos_header(list(range(len(comps))), 0, 0, al + 1, al)
+        writer = _BitWriter()
+        for my in range(nby):
+            for mx in range(nbx):
+                for c in range(len(comps)):
+                    writer.put((int(zz[c][my * nbx + mx][0]) >> al) & 1, 1)
+        writer.flush()
+        out += writer.buf
+
+    # AC scans: per component, per spectral band — first pass at ac_al,
+    # then refinement passes down to full precision
+    for c in range(len(comps)):
+        tid = comps[c][2]
+        for ss, se in bands:
+            out += sos_header([c], ss, se, 0, ac_al)
+            writer = _BitWriter()
+            eob = _EobState(writer, ac_maps[tid])
+            _enc_ac_first(writer, zz[c], ss, se, ac_al, ac_maps[tid], eob)
+            eob.flush()
+            writer.flush()
+            out += writer.buf
+    for al in range(ac_al - 1, -1, -1):
+        for c in range(len(comps)):
+            tid = comps[c][2]
+            for ss, se in bands:
+                out += sos_header([c], ss, se, al + 1, al)
+                writer = _BitWriter()
+                eob = _EobState(writer, ac_maps[tid])
+                _enc_ac_refine(writer, zz[c], ss, se, al, ac_maps[tid], eob)
+                eob.flush()
+                writer.flush()
+                out += writer.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------- decoder
 
 
@@ -429,6 +699,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    prog_state: dict | None = None
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -464,7 +736,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_map(bits, vals)
                 j += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # SOF0/SOF1 baseline(-ext) sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError("only 8-bit precision JPEG is real-decoded")
@@ -475,14 +747,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/arithmetic/hierarchical JPEG is stub-tier")
+            progressive = m == 0xC2
+            if progressive:
+                prog_state = _init_component_state(frame)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("arithmetic/hierarchical/lossless JPEG is stub-tier")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tabs >> 4, tabs & 0xF))
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                a = seg[3 + 2 * ns]
+                i = _decode_progressive_scan(
+                    payload, i, frame, scan, ss, se, a >> 4, a & 0xF,
+                    prog_state, dc_tabs, ac_tabs, restart_interval,
+                )
+                continue  # more scans (or EOI) follow
             if ns != len(frame[2]):
                 # per-component sequential scans would need a
                 # component-specific (non-interleaved) MCU grid;
@@ -491,16 +778,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     "non-interleaved multi-scan baseline JPEG is stub-tier"
                 )
-            scan = []
-            for c in range(ns):
-                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append((cs, tabs >> 4, tabs & 0xF))
             return _decode_scan(
                 payload, i, frame, scan, quant, dc_tabs, ac_tabs, restart_interval
             )
-        elif m == 0xD9:  # EOI before SOS
+        elif m == 0xD9:  # EOI
+            if progressive and prog_state is not None:
+                h, w, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                return _reconstruct(
+                    h, w, hmax, vmax,
+                    [prog_state[cid] for cid, _, _, _ in comps], quant,
+                )
             break
         # else: APPn / COM / DNL — skipped
+    if progressive and prog_state is not None:
+        # tolerated: stream ended without an explicit EOI marker
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        return _reconstruct(
+            h, w, hmax, vmax, [prog_state[cid] for cid, _, _, _ in comps], quant
+        )
     raise ValueError("JPEG has no scan data")
 
 
@@ -562,7 +861,218 @@ def _decode_scan(
                             blk[k] = _extend(reader.bits(s), s)
                             k += 1
             mcu_index += 1
-    # dequantize + batched IDCT per component, then upsample to full res
+    return _reconstruct(h, w, hmax, vmax, state, quant)
+
+
+def _init_component_state(frame) -> dict:
+    """Per-component persistent coefficient stores for a progressive
+    frame (T.81 Annex G): scans accumulate into these; reconstruction
+    happens once, at EOI. The store is the MCU-padded grid (interleaved
+    DC scans address it in MCU order); non-interleaved AC scans address
+    the component's own ceil(size/8) block raster inside it."""
+    h, w, comps = frame
+    if h <= 0 or w <= 0 or h * w > 64 * 1024 * 1024:
+        raise ValueError(f"JPEG dimensions {w}x{h} exceed the decode cap")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors beyond 2x2 are stub-tier")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    state = {}
+    for cid, hs, vs, tq in comps:
+        nbx, nby = mcux * hs, mcuy * vs
+        # non-interleaved (single-component) scans cover the component's
+        # OWN block grid, not the MCU-padded one (T.81 A.2.2):
+        # ceil(ceil(dim * s / smax) / 8)
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        state[cid] = {
+            "coeff": np.zeros((nby * nbx, 64), dtype=np.int32),
+            "hs": hs, "vs": vs, "tq": tq, "nbx": nbx, "nby": nby,
+            "cbw": -(-cw // 8),
+            "cbh": -(-ch // 8),
+            "pred": 0,
+        }
+    state["_mcu"] = (mcux, mcuy)
+    return state
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan, ss, se, ah, al,
+    state, dc_tabs, ac_tabs, restart_interval,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G.2) into the persistent
+    component stores; returns the stream position of the next marker.
+
+    - DC scans (Ss=0, interleaved or single): first pass (Ah=0) decodes
+      Huffman-coded point-transformed diffs, storing ``pred << Al``;
+      refinement (Ah>0) reads one raw bit per block and ORs in
+      ``1 << Al`` (two's complement — consistent with the encoder
+      emitting ``(v >> Al) & 1``).
+    - AC scans (Ss>0, always single-component): first pass uses EOB-run
+      coding (EOBn symbols, r magnitude bits); refinement walks the
+      band correcting already-nonzero coefficients by one magnitude bit
+      and placing newly-significant ±(1 << Al) values.
+    """
+    h, w, comps = frame
+    mcux, mcuy = state["_mcu"]
+    reader = _BitReader(payload, pos)
+    eobrun = 0
+
+    def check_restart(index: int) -> None:
+        nonlocal eobrun
+        if restart_interval and index and index % restart_interval == 0:
+            m = reader.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise ValueError("expected JPEG restart marker")
+            for cid, _, _ in scan:
+                state[cid]["pred"] = 0
+            eobrun = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        unit = 0
+        order = []
+        if len(scan) > 1:  # interleaved: MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    order.append((my, mx))
+            for my, mx in order:
+                check_restart(unit)
+                for cs, td, _ in scan:
+                    st = state[cs]
+                    for v in range(st["vs"]):
+                        for u in range(st["hs"]):
+                            blk = st["coeff"][
+                                (my * st["vs"] + v) * st["nbx"] + mx * st["hs"] + u
+                            ]
+                            _dc_unit(reader, blk, st, dc_tabs.get(td), ah, al)
+                unit += 1
+        else:  # single component: its own block raster
+            cs, td, _ = scan[0]
+            st = state[cs]
+            for by in range(st["cbh"]):
+                for bx in range(st["cbw"]):
+                    check_restart(unit)
+                    blk = st["coeff"][by * st["nbx"] + bx]
+                    _dc_unit(reader, blk, st, dc_tabs.get(td), ah, al)
+                    unit += 1
+    else:  # AC scan: exactly one component (T.81 G.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cs, _, ta = scan[0]
+        st = state[cs]
+        table = ac_tabs[ta]
+        unit = 0
+        for by in range(st["cbh"]):
+            for bx in range(st["cbw"]):
+                check_restart(unit)
+                blk = st["coeff"][by * st["nbx"] + bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, blk, ss, se, al, table, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, blk, ss, se, al, table, eobrun)
+                unit += 1
+    # skip the padding bits to the marker that ends this scan's entropy
+    # segment (a stale RSTn in reader.marker is cleared first — the
+    # loop above consumed complete restart intervals, so scanning
+    # forward from the current position finds the real scan-end marker)
+    reader.marker = None
+    m = reader.align_to_marker()
+    return reader.pos - 2 if m is not None else len(payload)
+
+
+def _dc_unit(reader, blk, st, table, ah, al) -> None:
+    if ah == 0:
+        s = _decode_huff(reader, table)
+        diff = _extend(reader.bits(s), s) if s else 0
+        st["pred"] += diff
+        blk[0] = st["pred"] << al
+    else:
+        if reader.bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_block(reader, blk, ss, se, al, table, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1 << r) + extension blocks ending here
+            return (1 << r) - 1 + (reader.bits(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, blk, ss, se, al, table, eobrun) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.2; the correction-bit walk libjpeg's decode_mcu_AC_refine
+    implements): already-nonzero coefficients consume one correction
+    bit each as they are passed; zero-history runs count only zero
+    coefficients; newly-significant values are ±(1 << Al)."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(coef: int) -> int:
+        # append one magnitude bit if the encoder says so and the bit
+        # isn't already set at this precision
+        if reader.bit() and (coef & p1) == 0:
+            return coef + (p1 if coef >= 0 else m1)
+        return coef
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, table)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                    break  # remaining coeffs handled by the EOB sweep
+                # ZRL: r stays 15 -> skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                newval = p1 if reader.bit() else m1
+            # advance r zero-history positions, correcting history coeffs
+            while k <= se:
+                if blk[k] != 0:
+                    blk[k] = correct(int(blk[k]))
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # EOB region: every remaining nonzero coefficient still gets its
+        # correction bit
+        while k <= se:
+            if blk[k] != 0:
+                blk[k] = correct(int(blk[k]))
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(h, w, hmax, vmax, state, quant) -> np.ndarray:
+    """Dequantize + batched IDCT per component state, upsample to full
+    resolution, color-convert. Shared by the sequential one-scan path
+    and the progressive multi-scan path (which calls it at EOI)."""
     planes = []
     for st in state:
         q = quant[st["tq"]].astype(np.float64)

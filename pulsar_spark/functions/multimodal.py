@@ -8,17 +8,18 @@ pandas stages over ``mapInPandas``.
 Decode kernels come in two tiers:
 
 - REAL (numpy/stdlib only, fully implemented + tested): raster images
-  (``jpeg`` baseline sequential via the Huffman+IDCT codec in
-  functions/jpeg.py, ``png`` 8-bit gray/RGB/palette/alpha via stdlib
+  (``jpeg`` baseline sequential AND progressive — SOF0/SOF2 Huffman+
+  IDCT incl. spectral selection / successive approximation, in
+  functions/jpeg.py — ``png`` 8-bit gray/RGB/palette/alpha via stdlib
   ``zlib`` + numpy scanline unfiltering, ``bmp`` BI_RGB 24/32-bit,
   ``ppm`` P6, ``pgm`` P5) and PCM audio (``wav`` 8/16-bit via the
   stdlib ``wave`` module), including a real bilinear resize for the
   raster formats.
-- STUBBED: codecs that genuinely need external libraries (progressive
-  jpeg/mp3/h264 ...); those rows run ``_decode_stub``
-  (deterministic fake derived from the bytes) or raise
-  NotImplementedError under ``strict=True``. The Spark-side plumbing
-  (schema, batching, partition sizing) is identical for both tiers.
+- STUBBED: codecs that genuinely need external libraries (mp3/h264
+  ...); those rows run ``_decode_stub`` (deterministic fake derived
+  from the bytes) or raise NotImplementedError under ``strict=True``.
+  The Spark-side plumbing (schema, batching, partition sizing) is
+  identical for both tiers.
 
 Scale notes: media rows are large — ``media_repartition`` sizes
 partitions by estimated bytes, not row count, so a 100 TB scan doesn't

@@ -197,3 +197,118 @@ class TestJpegSparkStage:
         assert row["codec"] == "png"
         px = _decode_png(bytes(row["payload"]))
         assert px.shape == (10, 10, 3)
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2, T.81 Annex G) codec: the progressive encoder
+    produces IDENTICAL quantized coefficients to the baseline encoder,
+    so decode(progressive) must equal decode(baseline) bit-for-bit."""
+
+    def test_roundtrip_matches_baseline_across_configs(self):
+        import numpy as np
+
+        from pulsar_spark.functions.jpeg import (
+            FLAT_QUANT,
+            STD_LUMA_QUANT,
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(42)
+        configs = [
+            (0, 0, ((1, 63),)),          # spectral selection only
+            (1, 1, ((1, 5), (6, 63))),   # one SA level, two bands
+            (2, 2, ((1, 2), (3, 20), (21, 63))),  # deep SA, three bands
+            (0, 2, ((1, 63),)),          # AC-only successive approximation
+            (3, 1, ((1, 10), (11, 63))),  # deep DC SA
+        ]
+        for trial in range(6):
+            h = int(rng.choice([8, 16, 24]))
+            w = int(rng.choice([8, 16, 32]))
+            gray = trial % 2 == 0
+            img = rng.integers(
+                0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8
+            )
+            for quant in (FLAT_QUANT, STD_LUMA_QUANT):
+                base = decode_jpeg(encode_jpeg(img, quant=quant))
+                for dc_al, ac_al, bands in configs:
+                    prog = decode_jpeg(
+                        encode_jpeg_progressive(
+                            img, quant=quant, dc_al=dc_al, ac_al=ac_al, bands=bands
+                        )
+                    )
+                    assert np.array_equal(base, prog), (
+                        trial, gray, dc_al, ac_al, bands,
+                    )
+
+    def test_solid_color_flat_quant_exact(self):
+        import numpy as np
+
+        from pulsar_spark.functions.jpeg import (
+            FLAT_QUANT,
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = np.full((16, 16, 3), 0, np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = 200, 55, 30
+        got = decode_jpeg(encode_jpeg_progressive(img, quant=FLAT_QUANT))
+        # solid color: within YCbCr round-trip rounding of the original
+        # (same +-1 the baseline encoder shows on these values), and the
+        # whole image is one constant pixel
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+        assert (got == got[0, 0]).all()
+
+    def test_block_refine_eob_at_band_end(self):
+        # the regression the round-trip caught: a block whose last
+        # newly-significant coefficient sits exactly at Se must not
+        # join the encoder's EOB run (decoder has nothing left to read)
+        import numpy as np
+
+        from pulsar_spark.functions.jpeg import (
+            FLAT_QUANT,
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (8, 32), dtype=np.uint8)
+        from pulsar_spark.functions.jpeg import STD_LUMA_QUANT
+
+        base = decode_jpeg(encode_jpeg(img, quant=STD_LUMA_QUANT))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quant=STD_LUMA_QUANT, dc_al=1, ac_al=1, bands=((1, 5), (6, 63))
+            )
+        )
+        assert np.array_equal(base, prog)
+
+    def test_progressive_flows_through_media_decode(self, spark):
+        import numpy as np
+
+        from pulsar_spark.functions.jpeg import FLAT_QUANT, encode_jpeg_progressive
+        from pulsar_spark.functions.multimodal import attach_media, decode_media
+
+        payload = encode_jpeg_progressive(
+            np.full((16, 8, 3), 90, np.uint8), quant=FLAT_QUANT
+        )
+        media = attach_media(
+            spark.createDataFrame([(1, payload)], "id bigint, data binary"),
+            "data", "image", "jpeg", "id",
+        )
+        row = decode_media(media, strict=True).collect()[0]
+        assert (row["width"], row["height"]) == (8, 16)
+        assert row["decode_ok"]
+
+    def test_bad_bands_rejected(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from pulsar_spark.functions.jpeg import encode_jpeg_progressive
+
+        img = np.zeros((8, 8), np.uint8)
+        for bands in (((2, 63),), ((1, 30),), ((1, 30), (32, 63))):
+            with _pytest.raises(ValueError):
+                encode_jpeg_progressive(img, bands=bands)

@@ -34,6 +34,7 @@ KEYS = [
     "corpus_report",
     "doc_classifier_pr",
     "subscription_lifecycle",
+    "media_decode_progressive",
     # round-5 additions: unit tests cover semantics but only this
     # harness regresses their DuckDB oracle twins locally
     "doc_bpe_encode",
