@@ -3737,7 +3737,7 @@ def oracle_sql() -> dict[str, str]:
             hist AS (SELECT source, len, count(*) AS c FROM base GROUP BY source, len),
             cum AS (
               SELECT source, len,
-                     sum(c) OVER (PARTITION BY source ORDER BY len) AS cumc
+                     sum(c) OVER (PARTITION BY source ORDER BY len NULLS LAST) AS cumc
               FROM hist
             ),
             q AS (
@@ -3752,7 +3752,7 @@ def oracle_sql() -> dict[str, str]:
             top AS (
               SELECT source, lang AS top_lang, lcnt
               FROM lc
-              QUALIFY row_number() OVER (PARTITION BY source ORDER BY lcnt DESC, lang) = 1
+              QUALIFY row_number() OVER (PARTITION BY source ORDER BY lcnt DESC, lang NULLS LAST) = 1
             ),
             nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY source),
             dt AS (

@@ -781,19 +781,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             return _decode_scan(
                 payload, i, frame, scan, quant, dc_tabs, ac_tabs, restart_interval
             )
-        elif m == 0xD9:  # EOI
-            if progressive and prog_state is not None:
-                h, w, comps = frame
-                hmax = max(c[1] for c in comps)
-                vmax = max(c[2] for c in comps)
-                return _reconstruct(
-                    h, w, hmax, vmax,
-                    [prog_state[cid] for cid, _, _, _ in comps], quant,
-                )
-            break
+        elif m == 0xD9:  # EOI — single exit below (a trailing EOI at
+            break         # end-of-payload exits via the loop bound anyway)
         # else: APPn / COM / DNL — skipped
     if progressive and prog_state is not None:
-        # tolerated: stream ended without an explicit EOI marker
+        # EOI reached (or stream ended without one — tolerated):
+        # reconstruct from the accumulated coefficient stores
         h, w, comps = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)

@@ -82,9 +82,12 @@ def corpus_report(
     # The window runs over the HISTOGRAM (bounded by distinct lengths
     # per group), never the corpus.
     hist = base.groupBy(group_col, "_len").agg(F.count("*").alias("_c"))
+    # NULLS LAST explicitly: Spark default-sorts NULLs FIRST ascending,
+    # DuckDB LAST — a NULL-text doc would otherwise shift every
+    # cumulative count by one and break quantile parity
     wcum = (
         Window.partitionBy(group_col)
-        .orderBy("_len")
+        .orderBy(F.col("_len").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("_cum", F.sum("_c").over(wcum)).join(
@@ -106,7 +109,10 @@ def corpus_report(
     # language mix from its own pre-grouped count table (no
     # multi-distinct expand in the scalar agg)
     lang_counts = base.groupBy(group_col, "_lang").agg(F.count("*").alias("_lc"))
-    wtop = Window.partitionBy(group_col).orderBy(F.desc("_lc"), F.col("_lang"))
+    # same NULLS LAST rationale for the language tie-break
+    wtop = Window.partitionBy(group_col).orderBy(
+        F.desc("_lc"), F.col("_lang").asc_nulls_last()
+    )
     top_lang = (
         lang_counts.withColumn("_rn", F.row_number().over(wtop))
         .where(F.col("_rn") == 1)

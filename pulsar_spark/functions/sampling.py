@@ -104,7 +104,10 @@ def domain_mix(
     sum, exactly like :func:`temperature_mix` — an integer sum is
     order-independent, so non-integer user weights (0.1, 0.3, ...)
     stay bit-identical across engines and partition orders; a plain
-    double sum would depend on addend order in the last ulp.
+    double sum would depend on addend order in the last ulp. Weights
+    below 5e-7 quantize to zero (rate 0 for that group); if EVERY
+    present group quantizes to zero the call raises — rescale the
+    weights, only their ratios matter.
     """
     import math
 
@@ -114,13 +117,22 @@ def domain_mix(
         rates_df = spark.createDataFrame([], f"{group_col} string, _rate double")
     else:
         counts = {r[group_col]: int(r["_cnt"]) for r in rows}
-        wu = {
-            g: int(math.floor(float(weights.get(g, default_weight)) * 1_000_000.0 + 0.5))
-            for g in counts
-        }
-        if min(wu.values()) < 0:
+        raw = {g: float(weights.get(g, default_weight)) for g in counts}
+        if min(raw.values()) < 0:
+            # check the RAW weight: a tiny negative like -1e-7 would
+            # quantize to 0 and slip past a post-quantization check
             raise ValueError("domain_mix weights must be non-negative")
+        wu = {g: int(math.floor(w * 1_000_000.0 + 0.5)) for g, w in raw.items()}
         wsum = sum(wu.values())
+        if wsum == 0:
+            # every present group's weight quantized to zero micro-units
+            # (all < 5e-7): no meaningful mixture exists at the supported
+            # precision — refuse rather than divide by zero (weights are
+            # ratios; callers can rescale, e.g. x1e6)
+            raise ValueError(
+                "domain_mix weights all quantize to zero at 1e-6 precision; "
+                "rescale the weights (only their ratios matter)"
+            )
         rates_df = spark.createDataFrame(
             [
                 (g, min(1.0, (wu[g] / wsum * float(total_rows)) / counts[g]))

@@ -633,6 +633,28 @@ def segment_high_watermarks(spark: SparkSession, topic_path: str) -> dict[int, i
     }
 
 
+def checkpoint_start_filter(df: DataFrame, ckpt: Checkpoint) -> DataFrame:
+    """Apply a Checkpoint's per-segment start offsets as a literal-map
+    predicate (``offset >= start[segment]``, unseen segments start
+    at 0). The ONE place the cursor-filter expression lives — the
+    checkpoint reader, the subscription backlog view and the streaming
+    assigned consumer all share it so cursor semantics cannot drift.
+    Explicit casts on both map sides: raw int literals >2^31 would
+    infer LongType while small ones infer IntegerType, and a
+    mixed-width ``create_map`` is an AnalysisException — exactly the
+    offsets this module sees at scale."""
+    if not ckpt.offsets:
+        return df
+    start = F.create_map(
+        *[
+            x
+            for sid, off in sorted(ckpt.offsets.items())
+            for x in (F.lit(int(sid)).cast("int"), F.lit(int(off)).cast("bigint"))
+        ]
+    )
+    return df.where(F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0)))
+
+
 def read_from_checkpoint(
     spark: SparkSession, topic_path: str, ckpt: Checkpoint
 ) -> tuple[DataFrame, Checkpoint]:
@@ -654,20 +676,7 @@ def read_from_checkpoint(
     }
     if ckpt.latest:
         return df.limit(0), Checkpoint(highs)
-    # cast both sides explicitly: raw int literals >2^31 would infer
-    # LongType while small ones infer IntegerType, and a mixed-width
-    # create_map is an AnalysisException — exactly the offsets this
-    # module sees at scale
-    start = F.create_map(
-        *[
-            x
-            for sid, off in sorted(ckpt.offsets.items())
-            for x in (F.lit(sid).cast("int"), F.lit(off).cast("bigint"))
-        ]
-    )
-    out = df.where(
-        F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0))
-    ) if ckpt.offsets else df
+    out = checkpoint_start_filter(df, ckpt)
     merged = dict(ckpt.offsets)
     merged.update(highs)
     return out, Checkpoint(merged)
@@ -754,12 +763,14 @@ def delete_subscription(
     mid-teardown), then delete the persisted metadata — which removes
     the per-segment cursors (they live inside the entry's checkpoint
     vector). Returns False if the subscription didn't exist."""
+    subs = _read_subscriptions(topic_path)
+    if subscription not in subs:
+        # a no-op delete must NOT disconnect live consumers — check
+        # existence before any teardown
+        return False
     if coordinator is not None:
         for name in sorted(coordinator.sessions):
             coordinator.unregister_consumer(name)
-    subs = _read_subscriptions(topic_path)
-    if subscription not in subs:
-        return False
     del subs[subscription]
     _write_subscriptions(topic_path, subs)
     return True
@@ -833,15 +844,7 @@ def subscription_backlog(spark: SparkSession, topic_path: str, subscription: str
     df = _read_if_present(spark, topic_path)
     if df is None or ckpt.latest:
         return segs.select("segment", F.lit(0).cast("bigint").alias("backlog"))
-    if ckpt.offsets:
-        start = F.create_map(
-            *[
-                x
-                for sid, off in sorted(ckpt.offsets.items())
-                for x in (F.lit(sid).cast("int"), F.lit(off).cast("bigint"))
-            ]
-        )
-        df = df.where(F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0)))
+    df = checkpoint_start_filter(df, ckpt)
     counts = df.groupBy("segment").agg(F.count("*").alias("_c"))
     return (
         segs.join(counts, "segment", "left")

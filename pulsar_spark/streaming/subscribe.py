@@ -158,6 +158,12 @@ def subscribe_assigned(
     listing PRUNES to the assigned segments — a consumer holding 2 of
     64 segments streams 1/32 of the arriving files. The offset filter
     rides the scan as a row-group-stat predicate."""
+    from pulsar_spark.sources.scalable import (
+        Checkpoint,
+        checkpoint_start_filter,
+        segment_high_watermarks,
+    )
+
     seg_ids = [int(s.segment_id) for s in assignment.segments]
     static = spark.read.parquet(topic_path)  # schema discovery only
     reader = spark.readStream.schema(static.schema)
@@ -167,17 +173,19 @@ def subscribe_assigned(
     stream = (
         stream.where(F.col("segment").isin(seg_ids)) if seg_ids else stream.limit(0)
     )
-    if start_checkpoint is not None and start_checkpoint.offsets:
-        start = F.create_map(
-            *[
-                x
-                for sid, off in sorted(start_checkpoint.offsets.items())
-                for x in (F.lit(int(sid)).cast("int"), F.lit(int(off)).cast("bigint"))
-            ]
-        )
-        stream = stream.where(
-            F.col("offset") >= F.coalesce(start[F.col("segment")], F.lit(0))
-        )
+    if start_checkpoint is not None:
+        if start_checkpoint.latest:
+            # the LATEST sentinel means "nothing stored is delivered":
+            # snapshot the per-segment high watermarks at subscribe time
+            # and start past them (same semantics as read_from_checkpoint
+            # and subscription_backlog — NOT 'read from earliest')
+            start_checkpoint = Checkpoint(
+                {
+                    sid: hi + 1
+                    for sid, hi in segment_high_watermarks(spark, topic_path).items()
+                }
+            )
+        stream = checkpoint_start_filter(stream, start_checkpoint)
     return stream
 
 

@@ -434,6 +434,23 @@ class TestSampling:
 
         with _pytest.raises(ValueError):
             domain_mix(documents, weights={"src0": -1.0}, total_rows=100).count()
+        # a tiny negative that would quantize to 0 must be caught too
+        with _pytest.raises(ValueError):
+            domain_mix(
+                documents, weights={"src0": -1e-7}, total_rows=100
+            ).count()
+
+    def test_domain_mix_all_zero_quantized_weights_rejected(self, documents):
+        import pytest as _pytest
+
+        from pulsar_spark.functions import domain_mix
+
+        # every weight below the 1e-6 quantum -> no mixture exists at the
+        # supported precision; must raise, not divide by zero
+        with _pytest.raises(ValueError, match="quantize to zero"):
+            domain_mix(
+                documents, weights={}, total_rows=100, default_weight=1e-7
+            ).count()
 
     def test_temperature_mix_flattens_toward_uniform(self, spark):
         from pulsar_spark.functions import temperature_mix

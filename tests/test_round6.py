@@ -120,6 +120,52 @@ class TestSubscriptionLifecycle:
         after.register_consumer("c1", 1)
         assert {0, 1, 2, 3} <= seg_ids(after)  # gate lifted
 
+    def test_noop_delete_keeps_consumers_connected(self, spark, tmp_path):
+        # a delete of a nonexistent subscription must not tear down the
+        # live coordinator sessions (review finding)
+        from pulsar_spark.sources import (
+            SubscriptionCoordinator,
+            create_subscription,
+            delete_subscription,
+        )
+
+        d, _ = self._topic(spark, tmp_path)
+        create_subscription(d, "real")
+        coord = SubscriptionCoordinator("real", d)
+        coord.register_consumer("c1", 1)
+        assert delete_subscription(d, "typo", coordinator=coord) is False
+        assert set(coord.sessions) == {"c1"}  # untouched
+
+    def test_subscribe_assigned_latest_sentinel(self, spark, tmp_path):
+        # Checkpoint.latest() must mean "nothing stored delivered",
+        # matching read_from_checkpoint — not "read from earliest"
+        from pulsar_spark.sources import Checkpoint, SubscriptionCoordinator, produce_scalable
+        from pulsar_spark.streaming import run_to_end, subscribe_assigned
+
+        d, payload = self._topic(spark, tmp_path, n=50)
+        coord = SubscriptionCoordinator("s", d)
+        a = coord.register_consumer("c1", 1)["c1"]
+        got = []
+
+        def sink(batch, _bid):
+            got.extend(batch.select("offset", "segment").collect())
+
+        stream = subscribe_assigned(spark, d, a, start_checkpoint=Checkpoint.latest())
+        run_to_end(stream.writeStream.foreachBatch(sink))
+        assert got == []  # backlog skipped
+        # rows appended AFTER the latest-snapshot are delivered
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+        stream2 = subscribe_assigned(spark, d, a, start_checkpoint=Checkpoint.latest())
+        # (a fresh latest snapshot skips them again — prove the first
+        # snapshot's filter was the watermark, not an earliest read)
+        got2 = []
+
+        def sink2(batch, _bid):
+            got2.extend(batch.collect())
+
+        run_to_end(stream2.writeStream.foreachBatch(sink2))
+        assert got2 == []
+
     def test_saved_checkpoint_resumes_reads(self, spark, tmp_path):
         from pulsar_spark.sources import (
             create_subscription,
