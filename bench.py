@@ -104,8 +104,15 @@ def main() -> None:
         # and appends a 32-partition topic
         from pulsar_spark.sources.topics import produce
 
-        produce(events.limit(5000), f"{tmp}/warm2", key_col="user_id",
-                num_partitions=32, mode="overwrite")
+        # TWO full-size warm produces: the shuffle/sort/parquet-writer
+        # JIT decays ~1.6 -> 0.9 -> 0.7 -> 0.62 s across full-size runs
+        # (measured; a 5k-row warmup leaves the first measured runs
+        # ~2x the steady-state floor). The contract quantity is
+        # long-lived-cluster steady state, so warm with the real shape.
+        produce(events, f"{tmp}/warm2", key_col="user_id",
+                num_partitions=32, mode="append")
+        produce(events, f"{tmp}/warm3", key_col="user_id",
+                num_partitions=32, mode="append")
 
         # Steady-state: three full produce runs, keep the fastest.
         # Measured decay on a fresh JVM is ~1.6 -> 1.2 -> 1.0 -> 0.95s
