@@ -852,6 +852,83 @@ def subscription_backlog(spark: SparkSession, topic_path: str, subscription: str
     )
 
 
+def seek_subscription(
+    spark, topic_path: str, subscription: str, timestamp: str
+) -> Checkpoint:
+    """ScalableTopicController.seekSubscription (java:933) +
+    seekSubscriptionOnSegment's window dispatch: reset the
+    subscription's cursor across every DAG segment to a wall-clock
+    timestamp, using each segment's recorded
+    ``[created_at_ms, sealed_at_ms)`` lifetime to pick the cheapest
+    per-segment op —
+
+    - segment sealed at-or-before the timestamp: ALL its data predates
+      it -> cursor past-the-end (the clearBacklog closed form, no scan);
+    - segment created at-or-after the timestamp: all its data is
+      at-or-after -> cursor at earliest (offset 0, no scan);
+    - segment alive at the timestamp: one grouped min-aggregate over its
+      ``publish_time`` stats (row groups outside the range pruned).
+
+    At 100 TB this is the difference between timestamp-scanning the
+    whole DAG and scanning only the few segments that straddle the seek
+    point. When no segment needs a scan the function runs entirely
+    driver-side (``spark`` may even be None) — the test asserts that.
+
+    Persists the vector on the subscription and returns it."""
+    from datetime import datetime, timezone
+
+    meta = scalable_metadata(topic_path)
+    ts_ms = int(
+        datetime.fromisoformat(timestamp).replace(tzinfo=timezone.utc).timestamp()
+        * 1000
+    )
+    skip_all: list[int] = []
+    earliest: list[int] = []
+    to_scan: list[int] = []
+    for s in meta["segments"].values():
+        sid = int(s["segment_id"])
+        sealed_at = s.get("sealed_at_ms")
+        created_at = s.get("created_at_ms")
+        if s["state"] != "ACTIVE" and sealed_at and int(sealed_at) <= ts_ms:
+            skip_all.append(sid)
+        elif created_at and int(created_at) >= ts_ms:
+            earliest.append(sid)
+        else:
+            to_scan.append(sid)
+    offsets: dict[int, int] = {sid: 0 for sid in earliest}
+    if skip_all:
+        highs = segment_high_watermarks(spark, topic_path)
+        for sid in skip_all:
+            offsets[sid] = highs.get(sid, -1) + 1
+    if to_scan:
+        df = _read_if_present(spark, topic_path)
+        if df is None:
+            for sid in to_scan:
+                offsets[sid] = 0
+        else:
+            ts = F.lit(timestamp).cast("timestamp")
+            rows = (
+                df.where(F.col("segment").isin(to_scan))
+                .groupBy("segment")
+                .agg(
+                    F.min(
+                        F.when(F.col("publish_time") >= ts, F.col("offset"))
+                    ).alias("lo"),
+                    F.max("offset").alias("mx"),
+                )
+                .collect()
+            )
+            got = {
+                int(r.segment): (int(r.lo) if r.lo is not None else int(r.mx) + 1)
+                for r in rows
+            }
+            for sid in to_scan:
+                offsets[sid] = got.get(sid, 0)
+    vector = Checkpoint(offsets)
+    save_subscription_checkpoint(topic_path, subscription, vector)
+    return vector
+
+
 # ------------------------------------------- multi-topic checkpoint consumer
 
 
