@@ -321,7 +321,7 @@ def main() -> None:
                 "ingest_rows_per_sec_best": round(n_events / queries_min["b1_ingest"]),
                 "steady_second_run": steady,
                 "runs_detail": runs_detail,
-                "methodology": "per-query median of 3 runs (run 1 cold, 2-3 plan/cache-warm; b1b_fixture_envelope is single-run — its output IS the cached fixture for b2-b6); queries_min/headline_total_min are per-query minima — the steady-state estimator under host CPU steal (steal only adds time); b1_ingest = min of FIVE full produce runs, each appending a fresh topic path (steady-state contract, BASELINE.md); raw runs in runs_detail; steal_sentinel_ms times a fixed pure-Python loop before/after the run — compare across rounds to detect a contaminated record",
+                "methodology": "per-query median of 3 runs (run 1 cold, 2-3 plan/cache-warm; b1b_fixture_envelope is single-run — its output IS the cached fixture for b2-b6); queries_min/headline_total_min are per-query minima — the steady-state estimator under host CPU steal (steal only adds time); b1_ingest = min of SIX full produce runs, each appending a fresh topic path (steady-state contract, BASELINE.md); raw runs in runs_detail; steal_sentinel_ms times a fixed pure-Python loop before/after the run — compare across rounds to detect a contaminated record",
                 "extras_not_in_total": extras,
                 "steal_sentinel_ms": {"before": spin_before, "after": spin_after},
                 "loadavg": loadavg,

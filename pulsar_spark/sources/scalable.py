@@ -618,15 +618,22 @@ class Checkpoint:
         return cls(d.get("offsets", {}), latest=bool(d.get("latest")))
 
 
-def segment_high_watermarks(spark: SparkSession, topic_path: str) -> dict[int, int]:
+def segment_high_watermarks(
+    spark: SparkSession, topic_path: str, segments: list[int] | None = None
+) -> dict[int, int]:
     """Per-segment max stored offset, as one bounded grouped aggregate
     (parquet footer-stat scale). Shared by the checkpoint reader (the
     advanced vector is high+1) and the drain checker (drained = cursor
     past high) so the two definitions cannot drift. Empty dict for a
-    never-produced topic."""
+    never-produced topic. ``segments`` restricts the aggregate to the
+    listed hive partitions (partition-pruned — callers like
+    ``seek_subscription`` that only need a few sealed segments' highs
+    must not pay a DAG-wide stats pass)."""
     df = _read_if_present(spark, topic_path)
     if df is None:
         return {}
+    if segments is not None:
+        df = df.where(F.col("segment").isin([int(s) for s in segments]))
     return {
         int(r.segment): int(r.mx)
         for r in df.groupBy("segment").agg(F.max("offset").alias("mx")).collect()
@@ -682,21 +689,19 @@ def read_from_checkpoint(
     return out, Checkpoint(merged)
 
 
-def checkpoint_at_timestamp(
-    spark: SparkSession, topic_path: str, timestamp: str
-) -> Checkpoint:
-    """ScalableTopics.seekSubscription(timestamp) rendered for the
-    checkpoint model: the position vector whose resume delivers every
-    message with ``publish_time >= timestamp`` — per segment, the
-    first qualifying offset (the PersistentMessageFinder binary search
-    as one min-aggregate over publish_time stats; row groups outside
-    the range are pruned by the scan)."""
-    df = _read_if_present(spark, topic_path)
-    if df is None:
-        return Checkpoint.earliest()
+def _first_offsets_at_timestamp(
+    df: DataFrame, timestamp: str, segments: list[int] | None = None
+) -> dict[int, int]:
+    """Per-segment first offset whose ``publish_time >= timestamp``,
+    falling back to past-the-end for segments with no qualifying rows —
+    the PersistentMessageFinder binary search as ONE grouped
+    min-aggregate over publish_time stats (row groups outside the range
+    pruned by the scan). The ONE place this cursor math lives; shared by
+    ``checkpoint_at_timestamp`` and ``seek_subscription``. ``segments``
+    restricts the pass to the listed hive partitions."""
+    if segments is not None:
+        df = df.where(F.col("segment").isin([int(s) for s in segments]))
     ts = F.lit(timestamp).cast("timestamp")
-    # one grouped pass: first qualifying offset per segment, falling
-    # back to past-the-end for segments with no qualifying rows
     rows = (
         df.groupBy("segment")
         .agg(
@@ -705,7 +710,22 @@ def checkpoint_at_timestamp(
         )
         .collect()
     )
-    return Checkpoint({r.segment: (r.lo if r.lo is not None else r.mx + 1) for r in rows})
+    return {
+        int(r.segment): (int(r.lo) if r.lo is not None else int(r.mx) + 1)
+        for r in rows
+    }
+
+
+def checkpoint_at_timestamp(
+    spark: SparkSession, topic_path: str, timestamp: str
+) -> Checkpoint:
+    """ScalableTopics.seekSubscription(timestamp) rendered for the
+    checkpoint model: the position vector whose resume delivers every
+    message with ``publish_time >= timestamp``."""
+    df = _read_if_present(spark, topic_path)
+    if df is None:
+        return Checkpoint.earliest()
+    return Checkpoint(_first_offsets_at_timestamp(df, timestamp))
 
 
 # ------------------------------------------- subscription lifecycle (admin)
@@ -871,17 +891,32 @@ def seek_subscription(
 
     At 100 TB this is the difference between timestamp-scanning the
     whole DAG and scanning only the few segments that straddle the seek
-    point. When no segment needs a scan the function runs entirely
-    driver-side (``spark`` may even be None) — the test asserts that.
+    point; the skip-all arm pays one partition-pruned watermark
+    aggregate over just the sealed segments. When every segment
+    classifies as earliest (seek before the topic existed) the function
+    runs entirely driver-side — ``spark`` may even be None there; the
+    test asserts that.
+
+    Millisecond-boundary safety: segment stamps are ms-floored while
+    ``publish_time`` carries microseconds, so both classifications use
+    STRICT inequalities — a segment sealed or created in the seek
+    timestamp's own millisecond falls through to the (full-precision)
+    scan arm rather than risking a wrong closed form.
 
     Persists the vector on the subscription and returns it."""
     from datetime import datetime, timezone
 
+    if subscription not in _read_subscriptions(topic_path):
+        # validate BEFORE classifying/scanning — a typo'd subscription
+        # must not pay (and then discard) the stats passes
+        raise ValueError(f"no such subscription: {subscription}")
     meta = scalable_metadata(topic_path)
-    ts_ms = int(
-        datetime.fromisoformat(timestamp).replace(tzinfo=timezone.utc).timestamp()
-        * 1000
-    )
+    dt = datetime.fromisoformat(timestamp)
+    if dt.tzinfo is None:
+        # naive timestamps are UTC (the session timezone this engine
+        # pins); an explicit offset is CONVERTED, never overwritten
+        dt = dt.replace(tzinfo=timezone.utc)
+    ts_ms = int(dt.timestamp() * 1000)
     skip_all: list[int] = []
     earliest: list[int] = []
     to_scan: list[int] = []
@@ -889,41 +924,26 @@ def seek_subscription(
         sid = int(s["segment_id"])
         sealed_at = s.get("sealed_at_ms")
         created_at = s.get("created_at_ms")
-        if s["state"] != "ACTIVE" and sealed_at and int(sealed_at) <= ts_ms:
+        if s["state"] != "ACTIVE" and sealed_at and int(sealed_at) < ts_ms:
             skip_all.append(sid)
-        elif created_at and int(created_at) >= ts_ms:
+        elif created_at and int(created_at) > ts_ms:
             earliest.append(sid)
         else:
             to_scan.append(sid)
     offsets: dict[int, int] = {sid: 0 for sid in earliest}
     if skip_all:
-        highs = segment_high_watermarks(spark, topic_path)
+        highs = segment_high_watermarks(spark, topic_path, segments=skip_all)
         for sid in skip_all:
             offsets[sid] = highs.get(sid, -1) + 1
     if to_scan:
         df = _read_if_present(spark, topic_path)
-        if df is None:
-            for sid in to_scan:
-                offsets[sid] = 0
-        else:
-            ts = F.lit(timestamp).cast("timestamp")
-            rows = (
-                df.where(F.col("segment").isin(to_scan))
-                .groupBy("segment")
-                .agg(
-                    F.min(
-                        F.when(F.col("publish_time") >= ts, F.col("offset"))
-                    ).alias("lo"),
-                    F.max("offset").alias("mx"),
-                )
-                .collect()
-            )
-            got = {
-                int(r.segment): (int(r.lo) if r.lo is not None else int(r.mx) + 1)
-                for r in rows
-            }
-            for sid in to_scan:
-                offsets[sid] = got.get(sid, 0)
+        got = (
+            _first_offsets_at_timestamp(df, timestamp, segments=to_scan)
+            if df is not None
+            else {}
+        )
+        for sid in to_scan:
+            offsets[sid] = got.get(sid, 0)
     vector = Checkpoint(offsets)
     save_subscription_checkpoint(topic_path, subscription, vector)
     return vector

@@ -150,21 +150,39 @@ class TestSubscriptionLifecycle:
         def sink(batch, _bid):
             got.extend(batch.select("offset", "segment").collect())
 
+        from pulsar_spark.sources import segment_high_watermarks
+
         stream = subscribe_assigned(spark, d, a, start_checkpoint=Checkpoint.latest())
         run_to_end(stream.writeStream.foreachBatch(sink))
         assert got == []  # backlog skipped
-        # rows appended AFTER the latest-snapshot are delivered
+        # positive leg: rows appended AFTER the snapshot ARE delivered
+        # when resuming from the snapshot's vector (so the filter was
+        # the high watermark, not a deliver-nothing limit(0))
+        snap = Checkpoint(
+            {sid: hi + 1 for sid, hi in segment_high_watermarks(spark, d).items()}
+        )
         produce_scalable(payload, d, key_col="k", deterministic_mod=True)
-        stream2 = subscribe_assigned(spark, d, a, start_checkpoint=Checkpoint.latest())
-        # (a fresh latest snapshot skips them again — prove the first
-        # snapshot's filter was the watermark, not an earliest read)
         got2 = []
 
         def sink2(batch, _bid):
             got2.extend(batch.collect())
 
-        run_to_end(stream2.writeStream.foreachBatch(sink2))
-        assert got2 == []
+        run_to_end(
+            subscribe_assigned(spark, d, a, start_checkpoint=snap)
+            .writeStream.foreachBatch(sink2)
+        )
+        assert len(got2) == 50  # exactly the post-snapshot batch
+        # and a FRESH latest snapshot skips them again
+        got3 = []
+
+        def sink3(batch, _bid):
+            got3.extend(batch.collect())
+
+        run_to_end(
+            subscribe_assigned(spark, d, a, start_checkpoint=Checkpoint.latest())
+            .writeStream.foreachBatch(sink3)
+        )
+        assert got3 == []
 
     def test_seek_subscription_window_dispatch(self, spark, tmp_path):
         """seekSubscription's per-segment lifetime dispatch
