@@ -1544,6 +1544,22 @@ def _q_doc_classifier_pr(spark, sf_dir):
     return pr_curve(scored)
 
 
+def _q_doc_classifier_calibration(spark, sf_dir):
+    # Reliability-diagram bins over the SAME trained logreg model
+    # (functions/classifier.py calibration_bins): equal-width score
+    # bins, per-bin counts + exact micro-unit mean score + empirical
+    # positive rate — one map-side-combined aggregate on 10 keys.
+    from pulsar_spark.functions.classifier import calibration_bins, logreg_fit_predict
+
+    scored = logreg_fit_predict(
+        load_table(spark, sf_dir, "documents"),
+        F.col("n_chars") >= 250,
+        iters=2,
+        lr=4.0,
+    )
+    return calibration_bins(scored, n_bins=10)
+
+
 def _q_corpus_report(spark, sf_dir):
     # Dataset-card aggregate (functions/report.py corpus_report): per-
     # source doc/token counts, nearest-rank length quantiles from a
@@ -2648,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    lifecycle (create/clearBacklog/delete)
         "corpus_report": _q_corpus_report,
         "doc_classifier_pr": _q_doc_classifier_pr,
+        "doc_classifier_calibration": _q_doc_classifier_calibration,
         "subscription_lifecycle": _q_subscription_lifecycle,
         "media_decode_progressive": _q_media_decode_progressive,
         # -- re-checks: code changed this round AFTER their last
@@ -2704,8 +2721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_event_time": _q_compact_event_time,
         "table_view": _q_table_view,
         "ttl_expiry": _q_ttl_expiry,
-        "delayed_visibility": _q_delayed_visibility,
         # ---- 50-entry driver prefix ends here ----
+        # (delayed_visibility slid below the marker when
+        #  doc_classifier_calibration took its slot: driver-green r4,
+        #  kept in test_oracle_parity)
+        "delayed_visibility": _q_delayed_visibility,
         # (seek_by_timestamp slid below the marker when
         #  media_decode_progressive took its slot: driver-green r4,
         #  kept in test_oracle_parity)
@@ -3142,6 +3162,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
                    CASE WHEN 2 * tp + fp + fn > 0
                         THEN round(2 * tp / (2 * tp + fp + fn), 6) END AS f1
+            FROM a
+        """,
+        # Reliability bins over the same trained model: exact integer
+        # micro-unit score sums (6dp scores * 1e6 are exact), one
+        # 10-key aggregate.
+        "doc_classifier_calibration": f"""
+            WITH {_LOGREG_CTES},
+            b AS (
+              SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS INT) AS bin,
+                     CAST(round(score * 1000000.0, 0) AS BIGINT) AS su,
+                     label
+              FROM sc
+            ), a AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(label) AS BIGINT) AS n_pos,
+                     CAST(sum(su) AS BIGINT) AS sum_u
+              FROM b GROUP BY bin
+            )
+            SELECT bin, round(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo, n, n_pos,
+                   round(CAST(sum_u AS DOUBLE) / 1000000.0 / n, 6) AS mean_score,
+                   round(n_pos / n, 6) AS pos_rate
             FROM a
         """,
         # Unrolled 3-round BPE merge learning over the word-frequency

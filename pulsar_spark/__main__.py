@@ -137,6 +137,19 @@ def main(argv: list[str] | None = None) -> int:
         "--seed or shard order degenerates to the sampling hash",
     )
 
+    p_sub = sub.add_parser(
+        "subscription",
+        help="scalable-subscription admin: create/delete/list/backlog/"
+        "clear-backlog/seek (ScalableTopicController verbs)",
+    )
+    p_sub.add_argument("topic")
+    p_sub.add_argument(
+        "verb",
+        choices=["create", "delete", "list", "backlog", "clear-backlog", "seek"],
+    )
+    p_sub.add_argument("--name", help="subscription name (all verbs except list)")
+    p_sub.add_argument("--timestamp", help="seek target, e.g. '2026-01-01 00:00:00'")
+
     p_auto = sub.add_parser(
         "autoscale", help="PIP-483 tick: sample load, report, evaluate split/merge"
     )
@@ -187,6 +200,27 @@ def main(argv: list[str] | None = None) -> int:
 
         child = merge_segments(args.topic, *args.segments)
         print(json.dumps({"sealed": args.segments, "child": child}))
+        return 0
+    if args.cmd == "subscription" and args.verb in ("create", "delete", "list"):
+        # registry-only verbs: no Spark session needed
+        from pulsar_spark.sources import (
+            create_subscription,
+            delete_subscription,
+            list_subscriptions,
+        )
+
+        if args.verb == "list":
+            print(json.dumps({"topic": args.topic, "subscriptions": list_subscriptions(args.topic)}))
+            return 0
+        if not args.name:
+            print(json.dumps({"error": "--name is required"}))
+            return 2
+        if args.verb == "create":
+            created = create_subscription(args.topic, args.name)
+            print(json.dumps({"subscription": args.name, "created": created}))
+        else:
+            deleted = delete_subscription(args.topic, args.name)
+            print(json.dumps({"subscription": args.name, "deleted": deleted}))
         return 0
 
     from pyspark.sql import SparkSession
@@ -259,6 +293,38 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint:
             with open(args.checkpoint, "wb") as fh:
                 fh.write(advanced.to_bytes())
+    elif args.cmd == "subscription":
+        # spark-session verbs: backlog / clear-backlog / seek
+        from pulsar_spark.sources import (
+            clear_backlog,
+            seek_subscription,
+            subscription_backlog,
+        )
+
+        if not args.name:
+            print(json.dumps({"error": "--name is required"}))
+            return 2
+        if args.verb == "backlog":
+            rows = subscription_backlog(spark, args.topic, args.name).collect()
+            print(json.dumps({
+                "subscription": args.name,
+                "backlog": {str(r.segment): int(r.backlog) for r in rows},
+            }))
+        elif args.verb == "clear-backlog":
+            vec = clear_backlog(spark, args.topic, args.name)
+            print(json.dumps({
+                "subscription": args.name, "cleared": True,
+                "cursor": {str(k): v for k, v in sorted(vec.offsets.items())},
+            }))
+        else:  # seek
+            if not args.timestamp:
+                print(json.dumps({"error": "--timestamp is required for seek"}))
+                return 2
+            vec = seek_subscription(spark, args.topic, args.name, args.timestamp)
+            print(json.dumps({
+                "subscription": args.name, "seeked_to": args.timestamp,
+                "cursor": {str(k): v for k, v in sorted(vec.offsets.items())},
+            }))
     elif args.cmd == "autoscale":
         from pulsar_spark.sources import AutoScaleConfig, autoscale_tick
 

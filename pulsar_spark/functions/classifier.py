@@ -252,6 +252,57 @@ def pr_curve(
     )
 
 
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram table for a scored frame: equal-width score
+    bins with per-bin count, positive count, mean predicted score and
+    empirical positive rate — the calibration check run next to the PR
+    sweep before trusting a trained filter's threshold (a well-
+    calibrated gate has ``pos_rate ~= mean_score`` per bin).
+
+    Returns ``(bin, bin_lo, n, n_pos, mean_score, pos_rate)`` with
+    ``bin = min(floor(score * n_bins), n_bins - 1)`` (scores of exactly
+    1.0 land in the top bin).
+
+    Determinism: scores are already 6dp-rounded, so ``score * 1e6`` is
+    an exact integer — summed as bigint (order-independent), with the
+    mean as one division chain rounded to 6dp; counts are integers;
+    the bin floor applies the same IEEE multiply in both engines.
+
+    Scale shape: one map-side-combinable aggregate on ``n_bins`` keys —
+    each task emits at most ``n_bins`` rows."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    agg = (
+        scored.select(
+            b.alias("bin"),
+            F.round(F.col(score_col) * 1_000_000.0, 0).cast("bigint").alias("_su"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum("_su").alias("_sum_u"),
+        )
+    )
+    return agg.select(
+        "bin",
+        F.round(F.col("bin").cast("double") / n_bins, 6).alias("bin_lo"),
+        "n",
+        "n_pos",
+        F.round(F.col("_sum_u").cast("double") / 1_000_000.0 / F.col("n"), 6).alias(
+            "mean_score"
+        ),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+    )
+
+
 def sigmoid(z: float) -> float:
     """Driver-side reference sigmoid for tests."""
     return 1.0 / (1.0 + math.exp(-z))

@@ -35,6 +35,8 @@ KEYS = [
     "doc_classifier_pr",
     "subscription_lifecycle",
     "media_decode_progressive",
+    "doc_classifier_calibration",
+    "delayed_visibility",
     # round-5 additions: unit tests cover semantics but only this
     # harness regresses their DuckDB oracle twins locally
     "doc_bpe_encode",
@@ -53,7 +55,6 @@ KEYS = [
     "doc_pack_materialize",
     "table_view",
     "ttl_expiry",
-    "delayed_visibility",
     "scalable_split_stats",
     "seek_by_timestamp",
     "delivery_delay_fixed",

@@ -257,6 +257,38 @@ class TestSubscriptionLifecycle:
         assert batch2.count() == 0  # acked position persisted
 
 
+class TestSubscriptionCLI:
+    def test_full_lifecycle_through_cli(self, spark, tmp_path, capsys):
+        import json
+
+        from pulsar_spark.__main__ import main
+        from pulsar_spark.sources import create_scalable_topic, produce_scalable
+
+        d = str(tmp_path / "t")
+        create_scalable_topic(d, num_initial_segments=2)
+        payload = spark.range(60).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+
+        def run(*argv):
+            main(list(argv))
+            return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+        assert run("subscription", d, "create", "--name", "s")["created"] is True
+        assert run("subscription", d, "create", "--name", "s")["created"] is False
+        assert run("subscription", d, "list")["subscriptions"] == ["s"]
+        bl = run("subscription", d, "backlog", "--name", "s")["backlog"]
+        assert sum(bl.values()) == 60
+        out = run("subscription", d, "clear-backlog", "--name", "s")
+        assert out["cleared"] is True
+        bl2 = run("subscription", d, "backlog", "--name", "s")["backlog"]
+        assert sum(bl2.values()) == 0
+        seek = run("subscription", d, "seek", "--name", "s",
+                   "--timestamp", "2000-01-01 00:00:00")
+        assert all(v == 0 for v in seek["cursor"].values())  # pre-creation -> earliest
+        assert run("subscription", d, "delete", "--name", "s")["deleted"] is True
+        assert run("subscription", d, "list")["subscriptions"] == []
+
+
 class TestStreamingCoordinator:
     def test_split_mid_stream_with_two_consumers(self, spark, tmp_path):
         """End-to-end composition (VERDICT r5 stretch): two consumers
@@ -399,6 +431,46 @@ class TestPrCurve:
         rows = pr_curve(scored).orderBy("threshold").collect()
         counts = [r.n_pred_pos for r in rows]
         assert counts == sorted(counts, reverse=True)  # higher cut, fewer positives
+
+
+class TestCalibrationBins:
+    def test_known_bins(self, spark):
+        from pulsar_spark.functions.classifier import calibration_bins
+
+        scored = spark.createDataFrame(
+            [
+                ("a", 0.05, 0), ("b", 0.08, 0),   # bin 0
+                ("c", 0.55, 1), ("d", 0.52, 0),   # bin 5
+                ("e", 1.0, 1),                     # score 1.0 -> top bin
+            ],
+            "doc_id string, score double, label int",
+        )
+        rows = {r.bin: r for r in calibration_bins(scored, n_bins=10).collect()}
+        assert set(rows) == {0, 5, 9}
+        b0 = rows[0]
+        assert (b0.n, b0.n_pos) == (2, 0)
+        assert b0.mean_score == round((0.05 + 0.08) / 2, 6)
+        assert b0.pos_rate == 0.0 and b0.bin_lo == 0.0
+        b5 = rows[5]
+        assert (b5.n, b5.n_pos, b5.pos_rate) == (2, 1, 0.5)
+        assert b5.bin_lo == 0.5
+        assert rows[9].n == 1 and rows[9].mean_score == 1.0
+
+    def test_calibrated_gate_bins_track_scores(self, spark, documents):
+        # a trained model's bins: counts conserve and rates are valid
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.functions.classifier import (
+            calibration_bins,
+            logreg_fit_predict,
+        )
+
+        scored = logreg_fit_predict(documents, F.col("n_chars") >= 250)
+        bins = calibration_bins(scored).collect()
+        assert sum(r.n for r in bins) == scored.count()
+        for r in bins:
+            assert 0.0 <= r.pos_rate <= 1.0
+            assert r.bin_lo <= r.mean_score <= r.bin_lo + 0.100001 or r.bin == 9
 
 
 class TestCorpusReport:
