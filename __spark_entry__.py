@@ -1560,6 +1560,17 @@ def _q_doc_classifier_calibration(spark, sf_dir):
     return calibration_bins(scored, n_bins=10)
 
 
+def _q_doc_remove_dup_spans(spark, sf_dir):
+    # Cross-document exact-substring span removal (Lee et al. 2021
+    # ExactSubstr at word granularity; functions/dedupe.py
+    # remove_duplicated_spans): every token covered by a 5-gram seen in
+    # another doc is cut, survivors reassembled in order. Salted
+    # distinct-doc gram counts defend the Zipfian stop-gram skew.
+    from pulsar_spark.functions import remove_duplicated_spans
+
+    return remove_duplicated_spans(load_table(spark, sf_dir, "documents"), n=5)
+
+
 def _q_corpus_report(spark, sf_dir):
     # Dataset-card aggregate (functions/report.py corpus_report): per-
     # source doc/token counts, nearest-rank length quantiles from a
@@ -2663,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    sweep, and the ScalableTopicController subscription
         #    lifecycle (create/clearBacklog/delete)
         "corpus_report": _q_corpus_report,
+        "doc_remove_dup_spans": _q_doc_remove_dup_spans,
         "doc_classifier_pr": _q_doc_classifier_pr,
         "doc_classifier_calibration": _q_doc_classifier_calibration,
         "subscription_lifecycle": _q_subscription_lifecycle,
@@ -2720,8 +2732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_stats": _q_partition_stats,
         "compact_event_time": _q_compact_event_time,
         "table_view": _q_table_view,
-        "ttl_expiry": _q_ttl_expiry,
         # ---- 50-entry driver prefix ends here ----
+        # (ttl_expiry slid below the marker when doc_remove_dup_spans
+        #  took its slot: driver-green r4, kept in test_oracle_parity)
+        "ttl_expiry": _q_ttl_expiry,
         # (delayed_visibility slid below the marker when
         #  doc_classifier_calibration took its slot: driver-green r4,
         #  kept in test_oracle_parity)
@@ -3761,6 +3775,44 @@ def oracle_sql() -> dict[str, str]:
         # "min length whose cumulative histogram count reaches 0-based
         # index (n-1)*q//100 + 1"; top lang tie-breaks (count desc,
         # lang asc); ratios are single bigint/bigint divisions @6dp.
+        "doc_remove_dup_spans": """
+            WITH d AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, i - 1 AS idx, w[i] AS tok
+              FROM d, unnest(range(1, len(w) + 1)) AS r(i)
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS p,
+                     md5(array_to_string(w[i:i+4], ' ')) AS g
+              FROM d, unnest(range(1, len(w) - 3)) AS r(i)
+              WHERE len(w) >= 5
+            ),
+            nd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+            dup_pos AS (SELECT doc_id, p FROM grams JOIN nd USING (g) WHERE nd.nd > 1),
+            covered AS (
+              SELECT DISTINCT doc_id, p + u.i AS idx
+              FROM dup_pos, unnest(range(0, 5)) AS u(i)
+            ),
+            kept AS (
+              SELECT t.doc_id, t.idx, t.tok
+              FROM toks t LEFT JOIN covered c
+                ON t.doc_id = c.doc_id AND t.idx = c.idx
+              WHERE c.idx IS NULL
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+                     count(*) AS n_after
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(reb.text_clean, '') AS text_clean,
+                   CAST(len(d.w) AS BIGINT) AS n_tokens_before,
+                   CAST(len(d.w) - coalesce(reb.n_after, 0) AS BIGINT) AS n_tokens_removed
+            FROM d LEFT JOIN reb USING (doc_id)
+        """,
         "corpus_report": """
             WITH base AS (
               SELECT source, lang,

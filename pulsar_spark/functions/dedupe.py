@@ -827,3 +827,81 @@ def commit_fingerprints(
     the downstream sink write succeeds)."""
     fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
     survivors.select(fp.alias("_fp")).write.mode("append").parquet(store_path)
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Cross-document exact-substring span REMOVAL (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr rendered at word granularity): every token
+    covered by a word n-gram that also occurs in at least one OTHER
+    document is cut, and the remaining tokens are reassembled in order.
+    The stronger sibling of ``remove_duplicated_chunks`` (fixed chunks)
+    and ``dup_span_fraction`` (measurement only) — this one rewrites
+    the corpus.
+
+    Returns ``(id, text_clean, n_tokens_before, n_tokens_removed)``;
+    fully-duplicated documents come back with ``text_clean = ''``.
+    Reassembly joins surviving tokens with single spaces (the same
+    token normalization the measurement ops apply).
+
+    Scale shape: the gram table is ~|tokens| rows; the distinct-doc
+    count per gram uses the same two-level salted aggregate as
+    ``dup_span_fraction`` (exact under Zipfian stop-gram skew). The
+    coverage expansion is a bounded ``sequence(p, p+n-1)`` explode over
+    DUP positions only; the rebuild is a per-document ordered
+    aggregation (bounded by document length). Grams travel as md5
+    hashes so the oracle can reproduce them (xxhash64 is Spark-only).
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    d = docs.select(id_col, words.alias("w"))
+    toks = d.select(id_col, F.posexplode("w").alias("idx", "tok"))
+    grams = (
+        d.where(F.size("w") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {n}))))"
+                )
+            ).alias("p", "g"),
+        )
+    )
+    per_salt = grams.groupBy(
+        "g", F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt")
+    ).agg(F.count_distinct(id_col).alias("_nd_salt"))
+    gd = per_salt.groupBy("g").agg(F.sum("_nd_salt").alias("nd"))
+    dup_pos = grams.join(gd.where(F.col("nd") > 1), "g").select(id_col, "p")
+    covered = dup_pos.select(
+        id_col, F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("idx")
+    ).distinct()
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("_n_after"),
+    )
+    before = F.size(words).cast("bigint")
+    return (
+        docs.select(id_col, before.alias("n_tokens_before"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_tokens_before",
+            (
+                F.col("n_tokens_before") - F.coalesce(F.col("_n_after"), F.lit(0))
+            ).cast("bigint").alias("n_tokens_removed"),
+        )
+    )

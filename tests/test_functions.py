@@ -923,6 +923,45 @@ class TestRandomizedReferenceChecks:
     Python reference implementations — one Spark job per test, many
     generated cases inside it."""
 
+    def test_remove_duplicated_spans_match_python_reference(self, spark):
+        import random
+
+        from pulsar_spark.functions import remove_duplicated_spans
+
+        rng = random.Random(20260816)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        shared = " ".join(rng.choice(vocab) for _ in range(8))  # a planted dup span
+        for i in range(120):
+            m = rng.choice([0, 2, 4, 5, 6, 20, rng.randint(1, 40)])
+            body = " ".join(rng.choice(vocab) for _ in range(m))
+            if i % 3 == 0:  # plant the shared span into every third doc
+                body = f"{body} {shared}".strip()
+            docs.append((i, body))
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {r.doc_id: r for r in remove_duplicated_spans(df, n=5).collect()}
+
+        # pure-Python reference
+        n = 5
+        toks = {i: [w for w in t.split(" ") if w] for i, t in docs}
+        gram_docs: dict[tuple, set] = {}
+        for i, ws in toks.items():
+            for p in range(len(ws) - n + 1):
+                gram_docs.setdefault(tuple(ws[p : p + n]), set()).add(i)
+        for i, ws in toks.items():
+            covered = set()
+            for p in range(len(ws) - n + 1):
+                if len(gram_docs[tuple(ws[p : p + n])]) > 1:
+                    covered.update(range(p, p + n))
+            kept = [w for j, w in enumerate(ws) if j not in covered]
+            r = got[i]
+            assert r.text_clean == " ".join(kept), i
+            assert r.n_tokens_before == len(ws), i
+            assert r.n_tokens_removed == len(ws) - len(kept), i
+        # the planted span is gone everywhere it was shared
+        planted = [i for i in toks if i % 3 == 0 and len(toks[i]) >= 8]
+        assert sum(got[i].n_tokens_removed for i in planted) >= 8 * (len(planted) - 1)
+
     def test_gopher_rules_match_python_reference(self, spark):
         import random
 

@@ -36,6 +36,8 @@ KEYS = [
     "subscription_lifecycle",
     "media_decode_progressive",
     "doc_classifier_calibration",
+    "doc_remove_dup_spans",
+    "ttl_expiry",
     "delayed_visibility",
     # round-5 additions: unit tests cover semantics but only this
     # harness regresses their DuckDB oracle twins locally
@@ -54,7 +56,6 @@ KEYS = [
     "key_shared_consistent",
     "doc_pack_materialize",
     "table_view",
-    "ttl_expiry",
     "scalable_split_stats",
     "seek_by_timestamp",
     "delivery_delay_fixed",
