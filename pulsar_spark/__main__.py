@@ -223,6 +223,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"subscription": args.name, "deleted": deleted}))
         return 0
 
+    if args.cmd == "subscription":
+        # validate BEFORE paying SparkSession startup — a usage error
+        # must not boot (and then leak) a JVM
+        if not args.name:
+            print(json.dumps({"error": "--name is required"}))
+            return 2
+        if args.verb == "seek" and not args.timestamp:
+            print(json.dumps({"error": "--timestamp is required for seek"}))
+            return 2
+
     from pyspark.sql import SparkSession
 
     from pulsar_spark import get_spark
@@ -301,9 +311,6 @@ def main(argv: list[str] | None = None) -> int:
             subscription_backlog,
         )
 
-        if not args.name:
-            print(json.dumps({"error": "--name is required"}))
-            return 2
         if args.verb == "backlog":
             rows = subscription_backlog(spark, args.topic, args.name).collect()
             print(json.dumps({
@@ -316,10 +323,7 @@ def main(argv: list[str] | None = None) -> int:
                 "subscription": args.name, "cleared": True,
                 "cursor": {str(k): v for k, v in sorted(vec.offsets.items())},
             }))
-        else:  # seek
-            if not args.timestamp:
-                print(json.dumps({"error": "--timestamp is required for seek"}))
-                return 2
+        else:  # seek (--timestamp validated before session creation)
             vec = seek_subscription(spark, args.topic, args.name, args.timestamp)
             print(json.dumps({
                 "subscription": args.name, "seeked_to": args.timestamp,

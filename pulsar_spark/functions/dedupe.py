@@ -568,6 +568,22 @@ def dedup_keep_representatives(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def _salted_distinct_doc_count(
+    df, key_col: str, id_col: str, n_salts: int, out_col: str
+):
+    """Exact distinct-doc count per key under Zipfian key skew: each doc
+    lands in exactly ONE salt bucket (pmod(hash(id))), so summing the
+    per-salt distinct counts is exact while the reduce fan-in per hot
+    key drops by n_salts. The ONE implementation of this
+    exactness-critical pattern — shared by dup_span_fraction,
+    remove_duplicated_chunks and remove_duplicated_spans so the salt
+    hashing can never diverge between them."""
+    per_salt = df.groupBy(
+        key_col, F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt")
+    ).agg(F.count_distinct(id_col).alias("_nd_salt"))
+    return per_salt.groupBy(key_col).agg(F.sum("_nd_salt").alias(out_col))
+
+
 def dup_span_fraction(
     docs: DataFrame,
     n: int = 5,
@@ -611,10 +627,7 @@ def dup_span_fraction(
             )
         ).alias("gram"),
     )
-    per_salt = grams.groupBy(
-        "gram", F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt")
-    ).agg(F.count_distinct(id_col).alias("_nd_salt"))
-    gd = per_salt.groupBy("gram").agg(F.sum("_nd_salt").alias("nd"))
+    gd = _salted_distinct_doc_count(grams, "gram", id_col, n_salts, "nd")
     dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
     return (
         grams.join(gd, "gram")
@@ -717,10 +730,7 @@ def remove_duplicated_chunks(
         ).alias("pos", "chunk"),
     ).where(F.col("chunk") != "")
     hashed = chunks.select(id_col, "pos", "chunk", F.xxhash64("chunk").alias("_ch"))
-    per_salt = hashed.groupBy(
-        "_ch", F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt")
-    ).agg(F.count_distinct(id_col).alias("_nd_salt"))
-    nd = per_salt.groupBy("_ch").agg(F.sum("_nd_salt").alias("_nd"))
+    nd = _salted_distinct_doc_count(hashed, "_ch", id_col, n_salts, "_nd")
     kept = hashed.join(nd, "_ch").where(F.col("_nd") < min_docs)
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
@@ -873,10 +883,7 @@ def remove_duplicated_spans(
             ).alias("p", "g"),
         )
     )
-    per_salt = grams.groupBy(
-        "g", F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt")
-    ).agg(F.count_distinct(id_col).alias("_nd_salt"))
-    gd = per_salt.groupBy("g").agg(F.sum("_nd_salt").alias("nd"))
+    gd = _salted_distinct_doc_count(grams, "g", id_col, n_salts, "nd")
     dup_pos = grams.join(gd.where(F.col("nd") > 1), "g").select(id_col, "p")
     covered = dup_pos.select(
         id_col, F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("idx")
