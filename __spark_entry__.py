@@ -1560,6 +1560,24 @@ def _q_doc_classifier_calibration(spark, sf_dir):
     return calibration_bins(scored, n_bins=10)
 
 
+def _q_doc_mixture_schedule(spark, sf_dir):
+    # Multi-phase data schedule (functions/sampling.py mixture_schedule):
+    # a T=2 diverse pretraining phase + a T=1 natural-distribution
+    # anneal, each an independent driver-side bounded-rate temperature
+    # mixture (distinct seeds), unioned with a phase tag — zero corpus
+    # shuffles in the returned plan.
+    from pulsar_spark.functions import mixture_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_schedule(
+        docs,
+        phases=[
+            {"name": "pretrain", "temperature": 2.0, "total_rows": 300, "seed": 23},
+            {"name": "anneal", "temperature": 1.0, "total_rows": 100, "seed": 29},
+        ],
+    ).select("phase", "doc_id", "source")
+
+
 def _q_doc_remove_dup_spans(spark, sf_dir):
     # Cross-document exact-substring span removal (Lee et al. 2021
     # ExactSubstr at word granularity; functions/dedupe.py
@@ -2675,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    lifecycle (create/clearBacklog/delete)
         "corpus_report": _q_corpus_report,
         "doc_remove_dup_spans": _q_doc_remove_dup_spans,
+        "doc_mixture_schedule": _q_doc_mixture_schedule,
         "doc_classifier_pr": _q_doc_classifier_pr,
         "doc_classifier_calibration": _q_doc_classifier_calibration,
         "subscription_lifecycle": _q_subscription_lifecycle,
@@ -2731,8 +2750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_stats": _q_topic_stats,
         "partition_stats": _q_partition_stats,
         "compact_event_time": _q_compact_event_time,
-        "table_view": _q_table_view,
         # ---- 50-entry driver prefix ends here ----
+        # (table_view slid below the marker when doc_mixture_schedule
+        #  took its slot: driver-green r4, kept in test_oracle_parity)
+        "table_view": _q_table_view,
         # (ttl_expiry slid below the marker when doc_remove_dup_spans
         #  took its slot: driver-green r4, kept in test_oracle_parity)
         "ttl_expiry": _q_ttl_expiry,
@@ -3775,6 +3796,46 @@ def oracle_sql() -> dict[str, str]:
         # "min length whose cumulative histogram count reaches 0-based
         # index (n-1)*q//100 + 1"; top lang tie-breaks (count desc,
         # lang asc); ratios are single bigint/bigint divisions @6dp.
+        # Two-phase schedule: each phase is the temperature-mix CTE
+        # chain (T=2 sqrt path; T=1 pow(x,1)==x exact) with its own
+        # seed/budget, UNION ALL'd with the phase tag.
+        "doc_mixture_schedule": """
+            WITH g AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+            n AS (SELECT sum(cnt) AS n FROM g),
+            p1 AS (
+              SELECT source, cnt,
+                     CAST(round(sqrt(cnt / (SELECT n FROM n)) * 1000000.0, 0) AS BIGINT) AS pu
+              FROM g
+            ),
+            s1 AS (SELECT sum(pu) AS psum FROM p1),
+            r1 AS (
+              SELECT source,
+                     least(1.0, (CAST(pu AS DOUBLE) / (SELECT psum FROM s1)
+                                 * 300.0) / cnt) AS rate
+              FROM p1
+            ),
+            p2 AS (
+              SELECT source, cnt,
+                     CAST(round(pow(cnt / (SELECT n FROM n), 1.0) * 1000000.0, 0) AS BIGINT) AS pu
+              FROM g
+            ),
+            s2 AS (SELECT sum(pu) AS psum FROM p2),
+            r2 AS (
+              SELECT source,
+                     least(1.0, (CAST(pu AS DOUBLE) / (SELECT psum FROM s2)
+                                 * 100.0) / cnt) AS rate
+              FROM p2
+            )
+            SELECT 'pretrain' AS phase, d.doc_id, d.source
+            FROM documents d JOIN r1 USING (source)
+            WHERE (('0x' || substr(md5('23:' || d.doc_id), 1, 8))::UBIGINT)
+                  / 4294967296.0 < r1.rate
+            UNION ALL
+            SELECT 'anneal' AS phase, d.doc_id, d.source
+            FROM documents d JOIN r2 USING (source)
+            WHERE (('0x' || substr(md5('29:' || d.doc_id), 1, 8))::UBIGINT)
+                  / 4294967296.0 < r2.rate
+        """,
         "doc_remove_dup_spans": """
             WITH d AS (
               SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -32,6 +32,7 @@ __all__ = [
     "hash_sample",
     "domain_mix",
     "temperature_mix",
+    "mixture_schedule",
     "per_group_cap",
     "deterministic_shuffle",
     "dsir_select",
@@ -248,6 +249,55 @@ def per_group_cap(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def mixture_schedule(
+    df: DataFrame,
+    phases: list[dict],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-phase data schedule (curriculum / mid-training anneal):
+    each phase is an independent temperature mixture over the corpus —
+    e.g. a long T=2 "diverse" pretraining phase followed by a short
+    T=1 "natural-distribution" anneal — returned as one frame tagged
+    with the phase name, in phase order. The schedule a trainer reads
+    phase by phase.
+
+    ``phases``: list of ``{"name", "temperature", "total_rows",
+    "seed"}``. Seeds MUST be pairwise distinct: the per-phase selection
+    hash is ``md5(seed ':' key)``, so equal seeds make later phases
+    select the same head of the hash order as earlier ones instead of
+    independent samples (the same degeneracy ``curate_corpus`` rejects
+    between mixing and shuffling).
+
+    Determinism: each phase rides :func:`temperature_mix`'s driver-side
+    bounded rate model (micro-unit quantization; T=2 on the IEEE-exact
+    sqrt path, T=1 exact via ``pow(x, 1) == x``). Scale shape: one
+    corpus groupBy count PER PHASE collected as a bounded model, then a
+    union of narrow broadcast-rate filters — zero corpus shuffles in
+    the returned plan.
+    """
+    if not phases:
+        raise ValueError("mixture_schedule needs at least one phase")
+    seeds = [int(p["seed"]) for p in phases]
+    if len(set(seeds)) != len(seeds):
+        raise ValueError(
+            "mixture_schedule phase seeds must be pairwise distinct — a "
+            "shared seed reuses the same selection hash order across phases"
+        )
+    out = None
+    for p in phases:
+        sel = temperature_mix(
+            df,
+            temperature=float(p["temperature"]),
+            total_rows=int(p["total_rows"]),
+            group_col=group_col,
+            key_col=key_col,
+            seed=int(p["seed"]),
+        ).withColumn("phase", F.lit(str(p["name"])))
+        out = sel if out is None else out.unionByName(sel)
+    return out
 
 
 def deterministic_shuffle(

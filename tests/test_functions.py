@@ -452,6 +452,40 @@ class TestSampling:
                 documents, weights={}, total_rows=100, default_weight=1e-7
             ).count()
 
+    def test_mixture_schedule_phases_independent(self, documents):
+        from pulsar_spark.functions import mixture_schedule
+
+        out = mixture_schedule(
+            documents,
+            phases=[
+                {"name": "pre", "temperature": 2.0, "total_rows": 300, "seed": 23},
+                {"name": "anneal", "temperature": 1.0, "total_rows": 100, "seed": 29},
+            ],
+        )
+        rows = out.collect()
+        by_phase = {}
+        for r in rows:
+            by_phase.setdefault(r.phase, set()).add(r.doc_id)
+        assert set(by_phase) == {"pre", "anneal"}
+        # distinct seeds -> the anneal is NOT just a head-subset of the
+        # pretraining selection (the degeneracy the seed check prevents)
+        assert not by_phase["anneal"] <= by_phase["pre"]
+        assert len(by_phase["anneal"]) < len(by_phase["pre"])
+
+    def test_mixture_schedule_rejects_shared_seeds(self, documents):
+        import pytest as _pytest
+
+        from pulsar_spark.functions import mixture_schedule
+
+        with _pytest.raises(ValueError, match="distinct"):
+            mixture_schedule(
+                documents,
+                phases=[
+                    {"name": "a", "temperature": 2.0, "total_rows": 100, "seed": 1},
+                    {"name": "b", "temperature": 1.0, "total_rows": 50, "seed": 1},
+                ],
+            )
+
     def test_temperature_mix_flattens_toward_uniform(self, spark):
         from pulsar_spark.functions import temperature_mix
 

@@ -37,6 +37,8 @@ KEYS = [
     "media_decode_progressive",
     "doc_classifier_calibration",
     "doc_remove_dup_spans",
+    "doc_mixture_schedule",
+    "table_view",
     "ttl_expiry",
     "delayed_visibility",
     # round-5 additions: unit tests cover semantics but only this
@@ -55,7 +57,6 @@ KEYS = [
     "backlog_quota",
     "key_shared_consistent",
     "doc_pack_materialize",
-    "table_view",
     "scalable_split_stats",
     "seek_by_timestamp",
     "delivery_delay_fixed",
