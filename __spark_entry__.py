@@ -3180,16 +3180,18 @@ def oracle_sql() -> dict[str, str]:
         # Threshold sweep over the SAME trained model: per-threshold
         # integer confusion counts, ratios as one bigint/bigint true
         # division rounded to 6dp; NULL where a denominator is zero.
+        # coalesce(score >= t, false) mirrors pr_curve: a NULL-score
+        # positive-label row is a FALSE NEGATIVE, never dropped.
         "doc_classifier_pr": f"""
             WITH {_LOGREG_CTES},
             th AS (SELECT unnest([CAST(0.1 AS DOUBLE), 0.2, 0.3, 0.4,
                                   0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
             a AS (
               SELECT th.threshold,
-                     CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
-                     CAST(sum(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-                     CAST(sum(CASE WHEN score >= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-                     CAST(sum(CASE WHEN score < threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                     CAST(sum(CASE WHEN coalesce(score >= threshold, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+                     CAST(sum(CASE WHEN coalesce(score >= threshold, false) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN coalesce(score >= threshold, false) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN NOT coalesce(score >= threshold, false) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
               FROM sc, th GROUP BY th.threshold
             )
             SELECT threshold, n_pred_pos, tp, fp, fn,

@@ -228,7 +228,12 @@ def pr_curve(
         F.col(label_col).cast("int").alias("_y"),
         F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold"),
     )
-    pos = F.col("_s") >= F.col("threshold")
+    # NULL scores never pass any threshold: coalesce to false so a
+    # NULL-score positive-label row counts as a FALSE NEGATIVE instead
+    # of silently vanishing from the recall denominator (a bare
+    # three-valued `pos` would make both when(pos) and when(~pos) take
+    # otherwise(0))
+    pos = F.coalesce(F.col("_s") >= F.col("threshold"), F.lit(False))
     y1 = F.col("_y") == 1
     agg = per.groupBy("threshold").agg(
         F.sum(F.when(pos, 1).otherwise(0)).alias("n_pred_pos"),

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -649,7 +650,19 @@ def checkpoint_start_filter(df: DataFrame, ckpt: Checkpoint) -> DataFrame:
     Explicit casts on both map sides: raw int literals >2^31 would
     infer LongType while small ones infer IntegerType, and a
     mixed-width ``create_map`` is an AnalysisException — exactly the
-    offsets this module sees at scale."""
+    offsets this module sees at scale.
+
+    A LATEST-sentinel checkpoint is rejected here rather than treated
+    as earliest (empty offsets would otherwise return the FULL frame —
+    the exact inverse of latest semantics): callers must first resolve
+    latest into a concrete high-watermark vector, as
+    ``read_from_checkpoint`` / ``subscription_backlog`` /
+    ``subscribe_assigned`` all do."""
+    if ckpt.latest:
+        raise ValueError(
+            "checkpoint_start_filter got a LATEST sentinel: resolve it to a "
+            "high-watermark vector first (see read_from_checkpoint)"
+        )
     if not ckpt.offsets:
         return df
     start = F.create_map(
@@ -744,8 +757,22 @@ def _read_subscriptions(topic_path: str) -> dict:
 
 
 def _write_subscriptions(topic_path: str, subs: dict) -> None:
-    with open(os.path.join(topic_path, _SUBS), "w") as fh:
-        json.dump(subs, fh, indent=1, sort_keys=True)
+    """Atomic registry rewrite: temp file in the topic dir +
+    ``os.replace`` so a crash mid-write can never corrupt the durable
+    ack store (this file carries every subscription's persisted
+    cursor). Single-writer assumption as in the reference's
+    metadata-store compare-and-set — concurrent admin writers are
+    last-writer-wins at file granularity, never torn JSON."""
+    final = os.path.join(topic_path, _SUBS)
+    fd, tmp = tempfile.mkstemp(prefix="_subs_", suffix=".tmp", dir=topic_path)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(subs, fh, indent=1, sort_keys=True)
+        os.replace(tmp, final)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def create_subscription(

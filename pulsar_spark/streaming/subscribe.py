@@ -170,8 +170,14 @@ def subscribe_assigned(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(topic_path)
+    # empty assignment = a predicate that matches nothing, NOT
+    # stream.limit(0): global limits on streaming frames are only
+    # supported by append/complete-mode sinks, while a false filter
+    # works in any output mode
     stream = (
-        stream.where(F.col("segment").isin(seg_ids)) if seg_ids else stream.limit(0)
+        stream.where(F.col("segment").isin(seg_ids))
+        if seg_ids
+        else stream.where(F.lit(False))
     )
     if start_checkpoint is not None:
         if start_checkpoint.latest:
