@@ -1649,6 +1649,56 @@ def _q_subscription_lifecycle(spark, sf_dir):
     )
 
 
+def _q_segment_subscription_lifecycle(spark, sf_dir):
+    # Per-segment admin cursor family (ScalableTopics.java:397
+    # createSegmentSubscriptionAsync / :410 delete / :427 getBacklog /
+    # :444 seek / :454 clearBacklog; sources/scalable.py per-segment
+    # verbs): every verb is a closed form over ONE (segment -> offset)
+    # slot of the subscription's persisted vector plus one
+    # partition-pruned aggregate. Flow: create slot at earliest ->
+    # full backlog -> clear seg0 only -> delete the slot (reverts to
+    # the earliest default) -> clear both -> seek seg0 to 1970
+    # (created-after arm, provably scan-free: spark=None).
+    import tempfile
+
+    from pulsar_spark.sources import (
+        clear_segment_subscription_backlog,
+        create_scalable_topic,
+        create_segment_subscription,
+        delete_segment_subscription,
+        get_segment_subscription_backlog,
+        produce_scalable,
+        seek_segment_subscription,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    payload = events.selectExpr("CAST(user_id AS STRING) AS k", "event_id")
+    d = tempfile.mkdtemp(prefix="pssegsub_") + "/topic"
+    create_scalable_topic(d, num_initial_segments=2)
+    produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+    assert create_segment_subscription(d, 0, "s") is True
+    assert create_segment_subscription(d, 0, "s") is False  # idempotent
+    rows = []
+
+    def snap(step: int) -> None:
+        for sid in (0, 1):
+            rows.append(
+                (step, sid, get_segment_subscription_backlog(spark, d, sid, "s"))
+            )
+
+    snap(1)  # earliest slot: full backlog on both segments
+    clear_segment_subscription_backlog(spark, d, 0, "s")
+    snap(2)  # seg0 cleared, seg1 untouched
+    delete_segment_subscription(d, 0, "s")
+    snap(3)  # slot dropped -> earliest default again
+    clear_segment_subscription_backlog(spark, d, 0, "s")
+    clear_segment_subscription_backlog(spark, d, 1, "s")
+    snap(4)  # both cleared
+    assert seek_segment_subscription(None, d, 0, "s", "1970-01-01T00:00:00") == 0
+    snap(5)  # seg0 re-seeked to earliest, seg1 stays cleared
+    return spark.createDataFrame(rows, "step int, segment int, backlog bigint")
+
+
 def _q_doc_dsir_select(spark, sf_dir):
     # DSIR importance selection (functions/sampling.py dsir_select,
     # arXiv:2302.03169): hashed-unigram log-likelihood ratio of an
@@ -2697,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_pr": _q_doc_classifier_pr,
         "doc_classifier_calibration": _q_doc_classifier_calibration,
         "subscription_lifecycle": _q_subscription_lifecycle,
+        "segment_subscription_lifecycle": _q_segment_subscription_lifecycle,
         "media_decode_progressive": _q_media_decode_progressive,
         # -- re-checks: code changed this round AFTER their last
         #    driver check (VERDICT r5 hygiene rule) — domain_mix
@@ -3950,6 +4001,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(step AS INT) AS step, subscription, c.segment,
                    CAST(mult * c.n AS BIGINT) AS backlog
             FROM steps, c
+        """,
+        # Independent spec for the per-segment cursor verbs: same slot
+        # CASE as subscription_lifecycle; the per-(step, segment)
+        # backlog multipliers worked out by hand from the per-slot
+        # semantics (create-slot earliest / clear seg0 / delete-slot
+        # reverts to earliest / clear both / seek seg0 to 1970).
+        "segment_subscription_lifecycle": """
+            WITH slots AS (
+              SELECT (CAST(user_id AS BIGINT) * 2654435761) % 65536 AS slot FROM events
+            ),
+            segs(segment) AS (VALUES (CAST(0 AS INT)), (1)),
+            c AS (
+              SELECT s.segment, count(sl.slot) AS n
+              FROM segs s LEFT JOIN slots sl
+                ON (CASE WHEN sl.slot <= 32767 THEN 0 ELSE 1 END) = s.segment
+              GROUP BY s.segment
+            ),
+            steps(step, segment, mult) AS (VALUES
+              (1, 0, 1), (1, 1, 1),
+              (2, 0, 0), (2, 1, 1),
+              (3, 0, 1), (3, 1, 1),
+              (4, 0, 0), (4, 1, 0),
+              (5, 0, 1), (5, 1, 0))
+            SELECT CAST(steps.step AS INT) AS step, c.segment,
+                   CAST(steps.mult * c.n AS BIGINT) AS backlog
+            FROM steps JOIN c ON c.segment = steps.segment
         """,
         # Gopher word-level rules: every ratio rounded to 6dp before
         # the threshold comparisons (engine-stable pass/fail).

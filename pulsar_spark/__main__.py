@@ -150,6 +150,29 @@ def main(argv: list[str] | None = None) -> int:
     p_sub.add_argument("--name", help="subscription name (all verbs except list)")
     p_sub.add_argument("--timestamp", help="seek target, e.g. '2026-01-01 00:00:00'")
 
+    p_seg = sub.add_parser(
+        "segment",
+        help="per-segment admin (ScalableTopics.java:354-:454): "
+        "create/terminate/delete a segment, and the per-segment "
+        "subscription cursor verbs sub-create/sub-delete/sub-backlog/"
+        "sub-clear/sub-seek",
+    )
+    p_seg.add_argument("topic")
+    p_seg.add_argument(
+        "verb",
+        choices=[
+            "create", "terminate", "delete",
+            "sub-create", "sub-delete", "sub-backlog", "sub-clear", "sub-seek",
+        ],
+    )
+    p_seg.add_argument("--segment", type=int, required=True, help="segment id")
+    p_seg.add_argument("--name", help="subscription name (sub-* verbs)")
+    p_seg.add_argument("--timestamp", help="sub-seek target, e.g. '2026-01-01 00:00:00'")
+    p_seg.add_argument(
+        "--force", action="store_true",
+        help="delete: skip the subscription-backlog safety check",
+    )
+
     p_auto = sub.add_parser(
         "autoscale", help="PIP-483 tick: sample load, report, evaluate split/merge"
     )
@@ -232,6 +255,40 @@ def main(argv: list[str] | None = None) -> int:
         if args.verb == "seek" and not args.timestamp:
             print(json.dumps({"error": "--timestamp is required for seek"}))
             return 2
+
+    if args.cmd == "segment":
+        if args.verb.startswith("sub-") and not args.name:
+            print(json.dumps({"error": "--name is required for sub-* verbs"}))
+            return 2
+        if args.verb == "sub-seek" and not args.timestamp:
+            print(json.dumps({"error": "--timestamp is required for sub-seek"}))
+            return 2
+        if args.verb in ("create", "terminate", "sub-create", "sub-delete") or (
+            args.verb == "delete" and args.force
+        ):
+            # registry/metadata-only verbs: no Spark session needed
+            from pulsar_spark.sources import (
+                create_segment,
+                create_segment_subscription,
+                delete_segment,
+                delete_segment_subscription,
+                terminate_segment,
+            )
+
+            if args.verb == "create":
+                out = {"created": create_segment(args.topic, args.segment)}
+            elif args.verb == "terminate":
+                out = {"terminated": terminate_segment(args.topic, args.segment)}
+            elif args.verb == "delete":
+                out = {"deleted": delete_segment(args.topic, args.segment, force=True)}
+            elif args.verb == "sub-create":
+                out = {"created": create_segment_subscription(
+                    args.topic, args.segment, args.name)}
+            else:
+                out = {"deleted": delete_segment_subscription(
+                    args.topic, args.segment, args.name)}
+            print(json.dumps({"segment": args.segment, **out}))
+            return 0
 
     from pyspark.sql import SparkSession
 
@@ -328,6 +385,41 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "subscription": args.name, "seeked_to": args.timestamp,
                 "cursor": {str(k): v for k, v in sorted(vec.offsets.items())},
+            }))
+    elif args.cmd == "segment":
+        # spark-session verbs: delete (safety check), sub-backlog,
+        # sub-clear, sub-seek
+        from pulsar_spark.sources import (
+            clear_segment_subscription_backlog,
+            delete_segment,
+            get_segment_subscription_backlog,
+            seek_segment_subscription,
+        )
+
+        if args.verb == "delete":
+            ok = delete_segment(args.topic, args.segment, force=False, spark=spark)
+            print(json.dumps({"segment": args.segment, "deleted": ok}))
+        elif args.verb == "sub-backlog":
+            n = get_segment_subscription_backlog(
+                spark, args.topic, args.segment, args.name
+            )
+            print(json.dumps(
+                {"segment": args.segment, "subscription": args.name, "backlog": n}
+            ))
+        elif args.verb == "sub-clear":
+            off = clear_segment_subscription_backlog(
+                spark, args.topic, args.segment, args.name
+            )
+            print(json.dumps(
+                {"segment": args.segment, "subscription": args.name, "cursor": off}
+            ))
+        else:  # sub-seek
+            off = seek_segment_subscription(
+                spark, args.topic, args.segment, args.name, args.timestamp
+            )
+            print(json.dumps({
+                "segment": args.segment, "subscription": args.name,
+                "seeked_to": args.timestamp, "cursor": off,
             }))
     elif args.cmd == "autoscale":
         from pulsar_spark.sources import AutoScaleConfig, autoscale_tick

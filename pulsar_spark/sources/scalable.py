@@ -160,6 +160,24 @@ def route_hash_ranges(h, meta: dict):
     segs = active_segments(meta)
     if not segs:
         raise SegmentGoneError("no active segments")
+    # a terminated in-layout segment leaves a hash-range hole: keyed
+    # rows routed into it would fall out of every CASE branch into a
+    # NULL hive partition (invisible to stats and cursors). Refuse up
+    # front — the engine-side TopicTerminatedException (driver-side
+    # check over the bounded layout, costs nothing per row)
+    cursor = 0
+    for s in segs:
+        if s["start"] != cursor:
+            raise SegmentGoneError(
+                f"active layout does not cover hash range [{cursor}, "
+                f"{s['start'] - 1}] (terminated segment?): keyed produce refused"
+            )
+        cursor = s["end"] + 1
+    if cursor != MAX_HASH + 1:
+        raise SegmentGoneError(
+            f"active layout does not cover hash range [{cursor}, {MAX_HASH}] "
+            f"(terminated segment?): keyed produce refused"
+        )
     expr = None
     for s in segs:
         cond = (h >= s["start"]) & (h <= s["end"])
@@ -899,6 +917,39 @@ def subscription_backlog(spark: SparkSession, topic_path: str, subscription: str
     )
 
 
+def _parse_ts_ms(timestamp: str) -> int:
+    """ISO timestamp -> epoch millis. Naive timestamps are UTC (the
+    session timezone this engine pins); an explicit offset is
+    CONVERTED, never overwritten."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(timestamp)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _classify_segment_for_seek(s: dict, ts_ms: int) -> str:
+    """ScalableTopicController.seekSubscriptionOnSegment (java:950)
+    window dispatch for ONE segment: its ``[created_at_ms,
+    sealed_at_ms)`` lifetime against the target picks the cheapest op —
+    ``skip_all`` (sealed strictly before: cursor past-the-end, no
+    scan), ``earliest`` (created strictly after: offset 0, no scan), or
+    ``scan`` (alive at the timestamp: one pruned min-aggregate).
+    STRICT inequalities because stamps are ms-floored while
+    publish_time carries microseconds — a segment sealed or created in
+    the target's own millisecond falls through to the full-precision
+    scan arm. The ONE place this classification lives; shared by the
+    topic-wide and per-segment seek verbs."""
+    sealed_at = s.get("sealed_at_ms")
+    created_at = s.get("created_at_ms")
+    if s["state"] != "ACTIVE" and sealed_at and int(sealed_at) < ts_ms:
+        return "skip_all"
+    if created_at and int(created_at) > ts_ms:
+        return "earliest"
+    return "scan"
+
+
 def seek_subscription(
     spark, topic_path: str, subscription: str, timestamp: str
 ) -> Checkpoint:
@@ -931,32 +982,19 @@ def seek_subscription(
     scan arm rather than risking a wrong closed form.
 
     Persists the vector on the subscription and returns it."""
-    from datetime import datetime, timezone
-
     if subscription not in _read_subscriptions(topic_path):
         # validate BEFORE classifying/scanning — a typo'd subscription
         # must not pay (and then discard) the stats passes
         raise ValueError(f"no such subscription: {subscription}")
     meta = scalable_metadata(topic_path)
-    dt = datetime.fromisoformat(timestamp)
-    if dt.tzinfo is None:
-        # naive timestamps are UTC (the session timezone this engine
-        # pins); an explicit offset is CONVERTED, never overwritten
-        dt = dt.replace(tzinfo=timezone.utc)
-    ts_ms = int(dt.timestamp() * 1000)
+    ts_ms = _parse_ts_ms(timestamp)
     skip_all: list[int] = []
     earliest: list[int] = []
     to_scan: list[int] = []
     for s in meta["segments"].values():
-        sid = int(s["segment_id"])
-        sealed_at = s.get("sealed_at_ms")
-        created_at = s.get("created_at_ms")
-        if s["state"] != "ACTIVE" and sealed_at and int(sealed_at) < ts_ms:
-            skip_all.append(sid)
-        elif created_at and int(created_at) > ts_ms:
-            earliest.append(sid)
-        else:
-            to_scan.append(sid)
+        arm = _classify_segment_for_seek(s, ts_ms)
+        (skip_all if arm == "skip_all" else earliest if arm == "earliest" else to_scan
+         ).append(int(s["segment_id"]))
     offsets: dict[int, int] = {sid: 0 for sid in earliest}
     if skip_all:
         highs = segment_high_watermarks(spark, topic_path, segments=skip_all)
@@ -974,6 +1012,267 @@ def seek_subscription(
     vector = Checkpoint(offsets)
     save_subscription_checkpoint(topic_path, subscription, vector)
     return vector
+
+
+# --------------------------------------------- per-segment admin verbs (v5)
+#
+# The reference exposes a segment-topic granular admin surface beside
+# the topic-level lifecycle: ScalableTopics.java:354 createSegment /
+# :366 terminateSegment / :379 deleteSegment, and the per-segment
+# subscription cursor family (:397 createSegmentSubscriptionAsync,
+# :410 deleteSegmentSubscriptionAsync, :427
+# getSegmentSubscriptionBacklogAsync, :444 seekSegmentSubscriptionAsync,
+# :454 clearSegmentSubscriptionBacklogAsync). In the checkpoint model
+# every one of these is a thin closed form over the existing structures:
+# the segment's hive partition dir, the layout metadata entry, and one
+# (segment_id -> offset) slot of the subscription's persisted vector.
+
+
+def _segment_entry(meta: dict, segment_id: int) -> dict:
+    s = meta["segments"].get(str(int(segment_id)))
+    if s is None:
+        raise SegmentGoneError(f"segment not found: {segment_id}")
+    return s
+
+
+def create_segment(
+    topic_path: str, segment_id: int, subscriptions: list[str] | tuple = ()
+) -> bool:
+    """ScalableTopics.createSegment (ScalableTopics.java:354) /
+    ScalableTopicController.createSegmentTopic (java:1416): ensure the
+    segment's backing store exists and fan each named subscription's
+    cursor to EARLIEST on this segment so a future consumer doesn't
+    drop the backlog (java:1018 fan-out). Idempotent — re-creating an
+    existing segment's store is a no-op (java:228) and returns False.
+
+    In the hive model the "backing topic" is the ``segment=N``
+    partition directory; the segment descriptor itself must already be
+    in the layout (descriptors are minted by create/split/merge, the
+    single-CAS owners of the hash-space invariant)."""
+    meta = scalable_metadata(topic_path)
+    _segment_entry(meta, segment_id)
+    d = os.path.join(topic_path, f"segment={int(segment_id)}")
+    created = not os.path.isdir(d)
+    os.makedirs(d, exist_ok=True)
+    for sub in subscriptions:
+        create_segment_subscription(topic_path, segment_id, sub)
+    return created
+
+
+def terminate_segment(topic_path: str, segment_id: int) -> bool:
+    """ScalableTopics.terminateSegment (ScalableTopics.java:366) /
+    ScalableTopicController.terminateSegmentTopic (java:1405): no more
+    publishes to this segment; stored data and cursors are untouched.
+    Seals the layout entry (state SEALED + ``sealed_at_ms`` stamp, no
+    children). Idempotent — terminating an already-sealed segment
+    returns False.
+
+    Composition notes: a terminated segment with no children satisfies
+    the coordinator's sealed-is-assignable rule immediately, and once a
+    subscription's cursor passes its high watermark the drain gate
+    reports it drained (checkpoint_drain_checker). Terminating a
+    segment that is still part of the ACTIVE routing layout leaves a
+    hash-range hole, so a subsequent ``produce_scalable`` that routes
+    into it raises — the engine-side rendering of the reference's
+    TopicTerminatedException on publish."""
+    meta = scalable_metadata(topic_path)
+    s = _segment_entry(meta, segment_id)
+    if s["state"] != "ACTIVE":
+        return False
+    epoch = meta["epoch"] + 1
+    s["state"] = "SEALED"
+    s["sealed_at_epoch"] = epoch
+    s["sealed_at_ms"] = _now_ms()
+    meta["epoch"] = epoch
+    _write_meta(topic_path, meta)
+    return True
+
+
+def delete_segment(
+    topic_path: str,
+    segment_id: int,
+    force: bool = False,
+    spark: SparkSession | None = None,
+) -> bool:
+    """ScalableTopics.deleteSegment (ScalableTopics.java:379) /
+    ScalableTopicController.deleteSegmentBackingTopic (java:1288):
+    remove the segment from the layout DAG (``prune_segment`` rewires
+    parent/child links), delete its backing data, and drop every
+    subscription's now-orphan cursor slot for it (the java:1037
+    no-orphan contract). An ACTIVE segment cannot be deleted —
+    terminate, split or merge it out of the layout first.
+
+    ``force=False`` refuses while any persisted subscription still has
+    backlog on the segment (needs ``spark`` for one partition-pruned
+    watermark aggregate); ``force=True`` deletes unconditionally and
+    never touches Spark."""
+    import shutil
+
+    meta = scalable_metadata(topic_path)
+    sid = int(segment_id)
+    s = _segment_entry(meta, sid)
+    if s["state"] == "ACTIVE":
+        raise ValueError(f"cannot delete ACTIVE segment {sid}: terminate it first")
+    if not force:
+        if spark is None:
+            raise ValueError("delete_segment(force=False) needs a SparkSession "
+                             "to check subscription backlogs")
+        high = segment_high_watermarks(spark, topic_path, segments=[sid]).get(sid, -1)
+        if high >= 0:
+            for name in list_subscriptions(topic_path):
+                ck = subscription_checkpoint(topic_path, name)
+                if ck.latest:
+                    continue
+                if ck.offsets.get(sid, 0) <= high:
+                    raise ValueError(
+                        f"subscription {name!r} has backlog on segment {sid}; "
+                        f"use force=True to delete anyway"
+                    )
+    prune_segment(meta, sid)
+    _write_meta(topic_path, meta)
+    shutil.rmtree(os.path.join(topic_path, f"segment={sid}"), ignore_errors=True)
+    subs = _read_subscriptions(topic_path)
+    changed = False
+    for entry in subs.values():
+        offsets = entry.get("checkpoint", {}).get("offsets", {})
+        if str(sid) in offsets:
+            del offsets[str(sid)]
+            changed = True
+    if changed:
+        _write_subscriptions(topic_path, subs)
+    return True
+
+
+def create_segment_subscription(
+    topic_path: str, segment_id: int, subscription: str
+) -> bool:
+    """ScalableTopics.createSegmentSubscriptionAsync
+    (ScalableTopics.java:397): create the subscription's cursor on ONE
+    segment at the earliest position — the per-segment fan-out step of
+    topic-level createSubscription (java:1018). In the checkpoint model
+    that is an explicit ``offsets[segment] = 0`` slot (value-identical
+    to the missing-entry default, persisted for metadata parity with
+    the reference's per-segment cursors). Creates the topic-level
+    subscription entry first if none exists. Idempotent — an existing
+    slot is left untouched and returns False."""
+    meta = scalable_metadata(topic_path)
+    _segment_entry(meta, segment_id)
+    create_subscription(topic_path, subscription)  # no-op if present
+    subs = _read_subscriptions(topic_path)
+    offsets = subs[subscription]["checkpoint"].setdefault("offsets", {})
+    if str(int(segment_id)) in offsets:
+        return False
+    offsets[str(int(segment_id))] = 0
+    _write_subscriptions(topic_path, subs)
+    return True
+
+
+def delete_segment_subscription(
+    topic_path: str, segment_id: int, subscription: str
+) -> bool:
+    """ScalableTopics.deleteSegmentSubscriptionAsync
+    (ScalableTopics.java:410): drop the subscription's cursor slot on
+    ONE segment (the per-segment teardown step of topic-level
+    deleteSubscription, java:1037 — no orphan cursors). A missing slot
+    reverts the segment to the EARLIEST default on next attach, exactly
+    like the reference where a segment with no cursor re-delivers from
+    the beginning. Returns False if no slot existed."""
+    if subscription not in _read_subscriptions(topic_path):
+        raise ValueError(f"no such subscription: {subscription}")
+    meta = scalable_metadata(topic_path)
+    _segment_entry(meta, segment_id)
+    subs = _read_subscriptions(topic_path)
+    offsets = subs[subscription]["checkpoint"].get("offsets", {})
+    if str(int(segment_id)) not in offsets:
+        return False
+    del offsets[str(int(segment_id))]
+    _write_subscriptions(topic_path, subs)
+    return True
+
+
+def get_segment_subscription_backlog(
+    spark: SparkSession, topic_path: str, segment_id: int, subscription: str
+) -> int:
+    """ScalableTopics.getSegmentSubscriptionBacklogAsync
+    (ScalableTopics.java:427): unconsumed entries on ONE segment's
+    cursor — the probe the SubscriptionCoordinator uses to detect a
+    drained sealed parent (ScalableTopicController.java:610). One
+    COUNT whose ``segment=N`` predicate prunes the hive partition
+    listing and whose offset bound rides the scan as a row-group-stat
+    predicate; at 100 TB the query touches one segment's files, never
+    the DAG."""
+    meta = scalable_metadata(topic_path)
+    sid = int(segment_id)
+    _segment_entry(meta, sid)
+    ck = subscription_checkpoint(topic_path, subscription)
+    if ck.latest:
+        return 0
+    df = _read_if_present(spark, topic_path)
+    if df is None:
+        return 0
+    start = ck.offsets.get(sid, 0)
+    return df.where(
+        (F.col("segment") == sid) & (F.col("offset") >= F.lit(int(start)))
+    ).count()
+
+
+def seek_segment_subscription(
+    spark, topic_path: str, segment_id: int, subscription: str, timestamp: str
+) -> int:
+    """ScalableTopics.seekSegmentSubscriptionAsync
+    (ScalableTopics.java:444): reset ONE segment's cursor slot to a
+    wall-clock timestamp — the per-segment dispatch target of
+    topic-wide seekSubscription (ScalableTopicController.java:950).
+    Shares ``_classify_segment_for_seek`` with the topic-wide verb, so
+    the lifetime-window rules (strict ms-boundary inequalities, sealed
+    -> past-the-end closed form, created-after -> earliest, straddler
+    -> one pruned min-aggregate) cannot drift between the two.
+    ``spark`` may be None when the segment classifies scan-free.
+    Persists the slot and returns the new offset."""
+    if subscription not in _read_subscriptions(topic_path):
+        raise ValueError(f"no such subscription: {subscription}")
+    meta = scalable_metadata(topic_path)
+    sid = int(segment_id)
+    s = _segment_entry(meta, sid)
+    arm = _classify_segment_for_seek(s, _parse_ts_ms(timestamp))
+    if arm == "earliest":
+        new_off = 0
+    elif arm == "skip_all":
+        new_off = segment_high_watermarks(spark, topic_path, segments=[sid]).get(sid, -1) + 1
+    else:
+        df = _read_if_present(spark, topic_path)
+        new_off = (
+            _first_offsets_at_timestamp(df, timestamp, segments=[sid]).get(sid, 0)
+            if df is not None
+            else 0
+        )
+    ck = subscription_checkpoint(topic_path, subscription)
+    offsets = dict(ck.offsets)
+    offsets[sid] = int(new_off)
+    save_subscription_checkpoint(topic_path, subscription, Checkpoint(offsets))
+    return int(new_off)
+
+
+def clear_segment_subscription_backlog(
+    spark: SparkSession, topic_path: str, segment_id: int, subscription: str
+) -> int:
+    """ScalableTopics.clearSegmentSubscriptionBacklogAsync
+    (ScalableTopics.java:454): skip every undelivered message on ONE
+    segment — the per-segment closed form of topic-wide clearBacklog
+    (ScalableTopicController.java:996): ``offsets[segment] = high + 1``
+    from one partition-pruned watermark aggregate. Persists the slot
+    and returns the new offset."""
+    if subscription not in _read_subscriptions(topic_path):
+        raise ValueError(f"no such subscription: {subscription}")
+    meta = scalable_metadata(topic_path)
+    sid = int(segment_id)
+    _segment_entry(meta, sid)
+    high = segment_high_watermarks(spark, topic_path, segments=[sid]).get(sid, -1)
+    ck = subscription_checkpoint(topic_path, subscription)
+    offsets = dict(ck.offsets)
+    offsets[sid] = high + 1
+    save_subscription_checkpoint(topic_path, subscription, Checkpoint(offsets))
+    return high + 1
 
 
 # ------------------------------------------- multi-topic checkpoint consumer

@@ -30,6 +30,8 @@ TABLES = [
 
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
+    # round-7 additions (preemptive: keep green when rotated out)
+    "segment_subscription_lifecycle",
     # round-6 additions (preemptive: keep green when rotated out)
     "corpus_report",
     "doc_classifier_pr",
