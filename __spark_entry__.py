@@ -1490,6 +1490,73 @@ def _q_media_decode_progressive(spark, sf_dir):
     )
 
 
+def _phash_media_fixture(spark, sf_dir, perturb: bool):
+    """Deterministic perceptual-hash fixture: every doc gets a
+    pseudo-random 32x32 RGB BMP whose CONTENT depends only on
+    ``doc_id % 37`` (37 distinct patterns, measured pairwise pHash
+    distance >= 18), so same-pattern docs are perceptual duplicates.
+    With ``perturb`` each copy is additionally brightness-shifted and
+    single-pixel-tweaked per doc_id (measured pHash distance <= 2 from
+    its pattern) — the re-encode/perturbation regime the banded
+    near-dup join must recover."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.multimodal import _encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = np.random.RandomState(d % 37).randint(
+                    0, 256, (32, 32, 3)
+                ).astype(np.uint8)
+                if perturb:
+                    px = np.clip(
+                        px.astype(np.int16) + (d // 37) % 3, 0, 255
+                    ).astype(np.uint8)
+                    px[d % 32, d * 7 % 32] = np.clip(
+                        px[d % 32, d * 7 % 32].astype(np.int16) + 3, 0, 255
+                    ).astype(np.uint8)
+                rows.append((d, "image", "bmp", _encode_bmp(px)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    return docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+
+
+def _q_media_phash_near_dups(spark, sf_dir):
+    # Exact perceptual-dup grouping over REAL decode + DCT pHash
+    # (functions/phash.py): fused decode+hash mapInPandas, then one
+    # hash-partitioned window maps every image to the smallest id
+    # sharing its 64-bit pHash. The oracle knows the planted grouping
+    # (doc_id % 37) but NOT the hash values, so any hash collision
+    # across the 37 patterns, any split within a pattern, or any
+    # nondeterminism in the decode->DCT->median pipeline is a mismatch.
+    from pulsar_spark.functions.phash import perceptual_hash_media, phash_exact_groups
+
+    hashed = perceptual_hash_media(_phash_media_fixture(spark, sf_dir, perturb=False))
+    return phash_exact_groups(hashed)
+
+
+def _q_media_phash_near_dups_banded(spark, sf_dir):
+    # Hamming-banded LSH near-dup join (rows-only: the banded
+    # candidate set has no closed-form SQL oracle; recall vs planted
+    # perturbations is asserted in tests/test_round7.py): perturbed
+    # copies hash within distance <= 2 of their pattern, distinct
+    # patterns sit >= 18 apart, so max_hamming=6 separates cleanly.
+    from pulsar_spark.functions.phash import perceptual_hash_media, phash_near_dups
+
+    hashed = perceptual_hash_media(_phash_media_fixture(spark, sf_dir, perturb=True))
+    return phash_near_dups(hashed, max_hamming=6)
+
+
 _BM25_QUERIES = [
     ("q1", ["query", "window", "scan"]),
     ("q2", ["customer", "stream", "merge", "slow"]),
@@ -2748,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_calibration": _q_doc_classifier_calibration,
         "subscription_lifecycle": _q_subscription_lifecycle,
         "segment_subscription_lifecycle": _q_segment_subscription_lifecycle,
+        "media_phash_near_dups": _q_media_phash_near_dups,
         "media_decode_progressive": _q_media_decode_progressive,
         # -- re-checks: code changed this round AFTER their last
         #    driver check (VERDICT r5 hygiene rule) — domain_mix
@@ -2908,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_ivf_knn_quantized": _q_embedding_ivf_knn_quantized,
         "datagen_people": _q_datagen,
+        "media_phash_near_dups_banded": _q_media_phash_near_dups_banded,
         "media_decode": _q_media_decode,
         "doc_token_sketch": _q_doc_token_sketch,
     }
@@ -4001,6 +4070,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(step AS INT) AS step, subscription, c.segment,
                    CAST(mult * c.n AS BIGINT) AS backlog
             FROM steps, c
+        """,
+        # The oracle pins the planted perceptual grouping (pattern =
+        # doc_id % 37, exact copies), not the hash values: a pHash
+        # collision across patterns, a split within one, or decode/DCT
+        # nondeterminism all mismatch.
+        "media_phash_near_dups": """
+            SELECT doc_id AS media_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 37) AS canonical_id,
+                   CAST(count(*) OVER (PARTITION BY doc_id % 37) AS BIGINT)
+                     AS group_size,
+                   doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
+            FROM documents
         """,
         # Independent spec for the per-segment cursor verbs: same slot
         # CASE as subscription_lifecycle; the per-(step, segment)

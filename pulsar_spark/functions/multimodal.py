@@ -358,18 +358,25 @@ def _feature_audio(x, rate: int, nch: int) -> list[float]:
 REAL_CODECS = ("jpeg", "jpg", "png", "bmp", "ppm", "pgm", "wav")
 
 
-def _decode_real(payload: bytes, codec: str) -> dict:
+def _decode_pixels(payload: bytes, codec: str):
+    """Image payload -> pixel array (HxWx3 uint8, or HxW for grayscale
+    codecs) through the REAL kernels. The one shared pixel entry point
+    for feature extraction and perceptual hashing (functions/phash.py)."""
     if codec in ("ppm", "pgm"):
-        px = _decode_pnm(payload)
-    elif codec in ("jpeg", "jpg"):
+        return _decode_pnm(payload)
+    if codec in ("jpeg", "jpg"):
         from pulsar_spark.functions.jpeg import decode_jpeg
 
-        px = decode_jpeg(bytes(payload))
-    elif codec == "png":
-        px = _decode_png(payload)
-    elif codec == "bmp":
-        px = _decode_bmp(payload)
-    elif codec == "wav":
+        return decode_jpeg(bytes(payload))
+    if codec == "png":
+        return _decode_png(payload)
+    if codec == "bmp":
+        return _decode_bmp(payload)
+    raise ValueError(f"no real pixel kernel for codec {codec}")
+
+
+def _decode_real(payload: bytes, codec: str) -> dict:
+    if codec == "wav":
         x, rate, nch = _decode_wav(payload)
         return {
             "width": None,
@@ -378,8 +385,7 @@ def _decode_real(payload: bytes, codec: str) -> dict:
             "n_frames": len(x),
             "feature": _feature_audio(x, rate, nch),
         }
-    else:
-        raise ValueError(f"no real kernel for codec {codec}")
+    px = _decode_pixels(payload, codec)
     h, w = px.shape[:2]
     return {
         "width": w,

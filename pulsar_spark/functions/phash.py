@@ -1,0 +1,219 @@
+"""Perceptual image hashing and Hamming-banded image near-dup joins.
+
+The multimodal analog of the text near-dup family (functions/dedupe.py):
+a 100 TB image corpus is deduplicated by a compact per-image fingerprint
+that is STABLE under re-encoding and mild perturbation, never by
+comparing pixels pairwise. Two public 64-bit hashes:
+
+- **pHash** (DCT hash; Zauner 2010, "Implementation and Benchmarking of
+  Perceptual Image Hash Functions"): luma -> 32x32 resize -> 2-D DCT-II
+  -> the low-frequency 8x8 corner -> each bit is coefficient > median
+  of the 63 AC coefficients. Robust to resize / re-encode / brightness.
+- **dHash** (difference hash): luma -> 9x8 resize -> bit per horizontal
+  gradient sign. Cheaper, slightly less robust; kept as the
+  cross-check hash (near-dups under BOTH hashes are high precision).
+
+Both are integer and fully deterministic (pure numpy float64 on exact
+uint8 inputs), so exact-equality grouping is oracle-checkable, and the
+banded join mirrors the MinHash LSH machinery: candidates must share
+one 16-bit band of the 64-bit hash, so a pair within Hamming distance k
+< 16/... is found whenever any band is clean (never an all-pairs join).
+
+Scale shape: hashing is one fused decode+hash ``mapInPandas`` pass
+(Arrow batches, no pixel arrays ever shuffle); exact grouping is one
+hash-agg; the banded join explodes 4 rows per image and joins on the
+16-bit band value with a mega-bucket star guard — identical plan family
+to ``minhash_near_dups``.
+
+The reference repo has no image operators (it is a messaging system);
+this module is part of the training-data-pipeline extension, built on
+the repo's own real codecs (functions/multimodal.py, functions/jpeg.py).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: luma weights (ITU-R BT.601), the same convention the JPEG kernel uses
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def _luma32(px, width: int, height: int):
+    """Pixels (HxW or HxWx3 uint8) -> height x width float64 luma."""
+    import numpy as np
+
+    from pulsar_spark.functions.multimodal import _resize_bilinear
+
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    small = _resize_bilinear(px, width, height).astype(np.float64)
+    r, g, b = small[:, :, 0], small[:, :, 1], small[:, :, 2]
+    return _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (the JPEG transform at size n)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    t = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    t[0] *= np.sqrt(1.0 / n)
+    t[1:] *= np.sqrt(2.0 / n)
+    return t
+
+
+def _pack_bits(bits) -> int:
+    """Row-major bool sequence -> signed 64-bit int (Spark LongType)."""
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def phash64(px) -> int:
+    """64-bit DCT perceptual hash of a pixel array. Bit i (row-major
+    over the low-frequency 8x8 DCT corner) is coefficient > median of
+    the 63 AC coefficients; the DC coefficient contributes a bit but is
+    excluded from the median so overall brightness cannot shift the
+    threshold."""
+    import numpy as np
+
+    g = _luma32(px, 32, 32)
+    t = _dct_matrix(32)
+    d = t @ g @ t.T
+    block = d[:8, :8].ravel()
+    med = float(np.median(block[1:]))
+    return _pack_bits(block > med)
+
+
+def dhash64(px) -> int:
+    """64-bit difference hash: bit per horizontal luma gradient sign on
+    a 9x8 thumbnail (8 comparisons per row, 8 rows)."""
+    g = _luma32(px, 9, 8)
+    return _pack_bits((g[:, 1:] > g[:, :-1]).ravel())
+
+
+def perceptual_hash_media(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Fused decode + perceptual-hash pass over the canonical media
+    frame (``media_id, modality, codec, payload``): one Arrow-batched
+    ``mapInPandas`` stage computes pHash and dHash straight off the
+    decoded pixels — pixel arrays live only inside the batch, never in
+    a shuffle. Image codecs only (the real kernels: bmp/ppm/pgm/png/
+    jpeg); non-image rows raise, like decode_media(strict=True).
+
+    Returns ``(media_id bigint, codec string, width int, height int,
+    phash bigint, dhash bigint)``.
+    """
+    out_schema = (
+        "media_id bigint, codec string, width int, height int, "
+        "phash bigint, dhash bigint"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from pulsar_spark.functions.multimodal import _decode_pixels
+
+        for pdf in batches:
+            rows = []
+            for media_id, codec, payload in zip(
+                pdf["media_id"], pdf["codec"], pdf["payload"]
+            ):
+                px = _decode_pixels(bytes(payload), str(codec))
+                h, w = px.shape[:2]
+                rows.append(
+                    (int(media_id), str(codec), int(w), int(h),
+                     phash64(px), dhash64(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "codec", "width", "height", "phash", "dhash"],
+            )
+
+    cols = [c for c in ("media_id", "codec", "payload") if c in media.columns]
+    return media.select(*cols).mapInPandas(run, out_schema)
+
+
+def phash_exact_groups(
+    hashed: DataFrame, id_col: str = "media_id", hash_col: str = "phash"
+) -> DataFrame:
+    """Exact perceptual-dup grouping: every image mapped to the
+    smallest id sharing its hash (the keep-one canonical form the text
+    dedup family uses). One hash-partitioned window — the 100 TB shape
+    for exact-hash image dedup.
+
+    Returns ``(media_id, canonical_id, group_size, is_dup)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(hash_col)
+    return hashed.select(
+        F.col(id_col).alias("media_id"),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+    )
+
+
+def phash_near_dups(
+    hashed: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Hamming-banded LSH join over 64-bit perceptual hashes: split
+    each hash into four 16-bit bands; a candidate pair must agree on at
+    least one band (guaranteed complete for Hamming distance <= 3 by
+    pigeonhole, high-recall well past that for real near-dup
+    distributions), then verify ``bit_count(a XOR b) <= max_hamming``
+    JVM-side. Never an all-pairs join; buckets larger than
+    ``max_bucket`` (a degenerate constant-image flood) are dropped by
+    the same star guard the MinHash path uses — exact grouping
+    (phash_exact_groups) already covers identical images, so the guard
+    only sheds quadratic candidate work, not exact dups.
+
+    Returns distinct ``(media_id_a, media_id_b, hamming)`` with a < b.
+    """
+    bands = [
+        F.shiftrightunsigned(F.col(hash_col), 16 * i)
+        .bitwiseAND(F.lit(0xFFFF))
+        .cast("int")
+        .alias(f"b{i}")
+        for i in range(4)
+    ]
+    banded = (
+        hashed.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), *bands)
+        .selectExpr(
+            "_id", "_h",
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)",
+        )
+    )
+    sizes = banded.groupBy("band_idx", "band_val").agg(F.count("*").alias("_n"))
+    banded = (
+        banded.join(sizes, ["band_idx", "band_val"])
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = banded.select(
+        "band_idx", "band_val",
+        F.col("_id").alias("media_id_a"), F.col("_h").alias("_ha"),
+    )
+    b = banded.select(
+        "band_idx", "band_val",
+        F.col("_id").alias("media_id_b"), F.col("_h").alias("_hb"),
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -32,6 +32,7 @@ TABLES = [
 KEYS = [
     # round-7 additions (preemptive: keep green when rotated out)
     "segment_subscription_lifecycle",
+    "media_phash_near_dups",
     # round-6 additions (preemptive: keep green when rotated out)
     "corpus_report",
     "doc_classifier_pr",

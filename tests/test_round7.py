@@ -336,3 +336,126 @@ class TestSegmentCLI:
         rc = main(["segment", seg_topic, "sub-backlog", "--segment", "0"])
         assert rc == 2
         assert "required" in capsys.readouterr().out
+
+
+# --------------------------------------------- perceptual image hashing
+
+
+class TestPerceptualHashKernel:
+    def _pattern(self, g):
+        import numpy as np
+
+        return np.random.RandomState(g).randint(0, 256, (32, 32, 3)).astype(
+            np.uint8
+        )
+
+    @staticmethod
+    def _ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    def test_deterministic_and_distinct(self):
+        from pulsar_spark.functions.phash import dhash64, phash64
+
+        hs = [phash64(self._pattern(g)) for g in range(20)]
+        assert hs == [phash64(self._pattern(g)) for g in range(20)]
+        assert len(set(hs)) == 20
+        assert len({dhash64(self._pattern(g)) for g in range(20)}) == 20
+        # cross-pattern separation leaves headroom over the verify cut
+        assert min(
+            self._ham(a, b) for i, a in enumerate(hs) for b in hs[i + 1:]
+        ) > 6
+
+    def test_robust_to_brightness_resize_and_reencode(self):
+        import numpy as np
+
+        from pulsar_spark.functions.multimodal import (
+            _decode_png,
+            _encode_png,
+            _resize_bilinear,
+        )
+        from pulsar_spark.functions.phash import phash64
+
+        for g in range(8):
+            px = self._pattern(g)
+            base = phash64(px)
+            bright = np.clip(px.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+            assert self._ham(base, phash64(bright)) <= 2
+            up = _resize_bilinear(px, 64, 64)
+            assert self._ham(base, phash64(up)) <= 4
+            # lossless re-encode through the real PNG codec: identical
+            assert phash64(_decode_png(_encode_png(px))) == base
+
+    def test_grayscale_input_supported(self):
+        import numpy as np
+
+        from pulsar_spark.functions.phash import dhash64, phash64
+
+        g2d = np.random.RandomState(1).randint(0, 256, (16, 16)).astype(np.uint8)
+        g3d = np.repeat(g2d[:, :, None], 3, axis=2)
+        assert phash64(g2d) == phash64(g3d)
+        assert dhash64(g2d) == dhash64(g3d)
+
+
+class TestPhashNearDups:
+    def _hashed(self, spark, n_patterns=12, copies=5):
+        """n_patterns x copies perturbed BMPs through the full fused
+        decode+hash path."""
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.multimodal import _encode_bmp
+        from pulsar_spark.functions.phash import perceptual_hash_media
+
+        rows = []
+        for g in range(n_patterns):
+            base = np.random.RandomState(g).randint(0, 256, (32, 32, 3)).astype(
+                np.uint8
+            )
+            for c in range(copies):
+                px = np.clip(base.astype(np.int16) + c % 3, 0, 255).astype(np.uint8)
+                px[c % 32, (c * 7) % 32] = np.clip(
+                    px[c % 32, (c * 7) % 32].astype(np.int16) + 3, 0, 255
+                ).astype(np.uint8)
+                rows.append((g * 100 + c, "image", "bmp", _encode_bmp(px)))
+        pdf = pd.DataFrame(rows, columns=["media_id", "modality", "codec", "payload"])
+        media = spark.createDataFrame(
+            pdf, "media_id bigint, modality string, codec string, payload binary"
+        )
+        return perceptual_hash_media(media)
+
+    def test_banded_recall_and_precision(self, spark):
+        from pulsar_spark.functions.phash import phash_near_dups
+
+        hashed = self._hashed(spark).cache()
+        pairs = phash_near_dups(hashed, max_hamming=6).collect()
+        got = {(r.media_id_a, r.media_id_b) for r in pairs}
+        planted = {
+            (g * 100 + i, g * 100 + j)
+            for g in range(12)
+            for i in range(5)
+            for j in range(i + 1, 5)
+        }
+        # full recall on planted perturbed copies, zero cross-pattern
+        # false positives
+        assert got == planted
+        assert all(r.hamming <= 6 for r in pairs)
+        hashed.unpersist()
+
+    def test_no_cartesian_in_plan(self, spark):
+        from pulsar_spark.functions.phash import phash_near_dups
+
+        plan = phash_near_dups(self._hashed(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+    def test_star_guard_drops_mega_bucket(self, spark):
+        from pulsar_spark.functions.phash import phash_exact_groups, phash_near_dups
+
+        # 50 identical hashes: with max_bucket=10 the banded join sheds
+        # the quadratic bucket entirely...
+        hashed = spark.createDataFrame(
+            [(i, 12345) for i in range(50)], "media_id bigint, phash bigint"
+        )
+        assert phash_near_dups(hashed, max_bucket=10).count() == 0
+        # ...while exact grouping still reports the whole group
+        groups = phash_exact_groups(hashed).collect()
+        assert all(r.canonical_id == 0 and r.group_size == 50 for r in groups)
