@@ -1656,6 +1656,18 @@ def _q_doc_remove_dup_spans(spark, sf_dir):
     return remove_duplicated_spans(load_table(spark, sf_dir, "documents"), n=5)
 
 
+def _q_doc_remove_dup_spans_xx(spark, sf_dir):
+    # The xxhash64 SCALE twin of doc_remove_dup_spans (rows-only: the
+    # 8-byte bigint gram key has no DuckDB analog, so no SQL oracle by
+    # design — tests assert row-for-row parity with the md5 path).
+    # Same plan, ~4x fewer shuffle bytes per gram at 100 TB.
+    from pulsar_spark.functions import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), n=5, gram_hash="xxhash64"
+    )
+
+
 def _q_corpus_report(spark, sf_dir):
     # Dataset-card aggregate (functions/report.py corpus_report): per-
     # source doc/token counts, nearest-rank length quantiles from a
@@ -2977,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_knn_quantized": _q_embedding_ivf_knn_quantized,
         "datagen_people": _q_datagen,
         "media_phash_near_dups_banded": _q_media_phash_near_dups_banded,
+        "doc_remove_dup_spans_xx": _q_doc_remove_dup_spans_xx,
         "media_decode": _q_media_decode,
         "doc_token_sketch": _q_doc_token_sketch,
     }

@@ -845,6 +845,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_salts: int = 16,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """Cross-document exact-substring span REMOVAL (Lee et al. 2021,
     arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
@@ -865,9 +866,20 @@ def remove_duplicated_spans(
     ``dup_span_fraction`` (exact under Zipfian stop-gram skew). The
     coverage expansion is a bounded ``sequence(p, p+n-1)`` explode over
     DUP positions only; the rebuild is a per-document ordered
-    aggregation (bounded by document length). Grams travel as md5
-    hashes so the oracle can reproduce them (xxhash64 is Spark-only).
+    aggregation (bounded by document length).
+
+    ``gram_hash`` picks the gram shuffle key: ``"md5"`` (default, a
+    32-char hex string the DuckDB oracle can reproduce — the
+    oracle-checkable form) or ``"xxhash64"`` (the SCALE twin: an 8-byte
+    bigint key, ~4x fewer shuffle bytes per gram at 100 TB; Spark-only,
+    so it has no SQL oracle — row-for-row parity with the md5 path is
+    asserted by tests instead). Collisions are a non-issue for either:
+    md5 is 128 bits, and a 64-bit collision (a ~2^32-gram birthday
+    bound) could only over-remove one n-gram span, never corrupt
+    reassembly.
     """
+    if gram_hash not in ("md5", "xxhash64"):
+        raise ValueError(f"gram_hash must be 'md5' or 'xxhash64', got {gram_hash!r}")
     words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     d = docs.select(id_col, words.alias("w"))
     toks = d.select(id_col, F.posexplode("w").alias("idx", "tok"))
@@ -878,7 +890,7 @@ def remove_duplicated_spans(
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, size(w) - {n - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(w, i, {n}))))"
+                    f" i -> {gram_hash}(concat_ws(' ', slice(w, i, {n}))))"
                 )
             ).alias("p", "g"),
         )

@@ -459,3 +459,29 @@ class TestPhashNearDups:
         # ...while exact grouping still reports the whole group
         groups = phash_exact_groups(hashed).collect()
         assert all(r.canonical_id == 0 and r.group_size == 50 for r in groups)
+
+
+# ------------------------------------------ xxhash64 span-removal twin
+
+
+class TestRemoveDupSpansXxhashTwin:
+    def test_parity_with_md5_path(self, spark, documents):
+        from pulsar_spark.functions import remove_duplicated_spans
+
+        a = (
+            remove_duplicated_spans(documents, n=5)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        b = (
+            remove_duplicated_spans(documents, n=5, gram_hash="xxhash64")
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert a.equals(b)
+
+    def test_bad_gram_hash_rejected(self, documents):
+        from pulsar_spark.functions import remove_duplicated_spans
+
+        with pytest.raises(ValueError, match="gram_hash"):
+            remove_duplicated_spans(documents, gram_hash="sha1")
