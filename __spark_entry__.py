@@ -1668,6 +1668,45 @@ def _q_doc_remove_dup_spans_xx(spark, sf_dir):
     )
 
 
+def _q_streaming_curation(spark, sf_dir):
+    # Streaming curation capstone (streaming/curation.py): the v4
+    # recipe driven incrementally off a live topic through TWO
+    # availableNow triggers — incremental exact dedup against the
+    # all-time fingerprint store (per-epoch idempotent commit), quality
+    # gate, sequence packing, per-epoch idempotent shard append.
+    # Rows-only by design (foreachBatch has no SQL analog); the
+    # cross-batch no-dup and epoch-idempotence invariants are asserted
+    # in tests/test_round7.py.
+    import tempfile
+
+    from pulsar_spark.sources.topics import create_topic, produce
+    from pulsar_spark.streaming.curation import streaming_curate
+
+    base = tempfile.mkdtemp(prefix="pscur_")
+    topic = base + "/topic"
+    create_topic(topic, 2)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    for parity in (0, 1):  # two arrivals: even doc_ids, then odd
+        produce(docs.where(F.col("doc_id") % 2 == parity), topic)
+        q = streaming_curate(
+            spark,
+            topic,
+            base + "/fps",
+            base + "/out",
+            base + "/ckpt",
+            payload_cols=["doc_id", "text", "source", "n_chars"],
+            gate=F.col("n_chars") >= 200,
+            seq_len=256,
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(base + "/out")
+        .select("batch_id", "source", "bin_id", "n_docs", "sum_tokens")
+    )
+
+
 def _q_corpus_report(spark, sf_dir):
     # Dataset-card aggregate (functions/report.py corpus_report): per-
     # source doc/token counts, nearest-rank length quantiles from a
@@ -2990,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datagen_people": _q_datagen,
         "media_phash_near_dups_banded": _q_media_phash_near_dups_banded,
         "doc_remove_dup_spans_xx": _q_doc_remove_dup_spans_xx,
+        "streaming_curation": _q_streaming_curation,
         "media_decode": _q_media_decode,
         "doc_token_sketch": _q_doc_token_sketch,
     }

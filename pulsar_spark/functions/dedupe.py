@@ -776,12 +776,33 @@ def _fingerprint_store_files(spark, store_path: str) -> list[str]:
     ]
 
 
+def _epoch_store_dirs(spark, store_path: str, exclude_epoch: int) -> list[str]:
+    """Per-epoch fingerprint directories (``batch_id=N``) currently in
+    the store, excluding the given epoch's own directory."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for f in fs.listStatus(path):
+        name = f.getPath().getName()
+        if (
+            f.isDirectory()
+            and name.startswith("batch_id=")
+            and name != f"batch_id={int(exclude_epoch)}"
+        ):
+            out.append(f.getPath().toString())
+    return out
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     update_store: bool = True,
+    epoch: int | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: drop documents whose exact text
     fingerprint was EVER seen — across all previous batches — and
@@ -809,34 +830,68 @@ def incremental_exact_dedup(
     ``update_store=False``, persist the survivors downstream, then
     ``commit_fingerprints`` — replays are then harmless because
     duplicate store rows do not change anti-join semantics.
+
+    ``epoch`` turns on the fully-idempotent streaming form
+    (foreachBatch): fingerprints live in per-epoch ``batch_id=N``
+    subdirectories and the anti-join EXCLUDES the current epoch's own
+    directory, so a replayed epoch — even one whose previous attempt
+    committed fingerprints before crashing — reproduces IDENTICAL
+    survivors and overwrites its own commit, instead of anti-joining
+    against its own fingerprints and silently emptying its output.
+    Pair with ``commit_fingerprints(..., epoch=N)``.
     """
     spark = new_docs.sparkSession
     cols = new_docs.columns
-    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    fp = _exact_fingerprint(text_col)
     collapsed = (
         new_docs.withColumn("_fp", fp)
         .groupBy("_fp")
         .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_d"))
         .select("_fp", "_d.*")
     )
-    files = _fingerprint_store_files(spark, store_path)
+    if epoch is None:
+        files = _fingerprint_store_files(spark, store_path)
+    else:
+        files = _epoch_store_dirs(spark, store_path, epoch)
     if files:
         collapsed = collapsed.join(
             spark.read.parquet(*files), on="_fp", how="left_anti"
         )
     if update_store:
-        collapsed.select("_fp").write.mode("append").parquet(store_path)
+        commit = collapsed.select("_fp")
+        if epoch is None:
+            commit.write.mode("append").parquet(store_path)
+        else:
+            commit.write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={int(epoch)}"
+            )
     return collapsed.drop("_fp")
 
 
+def _exact_fingerprint(text_col: str):
+    """The ONE exact-dedup fingerprint expression (md5 over trimmed,
+    lowercased text; NULL as '') — shared by the dedup anti-join and
+    the store commit so the two can never drift."""
+    return F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+
+
 def commit_fingerprints(
-    survivors: DataFrame, store_path: str, text_col: str = "text"
+    survivors: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    epoch: int | None = None,
 ) -> None:
-    """Second phase of exactly-once incremental dedup: append the
-    already-persisted survivors' fingerprints to the store (call AFTER
-    the downstream sink write succeeds)."""
-    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
-    survivors.select(fp.alias("_fp")).write.mode("append").parquet(store_path)
+    """Second phase of exactly-once incremental dedup: record the
+    already-persisted survivors' fingerprints (call AFTER the
+    downstream sink write succeeds). With ``epoch`` the commit
+    OVERWRITES the epoch's own ``batch_id=N`` subdirectory (idempotent
+    replays); without it the flat store gets an append (duplicate rows
+    are harmless for anti-join semantics)."""
+    fps = survivors.select(_exact_fingerprint(text_col).alias("_fp"))
+    if epoch is None:
+        fps.write.mode("append").parquet(store_path)
+    else:
+        fps.write.mode("overwrite").parquet(f"{store_path}/batch_id={int(epoch)}")
 
 
 def remove_duplicated_spans(

@@ -12,6 +12,7 @@ from pulsar_spark.streaming.dedup import dedup_stream
 from pulsar_spark.streaming.windows import windowed_agg_stream, late_data_split
 from pulsar_spark.streaming.count_windows import count_window_stream, watermark_count_window_stream
 from pulsar_spark.streaming.delayed import delayed_release_stream
+from pulsar_spark.streaming.curation import curate_batch, streaming_curate
 
 __all__ = [
     "subscribe",
@@ -29,4 +30,6 @@ __all__ = [
     "count_window_stream",
     "watermark_count_window_stream",
     "delayed_release_stream",
+    "curate_batch",
+    "streaming_curate",
 ]

@@ -485,3 +485,98 @@ class TestRemoveDupSpansXxhashTwin:
 
         with pytest.raises(ValueError, match="gram_hash"):
             remove_duplicated_spans(documents, gram_hash="sha1")
+
+
+# ------------------------------------------- streaming curation capstone
+
+
+class TestStreamingCuration:
+    def _docs(self, spark, ids, dup_of=None):
+        """Docs with deterministic text; dup_of maps id -> id whose
+        text it duplicates exactly."""
+        rows = []
+        for i in ids:
+            src = (dup_of or {}).get(i, i)
+            text = " ".join(f"tok{src}w{j}" for j in range(12))
+            rows.append((i, text, f"src{i % 2}", len(text)))
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, n_chars int"
+        )
+
+    def test_two_triggers_no_cross_batch_dups(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import create_topic, produce
+        from pulsar_spark.streaming.curation import streaming_curate
+
+        topic = str(tmp_path / "topic")
+        create_topic(topic, 2)
+        store = str(tmp_path / "fps")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 1: ids 0-9, with 8 and 9 exact dups of 0 and 1
+        produce(self._docs(spark, range(10), dup_of={8: 0, 9: 1}), topic)
+        q = streaming_curate(spark, topic, store, out, ckpt)
+        q.awaitTermination(120)
+
+        # batch 2: ids 10-19, with 10/11 duplicating batch-1 texts and
+        # 18/19 duplicating each other within the batch
+        produce(
+            self._docs(spark, range(10, 20), dup_of={10: 2, 11: 3, 19: 18}), topic
+        )
+        q = streaming_curate(spark, topic, store, out, ckpt)
+        q.awaitTermination(120)
+
+        shards = spark.read.parquet(out)
+        # two epochs, append-consistent: distinct batch_id partitions
+        assert {r.batch_id for r in shards.select("batch_id").distinct().collect()} == {0, 1}
+        text = " ".join(r.shard_text for r in shards.collect())
+        # batch-1 survivors: 0-7 (8,9 were within-batch dups)
+        for i in range(8):
+            assert f"tok{i}w0" in text
+        # batch-2 cross-batch dups dropped (10 dups 2, 11 dups 3):
+        # their UNIQUE ids never appear (texts are dup copies, so check
+        # the doc count instead via shard manifests)
+        n_docs = shards.groupBy().sum("n_docs").collect()[0][0]
+        # epoch 0: 8 survivors; epoch 1: 12..18 -> 7 survivors
+        assert n_docs == 15
+        # every shard blob respects its bin boundary metadata
+        assert shards.where("n_docs <= 0").count() == 0
+
+    def test_epoch_retry_is_idempotent(self, spark, tmp_path):
+        from pulsar_spark.streaming.curation import curate_batch
+
+        store = str(tmp_path / "fps")
+        out = str(tmp_path / "out")
+        docs = self._docs(spark, range(6))
+        curate_batch(docs, 0, store, out)
+        first = spark.read.parquet(out).groupBy().sum("n_docs").collect()[0][0]
+        assert first == 6
+        # replay of the SAME epoch — even after its fingerprints
+        # committed: the anti-join excludes the epoch's own store
+        # directory, so the replay reproduces IDENTICAL survivors and
+        # overwrites its own output (no silent emptying, no doubling)
+        curate_batch(docs, 0, store, out)
+        again = spark.read.parquet(out).groupBy().sum("n_docs").collect()[0][0]
+        assert again == 6
+        # a LATER epoch still dedups against epoch 0's fingerprints
+        curate_batch(self._docs(spark, [50], dup_of={50: 1}), 1, store, out)
+        assert spark.read.parquet(f"{out}/batch_id=1").count() == 0
+
+    def test_gate_failed_docs_still_commit_fingerprints(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pulsar_spark.streaming.curation import curate_batch
+
+        store = str(tmp_path / "fps")
+        out = str(tmp_path / "out")
+        docs = self._docs(spark, range(4))
+        curate_batch(docs, 0, store, out, gate=F.col("doc_id") < 2)
+        # gated output has 2 docs...
+        assert spark.read.parquet(out).groupBy().sum("n_docs").collect()[0][0] == 2
+        # ...but ALL 4 fingerprints are committed: a later copy of a
+        # rejected doc must not sneak in
+        dup = self._docs(spark, [100, 101], dup_of={100: 2, 101: 3})
+        curate_batch(dup, 1, store, out)
+        assert (
+            spark.read.parquet(f"{out}/batch_id=1").count() == 0
+        )
