@@ -81,3 +81,68 @@ def tumbling_count_window(
         "window_seq", F.floor((F.row_number().over(w) - 1) / n)
     )
     return chunked.groupBy(partition_col, "window_seq").agg(*aggs)
+
+
+def watermark_count_windows_batch(
+    messages: DataFrame,
+    length: int,
+    slide: int | None = None,
+    value_col: str = "val",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Deterministic BATCH projection of the watermark-count window
+    state machine (streaming/count_windows.py
+    ``watermark_count_window_stream``; the reference's
+    WatermarkCountTriggerPolicy x WatermarkCountEvictionPolicy cell) at
+    watermark -> infinity: every event is eligible, processed per
+    partition in ``(event_time, offset)`` order; a window fires every
+    ``slide`` events with contents = the last ``length`` events; the
+    trailing partial window never fires. Emits the streaming operator's
+    exact output schema ``(partition, window_seq, cnt, sum_val,
+    first_event_time, last_event_time)`` so the two are row-comparable
+    (tests assert that against an independent pure-Python reference).
+
+    Scale shape: one per-partition rank window (the topic's own
+    partitioning), then each row explodes into its at most
+    ``ceil(length/slide)`` member windows — a bounded expansion
+    absorbed by a hash aggregate, never a per-window scan."""
+    slide_n = int(slide or length)
+    w = Window.partitionBy(partition_col).orderBy(event_time_col, offset_col)
+    wn = Window.partitionBy(partition_col)
+    r = (
+        messages.select(partition_col, offset_col, event_time_col, value_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    # fire index s (1-based) contains row rn iff s*slide - length < rn
+    # <= s*slide, and only fires if s*slide <= n
+    s_min = F.ceil(F.col("_rn") / F.lit(float(slide_n)))
+    s_max = F.least(
+        F.floor((F.col("_rn") + F.lit(length) - 1) / F.lit(float(slide_n))),
+        F.floor(F.col("_n") / F.lit(float(slide_n))),
+    )
+    e = r.where(s_max >= s_min).select(
+        partition_col,
+        event_time_col,
+        value_col,
+        F.explode(F.sequence(s_min.cast("int"), s_max.cast("int"))).alias("_s"),
+    )
+    return (
+        e.groupBy(partition_col, "_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(value_col).cast("double").alias("sum_val"),
+            F.min(event_time_col).alias("first_event_time"),
+            F.max(event_time_col).alias("last_event_time"),
+        )
+        .select(
+            partition_col,
+            (F.col("_s") - 1).cast("bigint").alias("window_seq"),
+            "cnt",
+            "sum_val",
+            "first_event_time",
+            "last_event_time",
+        )
+    )

@@ -33,6 +33,7 @@ KEYS = [
     # round-7 additions (preemptive: keep green when rotated out)
     "segment_subscription_lifecycle",
     "media_phash_near_dups",
+    "window_count_watermark",
     # round-6 additions (preemptive: keep green when rotated out)
     "corpus_report",
     "doc_classifier_pr",

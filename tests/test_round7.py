@@ -580,3 +580,75 @@ class TestStreamingCuration:
         assert (
             spark.read.parquet(f"{out}/batch_id=1").count() == 0
         )
+
+
+# --------------------------------- watermark-count window batch projection
+
+
+class TestWatermarkCountWindowsBatch:
+    def _reference(self, rows, length, slide):
+        """Independent pure-Python rendering of the streaming state
+        machine at wm -> infinity: per partition, eligible rows in
+        (event_time, offset) order, fire every `slide` rows with the
+        last `length` rows; trailing partial never fires."""
+        from collections import defaultdict
+
+        by_part = defaultdict(list)
+        for p, off, ts, v in rows:
+            by_part[p].append((ts, off, v))
+        out = []
+        for p, rs in by_part.items():
+            rs.sort()
+            for s in range(1, len(rs) // slide + 1):
+                win = rs[max(0, s * slide - length): s * slide]
+                out.append((
+                    p, s - 1, len(win),
+                    round(sum(v for _, _, v in win), 3),
+                    win[0][0], win[-1][0],
+                ))
+        return sorted(out)
+
+    def test_matches_pure_python_reference(self, spark):
+        import random
+
+        from pulsar_spark.operators.windows import watermark_count_windows_batch
+
+        rng = random.Random(7)
+        rows = [
+            (
+                rng.randrange(3),
+                i,
+                # duplicate event times force the offset tie-break
+                "2026-01-01 00:%02d:%02d" % (rng.randrange(30), rng.randrange(4)),
+                round(rng.uniform(0, 10), 3),
+            )
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(
+            rows, "partition int, offset bigint, event_time string, val double"
+        ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+        for length, slide in ((100, 40), (50, 50), (64, 16)):
+            got = sorted(
+                (
+                    r.partition, r.window_seq, r.cnt,
+                    round(r.sum_val, 3),
+                    str(r.first_event_time), str(r.last_event_time),
+                )
+                for r in watermark_count_windows_batch(df, length, slide).collect()
+            )
+            want = [
+                (p, s, c, v, str(a), str(b))
+                for p, s, c, v, a, b in self._reference(
+                    [(p, o, t, v) for p, o, t, v in rows], length, slide
+                )
+            ]
+            # reference carries string timestamps; normalize
+            want = sorted(
+                (p, s, c, v, a + ("" if " " in a else ""), b) for p, s, c, v, a, b in want
+            )
+            assert [(p, s, c) for p, s, c, *_ in got] == [
+                (p, s, c) for p, s, c, *_ in want
+            ], f"(length={length}, slide={slide})"
+            for g, w in zip(got, want):
+                assert abs(g[3] - w[3]) < 1e-6
+                assert g[4].startswith(w[4]) and g[5].startswith(w[5])
