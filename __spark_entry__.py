@@ -2164,6 +2164,30 @@ def _q_embedding_ivfpq_knn(spark, sf_dir):
     return ivfpq_topk(spark, path, [float(x) for x in q], k=5, n_probe=4)
 
 
+def _q_embedding_ivfpq_rerank(spark, sf_dir):
+    # IVFADC + exact re-rank (clustering.py ivfpq_topk_rerank, Jégou
+    # et al. 2011 §V): ADC shortlist of 25 from the compressed store
+    # (partition+column pruned), then ONE broadcast semi-join pulls
+    # just those raw vectors for exact cosine rescoring. Rows-only by
+    # design (same unrounded-kmeans reason as embedding_ivfpq_knn);
+    # recall-vs-exact and the broadcast plan are asserted in
+    # TestIVFPQ.
+    import tempfile
+
+    from pulsar_spark.functions.clustering import (
+        ivfpq_topk_rerank,
+        ivfpq_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_rr_")
+    ivfpq_write_index(emb, path, dim=64, n_centroids=8, ivf_iters=2, m=4, codes=8)
+    q = emb.orderBy("vec_id").first()["embedding"]
+    return ivfpq_topk_rerank(
+        spark, path, emb, [float(x) for x in q], k=5, k_prime=25, n_probe=4
+    )
+
+
 def _q_ngram_jaccard_dedup(spark, sf_dir):
     # exact n-gram (k=3 word shingles) Jaccard near-dup pairs
     from pulsar_spark.functions import ngram_jaccard_pairs
@@ -3039,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_lsh_knn": _q_embedding_lsh_knn,
         "embedding_ivfpq_knn": _q_embedding_ivfpq_knn,
+        "embedding_ivfpq_rerank": _q_embedding_ivfpq_rerank,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_ivf_knn_quantized": _q_embedding_ivf_knn_quantized,
         "datagen_people": _q_datagen,

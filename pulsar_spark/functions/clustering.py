@@ -533,3 +533,52 @@ def ivfpq_topk(
         )
         scored = part if scored is None else scored.unionAll(part)
     return _rank_topk(scored, k, id_col)
+
+
+def ivfpq_topk_rerank(
+    spark,
+    path: str,
+    raw: DataFrame,
+    query: list[float],
+    k: int = 5,
+    k_prime: int = 20,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVFADC search with exact re-ranking (Jegou et al. 2011 §V:
+    re-rank the ADC shortlist with exact distances): ``ivfpq_topk``
+    ranks a shortlist of ``k_prime`` >> k candidates from the
+    compressed store (partition + column pruning), then ONE narrow
+    broadcast semi-join pulls exactly those ``k_prime`` raw vectors —
+    the candidate id list is the broadcast side, the raw store scans
+    only (id, vector) columns — and exact cosine re-scores them.
+    Quantization error in the final order is thereby bounded by
+    shortlist membership, not by code resolution: the top-k is exact
+    whenever the true neighbors make the shortlist (recall vs the
+    brute-force path is asserted in tests).
+
+    At 100 TB the raw store is touched only by this k'-row probe; the
+    heavy pruning stays in the compressed index. Returns
+    ``(id, cosine, adc_dist)`` ordered by (cosine desc, id).
+    """
+    from pulsar_spark.functions.similarity import cosine_similarity
+
+    if k_prime < k:
+        raise ValueError(f"k_prime ({k_prime}) must be >= k ({k})")
+    shortlist = ivfpq_topk(
+        spark, path, query, k=k_prime, n_probe=n_probe,
+        id_col=id_col, round_dp=round_dp,
+    ).select(id_col, "adc_dist")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    rescored = (
+        raw.select(id_col, vec_col)
+        .join(F.broadcast(shortlist), id_col)
+        .select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            "adc_dist",
+        )
+    )
+    return rescored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

@@ -598,3 +598,47 @@ class TestIVFPQ:
             .first()[0]
         )
         assert resid_err < raw_err
+
+    def test_rerank_recall_vs_exact_and_plan(self, spark, store):
+        from pulsar_spark.functions.clustering import ivfpq_topk, ivfpq_topk_rerank
+        from pulsar_spark.functions.similarity import cosine_topk
+
+        emb, path, _, _ = store
+        hits_rr = hits_adc = 0
+        n_queries, k = 8, 5
+        qrows = emb.orderBy("vec_id").limit(n_queries).collect()
+        for qrow in qrows:
+            q = [float(x) for x in qrow.embedding]
+            exact = {r.vec_id for r in cosine_topk(emb, q, k=k).collect()}
+            rr = ivfpq_topk_rerank(
+                spark, path, emb, q, k=k, k_prime=60, n_probe=8
+            )
+            got = rr.collect()
+            # exact rescoring: descending cosine, k rows, adc carried
+            assert len(got) == k
+            cos = [r.cosine for r in got]
+            assert cos == sorted(cos, reverse=True)
+            hits_rr += len(exact & {r.vec_id for r in got})
+            adc = ivfpq_topk(spark, path, q, k=k, n_probe=8).collect()
+            hits_adc += len(exact & {r.vec_id for r in adc})
+        # the exact re-rank can only improve on raw ADC ordering, and
+        # at full probe with a 12x shortlist it should be near-exact
+        # (m=4 x 8-code residual PQ alone sits around 70-80% here)
+        assert hits_rr >= hits_adc
+        assert hits_rr >= int(0.9 * n_queries * k)
+
+    def test_rerank_plan_broadcasts_shortlist(self, spark, store):
+        from pulsar_spark.functions.clustering import ivfpq_topk_rerank
+
+        emb, path, _, _ = store
+        q = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        df = ivfpq_topk_rerank(spark, path, emb, q, k=5, k_prime=20, n_probe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_rerank_rejects_bad_shortlist_size(self, spark, store):
+        from pulsar_spark.functions.clustering import ivfpq_topk_rerank
+
+        emb, path, _, _ = store
+        with pytest.raises(ValueError, match="k_prime"):
+            ivfpq_topk_rerank(spark, path, emb, [0.0] * 64, k=10, k_prime=5)
