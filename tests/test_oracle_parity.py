@@ -34,6 +34,25 @@ KEYS = [
     "segment_subscription_lifecycle",
     "media_phash_near_dups",
     "window_count_watermark",
+    # structural-gap backfill (test_meta_freshness found these
+    # driver-checked queries had no local parity regression)
+    "doc_bm25",
+    "embedding_semantic_dedup",
+    "media_decode_real",
+    "txn_visibility",
+    "media_byte_stats",
+    "ack_state",
+    "geo_replication",
+    "dedup_clusters",
+    "dedup_keep_one",
+    "peek",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_token_stats",
+    "doc_langid",
+    "doc_bpe_tokens",
+    "doc_rolling_fingerprint",
+    "embedding_knn_all",
     # round-6 additions (preemptive: keep green when rotated out)
     "corpus_report",
     "doc_classifier_pr",
