@@ -1545,6 +1545,87 @@ def _phash_media_fixture(spark, sf_dir, perturb: bool):
     )
 
 
+def _wav_media_fixture(spark, sf_dir, perturb: bool):
+    """Audio fingerprint fixture: every doc gets a two-tone + seeded-
+    noise PCM wav whose SIGNAL depends only on ``doc_id % 23`` (23
+    patterns, measured pairwise fingerprint distance >= 20). With
+    ``perturb`` each copy is amplitude-scaled per doc (the fingerprint
+    is sign-of-difference, so uniform scaling is an EXACT invariance)
+    plus small per-doc additive noise (measured distance <= 3)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % 23
+                rs = np.random.RandomState(g)
+                t = np.arange(8000) / 8000.0
+                f1, f2 = 100 + g * 37 % 1700, 300 + g * 91 % 2900
+                sig = (
+                    np.sin(2 * np.pi * f1 * t)
+                    + 0.5 * np.sin(2 * np.pi * f2 * t)
+                    + 0.2 * rs.randn(8000)
+                )
+                if perturb:
+                    sig = sig * (0.3 + 0.1 * ((d // 23) % 5))
+                    sig = sig + 0.01 * np.random.RandomState(10000 + d).randn(8000)
+                pcm = np.clip(sig / 4.0, -1, 1)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(
+                        (pcm * 32767).astype("<i2").tobytes()
+                    )
+                rows.append((d, "audio", "wav", buf.getvalue()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    return docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+
+
+def _q_media_audio_fingerprint(spark, sf_dir):
+    # Audio perceptual fingerprinting (functions/phash.py
+    # audio_fingerprint64, Haitsma & Kalker 2002 reduced to one 64-bit
+    # block): fused wav-decode + fingerprint Arrow pass, exact keep-one
+    # grouping. The oracle pins the planted grouping (doc_id % 23,
+    # exact copies) — collisions, splits, or FFT nondeterminism all
+    # mismatch, like media_phash_near_dups.
+    from pulsar_spark.functions.phash import (
+        audio_fingerprint_media,
+        phash_exact_groups,
+    )
+
+    hashed = audio_fingerprint_media(_wav_media_fixture(spark, sf_dir, perturb=False))
+    return phash_exact_groups(hashed, hash_col="afp")
+
+
+def _q_media_audio_near_dups(spark, sf_dir):
+    # Banded audio near-dup join (rows-only): amplitude-scaled + noisy
+    # copies sit <= 3 bits from their pattern, distinct patterns >= 20
+    # apart; the Hamming banding is hash-agnostic, so this reuses
+    # phash_near_dups over the afp column. Recall asserted in tests.
+    from pulsar_spark.functions.phash import (
+        audio_fingerprint_media,
+        phash_near_dups,
+    )
+
+    hashed = audio_fingerprint_media(_wav_media_fixture(spark, sf_dir, perturb=True))
+    return phash_near_dups(hashed, max_hamming=6, hash_col="afp")
+
+
 def _q_media_phash_near_dups(spark, sf_dir):
     # Exact perceptual-dup grouping over REAL decode + DCT pHash
     # (functions/phash.py): fused decode+hash mapInPandas, then one
@@ -2436,6 +2517,25 @@ def _q_doc_contamination(spark, sf_dir):
     return contamination_check(corpus, bench, n=5)
 
 
+def _q_doc_contamination_bloom(spark, sf_dir):
+    # The Bloom-prefiltered SCALE twin of doc_contamination
+    # (dedupe.py contamination_check_bloom): the filter is built
+    # distributed (executors hash benchmark grams to bit positions;
+    # one distinct bounded by the FILTER size feeds a literal word
+    # array), the probe is pure codegen arithmetic, and every
+    # surviving gram is confirmed by the exact join — so the result is
+    # IDENTICAL to the exact path and shares its oracle, while the
+    # exact join's probe side shrinks from |corpus grams| to
+    # |hits + false positives|. The regime it exists for: benchmark
+    # suites too large to broadcast as a join table.
+    from pulsar_spark.functions import contamination_check_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_check_bloom(corpus, bench, n=5)
+
+
 def _q_doc_embedding_join(spark, sf_dir):
     # cross-table equi-join over the extended tables: documents meta x
     # embedding norms (vec_id == doc_id in the fixtures). Per-source
@@ -2957,9 +3057,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_avro_decode": _q_schema_avro_decode,
         "schema_protobuf_decode": _q_schema_protobuf_decode,
         "schema_primitive_roundtrip": _q_schema_primitive_roundtrip,
+        # (subscription_stats' and batch_receive's freshness slots went
+        #  to the new doc_contamination_bloom and
+        #  media_audio_fingerprint: both driver-green r5, kept in
+        #  parity KEYS)
+        "doc_contamination_bloom": _q_doc_contamination_bloom,
+        "media_audio_fingerprint": _q_media_audio_fingerprint,
+        # ---- 50-entry driver prefix ends here ----
         "subscription_stats": _q_subscription_stats,
         "batch_receive": _q_batch_receive,
-        # ---- 50-entry driver prefix ends here ----
         # (everything below is driver-green at its current
         #  implementation — r6 prefix members and earlier rotations —
         #  and stays value-checked by tests/test_oracle_parity.py;
@@ -3064,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_knn_quantized": _q_embedding_ivf_knn_quantized,
         "datagen_people": _q_datagen,
         "media_phash_near_dups_banded": _q_media_phash_near_dups_banded,
+        "media_audio_near_dups": _q_media_audio_near_dups,
         "doc_remove_dup_spans_xx": _q_doc_remove_dup_spans_xx,
         "streaming_curation": _q_streaming_curation,
         "media_decode": _q_media_decode,
@@ -4196,6 +4303,17 @@ def oracle_sql() -> dict[str, str]:
                    doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
             FROM documents
         """,
+        # Audio twin of media_phash_near_dups: the oracle pins the
+        # planted perceptual grouping (pattern = doc_id % 23, exact
+        # copies), not the fingerprint values.
+        "media_audio_fingerprint": """
+            SELECT doc_id AS media_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 23) AS canonical_id,
+                   CAST(count(*) OVER (PARTITION BY doc_id % 23) AS BIGINT)
+                     AS group_size,
+                   doc_id != min(doc_id) OVER (PARTITION BY doc_id % 23) AS is_dup
+            FROM documents
+        """,
         # Independent spec for the per-segment cursor verbs: same slot
         # CASE as subscription_lifecycle; the per-(step, segment)
         # backlog multipliers worked out by hand from the per-slot
@@ -4823,6 +4941,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
         """,
         "doc_contamination": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+              FROM d, LATERAL unnest(generate_series(1, len(words) - 4)) AS t(i)
+              WHERE len(words) >= 5
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), cg AS (
+              SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                   sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                       THEN 1 ELSE 0 END) > 0 AS contaminated
+            FROM cg GROUP BY doc_id
+        """,
+        # The bloom twin is exact-verified, so it shares the exact
+        # path's spec verbatim.
+        "doc_contamination_bloom": """
             WITH d AS (
               SELECT doc_id, string_split(text, ' ') AS words FROM documents
             ), g AS (

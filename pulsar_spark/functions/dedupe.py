@@ -709,9 +709,7 @@ def _bloom_membership_expr(gram_col, words: list[int], m_bits: int, k: int):
     for i in range(k):
         pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
         word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
-        bit = F.shiftrightunsigned(word, F.pmod(pos, F.lit(64)).cast("int")).bitwiseAND(
-            F.lit(1)
-        ) == 1
+        bit = F.getbit(word, F.pmod(pos, F.lit(64))) == 1
         cond = bit if cond is None else (cond & bit)
     return cond
 

@@ -34,6 +34,8 @@ KEYS = [
     "segment_subscription_lifecycle",
     "media_phash_near_dups",
     "window_count_watermark",
+    "doc_contamination_bloom",
+    "media_audio_fingerprint",
     # structural-gap backfill (test_meta_freshness found these
     # driver-checked queries had no local parity regression)
     "doc_bm25",

@@ -652,3 +652,148 @@ class TestWatermarkCountWindowsBatch:
             for g, w in zip(got, want):
                 assert abs(g[3] - w[3]) < 1e-6
                 assert g[4].startswith(w[4]) and g[5].startswith(w[5])
+
+
+# ---------------------------------------- bloom-prefiltered decontamination
+
+
+class TestContaminationBloom:
+    def test_identical_to_exact_path(self, spark, documents):
+        from pulsar_spark.functions import contamination_check, contamination_check_bloom
+
+        bench = documents.where(F.col("doc_id") % 97 == 0)
+        corpus = documents.where(F.col("doc_id") % 97 != 0)
+        exact = (
+            contamination_check(corpus, bench, n=5)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        bloom = (
+            contamination_check_bloom(corpus, bench, n=5)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert exact[sorted(exact.columns)].equals(bloom[sorted(bloom.columns)])
+
+    def test_prefilter_sheds_most_grams(self, spark, documents):
+        """The point of the bloom: the exact join's probe side shrinks
+        to roughly hits + m-bounded false positives."""
+        from pulsar_spark.functions.dedupe import (
+            _bloom_membership_expr,
+            _word_gram_hashes,
+        )
+
+        bench = documents.where(F.col("doc_id") % 97 == 0)
+        corpus = documents.where(F.col("doc_id") % 97 != 0)
+        bg = _word_gram_hashes(bench, 5, "text", "doc_id").select("gram").distinct()
+        cg = _word_gram_hashes(corpus, 5, "text", "doc_id")
+        total = cg.count()
+        true_hits = cg.join(bg, "gram", "left_semi").count()
+        # rebuild the same filter the operator builds
+        m_bits, k = 1 << 16, 4
+        h1 = F.col("gram").bitwiseAND(F.lit(0x7FFFFFFF))
+        h2 = F.shiftrightunsigned(F.col("gram"), 32).bitwiseAND(F.lit(0x7FFFFFFF))
+        pos = bg.select(
+            F.explode(
+                F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+            ).alias("pos")
+        ).distinct()
+        words = [0] * (m_bits // 64)
+        for r in pos.collect():
+            words[int(r.pos) // 64] |= 1 << (int(r.pos) % 64)
+        words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+        survivors = cg.where(
+            _bloom_membership_expr(F.col("gram"), words, m_bits, k)
+        ).count()
+        assert survivors >= true_hits  # no false negatives, ever
+        # false positives bounded: at this benchmark/m ratio the FP
+        # rate is well under 5% of non-hit grams
+        assert survivors - true_hits <= max(50, int(0.05 * (total - true_hits)))
+
+    def test_probe_is_pure_codegen(self, spark, documents):
+        from pulsar_spark.functions import contamination_check_bloom
+
+        bench = documents.where(F.col("doc_id") % 97 == 0)
+        corpus = documents.where(F.col("doc_id") % 97 != 0)
+        plan = (
+            contamination_check_bloom(corpus, bench, n=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas"):
+            assert marker not in plan
+
+
+# ------------------------------------------------ audio fingerprinting
+
+
+class TestAudioFingerprint:
+    def _tone(self, g, n=8000):
+        import numpy as np
+
+        rs = np.random.RandomState(g)
+        t = np.arange(n) / 8000.0
+        f1, f2 = 100 + g * 37 % 1700, 300 + g * 91 % 2900
+        return (
+            np.sin(2 * np.pi * f1 * t)
+            + 0.5 * np.sin(2 * np.pi * f2 * t)
+            + 0.2 * rs.randn(n)
+        )
+
+    @staticmethod
+    def _ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    def test_deterministic_distinct_and_invariant(self):
+        import numpy as np
+
+        from pulsar_spark.functions.phash import audio_fingerprint64
+
+        hs = [audio_fingerprint64(self._tone(g), 8000) for g in range(23)]
+        assert hs == [audio_fingerprint64(self._tone(g), 8000) for g in range(23)]
+        assert len(set(hs)) == 23
+        assert min(
+            self._ham(a, b) for i, a in enumerate(hs) for b in hs[i + 1:]
+        ) > 8
+        for g in range(6):
+            x = self._tone(g)
+            # uniform amplitude scaling is an EXACT invariance
+            assert audio_fingerprint64(x * 0.3, 8000) == hs[g]
+            noisy = x + 0.01 * np.random.RandomState(99 + g).randn(x.size)
+            assert self._ham(hs[g], audio_fingerprint64(noisy, 8000)) <= 4
+
+    def test_short_clip_padded_not_crashed(self):
+        from pulsar_spark.functions.phash import audio_fingerprint64
+
+        assert isinstance(audio_fingerprint64([0.1, -0.2, 0.3], 8000), int)
+
+    def test_banded_near_dups_recall_and_precision(self, spark):
+        import __spark_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        pairs = e.queries()["media_audio_near_dups"](spark, sf).collect()
+        n_docs = e.queries()["media_audio_fingerprint"](spark, sf).count()
+        # zero cross-pattern false positives
+        assert all(r.media_id_a % 23 == r.media_id_b % 23 for r in pairs)
+        # recall vs all planted within-pattern pairs: perturbed copies
+        # sit <= 3 bits from their pattern base, so pairwise <= 6; the
+        # 16-bit banding recovers the large majority at that distance
+        from collections import Counter
+
+        sizes = Counter(d % 23 for d in range(n_docs))
+        planted = sum(n * (n - 1) // 2 for n in sizes.values())
+        assert len(pairs) >= 0.75 * planted
+
+    def test_non_wav_codec_rejected(self, spark):
+        import pandas as pd
+
+        from pulsar_spark.functions.phash import audio_fingerprint_media
+
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "audio", "mp3", b"xx")],
+                columns=["media_id", "modality", "codec", "payload"],
+            ),
+            "media_id bigint, modality string, codec string, payload binary",
+        )
+        with pytest.raises(Exception, match="no real kernel"):
+            audio_fingerprint_media(media).collect()
