@@ -1504,15 +1504,15 @@ def _q_media_decode_progressive(spark, sf_dir):
     )
 
 
-def _phash_media_fixture(spark, sf_dir, perturb: bool):
+def _phash_media_fixture(spark, sf_dir, perturb: bool, n_patterns: int = 37):
     """Deterministic perceptual-hash fixture: every doc gets a
     pseudo-random 32x32 RGB BMP whose CONTENT depends only on
-    ``doc_id % 37`` (37 distinct patterns, measured pairwise pHash
-    distance >= 18), so same-pattern docs are perceptual duplicates.
-    With ``perturb`` each copy is additionally brightness-shifted and
-    single-pixel-tweaked per doc_id (measured pHash distance <= 2 from
-    its pattern) — the re-encode/perturbation regime the banded
-    near-dup join must recover."""
+    ``doc_id % n_patterns`` (distinct patterns measured >= 18 bits of
+    pairwise pHash distance), so same-pattern docs are perceptual
+    duplicates. With ``perturb`` each copy is additionally
+    brightness-shifted and single-pixel-tweaked per doc_id (measured
+    pHash distance <= 2 from its pattern) — the re-encode/perturbation
+    regime the banded near-dup join must recover."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def enc(batches):
@@ -1525,12 +1525,12 @@ def _phash_media_fixture(spark, sf_dir, perturb: bool):
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                px = np.random.RandomState(d % 37).randint(
+                px = np.random.RandomState(d % n_patterns).randint(
                     0, 256, (32, 32, 3)
                 ).astype(np.uint8)
                 if perturb:
                     px = np.clip(
-                        px.astype(np.int16) + (d // 37) % 3, 0, 255
+                        px.astype(np.int16) + (d // n_patterns) % 3, 0, 255
                     ).astype(np.uint8)
                     px[d % 32, d * 7 % 32] = np.clip(
                         px[d % 32, d * 7 % 32].astype(np.int16) + 3, 0, 255

@@ -264,6 +264,28 @@ def main() -> None:
             lambda: _entry.queries()["pretraining_pipeline_v4"](spark, sf_dir).count(),
             remeasure=True,
         )
+        # x8: multimodal near-dup — BMP encode + decode + DCT pHash per
+        # doc in one fused Arrow pass, then the Hamming-banded LSH join.
+        # Pattern count scales with the corpus (group size ~10) so the
+        # measured shape is the realistic small-cluster regime, not the
+        # registered query's deliberately adversarial every-doc-dups-
+        # 135-others fixture. Extra (added round 7), not in
+        # headline_total.
+        def _x8():
+            import __spark_entry__ as _e
+
+            from pulsar_spark.functions.phash import (
+                perceptual_hash_media,
+                phash_near_dups,
+            )
+
+            n_docs = docs.count()
+            patterns = max(37, n_docs // 10)
+            media = _e._phash_media_fixture(spark, sf_dir, perturb=True,
+                                            n_patterns=patterns)
+            return phash_near_dups(perceptual_hash_media(media)).count()
+
+        timed("x8_media_phash", _x8, remeasure=True)
 
         # x5: corpus-hygiene pass (deterministic half-sample -> PII
         # scrub -> cross-doc duplicated-5-gram fraction) — the narrow
@@ -300,6 +322,7 @@ def main() -> None:
         "x4b_training_select_scalable",
         "x6_pretraining_to_shards",
         "x7_curation_v4",
+        "x8_media_phash",
     ]
     total = round(sum(v for k, v in timings.items() if k not in extras), 3)
     queries_min = {k: min(rs) for k, rs in runs_detail.items()}
