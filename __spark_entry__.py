@@ -1795,7 +1795,11 @@ def _q_streaming_curation(spark, sf_dir):
             gate=F.col("n_chars") >= 200,
             seq_len=256,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # fail LOUDLY: reading the output mid-drain would return a
+            # nondeterministic partial frame
+            q.stop()
+            raise TimeoutError("streaming_curation drain exceeded 300 s")
     return (
         spark.read.parquet(base + "/out")
         .select("batch_id", "source", "bin_id", "n_docs", "sum_tokens")

@@ -577,7 +577,7 @@ def ivfpq_topk_rerank(
         .join(F.broadcast(shortlist), id_col)
         .select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(cosine_similarity(F.col(vec_col), q), round_dp).alias("cosine"),
             "adc_dist",
         )
     )

@@ -742,8 +742,21 @@ def contamination_check_bloom(
     positive costs one extra row through the exact join — never a
     wrong answer. Output schema == contamination_check:
     ``(id, n_grams, n_hits, contaminated)``.
+
+    The confirming join deliberately does NOT force a broadcast (the
+    whole point is a benchmark too big for one): AQE picks the
+    strategy, and because the probe side is bloom-shrunk to hits + FPs
+    a shuffle hash join is cheap on both sides. The benchmark gram set
+    is persisted so the positions pass and the confirm join share one
+    gram-hashing scan; it stays cached until Spark evicts it (the
+    returned frame still references it).
     """
-    bench = _word_gram_hashes(benchmark, n, text_col, id_col).select("gram").distinct()
+    bench = (
+        _word_gram_hashes(benchmark, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+        .persist()
+    )
     h1 = F.col("gram").bitwiseAND(F.lit(0x7FFFFFFF))
     h2 = F.shiftrightunsigned(F.col("gram"), 32).bitwiseAND(F.lit(0x7FFFFFFF))
     positions = bench.select(
@@ -769,7 +782,7 @@ def contamination_check_bloom(
     cg = _word_gram_hashes(corpus, n, text_col, id_col)
     pre = cg.where(_bloom_membership_expr(F.col("gram"), words, m_bits, k))
     confirmed = (
-        pre.join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "gram")
+        pre.join(bench, "gram")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )

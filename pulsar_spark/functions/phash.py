@@ -95,7 +95,7 @@ def dhash64(px) -> int:
     return _pack_bits((g[:, 1:] > g[:, :-1]).ravel())
 
 
-def perceptual_hash_media(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def perceptual_hash_media(media: DataFrame) -> DataFrame:
     """Fused decode + perceptual-hash pass over the canonical media
     frame (``media_id, modality, codec, payload``): one Arrow-batched
     ``mapInPandas`` stage computes pHash and dHash straight off the
@@ -259,7 +259,7 @@ def audio_fingerprint64(samples, rate: int) -> int:
     return _pack_bits((dd > 0).ravel())
 
 
-def audio_fingerprint_media(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def audio_fingerprint_media(media: DataFrame) -> DataFrame:
     """Fused decode + fingerprint pass over the canonical media frame
     for wav payloads — the audio sibling of ``perceptual_hash_media``;
     sample arrays live only inside the Arrow batch. Returns

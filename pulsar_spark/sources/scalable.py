@@ -784,6 +784,16 @@ def _write_subscriptions(topic_path: str, subs: dict) -> None:
     final = os.path.join(topic_path, _SUBS)
     fd, tmp = tempfile.mkstemp(prefix="_subs_", suffix=".tmp", dir=topic_path)
     try:
+        # mkstemp creates 0600 and os.replace keeps the temp's mode —
+        # preserve the registry's existing permissions (umask default
+        # on first write) so the atomic rewrite doesn't silently lock
+        # out readers that could see the file before
+        if os.path.exists(final):
+            os.fchmod(fd, os.stat(final).st_mode & 0o777)
+        else:
+            umask = os.umask(0)
+            os.umask(umask)
+            os.fchmod(fd, 0o666 & ~umask)
         with os.fdopen(fd, "w") as fh:
             json.dump(subs, fh, indent=1, sort_keys=True)
         os.replace(tmp, final)
@@ -1036,7 +1046,10 @@ def _segment_entry(meta: dict, segment_id: int) -> dict:
 
 
 def create_segment(
-    topic_path: str, segment_id: int, subscriptions: list[str] | tuple = ()
+    topic_path: str,
+    segment_id: int,
+    subscriptions: list[str] | tuple = (),
+    spark=None,
 ) -> bool:
     """ScalableTopics.createSegment (ScalableTopics.java:354) /
     ScalableTopicController.createSegmentTopic (java:1416): ensure the
@@ -1055,7 +1068,7 @@ def create_segment(
     created = not os.path.isdir(d)
     os.makedirs(d, exist_ok=True)
     for sub in subscriptions:
-        create_segment_subscription(topic_path, segment_id, sub)
+        create_segment_subscription(topic_path, segment_id, sub, spark=spark)
     return created
 
 
@@ -1143,8 +1156,28 @@ def delete_segment(
     return True
 
 
+def _resolve_latest_offsets(spark, topic_path: str, ck: Checkpoint) -> dict[int, int]:
+    """A LATEST-sentinel vector resolved into its concrete
+    "nothing stored is delivered" form (``{segment: high + 1}`` over
+    every stored segment) so a per-SLOT edit cannot silently drop the
+    flag and flip every OTHER segment's cursor back to earliest —
+    clearing one segment's backlog must never CREATE backlog elsewhere.
+    Resolution needs a SparkSession for the one bounded watermark
+    aggregate; non-latest vectors pass through as a plain copy."""
+    if not ck.latest:
+        return dict(ck.offsets)
+    if spark is None:
+        raise ValueError(
+            "subscription cursor is a LATEST sentinel: resolving it into a "
+            "concrete vector needs a SparkSession"
+        )
+    return {
+        sid: hi + 1 for sid, hi in segment_high_watermarks(spark, topic_path).items()
+    }
+
+
 def create_segment_subscription(
-    topic_path: str, segment_id: int, subscription: str
+    topic_path: str, segment_id: int, subscription: str, spark=None
 ) -> bool:
     """ScalableTopics.createSegmentSubscriptionAsync
     (ScalableTopics.java:397): create the subscription's cursor on ONE
@@ -1154,16 +1187,23 @@ def create_segment_subscription(
     to the missing-entry default, persisted for metadata parity with
     the reference's per-segment cursors). Creates the topic-level
     subscription entry first if none exists. Idempotent — an existing
-    slot is left untouched and returns False."""
+    slot is left untouched and returns False.
+
+    A subscription persisted at the LATEST sentinel is first resolved
+    into its concrete high-watermark vector (needs ``spark``; raises
+    without one): setting an earliest slot while leaving ``latest``
+    true would be inert — the read paths would still skip everything —
+    silently violating the "future consumer doesn't drop the backlog"
+    guarantee this verb exists for."""
     meta = scalable_metadata(topic_path)
     _segment_entry(meta, segment_id)
     create_subscription(topic_path, subscription)  # no-op if present
-    subs = _read_subscriptions(topic_path)
-    offsets = subs[subscription]["checkpoint"].setdefault("offsets", {})
-    if str(int(segment_id)) in offsets:
+    ck = subscription_checkpoint(topic_path, subscription)
+    offsets = _resolve_latest_offsets(spark, topic_path, ck)
+    if int(segment_id) in offsets and not ck.latest:
         return False
-    offsets[str(int(segment_id))] = 0
-    _write_subscriptions(topic_path, subs)
+    offsets[int(segment_id)] = 0
+    save_subscription_checkpoint(topic_path, subscription, Checkpoint(offsets))
     return True
 
 
@@ -1247,7 +1287,9 @@ def seek_segment_subscription(
             else 0
         )
     ck = subscription_checkpoint(topic_path, subscription)
-    offsets = dict(ck.offsets)
+    # a LATEST sentinel resolves into its concrete vector first, so
+    # editing this slot can't flip the other segments to earliest
+    offsets = _resolve_latest_offsets(spark, topic_path, ck)
     offsets[sid] = int(new_off)
     save_subscription_checkpoint(topic_path, subscription, Checkpoint(offsets))
     return int(new_off)
@@ -1269,7 +1311,10 @@ def clear_segment_subscription_backlog(
     _segment_entry(meta, sid)
     high = segment_high_watermarks(spark, topic_path, segments=[sid]).get(sid, -1)
     ck = subscription_checkpoint(topic_path, subscription)
-    offsets = dict(ck.offsets)
+    # a LATEST sentinel resolves into its concrete vector first —
+    # clearing ONE segment's backlog must never create backlog on the
+    # others by silently dropping the flag
+    offsets = _resolve_latest_offsets(spark, topic_path, ck)
     offsets[sid] = high + 1
     save_subscription_checkpoint(topic_path, subscription, Checkpoint(offsets))
     return high + 1

@@ -797,3 +797,74 @@ class TestAudioFingerprint:
         )
         with pytest.raises(Exception, match="no real kernel"):
             audio_fingerprint_media(media).collect()
+
+
+class TestLatestSentinelSlotEdits:
+    """Review findings: per-slot cursor edits must resolve a persisted
+    LATEST sentinel instead of silently dropping the flag (which would
+    flip every OTHER segment's cursor back to earliest)."""
+
+    def test_clear_one_segment_keeps_others_drained(self, spark, seg_topic):
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            clear_segment_subscription_backlog,
+            create_subscription,
+            get_segment_subscription_backlog,
+            save_subscription_checkpoint,
+        )
+
+        create_subscription(seg_topic, "s")
+        save_subscription_checkpoint(seg_topic, "s", Checkpoint.latest())
+        assert get_segment_subscription_backlog(spark, seg_topic, 1, "s") == 0
+        clear_segment_subscription_backlog(spark, seg_topic, 0, "s")
+        # segment 1 must STAY drained — clearing 0 cannot create backlog
+        assert get_segment_subscription_backlog(spark, seg_topic, 1, "s") == 0
+        assert get_segment_subscription_backlog(spark, seg_topic, 0, "s") == 0
+
+    def test_seek_one_segment_keeps_others_drained(self, spark, seg_topic):
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            create_subscription,
+            get_segment_subscription_backlog,
+            save_subscription_checkpoint,
+            seek_segment_subscription,
+        )
+
+        create_subscription(seg_topic, "s")
+        save_subscription_checkpoint(seg_topic, "s", Checkpoint.latest())
+        seek_segment_subscription(spark, seg_topic, 0, "s", "1970-01-01")
+        assert get_segment_subscription_backlog(spark, seg_topic, 0, "s") > 0
+        assert get_segment_subscription_backlog(spark, seg_topic, 1, "s") == 0
+
+    def test_create_slot_on_latest_sub_resolves_or_raises(self, spark, seg_topic):
+        from pulsar_spark.sources.scalable import (
+            Checkpoint,
+            create_segment_subscription,
+            create_subscription,
+            get_segment_subscription_backlog,
+            save_subscription_checkpoint,
+        )
+
+        create_subscription(seg_topic, "s")
+        save_subscription_checkpoint(seg_topic, "s", Checkpoint.latest())
+        # without a session the latest sentinel can't be resolved: loud
+        with pytest.raises(ValueError, match="LATEST sentinel"):
+            create_segment_subscription(seg_topic, 0, "s")
+        # with one, the earliest slot is REAL (backlog delivered) and
+        # the other segment keeps its latest (drained) position
+        assert create_segment_subscription(seg_topic, 0, "s", spark=spark) is True
+        assert get_segment_subscription_backlog(spark, seg_topic, 0, "s") > 0
+        assert get_segment_subscription_backlog(spark, seg_topic, 1, "s") == 0
+
+    def test_registry_file_mode_preserved(self, spark, seg_topic):
+        import os
+
+        from pulsar_spark.sources.scalable import create_subscription
+
+        create_subscription(seg_topic, "a")
+        f = os.path.join(seg_topic, "_subscriptions.json")
+        mode_before = os.stat(f).st_mode & 0o777
+        assert mode_before != 0o600  # umask default, not mkstemp's 0600
+        os.chmod(f, 0o640)
+        create_subscription(seg_topic, "b")
+        assert (os.stat(f).st_mode & 0o777) == 0o640
