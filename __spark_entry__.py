@@ -1626,6 +1626,36 @@ def _q_media_audio_near_dups(spark, sf_dir):
     return phash_near_dups(hashed, max_hamming=6, hash_col="afp")
 
 
+def _q_doc_url_dedup(spark, sf_dir):
+    # URL canonicalization + keep-one dedup (functions/urls.py): six
+    # messy variants per page — case-mangled scheme/host + www, the
+    # :80 default port, a trailing slash, a fragment + utm_ tracking
+    # param, and shuffled query order — must all collapse to ONE
+    # canonical string. The oracle writes the EXPECTED canonical form
+    # directly from the planted group (doc_id % 41), so every
+    # normalization rule is value-pinned, not just the grouping.
+    from pulsar_spark.functions.urls import url_dedup
+
+    g = (F.col("doc_id") % 41).cast("string")
+    v = (F.col("doc_id") / 41).cast("int") % 6
+    site = F.concat(F.lit("site"), g, F.lit(".com"))
+    path = F.concat(F.lit("/a"), g, F.lit("/b"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), site, path, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTP://WWW.Site"), g, F.lit(".COM"), path,
+                               F.lit("?b=2&a=1")))
+        .when(v == 2, F.concat(F.lit("http://site"), g, F.lit(".com:80"), path,
+                               F.lit("?a=1&b=2")))
+        .when(v == 3, F.concat(F.lit("http://"), site, path, F.lit("/?b=2&a=1")))
+        .when(v == 4, F.concat(F.lit("http://"), site, path,
+                               F.lit("?b=2&a=1&utm_source=x#frag")))
+        .otherwise(F.concat(F.lit("http://"), site, path,
+                            F.lit("?utm_campaign=y&b=2&a=1")))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_dedup(docs)
+
+
 def _q_media_phash_near_dups(spark, sf_dir):
     # Exact perceptual-dup grouping over REAL decode + DCT pHash
     # (functions/phash.py): fused decode+hash mapInPandas, then one
@@ -3060,14 +3090,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_auto_consume": _q_schema_auto_consume,
         "schema_avro_decode": _q_schema_avro_decode,
         "schema_protobuf_decode": _q_schema_protobuf_decode,
-        "schema_primitive_roundtrip": _q_schema_primitive_roundtrip,
-        # (subscription_stats' and batch_receive's freshness slots went
-        #  to the new doc_contamination_bloom and
-        #  media_audio_fingerprint: both driver-green r5, kept in
-        #  parity KEYS)
+        # (schema_primitive_roundtrip's, subscription_stats' and
+        #  batch_receive's freshness slots went to the new
+        #  doc_contamination_bloom, media_audio_fingerprint and
+        #  doc_url_dedup: all three displaced queries are driver-green
+        #  r5, kept in parity KEYS)
         "doc_contamination_bloom": _q_doc_contamination_bloom,
         "media_audio_fingerprint": _q_media_audio_fingerprint,
+        "doc_url_dedup": _q_doc_url_dedup,
         # ---- 50-entry driver prefix ends here ----
+        "schema_primitive_roundtrip": _q_schema_primitive_roundtrip,
         "subscription_stats": _q_subscription_stats,
         "batch_receive": _q_batch_receive,
         # (everything below is driver-green at its current
@@ -4306,6 +4338,21 @@ def oracle_sql() -> dict[str, str]:
                      AS group_size,
                    doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
             FROM documents
+        """,
+        # The oracle pins the exact canonical STRING per planted group
+        # (doc_id % 41), so every normalization rule — scheme/host
+        # lowering, www/port stripping, fragment + tracking-param drop,
+        # query sort, trailing slash — is value-checked, not just the
+        # grouping.
+        "doc_url_dedup": """
+            WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents)
+            SELECT doc_id,
+                   'http://site' || g || '.com/a' || g || '/b?a=1&b=2'
+                     AS canonical_url,
+                   min(doc_id) OVER (PARTITION BY g) AS canonical_id,
+                   CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS group_size,
+                   doc_id != min(doc_id) OVER (PARTITION BY g) AS is_dup
+            FROM d
         """,
         # Audio twin of media_phash_near_dups: the oracle pins the
         # planted perceptual grouping (pattern = doc_id % 23, exact

@@ -36,6 +36,7 @@ KEYS = [
     "window_count_watermark",
     "doc_contamination_bloom",
     "media_audio_fingerprint",
+    "doc_url_dedup",
     # structural-gap backfill (test_meta_freshness found these
     # driver-checked queries had no local parity regression)
     "doc_bm25",

@@ -868,3 +868,59 @@ class TestLatestSentinelSlotEdits:
         os.chmod(f, 0o640)
         create_subscription(seg_topic, "b")
         assert (os.stat(f).st_mode & 0o777) == 0o640
+
+
+# ----------------------------------------------------- URL canonicalization
+
+
+class TestUrlDedup:
+    CASES = [
+        ("http://site7.com/a7/b?b=2&a=1", "http://site7.com/a7/b?a=1&b=2"),
+        ("HTTP://WWW.Site7.COM/a7/b?b=2&a=1", "http://site7.com/a7/b?a=1&b=2"),
+        ("http://site7.com:80/a7/b?a=1&b=2", "http://site7.com/a7/b?a=1&b=2"),
+        ("http://site7.com/a7/b/?b=2&a=1", "http://site7.com/a7/b?a=1&b=2"),
+        (
+            "http://site7.com/a7/b?b=2&a=1&utm_source=x#frag",
+            "http://site7.com/a7/b?a=1&b=2",
+        ),
+        ("https://site7.com:443/a7/b", "https://site7.com/a7/b"),
+        ("http://site7.com/", "http://site7.com"),
+        ("http://site7.com", "http://site7.com"),
+        ("http://site7.com/a?fbclid=zz", "http://site7.com/a"),
+        # non-tracking params and :8080 must be KEPT
+        ("http://site7.com:8080/a?z=1", "http://site7.com:8080/a?z=1"),
+        ("http://site7.com/a?utm=notracking", "http://site7.com/a?utm=notracking"),
+    ]
+
+    def test_canonicalization_rules(self, spark):
+        from pulsar_spark.functions.urls import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_idempotent(self, spark):
+        from pulsar_spark.functions.urls import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        once = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+        twice = [
+            r.c
+            for r in df.select(
+                canonicalize_url(canonicalize_url(F.col("url"))).alias("c")
+            ).collect()
+        ]
+        assert once == twice
+
+    def test_dedup_is_pure_codegen(self, spark):
+        from pulsar_spark.functions.urls import url_dedup
+
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x"), (2, "HTTP://A.com/x/")], "doc_id bigint, url string"
+        )
+        out = url_dedup(df)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[2].canonical_id == 1 and rows[2].is_dup
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan
