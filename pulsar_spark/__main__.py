@@ -266,7 +266,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.verb in ("create", "terminate", "sub-create", "sub-delete") or (
             args.verb == "delete" and args.force
         ):
-            # registry/metadata-only verbs: no Spark session needed
+            # registry/metadata-only verbs: no Spark session needed.
+            # sub-create on a LATEST-sentinel subscription is the one
+            # case that needs a session (resolving the sentinel); it
+            # falls THROUGH to the session path instead of dumping a
+            # traceback over the CLI's JSON contract.
             from pulsar_spark.sources import (
                 create_segment,
                 create_segment_subscription,
@@ -275,6 +279,7 @@ def main(argv: list[str] | None = None) -> int:
                 terminate_segment,
             )
 
+            out = None
             if args.verb == "create":
                 out = {"created": create_segment(args.topic, args.segment)}
             elif args.verb == "terminate":
@@ -282,13 +287,19 @@ def main(argv: list[str] | None = None) -> int:
             elif args.verb == "delete":
                 out = {"deleted": delete_segment(args.topic, args.segment, force=True)}
             elif args.verb == "sub-create":
-                out = {"created": create_segment_subscription(
-                    args.topic, args.segment, args.name)}
+                try:
+                    out = {"created": create_segment_subscription(
+                        args.topic, args.segment, args.name)}
+                except ValueError as ex:
+                    if "LATEST sentinel" not in str(ex):
+                        raise
+                    # falls through to the Spark-session branch below
             else:
                 out = {"deleted": delete_segment_subscription(
                     args.topic, args.segment, args.name)}
-            print(json.dumps({"segment": args.segment, **out}))
-            return 0
+            if out is not None:
+                print(json.dumps({"segment": args.segment, **out}))
+                return 0
 
     from pyspark.sql import SparkSession
 
@@ -388,15 +399,25 @@ def main(argv: list[str] | None = None) -> int:
             }))
     elif args.cmd == "segment":
         # spark-session verbs: delete (safety check), sub-backlog,
-        # sub-clear, sub-seek
+        # sub-clear, sub-seek, and the LATEST-sentinel sub-create
+        # fallthrough from the registry-only branch
         from pulsar_spark.sources import (
             clear_segment_subscription_backlog,
+            create_segment_subscription,
             delete_segment,
             get_segment_subscription_backlog,
             seek_segment_subscription,
         )
 
-        if args.verb == "delete":
+        if args.verb == "sub-create":
+            created = create_segment_subscription(
+                args.topic, args.segment, args.name, spark=spark
+            )
+            print(json.dumps(
+                {"segment": args.segment, "subscription": args.name,
+                 "created": created}
+            ))
+        elif args.verb == "delete":
             ok = delete_segment(args.topic, args.segment, force=False, spark=spark)
             print(json.dumps({"segment": args.segment, "deleted": ok}))
         elif args.verb == "sub-backlog":

@@ -785,15 +785,17 @@ def _write_subscriptions(topic_path: str, subs: dict) -> None:
     fd, tmp = tempfile.mkstemp(prefix="_subs_", suffix=".tmp", dir=topic_path)
     try:
         # mkstemp creates 0600 and os.replace keeps the temp's mode —
-        # preserve the registry's existing permissions (umask default
-        # on first write) so the atomic rewrite doesn't silently lock
-        # out readers that could see the file before
-        if os.path.exists(final):
-            os.fchmod(fd, os.stat(final).st_mode & 0o777)
-        else:
-            umask = os.umask(0)
-            os.umask(umask)
-            os.fchmod(fd, 0o666 & ~umask)
+        # preserve the registry's existing permissions so the atomic
+        # rewrite doesn't silently lock out readers that could see the
+        # file before. One stat with a FileNotFoundError fallback (no
+        # exists/stat TOCTOU against a concurrent teardown), and a
+        # fixed 0644 first-write default (reading the umask would mean
+        # mutating it process-wide, racing every other thread).
+        try:
+            mode = os.stat(final).st_mode & 0o777
+        except FileNotFoundError:
+            mode = 0o644
+        os.fchmod(fd, mode)
         with os.fdopen(fd, "w") as fh:
             json.dump(subs, fh, indent=1, sort_keys=True)
         os.replace(tmp, final)

@@ -863,8 +863,10 @@ class TestLatestSentinelSlotEdits:
 
         create_subscription(seg_topic, "a")
         f = os.path.join(seg_topic, "_subscriptions.json")
-        mode_before = os.stat(f).st_mode & 0o777
-        assert mode_before != 0o600  # umask default, not mkstemp's 0600
+        # first write: the fixed 0644 default, not mkstemp's 0600
+        # (umask-independent by design — see _write_subscriptions)
+        assert (os.stat(f).st_mode & 0o777) == 0o644
+        # later rewrites preserve whatever the operator set
         os.chmod(f, 0o640)
         create_subscription(seg_topic, "b")
         assert (os.stat(f).st_mode & 0o777) == 0o640
@@ -924,3 +926,59 @@ class TestUrlDedup:
         plan = out._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython"):
             assert marker not in plan
+
+    def test_adversarial_parsing(self, spark):
+        """Second-review cases: first-occurrence splits, scheme-aware
+        ports, case-mangled tracking params, query-with-no-path."""
+        from pulsar_spark.functions.urls import canonicalize_url
+
+        cases = [
+            # an URL EMBEDDED in a param value must not hijack parsing
+            (
+                "http://a.com/redirect?url=http://b.com/x",
+                "http://a.com/redirect?url=http://b.com/x",
+            ),
+            # ?-in-param-value: query starts at the FIRST '?'
+            (
+                "http://a.com/x?a=1&next=/y?z=1",
+                "http://a.com/x?a=1&next=/y?z=1",
+            ),
+            # query / fragment with NO path slash still normalize
+            ("http://a.com?b=2&a=1", "http://a.com?a=1&b=2"),
+            ("http://a.com#frag", "http://a.com"),
+            ("http://a.com:80?x=1", "http://a.com?x=1"),
+            # the variant WITH a slash collapses to the same canonical
+            ("http://a.com/?a=1&b=2", "http://a.com?a=1&b=2"),
+            # default-port stripping is scheme-aware
+            ("https://a.com:80/x", "https://a.com:80/x"),
+            ("http://a.com:443/x", "http://a.com:443/x"),
+            # tracking params are dropped case-insensitively
+            ("http://a.com/x?UTM_Source=mail&a=1", "http://a.com/x?a=1"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [
+            r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+        ]
+        assert got == [want for _, want in cases]
+        # idempotence holds on the adversarial set too
+        twice = [
+            r.c
+            for r in df.select(
+                canonicalize_url(canonicalize_url(F.col("url"))).alias("c")
+            ).collect()
+        ]
+        assert twice == got
+
+    def test_null_urls_are_singletons(self, spark):
+        from pulsar_spark.functions.urls import url_dedup
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "http://a.com/x")],
+            "doc_id bigint, url string",
+        )
+        rows = {r.doc_id: r for r in url_dedup(df).collect()}
+        assert rows[1].canonical_url is None and rows[2].canonical_url is None
+        # two unrelated missing-URL docs must NOT merge
+        assert rows[1].canonical_id == 1 and not rows[1].is_dup
+        assert rows[2].canonical_id == 2 and not rows[2].is_dup
+        assert rows[1].group_size == 1 and rows[2].group_size == 1
