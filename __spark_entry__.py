@@ -1626,6 +1626,45 @@ def _q_media_audio_near_dups(spark, sf_dir):
     return phash_near_dups(hashed, max_hamming=6, hash_col="afp")
 
 
+def _q_doc_remove_repeated_lines(spark, sf_dir):
+    # Within-document repeated-line removal (functions/text.py
+    # remove_repeated_lines; the C4 §2.2 "deduplicated repeated lines
+    # within a page" rule): documents are regrouped into 8-word lines
+    # (the corpus has no newlines), every third doc gets its FIRST
+    # line planted again at the end, and the operator must drop
+    # exactly the planted repeats (plus any natural ones) while
+    # keeping first-occurrence order. The oracle reimplements keep-
+    # first independently (min-position per line + ordered string_agg,
+    # since DuckDB has no order-preserving list_distinct).
+    from pulsar_spark.functions.text import remove_repeated_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda t: t != "")
+    lines = F.expr(
+        "transform(sequence(0, cast(ceil(size(filter(split(text, ' '), "
+        "t -> t != '')) / 8.0) as int) - 1), "
+        "i -> concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), "
+        "i * 8 + 1, 8)))"
+    )
+    body = F.array_join(lines, "\n")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(body, F.lit("\n"), F.element_at(lines, 1)),
+    ).otherwise(body)
+    fixture = docs.where(F.size(w) > 0).select(
+        "doc_id", planted.alias("text")
+    )
+    out = remove_repeated_lines(fixture)
+    # hash the rebuilt text so the driver compare stays compact while
+    # still pinning every byte of the reassembly
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines_before",
+        "n_lines_removed",
+    )
+
+
 def _q_doc_url_dedup(spark, sf_dir):
     # URL canonicalization + keep-one dedup (functions/urls.py): six
     # messy variants per page — case-mangled scheme/host + www, the
@@ -3089,16 +3128,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_kv_decode": _q_schema_kv_decode,
         "schema_auto_consume": _q_schema_auto_consume,
         "schema_avro_decode": _q_schema_avro_decode,
-        "schema_protobuf_decode": _q_schema_protobuf_decode,
-        # (schema_primitive_roundtrip's, subscription_stats' and
-        #  batch_receive's freshness slots went to the new
-        #  doc_contamination_bloom, media_audio_fingerprint and
-        #  doc_url_dedup: all three displaced queries are driver-green
-        #  r5, kept in parity KEYS)
+        # (schema_protobuf_decode's, schema_primitive_roundtrip's,
+        #  subscription_stats' and batch_receive's freshness slots went
+        #  to the new doc_contamination_bloom, media_audio_fingerprint,
+        #  doc_url_dedup and doc_remove_repeated_lines: all displaced
+        #  queries are driver-green r5, kept in parity KEYS)
         "doc_contamination_bloom": _q_doc_contamination_bloom,
         "media_audio_fingerprint": _q_media_audio_fingerprint,
         "doc_url_dedup": _q_doc_url_dedup,
+        "doc_remove_repeated_lines": _q_doc_remove_repeated_lines,
         # ---- 50-entry driver prefix ends here ----
+        "schema_protobuf_decode": _q_schema_protobuf_decode,
         "schema_primitive_roundtrip": _q_schema_primitive_roundtrip,
         "subscription_stats": _q_subscription_stats,
         "batch_receive": _q_batch_receive,
@@ -4338,6 +4378,40 @@ def oracle_sql() -> dict[str, str]:
                      AS group_size,
                    doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
             FROM documents
+        """,
+        # Independent keep-first spec: min position per distinct line,
+        # ordered string_agg rebuild (DuckDB's list_distinct does not
+        # preserve order, so the oracle cannot shortcut through it).
+        "doc_remove_repeated_lines": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+                                    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls
+              FROM d WHERE len(w) > 0
+            ), fx AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN list_append(ls, ls[1])
+                          ELSE ls END AS ls
+              FROM f
+            ), u AS (
+              SELECT doc_id, ls[i] AS line, i
+              FROM fx, LATERAL unnest(range(1, len(ls) + 1)) AS t(i)
+            ), k AS (
+              SELECT doc_id, line, min(i) AS fi FROM u GROUP BY doc_id, line
+            ), agg AS (
+              SELECT doc_id,
+                     md5(string_agg(line, chr(10) ORDER BY fi)) AS clean_md5,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM k GROUP BY doc_id
+            )
+            SELECT fx.doc_id, agg.clean_md5,
+                   CAST(len(fx.ls) AS BIGINT) AS n_lines_before,
+                   CAST(len(fx.ls) - agg.n_kept AS BIGINT) AS n_lines_removed
+            FROM fx JOIN agg USING (doc_id)
         """,
         # The oracle pins the exact canonical STRING per planted group
         # (doc_id % 41), so every normalization rule — scheme/host

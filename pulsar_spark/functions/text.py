@@ -261,6 +261,39 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+def remove_repeated_lines(
+    docs: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repeated-line removal — the C4 cleaning rule
+    ("we deduplicated repeated lines within a page", Raffel et al.
+    2020 §2.2; RefinedWeb applies the same line-level rule): every
+    line after its first occurrence IN THE SAME document is dropped,
+    survivors keep their original order. The within-doc sibling of the
+    cross-doc family (``remove_duplicated_chunks`` /
+    ``remove_duplicated_spans``).
+
+    Implementation is a single narrow projection — ``array_distinct``
+    preserves FIRST-occurrence order, so keep-first dedup plus ordered
+    reassembly is one expression with ZERO shuffles; at 100 TB this
+    rides the scan stage like any projection. Returns
+    ``(id, text_clean, n_lines_before, n_lines_removed)``.
+    """
+    import re
+
+    # F.split takes a REGEX — escape the literal separator
+    lines = F.split(F.col(text_col), re.escape(sep))
+    kept = F.array_distinct(lines)
+    return docs.select(
+        id_col,
+        F.array_join(kept, sep).alias("text_clean"),
+        F.size(lines).cast("bigint").alias("n_lines_before"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_lines_removed"),
+    )
+
+
 def repetition_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-document repetition signals (the Gopher-rule family of
     quality filters: documents dominated by repeated fragments are

@@ -34,13 +34,17 @@ from pyspark.sql import functions as F
 #: case-insensitive — crawls see `UTM_Source=` as often as `utm_source=`
 TRACKING_PARAM_RE = "(?i)^(utm_[a-z0-9_]+|fbclid|gclid)="
 
-_BIG = F.lit(1 << 30)
-
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL, as one codegen
     expression chain. Idempotent: canonicalize(canonicalize(u)) ==
     canonicalize(u) (property-tested). NULL in, NULL out."""
+    # NO module-level Column constants: constructing a Column calls
+    # into the JVM, and this module is imported inside Python UDF
+    # WORKERS (via the functions package __init__) where no gateway
+    # exists — a module-level F.lit would crash every pandas-UDF stage
+    # in the engine
+    _BIG = F.lit(1 << 30)
     u = F.trim(url)
     # scheme = before the FIRST '://'; rest = after it (instr finds the
     # first occurrence, so an URL embedded in a parameter value cannot

@@ -37,6 +37,7 @@ KEYS = [
     "doc_contamination_bloom",
     "media_audio_fingerprint",
     "doc_url_dedup",
+    "doc_remove_repeated_lines",
     # structural-gap backfill (test_meta_freshness found these
     # driver-checked queries had no local parity regression)
     "doc_bm25",

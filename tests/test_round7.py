@@ -982,3 +982,60 @@ class TestUrlDedup:
         assert rows[1].canonical_id == 1 and not rows[1].is_dup
         assert rows[2].canonical_id == 2 and not rows[2].is_dup
         assert rows[1].group_size == 1 and rows[2].group_size == 1
+
+
+# ------------------------------------------- within-doc line dedup
+
+
+class TestRemoveRepeatedLines:
+    def test_keep_first_order_and_counts(self, spark):
+        from pulsar_spark.functions.text import remove_repeated_lines
+
+        df = spark.createDataFrame(
+            [
+                (1, "a\nb\na\nc\nb"),
+                (2, "x\nx\nx"),
+                (3, "only"),
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = {r.doc_id: r for r in remove_repeated_lines(df).collect()}
+        assert rows[1].text_clean == "a\nb\nc"
+        assert rows[1].n_lines_before == 5 and rows[1].n_lines_removed == 2
+        assert rows[2].text_clean == "x" and rows[2].n_lines_removed == 2
+        assert rows[3].text_clean == "only" and rows[3].n_lines_removed == 0
+
+    def test_custom_separator_is_escaped(self, spark):
+        from pulsar_spark.functions.text import remove_repeated_lines
+
+        # '.' would be a regex wildcard if not escaped
+        df = spark.createDataFrame([(1, "a.b.a.c")], "doc_id bigint, text string")
+        r = remove_repeated_lines(df, sep=".").collect()[0]
+        assert r.text_clean == "a.b.c" and r.n_lines_removed == 1
+
+    def test_zero_shuffle_plan(self, spark):
+        from pulsar_spark.functions.text import remove_repeated_lines
+
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id bigint, text string")
+        plan = (
+            remove_repeated_lines(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+def test_functions_package_imports_without_jvm():
+    """The functions package is imported inside Python UDF WORKERS,
+    where no JVM gateway exists — a module-level Column construction
+    anywhere in it (e.g. F.lit at import time) crashes every pandas-UDF
+    stage in the engine. Import it in a clean subprocess with no
+    SparkSession to prove there is none."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c", "import pulsar_spark.functions"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
