@@ -1039,3 +1039,68 @@ def test_functions_package_imports_without_jvm():
         timeout=120,
     )
     assert r.returncode == 0, r.stderr
+
+
+class TestUrlCanonicalizeRandomizedReference:
+    def _expected(self, scheme, www, host, port, segs, params, frag):
+        """Independent pure-Python rendering of the canonicalization
+        rules (built from the RULES, not from the implementation)."""
+        import re
+
+        out_host = host.lower()
+        keep_port = port is not None and not (
+            (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+        )
+        hp = out_host + (f":{port}" if keep_port else "")
+        path = "".join(f"/{s}" for s in segs)
+        kept = sorted(
+            p for p in params
+            if not re.match(r"(?i)^(utm_[a-z0-9_]+|fbclid|gclid)=", p)
+        )
+        q = ("?" + "&".join(kept)) if kept else ""
+        return f"{scheme}://{hp}{path}{q}"
+
+    def test_componentwise_random_urls(self, spark):
+        import random
+
+        from pulsar_spark.functions.urls import canonicalize_url
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(300):
+            scheme = rng.choice(["http", "https"])
+            host = rng.choice(["Alpha.com", "beta.ORG", "x-y.net"])
+            www = rng.random() < 0.4
+            port = rng.choice([None, 80, 443, 8080])
+            segs = [f"s{rng.randrange(5)}" for _ in range(rng.randrange(3))]
+            params = []
+            for _ in range(rng.randrange(4)):
+                params.append(
+                    rng.choice(
+                        ["a=1", "b=2", "z=9", "utm_source=x", "UTM_Campaign=y",
+                         "fbclid=f", "next=/y?z=1"]
+                    )
+                )
+            frag = rng.random() < 0.3
+            # messy rendering
+            url = (scheme.upper() if rng.random() < 0.3 else scheme) + "://"
+            url += ("WWW." if www else "") + host
+            url += f":{port}" if port is not None else ""
+            url += "".join(f"/{s}" for s in segs)
+            if rng.random() < 0.3 and segs:
+                url += "/"  # trailing slash
+            if params:
+                url += "?" + "&".join(params)
+            if frag:
+                url += "#frag"
+            rows.append(
+                (i, url, self._expected(
+                    scheme, www, host, port, segs, params, frag))
+            )
+        df = spark.createDataFrame(rows, "i int, url string, want string")
+        got = (
+            df.select("i", "want", canonicalize_url(F.col("url")).alias("c"))
+            .collect()
+        )
+        bad = [(r.i, r.c, r.want) for r in got if r.c != r.want]
+        assert not bad, bad[:5]
