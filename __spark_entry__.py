@@ -1626,6 +1626,38 @@ def _q_media_audio_near_dups(spark, sf_dir):
     return phash_near_dups(hashed, max_hamming=6, hash_col="afp")
 
 
+def _q_geo_replication_stream(spark, sf_dir):
+    # Streaming geo-replication (streaming/replication.py, the
+    # GeoPersistentReplicator as a streaming query): the fixture topic
+    # carries the deterministic envelope (write_topic over
+    # events_to_messages — publish-order offsets the oracle can
+    # reproduce) with origin 'west' planted on event_id % 7 == 0;
+    # replicating east->west must skip those (loop avoidance), stamp
+    # the rest replicated_from='east', forward with (src_partition,
+    # src_offset) coordinates, and DRAINING TWICE must converge (the
+    # per-source-partition watermark dedup). Output = the remote
+    # topic's replicated rows keyed by source coordinates.
+    import tempfile
+
+    from pulsar_spark.sources.topics import write_topic
+    from pulsar_spark.streaming.replication import replicate_stream
+
+    base = tempfile.mkdtemp(prefix="psgeo_")
+    src, dst = base + "/east", base + "/west"
+    m = _messages(spark, sf_dir).withColumn(
+        "replicated_from", F.when(F.col("event_id") % 7 == 0, F.lit("west"))
+    )
+    write_topic(m, src, repartition=False)
+    for _ in range(2):  # second drain must forward nothing new
+        q = replicate_stream(spark, src, dst, "east", "west", base + "/ck")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("geo_replication_stream drain exceeded 300 s")
+    return spark.read.parquet(dst).select(
+        "src_partition", "src_offset", "event_id", "replicated_from"
+    )
+
+
 def _q_doc_remove_repeated_lines(spark, sf_dir):
     # Within-document repeated-line removal (functions/text.py
     # remove_repeated_lines; the C4 §2.2 "deduplicated repeated lines
@@ -3127,7 +3159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_json_decode": _q_schema_json_decode,
         "schema_kv_decode": _q_schema_kv_decode,
         "schema_auto_consume": _q_schema_auto_consume,
-        "schema_avro_decode": _q_schema_avro_decode,
         # (schema_protobuf_decode's, schema_primitive_roundtrip's,
         #  subscription_stats' and batch_receive's freshness slots went
         #  to the new doc_contamination_bloom, media_audio_fingerprint,
@@ -3137,7 +3168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_fingerprint": _q_media_audio_fingerprint,
         "doc_url_dedup": _q_doc_url_dedup,
         "doc_remove_repeated_lines": _q_doc_remove_repeated_lines,
+        "geo_replication_stream": _q_geo_replication_stream,
         # ---- 50-entry driver prefix ends here ----
+        # (schema_avro_decode's slot went to geo_replication_stream:
+        #  driver-green r5, kept in parity KEYS)
+        "schema_avro_decode": _q_schema_avro_decode,
         "schema_protobuf_decode": _q_schema_protobuf_decode,
         "schema_primitive_roundtrip": _q_schema_primitive_roundtrip,
         "subscription_stats": _q_subscription_stats,
@@ -4378,6 +4413,16 @@ def oracle_sql() -> dict[str, str]:
                      AS group_size,
                    doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
             FROM documents
+        """,
+        # The replicated remote log keyed by SOURCE coordinates: every
+        # fixture-envelope message except the planted 'west' origins,
+        # stamped with the forwarding cluster.
+        "geo_replication_stream": f"""
+            WITH {_M}
+            SELECT partition AS src_partition, "offset" AS src_offset,
+                   event_id, 'east' AS replicated_from
+            FROM messages
+            WHERE event_id % 7 <> 0 AND marker_type IS NULL
         """,
         # Independent keep-first spec: min position per distinct line,
         # ordered string_agg rebuild (DuckDB's list_distinct does not

@@ -13,6 +13,11 @@ from pulsar_spark.streaming.windows import windowed_agg_stream, late_data_split
 from pulsar_spark.streaming.count_windows import count_window_stream, watermark_count_window_stream
 from pulsar_spark.streaming.delayed import delayed_release_stream
 from pulsar_spark.streaming.curation import curate_batch, streaming_curate
+from pulsar_spark.streaming.replication import (
+    replicate_batch,
+    replicate_stream,
+    replicated_high_watermarks,
+)
 
 __all__ = [
     "subscribe",
@@ -32,4 +37,7 @@ __all__ = [
     "delayed_release_stream",
     "curate_batch",
     "streaming_curate",
+    "replicate_batch",
+    "replicate_stream",
+    "replicated_high_watermarks",
 ]

@@ -38,6 +38,7 @@ KEYS = [
     "media_audio_fingerprint",
     "doc_url_dedup",
     "doc_remove_repeated_lines",
+    "geo_replication_stream",
     # structural-gap backfill (test_meta_freshness found these
     # driver-checked queries had no local parity regression)
     "doc_bm25",

@@ -1104,3 +1104,92 @@ class TestUrlCanonicalizeRandomizedReference:
         )
         bad = [(r.i, r.c, r.want) for r in got if r.c != r.want]
         assert not bad, bad[:5]
+
+
+# ----------------------------------------------- streaming geo-replication
+
+
+class TestStreamingReplication:
+    def _produce_local(self, spark, topic, ids, origin=None):
+        from pulsar_spark.sources.topics import create_topic, produce
+
+        rows = spark.createDataFrame(
+            [(str(i), i, origin) for i in ids],
+            "key string, event_id bigint, replicated_from string",
+        )
+        if not os.path.isdir(topic):
+            create_topic(topic, 2)
+        produce(rows, topic, key_col="key")
+
+    def test_bidirectional_convergence_no_loop(self, spark, tmp_path):
+        from pulsar_spark.streaming.replication import replicate_stream
+
+        a, b = str(tmp_path / "east"), str(tmp_path / "west")
+        self._produce_local(spark, a, range(20))
+        self._produce_local(spark, b, range(100, 110))
+
+        def run_both():
+            for src, dst, local, target, ck in (
+                (a, b, "east", "west", str(tmp_path / "ck_ab")),
+                (b, a, "west", "east", str(tmp_path / "ck_ba")),
+            ):
+                q = replicate_stream(spark, src, dst, local, target, ck)
+                assert q.awaitTermination(120)
+
+        run_both()
+        run_both()  # second pass: replicated rows must NOT loop back
+        run_both()  # and a third is a no-op too
+
+        da = spark.read.parquet(a)
+        db = spark.read.parquet(b)
+        # west holds its 10 local rows + the 20 east rows, exactly once
+        assert db.count() == 30
+        assert db.where("replicated_from = 'east'").count() == 20
+        # east holds its 20 local + the 10 west rows, exactly once
+        assert da.count() == 30
+        assert da.where("replicated_from = 'west'").count() == 10
+        # origin never overwritten: no row claims to come from itself
+        assert da.where("replicated_from = 'east'").count() == 0
+        assert db.where("replicated_from = 'west'").count() == 0
+
+    def test_replay_is_idempotent_and_order_preserved(self, spark, tmp_path):
+        from pulsar_spark.streaming.replication import replicate_batch
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        self._produce_local(spark, src, range(12))
+        batch = spark.read.parquet(src)
+        replicate_batch(batch, dst, "east", "west")
+        n1 = spark.read.parquet(dst).count()
+        # replaying the SAME batch forwards nothing (watermark dedup)
+        replicate_batch(batch, dst, "east", "west")
+        assert spark.read.parquet(dst).count() == n1 == 12
+        # per-source-partition order preserved in the remote log
+        rows = spark.read.parquet(dst).collect()
+        from collections import defaultdict
+
+        by_src = defaultdict(list)
+        for r in rows:
+            by_src[r.src_partition].append((r.partition, r.offset, r.src_offset))
+        for sp, rs in by_src.items():
+            # within each (src_partition, dst_partition) lane, dst
+            # offsets must be increasing with src offsets
+            lanes = defaultdict(list)
+            for dp, doff, soff in rs:
+                lanes[dp].append((doff, soff))
+            for lane in lanes.values():
+                lane.sort()
+                soffs = [s for _, s in lane]
+                assert soffs == sorted(soffs), (sp, lane)
+
+    def test_new_rows_after_convergence_still_flow(self, spark, tmp_path):
+        from pulsar_spark.streaming.replication import replicate_stream
+
+        a, b = str(tmp_path / "east"), str(tmp_path / "west")
+        self._produce_local(spark, a, range(5))
+        q = replicate_stream(spark, a, b, "east", "west", str(tmp_path / "ck"))
+        assert q.awaitTermination(120)
+        assert spark.read.parquet(b).count() == 5
+        self._produce_local(spark, a, range(5, 9))
+        q = replicate_stream(spark, a, b, "east", "west", str(tmp_path / "ck"))
+        assert q.awaitTermination(120)
+        assert spark.read.parquet(b).count() == 9
