@@ -176,3 +176,29 @@ def messages_oracle_cte(events_view: str = "events") -> str:
     props
   FROM {events_view}
 )"""
+
+
+def watermark_lookup(key_col, highs: dict, default: int = -1):
+    """High-watermark literal-map lookup — the ONE shared builder for
+    "offset past stored watermark" predicates (streaming subscribe's
+    initial_position='latest' snapshot, the streaming replicator's
+    per-source dedup). Explicit casts on both map sides: mixed
+    int/long literals in one ``create_map`` is an AnalysisException
+    once offsets pass 2^31, and string keys must not coerce. Returns
+    the watermark COLUMN (``default`` for unseen keys); callers write
+    ``F.col(off) > watermark_lookup(key, highs)``. An empty map short-
+    circuits to the default literal (create_map() with zero args is an
+    error)."""
+    from pyspark.sql import functions as F
+
+    if not highs:
+        return F.lit(int(default)).cast("bigint")
+    key_type = "string" if isinstance(next(iter(highs)), str) else "int"
+    m = F.create_map(
+        *[
+            x
+            for k, v in sorted(highs.items())
+            for x in (F.lit(k).cast(key_type), F.lit(int(v)).cast("bigint"))
+        ]
+    )
+    return F.coalesce(m[key_col], F.lit(int(default)).cast("bigint"))

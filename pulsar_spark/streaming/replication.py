@@ -11,20 +11,29 @@ PRESERVED, so multi-hop forwarding never loses the true origin), and
 relying on broker-side deduplication to make redeliveries harmless.
 
 The dedup rendering here is exactly the reference's
-``highestSequencedPushed`` map, keyed by SOURCE partition: each epoch
-fetches the remote topic's per-source-partition high watermark (one
-bounded aggregate over two narrow columns) and forwards only rows past
-it — a replayed epoch, a replicator restart, or an overlapping second
-replicator all converge instead of duplicating. Forwarded rows carry
-``(src_partition, src_offset)`` so the watermark is exact, and each
-micro-batch is forwarded in ``(src_partition, src_offset)`` order so
-per-source-partition order survives into the remote log (the
-reference's per-partition ordering guarantee; there is no cross-
-partition order to preserve).
+``highestSequencedPushed`` map, keyed by (ORIGIN CLUSTER, source
+partition): each epoch fetches the remote topic's per-source high
+watermark (one bounded aggregate over three narrow columns) and
+forwards only rows past it — a replayed epoch, a replicator restart,
+an overlapping second replicator, and a MESH of replicators fanning
+into the same remote topic (A->B and C->B share src_partition numbers
+but never an origin) all converge instead of duplicating. Forwarded
+rows carry ``(replicated_from, src_partition, src_offset)`` so the
+watermark is exact, and each micro-batch is forwarded in
+``(src_partition, src_offset)`` order so per-source-partition order
+survives into the remote log (the reference's per-partition ordering
+guarantee; there is no cross-partition order to preserve).
+
+``event_time`` is forwarded, not re-minted: a replicated row must keep
+its original event time or every event-time operator at the remote
+(windows, watermarks, lateness) would see the replication wall-clock
+instead.
 
 Scale shape: the candidate filter and origin stamp ride the stream
-scan; the per-epoch watermark fetch is segment-stats-sized, never
-data-sized; the forward is the ordinary produce path.
+scan; the per-epoch cost over the remote log is one narrow grouped
+MAX over the forwarded-coordinate columns plus produce's own offset
+rebase aggregate — both footer/stat-sized passes, never data-sized
+joins; the forward is the ordinary produce path.
 """
 from __future__ import annotations
 
@@ -39,20 +48,28 @@ _REMINTED = ("topic", "partition", "offset", "publish_time",
              "sequence_id", "producer_name")
 
 
-def replicated_high_watermarks(spark: SparkSession, dst_topic: str) -> dict[int, int]:
-    """Per-SOURCE-partition max forwarded src_offset stored at the
-    remote — the replicator's ``highestSequencedPushed`` map, one
-    bounded grouped aggregate (two narrow columns ride the scan)."""
+def replicated_high_watermarks(spark: SparkSession, dst_topic: str) -> dict[str, int]:
+    """Per-(origin cluster, source partition) max forwarded src_offset
+    stored at the remote — the replicator's ``highestSequencedPushed``
+    map, one bounded grouped aggregate (three narrow columns ride the
+    scan). Keys are ``"{origin}|{src_partition}"`` strings. Read with
+    mergeSchema: the remote topic legitimately mixes file schemas
+    (local-producer files have no src_* columns; sampling one of those
+    footers without the merge would silently report an empty map and
+    disable dedup under an at-least-once replay)."""
     if not os.path.isdir(dst_topic):
         return {}
-    df = spark.read.parquet(dst_topic)
-    if "src_partition" not in df.columns:
+    df = spark.read.option("mergeSchema", "true").parquet(dst_topic)
+    if "src_partition" not in df.columns or "replicated_from" not in df.columns:
         return {}
     return {
-        int(r.src_partition): int(r.mx)
+        f"{r.replicated_from}|{int(r.src_partition)}": int(r.mx)
         for r in (
-            df.where(F.col("src_partition").isNotNull())
-            .groupBy("src_partition")
+            df.where(
+                F.col("src_partition").isNotNull()
+                & F.col("replicated_from").isNotNull()
+            )
+            .groupBy("replicated_from", "src_partition")
             .agg(F.max("src_offset").alias("mx"))
             .collect()
         )
@@ -71,18 +88,21 @@ def replicate_batch(
     implementation). Loop avoidance, origin stamping, watermark dedup,
     and per-source-partition ordering as described in the module
     docstring."""
+    from pulsar_spark.envelope import watermark_lookup
     from pulsar_spark.operators.replication import replicate_candidates
     from pulsar_spark.sources.topics import produce
 
     spark = batch.sparkSession
+    # a plain topic (never replicated before) lacks both guard columns
+    # replicate_candidates references — add them before the filter
     if "marker_type" not in batch.columns:
         batch = batch.withColumn("marker_type", F.lit(None).cast("int"))
+    if "replicated_from" not in batch.columns:
+        batch = batch.withColumn("replicated_from", F.lit(None).cast("string"))
     cand = replicate_candidates(batch, target_cluster)
     cand = cand.withColumn(
         "replicated_from",
-        F.coalesce(F.col("replicated_from"), F.lit(local_cluster))
-        if "replicated_from" in batch.columns
-        else F.lit(local_cluster),
+        F.coalesce(F.col("replicated_from"), F.lit(local_cluster)),
     )
     cand = cand.withColumns(
         {
@@ -92,29 +112,31 @@ def replicate_batch(
     )
     highs = replicated_high_watermarks(spark, dst_topic)
     if highs:
-        hi_map = F.create_map(
-            *[
-                x
-                for p, o in sorted(highs.items())
-                for x in (F.lit(int(p)).cast("int"), F.lit(int(o)).cast("bigint"))
-            ]
+        key = F.concat(
+            F.col("replicated_from"), F.lit("|"), F.col("src_partition").cast("string")
         )
-        cand = cand.where(
-            F.col("src_offset")
-            > F.coalesce(hi_map[F.col("src_partition")], F.lit(-1))
-        )
+        cand = cand.where(F.col("src_offset") > watermark_lookup(key, highs))
     payload = cand.drop(*[c for c in _REMINTED if c in cand.columns]).orderBy(
         "src_partition", "src_offset"
     )
-    if payload.isEmpty():
-        return
-    produce(
-        payload,
-        dst_topic,
-        key_col="key" if "key" in payload.columns else None,
-        num_partitions=num_partitions,
-        producer_name=f"replicator-{local_cluster}",
-    )
+    # pin the filtered+sorted batch: the emptiness probe and produce's
+    # write must not each re-execute the plan
+    payload = payload.persist()
+    try:
+        if payload.isEmpty():
+            return
+        produce(
+            payload,
+            dst_topic,
+            key_col="key" if "key" in payload.columns else None,
+            # forward the ORIGINAL event time — re-minting it would
+            # break every event-time operator at the remote
+            event_time_col="event_time" if "event_time" in payload.columns else None,
+            num_partitions=num_partitions,
+            producer_name=f"replicator-{local_cluster}",
+        )
+    finally:
+        payload.unpersist()
 
 
 def replicate_stream(

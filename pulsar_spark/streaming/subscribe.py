@@ -79,18 +79,14 @@ def subscribe(
     stream = reader.parquet(topic_path)
 
     if initial_position == "latest":
-        highs = static.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
-        # explicit casts: mixed int/long literals in one create_map is
-        # an AnalysisException once offsets pass 2^31
-        hi_map = F.create_map(
-            *[
-                x
-                for r in highs
-                for x in (F.lit(r.partition).cast("int"), F.lit(r.hi).cast("bigint"))
-            ]
-        )
+        from pulsar_spark.envelope import watermark_lookup
+
+        highs = {
+            int(r.partition): int(r.hi)
+            for r in static.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
+        }
         stream = stream.where(
-            F.col("offset") > F.coalesce(hi_map[F.col("partition")], F.lit(-1))
+            F.col("offset") > watermark_lookup(F.col("partition"), highs)
         )
     if start_offset is not None:
         stream = stream.where(F.col("offset") >= start_offset)

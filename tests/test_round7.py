@@ -1193,3 +1193,59 @@ class TestStreamingReplication:
         q = replicate_stream(spark, a, b, "east", "west", str(tmp_path / "ck"))
         assert q.awaitTermination(120)
         assert spark.read.parquet(b).count() == 9
+
+    def test_plain_topic_without_replication_columns(self, spark, tmp_path):
+        """A never-replicated topic has neither replicated_from nor
+        marker_type — the replicator must add the guards, not crash."""
+        from pulsar_spark.sources.topics import create_topic, produce
+        from pulsar_spark.streaming.replication import replicate_batch
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        create_topic(src, 2)
+        rows = spark.createDataFrame(
+            [(str(i), i) for i in range(6)], "key string, event_id bigint"
+        )
+        produce(rows, src, key_col="key")
+        replicate_batch(spark.read.parquet(src), dst, "east", "west")
+        out = spark.read.parquet(dst)
+        assert out.count() == 6
+        assert out.where("replicated_from = 'east'").count() == 6
+
+    def test_mesh_two_origins_share_remote(self, spark, tmp_path):
+        """A->B and C->B share src_partition numbers; the watermark is
+        keyed per (origin, src_partition) so the later replicator must
+        not be suppressed by the earlier one's offsets."""
+        from pulsar_spark.streaming.replication import replicate_batch
+
+        a, c, b = (str(tmp_path / x) for x in ("a", "c", "b"))
+        self._produce_local(spark, a, range(10))
+        self._produce_local(spark, c, range(100, 110))
+        replicate_batch(spark.read.parquet(a), b, "alpha", "bravo")
+        # C's offsets 0..N overlap A's; without origin keying they'd be
+        # silently dropped
+        replicate_batch(spark.read.parquet(c), b, "charlie", "bravo")
+        out = spark.read.parquet(b)
+        assert out.where("replicated_from = 'alpha'").count() == 10
+        assert out.where("replicated_from = 'charlie'").count() == 10
+        # replays of either side still converge
+        replicate_batch(spark.read.parquet(a), b, "alpha", "bravo")
+        replicate_batch(spark.read.parquet(c), b, "charlie", "bravo")
+        assert spark.read.parquet(b).count() == 20
+
+    def test_event_time_forwarded_not_reminted(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import create_topic, produce
+        from pulsar_spark.streaming.replication import replicate_batch
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        create_topic(src, 2)
+        rows = spark.createDataFrame(
+            [(str(i), i, f"2020-01-0{i + 1} 00:00:00") for i in range(4)],
+            "key string, event_id bigint, et string",
+        ).withColumn("et", F.col("et").cast("timestamp"))
+        produce(rows, src, key_col="key", event_time_col="et")
+        replicate_batch(spark.read.parquet(src), dst, "east", "west")
+        got = {
+            r.event_id: str(r.event_time)
+            for r in spark.read.parquet(dst).collect()
+        }
+        assert got[0].startswith("2020-01-01") and got[3].startswith("2020-01-04")
