@@ -163,32 +163,61 @@ def phash_near_dups(
     id_col: str = "media_id",
     hash_col: str = "phash",
     max_bucket: int = 2000,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Hamming-banded LSH join over 64-bit perceptual hashes: split
-    each hash into four 16-bit bands; a candidate pair must agree on at
-    least one band (guaranteed complete for Hamming distance <= 3 by
-    pigeonhole, high-recall well past that for real near-dup
-    distributions), then verify ``bit_count(a XOR b) <= max_hamming``
-    JVM-side. Never an all-pairs join; buckets larger than
-    ``max_bucket`` (a degenerate constant-image flood) are dropped by
-    the same star guard the MinHash path uses — exact grouping
-    (phash_exact_groups) already covers identical images, so the guard
-    only sheds quadratic candidate work, not exact dups.
+    each hash into ``n_bands`` equal bands; a candidate pair must agree
+    on at least one band, then verify ``bit_count(a XOR b) <=
+    max_hamming`` JVM-side (exact — banding only affects which pairs
+    are CONSIDERED). By pigeonhole the banding is COMPLETE for Hamming
+    distance <= ``n_bands - 1`` and best-effort above it (high recall
+    in practice, since real near-dup bit flips cluster rather than
+    spreading one per band); a ``max_hamming`` past the complete range
+    warns so the recall bound is never silent. Pass ``n_bands=8``
+    (8-bit bands, complete to distance 7) when the default threshold
+    must be exhaustive — the trade-off at corpus scale is band
+    cardinality: 16-bit bands hash into 65k buckets (collisions are
+    mostly true near-dups), 8-bit bands into only 256 (every bucket
+    ~N/256, so the star guard sheds more and candidate volume grows
+    roughly quadratically with corpus size). At 100 TB prefer the
+    default 4x16 banding and treat distances 4-6 as best-effort, or
+    run the 8-band pass on a sampled/sharded slice.
+
+    Never an all-pairs join; buckets larger than ``max_bucket`` (a
+    degenerate constant-image flood) are dropped by the same star
+    guard the MinHash path uses — exact grouping (phash_exact_groups)
+    already covers identical images, so the guard only sheds quadratic
+    candidate work, not exact dups.
 
     Returns distinct ``(media_id_a, media_id_b, hamming)`` with a < b.
     """
+    if n_bands not in (2, 4, 8, 16):
+        raise ValueError(f"n_bands must divide 64 into byte-ish bands, got {n_bands}")
+    if max_hamming > n_bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"max_hamming={max_hamming} exceeds the {n_bands}-band "
+            f"completeness bound ({n_bands - 1}): pairs at distance "
+            f"{n_bands}..{max_hamming} are best-effort. Pass n_bands="
+            f"{max(4, 1 << (max_hamming.bit_length()))} for a complete scan.",
+            stacklevel=2,
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     bands = [
-        F.shiftrightunsigned(F.col(hash_col), 16 * i)
-        .bitwiseAND(F.lit(0xFFFF))
-        .cast("int")
+        F.shiftrightunsigned(F.col(hash_col), width * i)
+        .bitwiseAND(F.lit(mask))
+        .cast("bigint")
         .alias(f"b{i}")
-        for i in range(4)
+        for i in range(n_bands)
     ]
+    stack_args = ", ".join(f"{i}, b{i}" for i in range(n_bands))
     banded = (
         hashed.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), *bands)
         .selectExpr(
             "_id", "_h",
-            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)",
+            f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
         )
     )
     sizes = banded.groupBy("band_idx", "band_val").agg(F.count("*").alias("_n"))

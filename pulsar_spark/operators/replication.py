@@ -24,13 +24,31 @@ def replicate_candidates(
     target_cluster: str,
     origin_col: str = "replicated_from",
 ) -> DataFrame:
-    """Messages a replicator would forward to ``target_cluster``:
-    everything except messages that ORIGINATED there (loop avoidance,
-    GeoPersistentReplicator.java:149) and internal markers."""
-    return messages.where(
-        (F.col(origin_col).isNull() | (F.col(origin_col) != target_cluster))
-        & F.col("marker_type").isNull()
-    )
+    """Messages a replicator would forward to ``target_cluster`` —
+    strictly ONE-HOP, like the reference:
+
+    - GeoPersistentReplicator.java:207 discards any entry that was
+      already replicated into this region (``msg.isReplicated()``),
+      which also breaks replication loops as a special case;
+    - :216 honors a per-message ``replicateTo`` restriction list when
+      the envelope carries a ``replicate_to`` array column (an empty
+      or NULL list means "replicate everywhere", matching protobuf
+      ``hasReplicateTo()``);
+    - internal markers never leave the cluster.
+
+    In a full mesh (every cluster replicates to every peer directly)
+    one-hop forwarding is sufficient AND necessary: a forwarded copy
+    arriving via an intermediate would share the origin key with the
+    direct path while carrying the intermediate's offset coordinates,
+    corrupting the per-source dedup watermarks downstream."""
+    keep = F.col(origin_col).isNull() & F.col("marker_type").isNull()
+    if "replicate_to" in messages.columns:
+        keep = keep & (
+            F.col("replicate_to").isNull()
+            | (F.size("replicate_to") == 0)
+            | F.array_contains("replicate_to", target_cluster)
+        )
+    return messages.where(keep)
 
 
 def shadow_view(messages: DataFrame, shadow_topic: str) -> DataFrame:

@@ -791,12 +791,15 @@ def _write_subscriptions(topic_path: str, subs: dict) -> None:
         # exists/stat TOCTOU against a concurrent teardown), and a
         # fixed 0644 first-write default (reading the umask would mean
         # mutating it process-wide, racing every other thread).
-        try:
-            mode = os.stat(final).st_mode & 0o777
-        except FileNotFoundError:
-            mode = 0o644
-        os.fchmod(fd, mode)
+        # hand the fd to a file object FIRST so every later failure
+        # path (stat/fchmod/dump) closes it via the context manager —
+        # raising between mkstemp and fdopen would leak the descriptor
         with os.fdopen(fd, "w") as fh:
+            try:
+                mode = os.stat(final).st_mode & 0o777
+            except FileNotFoundError:
+                mode = 0o644
+            os.fchmod(fh.fileno(), mode)
             json.dump(subs, fh, indent=1, sort_keys=True)
         os.replace(tmp, final)
     except BaseException:

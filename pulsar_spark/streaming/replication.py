@@ -3,26 +3,36 @@ Structured Streaming query.
 
 Reference semantics (pulsar-broker/.../persistent/
 GeoPersistentReplicator.java): each cluster's replicator tails its
-local topic and re-publishes to the remote cluster, skipping messages
-that ORIGINATED at the target (:149 loop avoidance — the batch filter
-in operators/replication.py), stamping ``replicated_from`` with the
-origin cluster (Message.java:240-248; an already-stamped origin is
-PRESERVED, so multi-hop forwarding never loses the true origin), and
-relying on broker-side deduplication to make redeliveries harmless.
+local topic and re-publishes to the remote cluster, discarding any
+entry that was ALREADY replicated into this region (:207 — strict
+one-hop forwarding; loop avoidance falls out as a special case),
+honoring per-message ``replicateTo`` lists (:216), stamping
+``replicated_from`` with the local cluster unconditionally (:255
+``msg.setReplicatedFrom(localCluster)``), and relying on broker-side
+deduplication to make redeliveries harmless.
 
-The dedup rendering here is exactly the reference's
-``highestSequencedPushed`` map, keyed by (ORIGIN CLUSTER, source
-partition): each epoch fetches the remote topic's per-source high
-watermark (one bounded aggregate over three narrow columns) and
-forwards only rows past it — a replayed epoch, a replicator restart,
-an overlapping second replicator, and a MESH of replicators fanning
-into the same remote topic (A->B and C->B share src_partition numbers
-but never an origin) all converge instead of duplicating. Forwarded
-rows carry ``(replicated_from, src_partition, src_offset)`` so the
-watermark is exact, and each micro-batch is forwarded in
-``(src_partition, src_offset)`` order so per-source-partition order
-survives into the remote log (the reference's per-partition ordering
-guarantee; there is no cross-partition order to preserve).
+The dedup rendering here is the reference's per-source
+``highestSequencedPushed`` idea made replay-exact: forwarded rows
+carry ``(replicated_from, src_partition, src_offset)``, and each
+epoch anti-joins its candidates against the coordinates ALREADY
+PRESENT at the remote, scoped to the batch's own offset window (a
+bounded per-key MIN over the micro-batch turns into a literal-map
+filter riding the remote scan, so the anti-join's build side is the
+replay window, never the remote log). Presence — not a MAX
+watermark — is what makes a torn remote produce safe: if a failed
+epoch left only the higher offsets of a source partition visible,
+the replay still forwards the missing lower ones, where a
+``src_offset > max`` filter would skip them forever (the reference
+never faces this because the broker persists the replicator's
+stream strictly in order).
+
+Each micro-batch is forwarded with per-source-partition ordering
+only — ``repartition(src_partition)`` + ``sortWithinPartitions`` —
+because that is the reference's guarantee (replication is
+per-partition lanes; there is no cross-partition order to preserve).
+A global ``orderBy`` here would be a range exchange plus full-batch
+sort every epoch, turning a lane-parallel copy into a sort-bound one
+at scale.
 
 ``event_time`` is forwarded, not re-minted: a replicated row must keep
 its original event time or every event-time operator at the remote
@@ -30,15 +40,16 @@ its original event time or every event-time operator at the remote
 instead.
 
 Scale shape: the candidate filter and origin stamp ride the stream
-scan; the per-epoch cost over the remote log is one narrow grouped
-MAX over the forwarded-coordinate columns plus produce's own offset
-rebase aggregate — both footer/stat-sized passes, never data-sized
-joins; the forward is the ordinary produce path.
+scan; the per-epoch remote-side cost is one narrow three-column pass
+bounded by the batch's offset window plus produce's own offset rebase
+aggregate — never data-sized joins; the forward is the ordinary
+produce path.
 """
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,32 +59,121 @@ _REMINTED = ("topic", "partition", "offset", "publish_time",
              "sequence_id", "producer_name")
 
 
+def _remote_coords(spark: SparkSession, dst_topic: str) -> DataFrame | None:
+    """The remote topic's forwarded-coordinate columns
+    ``(replicated_from, src_partition, src_offset)``, or None when the
+    destination holds no replicated rows yet. Read with mergeSchema:
+    the remote topic legitimately mixes file schemas (local-producer
+    files have no src_* columns; sampling one of those footers without
+    the merge would silently report nothing and disable dedup under an
+    at-least-once replay). A destination that exists but has no data
+    files yet — pre-created via create_topic, which writes only
+    ``_topic.json`` — reads as AnalysisException and means the same
+    thing as a missing one."""
+    if not os.path.isdir(dst_topic):
+        return None
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(dst_topic)
+    except AnalysisException:
+        return None
+    if "src_partition" not in df.columns or "replicated_from" not in df.columns:
+        return None
+    return (
+        df.where(
+            F.col("src_partition").isNotNull()
+            & F.col("replicated_from").isNotNull()
+        )
+        .select(
+            F.col("replicated_from"),
+            F.col("src_partition").cast("int").alias("src_partition"),
+            F.col("src_offset").cast("bigint").alias("src_offset"),
+        )
+    )
+
+
 def replicated_high_watermarks(spark: SparkSession, dst_topic: str) -> dict[str, int]:
     """Per-(origin cluster, source partition) max forwarded src_offset
     stored at the remote — the replicator's ``highestSequencedPushed``
-    map, one bounded grouped aggregate (three narrow columns ride the
-    scan). Keys are ``"{origin}|{src_partition}"`` strings. Read with
-    mergeSchema: the remote topic legitimately mixes file schemas
-    (local-producer files have no src_* columns; sampling one of those
-    footers without the merge would silently report an empty map and
-    disable dedup under an at-least-once replay)."""
-    if not os.path.isdir(dst_topic):
-        return {}
-    df = spark.read.option("mergeSchema", "true").parquet(dst_topic)
-    if "src_partition" not in df.columns or "replicated_from" not in df.columns:
+    map as an observability rollup, one bounded grouped aggregate
+    (three narrow columns ride the scan). Keys are
+    ``"{origin}|{src_partition}"`` strings."""
+    coords = _remote_coords(spark, dst_topic)
+    if coords is None:
         return {}
     return {
         f"{r.replicated_from}|{int(r.src_partition)}": int(r.mx)
         for r in (
-            df.where(
-                F.col("src_partition").isNotNull()
-                & F.col("replicated_from").isNotNull()
-            )
-            .groupBy("replicated_from", "src_partition")
+            coords.groupBy("replicated_from", "src_partition")
             .agg(F.max("src_offset").alias("mx"))
             .collect()
         )
     }
+
+
+def _prepare_payload(
+    batch: DataFrame,
+    dst_topic: str,
+    local_cluster: str,
+    target_cluster: str,
+) -> DataFrame:
+    """The forwardable slice of one micro-batch: one-hop candidate
+    filter, unconditional origin stamp, source-coordinate columns,
+    presence anti-join against the remote's replay window, and the
+    per-lane (never global) sort. Pure plan construction except for
+    one bounded collect (per-(origin, src_partition) MIN of the batch
+    — at most one row per source lane)."""
+    from pulsar_spark.envelope import watermark_lookup
+    from pulsar_spark.operators.replication import replicate_candidates
+
+    spark = batch.sparkSession
+    # a plain topic (never replicated before) lacks both guard columns
+    # replicate_candidates references — add them before the filter
+    if "marker_type" not in batch.columns:
+        batch = batch.withColumn("marker_type", F.lit(None).cast("int"))
+    if "replicated_from" not in batch.columns:
+        batch = batch.withColumn("replicated_from", F.lit(None).cast("string"))
+    cand = replicate_candidates(batch, target_cluster)
+    # one-hop candidates all have a NULL origin; stamp unconditionally
+    # like the reference (GeoPersistentReplicator.java:255)
+    cand = cand.withColumn("replicated_from", F.lit(local_cluster))
+    cand = cand.withColumns(
+        {
+            "src_partition": F.col("partition").cast("int"),
+            "src_offset": F.col("offset").cast("bigint"),
+        }
+    )
+    seen = _remote_coords(spark, dst_topic)
+    if seen is not None:
+        # the batch's own offset window, one bounded row per lane —
+        # keys outside the batch resolve to the huge default and drop
+        # out, so the anti-join build side is replay-window-sized
+        mins = {
+            f"{r.replicated_from}|{int(r.src_partition)}": int(r.mn)
+            for r in (
+                cand.groupBy("replicated_from", "src_partition")
+                .agg(F.min("src_offset").alias("mn"))
+                .collect()
+            )
+        }
+        if mins:
+            key = F.concat(
+                F.col("replicated_from"),
+                F.lit("|"),
+                F.col("src_partition").cast("string"),
+            )
+            window = seen.where(
+                F.col("src_offset") >= watermark_lookup(key, mins, default=2**62)
+            )
+            cand = cand.join(
+                window,
+                ["replicated_from", "src_partition", "src_offset"],
+                "left_anti",
+            )
+    return (
+        cand.drop(*[c for c in _REMINTED if c in cand.columns])
+        .repartition("src_partition")
+        .sortWithinPartitions("src_partition", "src_offset")
+    )
 
 
 def replicate_batch(
@@ -85,40 +185,12 @@ def replicate_batch(
 ) -> None:
     """Forward one micro-batch of local envelope rows to the remote
     topic (importable so tests and the foreachBatch closure share one
-    implementation). Loop avoidance, origin stamping, watermark dedup,
-    and per-source-partition ordering as described in the module
-    docstring."""
-    from pulsar_spark.envelope import watermark_lookup
-    from pulsar_spark.operators.replication import replicate_candidates
+    implementation). One-hop filtering, origin stamping, presence
+    dedup, and per-source-partition ordering as described in the
+    module docstring."""
     from pulsar_spark.sources.topics import produce
 
-    spark = batch.sparkSession
-    # a plain topic (never replicated before) lacks both guard columns
-    # replicate_candidates references — add them before the filter
-    if "marker_type" not in batch.columns:
-        batch = batch.withColumn("marker_type", F.lit(None).cast("int"))
-    if "replicated_from" not in batch.columns:
-        batch = batch.withColumn("replicated_from", F.lit(None).cast("string"))
-    cand = replicate_candidates(batch, target_cluster)
-    cand = cand.withColumn(
-        "replicated_from",
-        F.coalesce(F.col("replicated_from"), F.lit(local_cluster)),
-    )
-    cand = cand.withColumns(
-        {
-            "src_partition": F.col("partition").cast("int"),
-            "src_offset": F.col("offset").cast("bigint"),
-        }
-    )
-    highs = replicated_high_watermarks(spark, dst_topic)
-    if highs:
-        key = F.concat(
-            F.col("replicated_from"), F.lit("|"), F.col("src_partition").cast("string")
-        )
-        cand = cand.where(F.col("src_offset") > watermark_lookup(key, highs))
-    payload = cand.drop(*[c for c in _REMINTED if c in cand.columns]).orderBy(
-        "src_partition", "src_offset"
-    )
+    payload = _prepare_payload(batch, dst_topic, local_cluster, target_cluster)
     # pin the filtered+sorted batch: the emptiness probe and produce's
     # write must not each re-execute the plan
     payload = payload.persist()

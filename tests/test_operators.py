@@ -359,10 +359,36 @@ class TestReplication:
         )
         out = replicate_candidates(m, "west")
         assert out.where("replicated_from = 'west'").count() == 0
-        # replicating to a different cluster forwards west-origin rows too
+        # one-hop (GeoPersistentReplicator.java:207): rows already
+        # replicated in are never forwarded anywhere, not even to a
+        # third cluster
         out_east = replicate_candidates(m, "east")
-        assert out_east.where("replicated_from = 'west'").count() > 0
+        assert out_east.where("replicated_from IS NOT NULL").count() == 0
+        assert out_east.count() == out.count()
         assert out_east.where("marker_type IS NOT NULL").count() == 0
+
+    def test_replicate_to_list(self, spark, messages):
+        """Per-message replicateTo restriction
+        (GeoPersistentReplicator.java:216): an empty/NULL list means
+        replicate everywhere; a non-empty list gates on membership."""
+        from pulsar_spark.operators import replicate_candidates
+        from pyspark.sql import functions as F
+
+        m = messages.withColumn(
+            "replicate_to",
+            F.when(F.col("event_id") % 3 == 0, F.array(F.lit("east")))
+            .when(F.col("event_id") % 3 == 1, F.array().cast("array<string>")),
+        )
+        base = messages.where("marker_type IS NULL").count()
+        to_east = replicate_candidates(m, "east")
+        # %3==0 (listed), %3==1 (empty list), %3==2 (NULL) all flow east
+        assert to_east.count() == base
+        to_west = replicate_candidates(m, "west")
+        # %3==0 rows are restricted to east only
+        assert to_west.where("event_id % 3 = 0").count() == 0
+        assert to_west.count() == base - m.where(
+            "event_id % 3 = 0 AND marker_type IS NULL"
+        ).count()
 
     def test_shadow_view_same_offsets(self, messages):
         from pulsar_spark.operators import shadow_view
