@@ -1,0 +1,139 @@
+"""Interleaved A/B bench protocol (BASELINE.md): alternate runs of the
+SAME queries from two git trees on the same box, each run a fresh
+subprocess (fresh JVM), so host-load swings hit both trees equally and
+a code regression shows as a STABLE A-vs-B gap across interleaves.
+
+Usage:
+    python tools/ab_bench.py TREE_A TREE_B [--rounds 4] [--sf SF_DIR]
+                             [--queries x5,x3]
+
+Prints per-round raw timings and a min/median summary per tree per
+query, plus the steal sentinel of every subprocess.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+
+def spin_ms():
+    t0 = time.perf_counter(); x = 0
+    for i in range(3_000_000): x += i
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+sf_dir, queries = sys.argv[1], sys.argv[2].split(",")
+before = spin_ms()
+from pyspark.sql import functions as F
+from pulsar_spark import get_spark
+from pulsar_spark.sources import load_table
+spark = get_spark("ab-bench"); spark.sparkContext.setLogLevel("ERROR")
+docs = load_table(spark, sf_dir, "documents"); docs.count()
+
+from pulsar_spark.functions import (cosine_topk, dup_span_fraction,
+                                    hash_sample, redact_pii)
+
+def x5():
+    d = hash_sample(docs, 0.5, key_col="doc_id", seed=1).select(
+        "doc_id", redact_pii(F.col("text")).alias("text"))
+    return dup_span_fraction(d, n=5).count()
+
+emb = load_table(spark, sf_dir, "embeddings")
+qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+
+def x3():
+    return cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
+
+_b2_state = {}
+
+def b2():
+    # bench.py's B2: visibility predicates over the cached fixture
+    # envelope (built once, like bench's b1b + cache)
+    if "messages" not in _b2_state:
+        import tempfile
+        from pulsar_spark import events_to_messages
+        from pulsar_spark.sources.topics import write_topic
+        ev = load_table(spark, sf_dir, "events")
+        tmp = tempfile.mkdtemp(prefix="ab_b2_")
+        write_topic(events_to_messages(ev), tmp + "/topic", repartition=False)
+        m = spark.read.parquet(tmp + "/topic").cache()
+        m.count()
+        _b2_state["messages"] = m
+    from pulsar_spark.operators import ttl_filter, user_visible, visible_messages
+    return user_visible(
+        visible_messages(
+            ttl_filter(_b2_state["messages"], "2024-01-10 00:00:00"),
+            "2024-01-25 00:00:00")
+    ).count()
+
+FNS = {"x5": x5, "x3": x3, "b2": b2}
+out = {}
+for q in queries:
+    fn = FNS[q]
+    runs = []
+    for _ in range(3):
+        t = time.perf_counter(); fn()
+        runs.append(round(time.perf_counter() - t, 3))
+    out[q] = runs
+print("ABRESULT " + json.dumps(
+    {"runs": out, "spin_before": before, "spin_after": spin_ms()}))
+"""
+
+
+def run_tree(tree: str, sf_dir: str, queries: str) -> dict:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    p = subprocess.run(
+        [sys.executable, "-c", _RUNNER, sf_dir, queries],
+        cwd=tree, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ABRESULT "):
+            return json.loads(line[len("ABRESULT "):])
+    raise RuntimeError(f"no ABRESULT from {tree}\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tree_a")
+    ap.add_argument("tree_b")
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default="x5,x3")
+    args = ap.parse_args()
+
+    acc: dict[str, dict[str, list[float]]] = {"A": {}, "B": {}}
+    spins: dict[str, list[float]] = {"A": [], "B": []}
+    for rnd in range(args.rounds):
+        for label, tree in (("A", args.tree_a), ("B", args.tree_b)):
+            r = run_tree(tree, args.sf, args.queries)
+            spins[label] += [r["spin_before"], r["spin_after"]]
+            for q, runs in r["runs"].items():
+                acc[label].setdefault(q, []).extend(runs)
+            print(f"round {rnd} {label} ({tree}): "
+                  + json.dumps(r["runs"])
+                  + f" spin {r['spin_before']}/{r['spin_after']}",
+                  flush=True)
+
+    print("\n| query | A min | A med | B min | B med | B/A (min) |")
+    print("|---|---|---|---|---|---|")
+    for q in args.queries.split(","):
+        a, b = acc["A"].get(q, []), acc["B"].get(q, [])
+        if not a or not b:
+            continue
+        print(f"| {q} | {min(a):.3f} | {statistics.median(a):.3f} "
+              f"| {min(b):.3f} | {statistics.median(b):.3f} "
+              f"| {min(b) / min(a):.2f}x |")
+    for lab in ("A", "B"):
+        s = spins[lab]
+        print(f"sentinel {lab}: min {min(s)} med {statistics.median(s)} max {max(s)}")
+
+
+if __name__ == "__main__":
+    main()
