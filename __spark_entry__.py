@@ -1658,6 +1658,74 @@ def _q_geo_replication_stream(spark, sf_dir):
     )
 
 
+def _q_replicated_subscription_failover(spark, sf_dir):
+    # Replicated subscriptions (streaming/replicated_subscriptions.py;
+    # ReplicatedSubscriptionsController.java): snapshot-marker cursor
+    # sync between two clusters. east = the fixture envelope; west =
+    # 40 planted local rows (event_id 2_000_000+i). After replication
+    # and a completed snapshot, a subscription at east consumes
+    # EVERYTHING and syncs; then post-snapshot rows land on both sides
+    # (west locals 2_100_000+i, east rows = the events slice
+    # event_id % 97 == 0 re-produced) and flow west. The failover
+    # backlog at west — rows at/past the synced cursor, markers
+    # excluded — must be EXACTLY the post-snapshot rows: nothing the
+    # consumer acked is redelivered, nothing unconsumed is lost. The
+    # oracle pins that planted set (the cursor vector itself is
+    # routing-hash-valued, like the phash oracle pins planted groups
+    # rather than hash values).
+    import tempfile
+
+    from pulsar_spark.envelope import watermark_lookup
+    from pulsar_spark.sources import cursors
+    from pulsar_spark.sources.topics import create_topic, produce, write_topic
+    from pulsar_spark.streaming.replicated_subscriptions import (
+        ReplicatedSubscriptionsController,
+        high_watermarks,
+    )
+
+    base = tempfile.mkdtemp(prefix="psrsub_")
+    east, west = base + "/east", base + "/west"
+    write_topic(_messages(spark, sf_dir), east, repartition=False)
+
+    def _west_rows(start, n):
+        return spark.createDataFrame(
+            [(str(i), i) for i in range(start, start + n)],
+            "key string, event_id bigint",
+        )
+
+    create_topic(west, 8)
+    produce(_west_rows(2_000_000, 40), west, key_col="key")
+    ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+    cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+    assert ce.start_snapshot(now_ms=1_000) is not None
+    ce.replicate_out()
+    cw.tick(now_ms=2_000)
+    ce.process_markers(now_ms=3_000)
+    # the subscription consumes everything east holds at snapshot time
+    cursors.create_subscription(east, "training-reader", replicated=True)
+    cursors.ack_cumulative(east, "training-reader", high_watermarks(spark, east))
+    assert ce.sync_subscription("training-reader") is not None
+    # post-snapshot traffic on both sides
+    produce(_west_rows(2_100_000, 25), west, key_col="key")
+    east_post = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 97 == 0)
+        .select(F.col("user_id").cast("string").alias("key"), "event_id")
+    )
+    produce(east_post, east, key_col="key")
+    ce.replicate_out()          # east post rows + the UPDATE marker
+    cw.process_markers(now_ms=4_000)
+    # failover: the consumer reattaches at west; its backlog is the
+    # post-snapshot rows only
+    pos = cursors.subscription_positions(west, "training-reader")
+    df = spark.read.option("mergeSchema", "true").parquet(west)
+    return (
+        df.where(F.col("marker_type").isNull())
+        .where(F.col("offset") >= watermark_lookup(F.col("partition"), pos, default=0))
+        .select("event_id", "replicated_from")
+    )
+
+
 def _q_doc_remove_repeated_lines(spark, sf_dir):
     # Within-document repeated-line removal (functions/text.py
     # remove_repeated_lines; the C4 §2.2 "deduplicated repeated lines
@@ -3125,7 +3193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_shared_bucket_stats": _q_key_shared_bucket_stats,
         "scalable_multi_topic_stats": _q_scalable_multi_topic_stats,
         "segment_load_rates": _q_segment_load_rates,
-        "stream_cumulative_ack": _q_stream_cumulative_ack,
         # -- freshness rotation: the oldest driver checks on the
         #    board (r4-checked, slid below the marker in r6)
         "table_view": _q_table_view,
@@ -3169,7 +3236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": _q_doc_url_dedup,
         "doc_remove_repeated_lines": _q_doc_remove_repeated_lines,
         "geo_replication_stream": _q_geo_replication_stream,
+        "replicated_subscription_failover": _q_replicated_subscription_failover,
         # ---- 50-entry driver prefix ends here ----
+        # (stream_cumulative_ack's slot went to the new
+        #  replicated_subscription_failover: driver-green r7, in KEYS)
+        "stream_cumulative_ack": _q_stream_cumulative_ack,
         # (schema_avro_decode's slot went to geo_replication_stream:
         #  driver-green r5, kept in parity KEYS)
         "schema_avro_decode": _q_schema_avro_decode,
@@ -4413,6 +4484,20 @@ def oracle_sql() -> dict[str, str]:
                      AS group_size,
                    doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
             FROM documents
+        """,
+        # The failover backlog at the remote cluster is exactly the
+        # post-snapshot rows: 25 planted west locals plus the events
+        # slice re-produced at east after the snapshot. The cursor
+        # vector itself is routing-hash-valued, so the oracle pins the
+        # planted no-loss/no-redelivery SET (the phash pattern).
+        "replicated_subscription_failover": """
+            SELECT CAST(2100000 + i AS BIGINT) AS event_id,
+                   CAST(NULL AS VARCHAR) AS replicated_from
+            FROM range(0, 25) t(i)
+            UNION ALL
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   'east' AS replicated_from
+            FROM events WHERE event_id % 97 = 0
         """,
         # The replicated remote log keyed by SOURCE coordinates: every
         # fixture-envelope message except the planted 'west' origins,

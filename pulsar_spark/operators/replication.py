@@ -23,6 +23,7 @@ def replicate_candidates(
     messages: DataFrame,
     target_cluster: str,
     origin_col: str = "replicated_from",
+    replicated_subscription_markers: bool = False,
 ) -> DataFrame:
     """Messages a replicator would forward to ``target_cluster`` —
     strictly ONE-HOP, like the reference:
@@ -34,14 +35,29 @@ def replicate_candidates(
       the envelope carries a ``replicate_to`` array column (an empty
       or NULL list means "replicate everywhere", matching protobuf
       ``hasReplicateTo()``);
-    - internal markers never leave the cluster.
+    - internal markers never leave the cluster — EXCEPT, when
+      ``replicated_subscription_markers`` is set (the broker's
+      ``isEnableReplicatedSubscriptions``), the replicated-subscription
+      protocol markers (snapshot request/response, subscription
+      update), which must travel through the replication channel for
+      the snapshot to be a consistent cut
+      (PersistentReplicator.java:864-869).
 
     In a full mesh (every cluster replicates to every peer directly)
     one-hop forwarding is sufficient AND necessary: a forwarded copy
     arriving via an intermediate would share the origin key with the
     direct path while carrying the intermediate's offset coordinates,
     corrupting the per-source dedup watermarks downstream."""
-    keep = F.col(origin_col).isNull() & F.col("marker_type").isNull()
+    marker_ok = F.col("marker_type").isNull()
+    if replicated_subscription_markers:
+        from pulsar_spark.streaming.replicated_subscriptions import (
+            REPLICATED_MARKER_TYPES,
+        )
+
+        marker_ok = marker_ok | F.col("marker_type").isin(
+            list(REPLICATED_MARKER_TYPES)
+        )
+    keep = F.col(origin_col).isNull() & marker_ok
     if "replicate_to" in messages.columns:
         keep = keep & (
             F.col("replicate_to").isNull()

@@ -35,23 +35,34 @@ def _read(topic_path: str) -> dict:
         return json.load(fh)
 
 
-def _write(topic_path: str, subs: dict) -> None:
-    os.makedirs(topic_path, exist_ok=True)
-    final = _path(topic_path)
-    fd, tmp = tempfile.mkstemp(prefix="_cursors_", suffix=".tmp", dir=topic_path)
+def atomic_write_json(path: str, obj: dict) -> None:
+    """Temp file + ``os.replace`` in the destination directory, the
+    shared durable-sidecar write: readers never see torn JSON, the
+    file's existing permissions are preserved (mkstemp creates 0600),
+    and the descriptor is owned by the file object from the first
+    line so every failure path closes it."""
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        prefix="_" + os.path.basename(path) + "_", suffix=".tmp", dir=d
+    )
     try:
         with os.fdopen(fd, "w") as fh:
             try:
-                mode = os.stat(final).st_mode & 0o777
+                mode = os.stat(path).st_mode & 0o777
             except FileNotFoundError:
                 mode = 0o644
             os.fchmod(fh.fileno(), mode)
-            json.dump(subs, fh, indent=1, sort_keys=True)
-        os.replace(tmp, final)
+            json.dump(obj, fh, indent=1, sort_keys=True)
+        os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def _write(topic_path: str, subs: dict) -> None:
+    atomic_write_json(_path(topic_path), subs)
 
 
 def create_subscription(

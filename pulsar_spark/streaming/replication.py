@@ -115,6 +115,7 @@ def _prepare_payload(
     dst_topic: str,
     local_cluster: str,
     target_cluster: str,
+    replicated_subscriptions: bool = False,
 ) -> DataFrame:
     """The forwardable slice of one micro-batch: one-hop candidate
     filter, unconditional origin stamp, source-coordinate columns,
@@ -132,7 +133,10 @@ def _prepare_payload(
         batch = batch.withColumn("marker_type", F.lit(None).cast("int"))
     if "replicated_from" not in batch.columns:
         batch = batch.withColumn("replicated_from", F.lit(None).cast("string"))
-    cand = replicate_candidates(batch, target_cluster)
+    cand = replicate_candidates(
+        batch, target_cluster,
+        replicated_subscription_markers=replicated_subscriptions,
+    )
     # one-hop candidates all have a NULL origin; stamp unconditionally
     # like the reference (GeoPersistentReplicator.java:255)
     cand = cand.withColumn("replicated_from", F.lit(local_cluster))
@@ -182,15 +186,21 @@ def replicate_batch(
     local_cluster: str,
     target_cluster: str,
     num_partitions: int | None = None,
+    replicated_subscriptions: bool = False,
 ) -> None:
     """Forward one micro-batch of local envelope rows to the remote
     topic (importable so tests and the foreachBatch closure share one
     implementation). One-hop filtering, origin stamping, presence
     dedup, and per-source-partition ordering as described in the
-    module docstring."""
+    module docstring. ``replicated_subscriptions`` additionally
+    forwards the replicated-subscription protocol markers
+    (streaming/replicated_subscriptions.py)."""
     from pulsar_spark.sources.topics import produce
 
-    payload = _prepare_payload(batch, dst_topic, local_cluster, target_cluster)
+    payload = _prepare_payload(
+        batch, dst_topic, local_cluster, target_cluster,
+        replicated_subscriptions=replicated_subscriptions,
+    )
     # pin the filtered+sorted batch: the emptiness probe and produce's
     # write must not each re-execute the plan
     payload = payload.persist()
