@@ -1726,6 +1726,42 @@ def _q_replicated_subscription_failover(spark, sf_dir):
     )
 
 
+def _q_policy_enforcement(spark, sf_dir):
+    # Durable policy registry (sources/policies.py; the reference
+    # persists these as namespace/topic policies — Namespaces.java:2116
+    # setRetention, setNamespaceMessageTTL, setCompactionThreshold —
+    # instead of per-call arguments). Policies are STORED first
+    # (namespace-level TTL so the overlay order is exercised,
+    # topic-level retention + compaction threshold), then
+    # apply_policies re-derives every maintenance plan from the files;
+    # the oracle pins equivalence with the parameterized
+    # ttl_expiry / retention_budget / compaction_due operators.
+    import tempfile
+
+    from pulsar_spark.sources import policies as P
+    from pulsar_spark.sources.topics import write_topic
+
+    base = tempfile.mkdtemp(prefix="pspol_")
+    t = base + "/events"
+    write_topic(_messages(spark, sf_dir), t, repartition=False)
+    P.set_policy(base, "message_ttl_seconds", 432_000)  # now - 5 d == TTL_CUTOFF
+    P.set_policy(t, "retention", {"minutes": 7200, "size_bytes": 4000})
+    P.set_policy(t, "compaction_threshold_bytes", 2000)
+    out = P.apply_policies(spark, t, VISIBLE_AT)
+    vis = out["visible"].groupBy("partition").agg(
+        F.count("*").cast("bigint").alias("visible_count")
+    )
+    plan = out["retention_plan"].groupBy("partition").agg(
+        F.sum(F.col("deletable").cast("long")).alias("deletable_count"),
+        F.sum((~F.col("deletable")).cast("long")).alias("retained_count"),
+        F.sum(F.when(~F.col("deletable"), F.col("msg_size")).otherwise(0))
+        .cast("bigint")
+        .alias("retained_bytes"),
+    )
+    due = out["compaction_due"].select("partition", "bytes_since", "msgs_since", "due")
+    return plan.join(vis, "partition").join(due, "partition")
+
+
 def _q_doc_remove_repeated_lines(spark, sf_dir):
     # Within-document repeated-line removal (functions/text.py
     # remove_repeated_lines; the C4 §2.2 "deduplicated repeated lines
@@ -3191,7 +3227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_remove_dup_spans": _q_doc_remove_dup_spans,
         "scalable_split_stats": _q_scalable_split_stats,
         "key_shared_bucket_stats": _q_key_shared_bucket_stats,
-        "scalable_multi_topic_stats": _q_scalable_multi_topic_stats,
         "segment_load_rates": _q_segment_load_rates,
         # -- freshness rotation: the oldest driver checks on the
         #    board (r4-checked, slid below the marker in r6)
@@ -3237,10 +3272,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_remove_repeated_lines": _q_doc_remove_repeated_lines,
         "geo_replication_stream": _q_geo_replication_stream,
         "replicated_subscription_failover": _q_replicated_subscription_failover,
+        "policy_enforcement": _q_policy_enforcement,
         # ---- 50-entry driver prefix ends here ----
-        # (stream_cumulative_ack's slot went to the new
-        #  replicated_subscription_failover: driver-green r7, in KEYS)
+        # (stream_cumulative_ack's and scalable_multi_topic_stats'
+        #  slots went to the new replicated_subscription_failover and
+        #  policy_enforcement: both driver-green r7, in KEYS)
         "stream_cumulative_ack": _q_stream_cumulative_ack,
+        "scalable_multi_topic_stats": _q_scalable_multi_topic_stats,
         # (schema_avro_decode's slot went to geo_replication_stream:
         #  driver-green r5, kept in parity KEYS)
         "schema_avro_decode": _q_schema_avro_decode,
@@ -4484,6 +4522,43 @@ def oracle_sql() -> dict[str, str]:
                      AS group_size,
                    doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
             FROM documents
+        """,
+        # Stored-policy enforcement must equal the parameterized
+        # operators: TTL + delayed visibility (namespace TTL policy),
+        # the RetentionPolicies window+budget plan (topic policy), and
+        # the compactionThreshold trigger — all per partition.
+        "policy_enforcement": f"""
+            WITH {_M}, sized AS (
+              SELECT partition, "offset", publish_time, deliver_at,
+                     strlen(props) AS msg_size
+              FROM messages
+            ), planned AS (
+              SELECT partition, "offset", msg_size,
+                     (publish_time < TIMESTAMP '{TTL_CUTOFF}'
+                      OR sum(msg_size) OVER (PARTITION BY partition ORDER BY "offset" DESC)
+                         > 4000) AS deletable
+              FROM sized
+            ), ret AS (
+              SELECT partition,
+                     CAST(sum(CASE WHEN deletable THEN 1 ELSE 0 END) AS BIGINT) AS deletable_count,
+                     CAST(sum(CASE WHEN deletable THEN 0 ELSE 1 END) AS BIGINT) AS retained_count,
+                     CAST(sum(CASE WHEN deletable THEN 0 ELSE msg_size END) AS BIGINT) AS retained_bytes
+              FROM planned GROUP BY partition
+            ), vis AS (
+              SELECT partition, CAST(count(*) AS BIGINT) AS visible_count
+              FROM sized
+              WHERE publish_time >= TIMESTAMP '{TTL_CUTOFF}'
+                AND (deliver_at IS NULL OR deliver_at <= TIMESTAMP '{VISIBLE_AT}')
+              GROUP BY partition
+            ), comp AS (
+              SELECT partition, CAST(sum(msg_size) AS BIGINT) AS bytes_since,
+                     CAST(count(*) AS BIGINT) AS msgs_since,
+                     sum(msg_size) > 2000 AS due
+              FROM sized GROUP BY partition
+            )
+            SELECT ret.partition, deletable_count, retained_count,
+                   retained_bytes, visible_count, bytes_since, msgs_since, due
+            FROM ret JOIN vis USING (partition) JOIN comp USING (partition)
         """,
         # The failover backlog at the remote cluster is exactly the
         # post-snapshot rows: 25 planted west locals plus the events

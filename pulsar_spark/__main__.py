@@ -186,7 +186,86 @@ def main(argv: list[str] | None = None) -> int:
         help="override AutoScaleConfig.split_msg_rate_in (policy tuning)",
     )
 
+    p_apol = sub.add_parser(
+        "autoscale-policy",
+        help="per-topic AutoScalePolicyOverride: set/get/remove (persisted)",
+    )
+    p_apol.add_argument("topic")
+    p_apol.add_argument("verb", choices=["set", "get", "remove"])
+    p_apol.add_argument(
+        "--json", dest="policy_json", default=None,
+        help='override fields as JSON, e.g. \'{"split_msg_rate_in": 500.0}\'',
+    )
+
+    p_dels = sub.add_parser(
+        "delete-scalable", help="delete a scalable topic (DAG + segments + registries)"
+    )
+    p_dels.add_argument("topic")
+    p_dels.add_argument("--force", action="store_true",
+                        help="delete even with existing subscriptions")
+
+    p_pol = sub.add_parser(
+        "policy", help="durable topic/namespace policies: set/get/remove/list"
+    )
+    p_pol.add_argument("path", help="topic dir (topic policy) or namespace dir")
+    p_pol.add_argument("verb", choices=["set", "get", "remove", "list"])
+    p_pol.add_argument("--key", default=None)
+    p_pol.add_argument("--json", dest="policy_json", default=None,
+                       help="policy value as JSON")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "autoscale-policy":  # sidecar-only, no session
+        from pulsar_spark.sources.autoscale import (
+            AutoScalePolicyOverride,
+            get_autoscale_policy,
+            remove_autoscale_policy,
+            set_autoscale_policy,
+        )
+
+        if args.verb == "set":
+            if not args.policy_json:
+                ap.error("autoscale-policy set needs --json")
+            ov = AutoScalePolicyOverride.from_dict(json.loads(args.policy_json))
+            set_autoscale_policy(args.topic, ov)
+            print(json.dumps({"topic": args.topic, "set": ov.to_dict()}))
+        elif args.verb == "get":
+            ov = get_autoscale_policy(args.topic)
+            print(json.dumps({"topic": args.topic,
+                              "override": ov.to_dict() if ov else None}))
+        else:
+            print(json.dumps({"topic": args.topic,
+                              "removed": remove_autoscale_policy(args.topic)}))
+        return 0
+    if args.cmd == "delete-scalable":  # directory-level op, no session
+        from pulsar_spark.sources import delete_scalable_topic
+
+        deleted = delete_scalable_topic(args.topic, force=args.force)
+        print(json.dumps({"topic": args.topic, "deleted": deleted}))
+        return 0
+    if args.cmd == "policy":  # sidecar-only, no session
+        from pulsar_spark.sources.policies import (
+            get_policies,
+            remove_policy,
+            set_policy,
+        )
+
+        if args.verb == "set":
+            if not args.key or args.policy_json is None:
+                ap.error("policy set needs --key and --json")
+            set_policy(args.path, args.key, json.loads(args.policy_json))
+            print(json.dumps({"path": args.path, "set": args.key}))
+        elif args.verb == "get":
+            if not args.key:
+                ap.error("policy get needs --key")
+            print(json.dumps({args.key: get_policies(args.path).get(args.key)}))
+        elif args.verb == "remove":
+            if not args.key:
+                ap.error("policy remove needs --key")
+            print(json.dumps({"removed": remove_policy(args.path, args.key)}))
+        else:
+            print(json.dumps(get_policies(args.path)))
+        return 0
 
     if args.cmd == "create":  # no Spark session needed
         from pulsar_spark.sources.topics import create_topic
@@ -448,10 +527,13 @@ def main(argv: list[str] | None = None) -> int:
         # Cooldown clocks persist in _autoscale_state.json under the topic
         # dir, so repeated --apply ticks coalesce by split/merge cooldown
         # the way ScalableTopicController does.
+        # no explicit flag -> config=None, so the tick resolves the
+        # PERSISTED per-topic override / namespace policy (a restarted
+        # process keeps operator-tuned thresholds)
         cfg = (
             AutoScaleConfig(split_msg_rate_in=args.split_msg_rate)
             if args.split_msg_rate is not None
-            else AutoScaleConfig()
+            else None
         )
         out = autoscale_tick(
             spark, args.topic, window_s=args.window, config=cfg, apply=args.apply

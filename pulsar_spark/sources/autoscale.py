@@ -93,6 +93,146 @@ class AutoScaleConfig:
 
 
 @dataclass(frozen=True)
+class AutoScalePolicyOverride:
+    """AutoScalePolicyOverride (pulsar-client-admin-api/.../policies/
+    data/AutoScalePolicyOverride.java): a sparse per-namespace or
+    per-topic override of the broker's auto split/merge defaults —
+    every field optional, unset fields fall through to the layer
+    below."""
+
+    enabled: bool | None = None
+    max_segments: int | None = None
+    min_segments: int | None = None
+    max_dag_depth: int | None = None
+    split_cooldown_s: float | None = None
+    merge_cooldown_s: float | None = None
+    merge_window_s: float | None = None
+    split_msg_rate_in: float | None = None
+    split_bytes_rate_in: float | None = None
+    split_msg_rate_out: float | None = None
+    split_bytes_rate_out: float | None = None
+    merge_msg_rate_in: float | None = None
+    merge_bytes_rate_in: float | None = None
+    merge_msg_rate_out: float | None = None
+    merge_bytes_rate_out: float | None = None
+
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+
+        return {k: v for k, v in asdict(self).items() if v is not None}
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> "AutoScalePolicyOverride | None":
+        if d is None:
+            return None
+        from dataclasses import fields
+
+        known = {f.name for f in fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown override fields: {sorted(unknown)}")
+        return cls(**d)
+
+
+def set_autoscale_policy(topic_path: str, override: AutoScalePolicyOverride) -> None:
+    """ScalableTopics.setAutoScalePolicy (ScalableTopics.java:156):
+    persist the per-topic override inside the scalable metadata sidecar
+    — the reference stores it on ScalableTopicMetadata, so it lives and
+    dies with the topic and survives controller restarts."""
+    from pulsar_spark.sources.scalable import _write_meta, scalable_metadata
+
+    meta = scalable_metadata(topic_path)
+    meta["auto_scale_policy"] = override.to_dict()
+    _write_meta(topic_path, meta)
+
+
+def get_autoscale_policy(topic_path: str) -> AutoScalePolicyOverride | None:
+    """ScalableTopics.getAutoScalePolicy (ScalableTopics.java:172):
+    the stored override, or None when unset."""
+    from pulsar_spark.sources.scalable import scalable_metadata
+
+    return AutoScalePolicyOverride.from_dict(
+        scalable_metadata(topic_path).get("auto_scale_policy")
+    )
+
+
+def remove_autoscale_policy(topic_path: str) -> bool:
+    """ScalableTopics.removeAutoScalePolicy (ScalableTopics.java:188):
+    drop the override, letting namespace policy / defaults apply."""
+    from pulsar_spark.sources.scalable import _write_meta, scalable_metadata
+
+    meta = scalable_metadata(topic_path)
+    if "auto_scale_policy" not in meta:
+        return False
+    del meta["auto_scale_policy"]
+    _write_meta(topic_path, meta)
+    return True
+
+
+def resolve_autoscale_config(
+    defaults: "AutoScaleConfig | None" = None,
+    namespace_override: AutoScalePolicyOverride | None = None,
+    topic_override: AutoScalePolicyOverride | None = None,
+) -> "AutoScaleConfig":
+    """AutoScaleConfig.resolve (AutoScaleConfig.java:99): broker
+    defaults overlaid by the namespace override then the topic
+    override, field by field, then validated. An INVALID resolved
+    combination disables auto split/merge for the topic instead of
+    failing the evaluation (ScalableTopicController.java:400
+    resolveAutoScaleConfig's catch) — predictable until an operator
+    fixes the overrides."""
+    from dataclasses import asdict, fields
+
+    base = asdict(defaults or AutoScaleConfig())
+    for o in (namespace_override, topic_override):
+        if o is not None:
+            base.update(o.to_dict())
+    try:
+        cfg = AutoScaleConfig(**base)  # __post_init__ validates rates
+        if cfg.min_segments < 1:
+            raise ValueError("minSegments must be >= 1")
+        if cfg.max_segments < cfg.min_segments:
+            raise ValueError("maxSegments must be >= minSegments")
+        if cfg.max_dag_depth < 0:
+            raise ValueError("maxDagDepth must be >= 0")
+        if cfg.split_cooldown_s < 0 or cfg.merge_cooldown_s < 0:
+            raise ValueError("cooldowns must not be negative")
+        for f in fields(AutoScaleConfig):
+            if f.name.startswith("merge_") and f.name.endswith(
+                ("rate_in", "rate_out")
+            ) and getattr(cfg, f.name) < 0:
+                raise ValueError(f"{f.name} must be >= 0")
+        return cfg
+    except ValueError:
+        d = asdict(defaults or AutoScaleConfig())
+        d["enabled"] = False
+        return AutoScaleConfig(**d)
+
+
+def resolve_topic_autoscale_config(
+    topic_path: str,
+    defaults: "AutoScaleConfig | None" = None,
+    namespace_dir: str | None = None,
+) -> "AutoScaleConfig":
+    """The per-topic effective config a controller tick uses: broker
+    defaults < namespace ``scalable_auto_scale_policy`` (the PIP-483
+    namespace policy, stored in the policies registry) < the topic's
+    persisted override. Both stores are durable sidecars, so an
+    operator-tuned policy survives a fresh process."""
+    from pulsar_spark.sources.policies import get_policies
+
+    import os as _os
+
+    ns = namespace_dir or _os.path.dirname(topic_path.rstrip("/"))
+    ns_pol = get_policies(ns).get("scalable_auto_scale_policy")
+    return resolve_autoscale_config(
+        defaults,
+        AutoScalePolicyOverride.from_dict(ns_pol),
+        get_autoscale_policy(topic_path),
+    )
+
+
+@dataclass(frozen=True)
 class AutoScaleDecision:
     """AutoScaleDecision.java: none | split(segment) | merge(a, b)."""
 
@@ -380,11 +520,17 @@ def autoscale_tick(
             sid: SegmentLoadSample(s.stats, s.modified_at_ms + shift)
             for sid, s in samples.items()
         }
+    if config is None:
+        # no explicit config: resolve the persisted per-topic override
+        # over the namespace policy over defaults — a controller
+        # restart (or a fresh CLI process) keeps operator-tuned
+        # thresholds (ScalableTopicController.java:400)
+        config = resolve_topic_autoscale_config(topic_path)
     dec = auto_scale_decide(
         meta,
         samples,
         stream_consumer_count or {},
-        config or AutoScaleConfig(),
+        config,
         now_ms,
         last_split_at_ms=state["last_split_at_ms"],
         last_merge_at_ms=state["last_merge_at_ms"],

@@ -1,0 +1,188 @@
+"""Durable topic/namespace policy registry — the stored configuration
+that maintenance operators read, instead of per-call arguments.
+
+Reference: the reference persists these as namespace/topic policies
+that brokers consult on every maintenance cycle —
+pulsar-client-admin-api/.../admin/Namespaces.java ``setRetention``
+(:2116), ``setNamespaceMessageTTL``, ``setBacklogQuota``,
+``setDeduplicationStatus``, ``setDelayedDeliveryMessages``,
+``setCompactionThreshold``, and the PIP-483
+``scalableTopicAutoScalePolicy`` override — with topic-level policies
+overriding namespace-level ones field by field.
+
+Rendering: one ``_policies.json`` sidecar per directory (a topic dir
+for topic policies, the parent namespace dir for namespace policies),
+written with the same atomic temp-file + rename pattern as every other
+durable sidecar in this engine. ``effective_policies`` overlays
+topic-level keys onto namespace-level ones; ``apply_policies`` turns
+the stored configuration into the engine's maintenance operators
+(ttl_filter / visible_messages / retention_plan / backlog_quota_evict /
+compaction_due), which is the part the reference calls "the broker
+enforces the policy" — a restart loses nothing because the file IS the
+state.
+
+Scale: policies are model-sized JSON; enforcement operators keep their
+own documented shapes (narrow per-partition windows/aggregates).
+"""
+from __future__ import annotations
+
+import os
+
+from pulsar_spark.sources.cursors import atomic_write_json
+
+_POLICIES = "_policies.json"
+
+#: key -> reference setter (documentation + validation surface)
+KNOWN_KEYS = {
+    "message_ttl_seconds": "Namespaces.setNamespaceMessageTTL / Topics TTL",
+    "retention": "Namespaces.setRetention (Namespaces.java:2116)",
+    "backlog_quota": "Namespaces.setBacklogQuota",
+    "deduplication_enabled": "Namespaces.setDeduplicationStatus",
+    "delayed_delivery": "Namespaces.setDelayedDeliveryMessages",
+    "compaction_threshold_bytes": "Namespaces.setCompactionThreshold",
+    "scalable_auto_scale_policy": "PIP-483 namespace AutoScalePolicyOverride",
+}
+
+
+def _path(dir_path: str) -> str:
+    return os.path.join(dir_path, _POLICIES)
+
+
+def get_policies(dir_path: str) -> dict:
+    import json
+
+    p = _path(dir_path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def set_policy(dir_path: str, key: str, value) -> None:
+    if key not in KNOWN_KEYS:
+        raise ValueError(
+            f"unknown policy key {key!r}; known: {sorted(KNOWN_KEYS)}"
+        )
+    pol = get_policies(dir_path)
+    pol[key] = value
+    atomic_write_json(_path(dir_path), pol)
+
+
+def remove_policy(dir_path: str, key: str) -> bool:
+    pol = get_policies(dir_path)
+    if key not in pol:
+        return False
+    del pol[key]
+    atomic_write_json(_path(dir_path), pol)
+    return True
+
+
+def effective_policies(topic_path: str, namespace_dir: str | None = None) -> dict:
+    """Namespace policies overlaid by topic policies, key by key — the
+    reference's resolution order (broker defaults < namespace < topic;
+    broker defaults here are simply 'operator absent'). The namespace
+    defaults to the topic's parent directory."""
+    ns = namespace_dir or os.path.dirname(topic_path.rstrip("/"))
+    out = dict(get_policies(ns))
+    out.update(get_policies(topic_path))
+    return out
+
+
+def apply_policies(
+    spark,
+    topic_path: str,
+    now,
+    namespace_dir: str | None = None,
+    size_expr=None,
+    cursors=None,
+):
+    """Run the maintenance operators from STORED policy — the
+    enforcement pass a broker schedules. Returns a dict with one entry
+    per configured policy:
+
+    - ``visible``: the consumer-visible slice after TTL expiry
+      (cutoff = now - message_ttl_seconds) and delayed-delivery
+      visibility (skipped when the stored delayed_delivery policy
+      disables it — disabled means deliver_at is ignored, everything
+      is immediately visible);
+    - ``retention_plan``: rows flagged deletable under the stored
+      RetentionPolicies (minutes window back from ``now``; size budget
+      from size_bytes, or size_mb when that is the stored granularity;
+      -1 means unlimited, like the reference);
+    - ``backlog_quota``: cursor-advance plan (needs ``cursors``);
+    - ``compaction_due``: per-partition threshold check;
+    - ``deduplication_enabled``: surfaced for the produce path.
+
+    ``now`` is an explicit timestamp literal/Column (deterministic
+    enforcement, testable oracles). ``size_expr`` defaults to
+    ``octet_length(props)`` when the envelope carries ``props``.
+    """
+    from pyspark.sql import functions as F
+
+    from pulsar_spark.operators.retention import (
+        backlog_quota_evict,
+        retention_plan,
+        ttl_filter,
+        visible_messages,
+    )
+
+    pol = effective_policies(topic_path, namespace_dir)
+    m = spark.read.option("mergeSchema", "true").parquet(topic_path)
+    now_ts = F.lit(now).cast("timestamp") if isinstance(now, str) else now
+    out = {"policies": pol, "messages": m}
+
+    vis = m
+    if "message_ttl_seconds" in pol:
+        ttl = int(pol["message_ttl_seconds"])
+        cutoff = now_ts - F.expr(f"make_interval(0, 0, 0, 0, 0, 0, {ttl})")
+        out["ttl_cutoff"] = cutoff
+        vis = ttl_filter(vis, cutoff)
+    dd = pol.get("delayed_delivery", {"enabled": True})
+    if dd.get("enabled", True) and "deliver_at" in m.columns:
+        vis = visible_messages(vis, now_ts)
+    out["visible"] = vis
+
+    if "retention" in pol:
+        r = pol["retention"]
+        minutes = int(r.get("minutes", -1))
+        cutoff = (
+            now_ts - F.expr(f"make_interval(0, 0, 0, 0, 0, {minutes}, 0)")
+            if minutes >= 0
+            else F.lit("1970-01-01").cast("timestamp")
+        )
+        if "size_bytes" in r:
+            budget = int(r["size_bytes"])
+        else:
+            budget = int(r.get("size_mb", -1)) * 1024 * 1024
+        if budget < 0:
+            budget = 1 << 62  # -1: unlimited size budget
+        if size_expr is None:
+            size_expr = F.octet_length("props")
+        out["retention_plan"] = retention_plan(
+            m.withColumn("msg_size", size_expr), cutoff, budget, "msg_size"
+        )
+
+    if "backlog_quota" in pol and cursors is not None:
+        q = pol["backlog_quota"]
+        out["backlog_quota"] = backlog_quota_evict(
+            m,
+            cursors,
+            limit_rows=q.get("limit_rows"),
+            limit_bytes=q.get("limit_bytes"),
+            size_col=q.get("size_col"),
+        )
+
+    if "compaction_threshold_bytes" in pol:
+        from pulsar_spark.operators.compaction import compaction_due
+
+        if size_expr is None:
+            size_expr = F.octet_length("props")
+        out["compaction_due"] = compaction_due(
+            m.withColumn("msg_size", size_expr),
+            int(pol["compaction_threshold_bytes"]),
+            size_col="msg_size",
+        )
+
+    if "deduplication_enabled" in pol:
+        out["deduplication_enabled"] = bool(pol["deduplication_enabled"])
+    return out

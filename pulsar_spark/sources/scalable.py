@@ -1161,6 +1161,44 @@ def delete_segment(
     return True
 
 
+def delete_scalable_topic(
+    topic_path: str,
+    force: bool = False,
+    coordinator=None,
+) -> bool:
+    """ScalableTopics.deleteScalableTopic (ScalableTopics.java:203) /
+    ScalableTopicService.deleteScalableTopic (java:247): tear down the
+    whole scalable topic in the reference's order — release the
+    controller (drop live consumer sessions FIRST, so no consumer
+    attaches mid-teardown), delete every underlying segment topic, then
+    the durable metadata (layout DAG, subscription registry, auto-scale
+    state/samples, policy sidecars).
+
+    ``force=False`` refuses while any persisted subscription exists
+    (the admin surface's 'force deletion even if topic has active
+    subscriptions' contract); ``force=True`` deletes unconditionally.
+    Returns False when the path is not a scalable topic (idempotent
+    delete of a missing topic, like the 404-swallowing admin client).
+    """
+    import shutil
+
+    try:
+        scalable_metadata(topic_path)
+    except Exception:
+        return False
+    subs = list_subscriptions(topic_path)
+    if subs and not force:
+        raise ValueError(
+            f"scalable topic {topic_path} has subscriptions {subs}; "
+            f"use force=True to delete anyway"
+        )
+    if coordinator is not None:
+        for name in sorted(coordinator.sessions):
+            coordinator.unregister_consumer(name)
+    shutil.rmtree(topic_path, ignore_errors=True)
+    return True
+
+
 def _resolve_latest_offsets(spark, topic_path: str, ck: Checkpoint) -> dict[int, int]:
     """A LATEST-sentinel vector resolved into its concrete
     "nothing stored is delivered" form (``{segment: high + 1}`` over

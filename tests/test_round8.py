@@ -164,3 +164,242 @@ class TestPhashBanding:
         df = spark.createDataFrame([(1, 7)], "media_id bigint, phash long")
         with pytest.raises(ValueError):
             phash_near_dups(df, n_bands=3)
+
+
+def _mk_scalable(spark, tmp_path, name="t", n_segments=2, n_rows=100):
+    from pulsar_spark.sources.scalable import (
+        create_scalable_topic,
+        produce_scalable,
+    )
+
+    d = str(tmp_path / name)
+    create_scalable_topic(d, num_initial_segments=n_segments)
+    payload = spark.range(n_rows).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    produce_scalable(payload, d, key_col="k", deterministic_mod=True)
+    return d
+
+
+class TestDeleteScalableTopic:
+    def test_refuses_with_subscriptions_then_force(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            create_subscription,
+            delete_scalable_topic,
+        )
+
+        d = _mk_scalable(spark, tmp_path)
+        create_subscription(d, "subA")
+        with pytest.raises(ValueError, match="subA"):
+            delete_scalable_topic(d)
+        assert os.path.isdir(d)
+        assert delete_scalable_topic(d, force=True)
+        assert not os.path.isdir(d)
+
+    def test_clean_topic_deletes_everything(self, spark, tmp_path):
+        from pulsar_spark.sources import autoscale_tick, delete_scalable_topic
+
+        d = _mk_scalable(spark, tmp_path)
+        # populate auxiliary sidecars (load samples + autoscale state)
+        autoscale_tick(spark, d, window_s=float(2**32), now_ms=10_000_000_000)
+        assert delete_scalable_topic(d)
+        assert not os.path.isdir(d)
+
+    def test_missing_or_plain_topic_returns_false(self, spark, tmp_path):
+        from pulsar_spark.sources import delete_scalable_topic
+        from pulsar_spark.sources.topics import create_topic
+
+        assert not delete_scalable_topic(str(tmp_path / "nope"))
+        plain = str(tmp_path / "plain")
+        create_topic(plain, 2)
+        assert not delete_scalable_topic(plain)
+        assert os.path.isdir(plain)
+
+    def test_consumers_dropped_first(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            SubscriptionCoordinator,
+            delete_scalable_topic,
+        )
+        from pulsar_spark.sources.scalable import scalable_metadata
+
+        d = _mk_scalable(spark, tmp_path)
+        coord = SubscriptionCoordinator("sub", d, layout=scalable_metadata(d))
+        coord.register_consumer("c1")
+        assert delete_scalable_topic(d, coordinator=coord)
+        assert not coord.sessions
+
+
+class TestAutoScalePolicyOverride:
+    def test_set_get_remove_roundtrip(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            AutoScalePolicyOverride,
+            get_autoscale_policy,
+            remove_autoscale_policy,
+            set_autoscale_policy,
+        )
+
+        d = _mk_scalable(spark, tmp_path)
+        assert get_autoscale_policy(d) is None
+        ov = AutoScalePolicyOverride(split_msg_rate_in=1e-9, max_segments=8)
+        set_autoscale_policy(d, ov)
+        assert get_autoscale_policy(d) == ov
+        assert remove_autoscale_policy(d)
+        assert get_autoscale_policy(d) is None
+        assert not remove_autoscale_policy(d)
+
+    def test_resolve_overlay_order(self):
+        from pulsar_spark.sources import (
+            AutoScaleConfig,
+            AutoScalePolicyOverride,
+            resolve_autoscale_config,
+        )
+
+        ns = AutoScalePolicyOverride(max_segments=16, min_segments=2)
+        top = AutoScalePolicyOverride(max_segments=4)
+        cfg = resolve_autoscale_config(AutoScaleConfig(), ns, top)
+        assert cfg.max_segments == 4       # topic wins
+        assert cfg.min_segments == 2       # namespace falls through
+        assert cfg.enabled                 # default falls through
+
+    def test_invalid_resolution_disables(self):
+        from pulsar_spark.sources import (
+            AutoScalePolicyOverride,
+            resolve_autoscale_config,
+        )
+
+        # maxSegments < minSegments is invalid -> auto-scale disabled,
+        # not an exception (ScalableTopicController.java:400 catch)
+        cfg = resolve_autoscale_config(
+            None, None, AutoScalePolicyOverride(max_segments=1, min_segments=5)
+        )
+        assert not cfg.enabled
+        # invalid threshold via override, same story
+        cfg2 = resolve_autoscale_config(
+            None, AutoScalePolicyOverride(split_msg_rate_in=0.0), None
+        )
+        assert not cfg2.enabled
+
+    def test_unknown_field_rejected(self):
+        from pulsar_spark.sources import AutoScalePolicyOverride
+
+        with pytest.raises(ValueError, match="unknown"):
+            AutoScalePolicyOverride.from_dict({"splitMsgRateIn": 1.0})
+
+    def test_tick_honors_persisted_override_fresh_process(self, spark, tmp_path):
+        """An operator-tuned override survives a controller restart:
+        a tick WITHOUT an explicit config resolves the persisted
+        policy — here a hair-trigger split threshold that the default
+        config would never fire at this load."""
+        from pulsar_spark.sources import (
+            AutoScalePolicyOverride,
+            autoscale_tick,
+            set_autoscale_policy,
+        )
+
+        d = _mk_scalable(spark, tmp_path, n_segments=1)
+        set_autoscale_policy(
+            d, AutoScalePolicyOverride(split_msg_rate_in=1e-9, max_segments=8)
+        )
+        # fresh "process": a new tick with config=None (the CLI default)
+        out = autoscale_tick(
+            spark, d, window_s=float(2**32), apply=False,
+            now_ms=10_000_000_000,
+        )
+        assert out["decision"] == "split"
+        # removing the override reverts to defaults -> no split at this load
+        from pulsar_spark.sources import remove_autoscale_policy
+
+        remove_autoscale_policy(d)
+        out2 = autoscale_tick(
+            spark, d, window_s=float(2**32), apply=False,
+            now_ms=10_000_000_000,
+        )
+        assert out2["decision"] == "none"
+
+    def test_namespace_policy_applies_and_topic_overrides(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            AutoScalePolicyOverride,
+            resolve_topic_autoscale_config,
+            set_autoscale_policy,
+        )
+        from pulsar_spark.sources.policies import set_policy
+
+        d = _mk_scalable(spark, tmp_path)
+        ns = str(tmp_path)
+        set_policy(ns, "scalable_auto_scale_policy", {"max_segments": 32})
+        cfg = resolve_topic_autoscale_config(d)
+        assert cfg.max_segments == 32
+        set_autoscale_policy(d, AutoScalePolicyOverride(max_segments=4))
+        assert resolve_topic_autoscale_config(d).max_segments == 4
+
+
+class TestPolicyRegistry:
+    def test_set_get_remove_and_unknown_key(self, tmp_path):
+        from pulsar_spark.sources import policies as P
+
+        t = str(tmp_path / "t")
+        os.makedirs(t)
+        P.set_policy(t, "message_ttl_seconds", 3600)
+        assert P.get_policies(t) == {"message_ttl_seconds": 3600}
+        with pytest.raises(ValueError, match="unknown policy key"):
+            P.set_policy(t, "no_such_policy", 1)
+        assert P.remove_policy(t, "message_ttl_seconds")
+        assert not P.remove_policy(t, "message_ttl_seconds")
+
+    def test_effective_overlay(self, tmp_path):
+        from pulsar_spark.sources import policies as P
+
+        ns = str(tmp_path)
+        t = str(tmp_path / "t")
+        os.makedirs(t)
+        P.set_policy(ns, "message_ttl_seconds", 3600)
+        P.set_policy(ns, "deduplication_enabled", True)
+        P.set_policy(t, "message_ttl_seconds", 60)
+        eff = P.effective_policies(t)
+        assert eff["message_ttl_seconds"] == 60       # topic wins
+        assert eff["deduplication_enabled"] is True   # namespace falls through
+
+    def test_apply_policies_enforces_stored_config(self, spark, tmp_path):
+        from pulsar_spark.sources import policies as P
+        from pulsar_spark.sources.topics import create_topic, produce
+
+        t = str(tmp_path / "t")
+        create_topic(t, 2)
+        rows = spark.createDataFrame(
+            [(str(i), i, f"2024-01-{1 + i % 20:02d} 00:00:00", "x" * 50)
+             for i in range(40)],
+            "key string, event_id bigint, et string, props string",
+        ).withColumn("et", F.col("et").cast("timestamp"))
+        produce(rows, t, key_col="key", event_time_col="et")
+        # publish_time is produce wall-clock; TTL against a far-future
+        # now expires everything, a permissive one keeps everything
+        P.set_policy(t, "message_ttl_seconds", 1)
+        out = P.apply_policies(spark, t, "2100-01-01 00:00:00")
+        assert out["visible"].count() == 0
+        P.set_policy(t, "message_ttl_seconds", 10**9)
+        out = P.apply_policies(spark, t, "2030-01-01 00:00:00")
+        assert out["visible"].count() == 40
+        # retention: tiny size budget -> newest-first survival only
+        P.set_policy(t, "retention", {"minutes": -1, "size_bytes": 120})
+        out = P.apply_policies(spark, t, "2030-01-01 00:00:00")
+        plan = out["retention_plan"]
+        kept = plan.where("NOT deletable").count()
+        assert 0 < kept < 40
+        # compaction threshold: per-partition due flags
+        P.set_policy(t, "compaction_threshold_bytes", 1)
+        out = P.apply_policies(spark, t, "2030-01-01 00:00:00")
+        assert out["compaction_due"].where("due").count() == 2
+        assert out["policies"]["retention"]["size_bytes"] == 120
+
+    def test_restart_persistence(self, spark, tmp_path):
+        """The file IS the state: a fresh reader (new 'process') sees
+        the stored policy and enforces it identically."""
+        from pulsar_spark.sources import policies as P
+
+        t = str(tmp_path / "t")
+        os.makedirs(t)
+        P.set_policy(t, "retention", {"minutes": 30, "size_mb": 10})
+        P.set_policy(t, "backlog_quota",
+                     {"limit_rows": 5, "policy": "consumer_backlog_eviction"})
+        # simulate restart: re-read from disk only
+        fresh = P.get_policies(t)
+        assert fresh["retention"]["minutes"] == 30
+        assert fresh["backlog_quota"]["limit_rows"] == 5
