@@ -1726,6 +1726,31 @@ def _q_replicated_subscription_failover(spark, sf_dir):
     )
 
 
+def _q_corpus_report_sketch(spark, sf_dir):
+    # Mergeable-quantile twin of corpus_report (functions/report.py
+    # corpus_report_sketch): percentile_approx = Greenwald-Khanna rank
+    # sketch, one map-side-combinable agg, O(accuracy) state per
+    # source. Rows-only by design (sketch internals are engine-
+    # specific); the +-n/accuracy rank-error bound is pinned against
+    # the exact nearest-rank quantiles in tests.
+    from pulsar_spark.functions import corpus_report_sketch
+
+    return corpus_report_sketch(load_table(spark, sf_dir, "documents"))
+
+
+def _q_embedding_hnsw_knn(spark, sf_dir):
+    # HNSW-routed IVF top-k (functions/hnsw.py; Malkov & Yashunin
+    # 2016): the centroid model is the graph — routing costs
+    # O(ef log nlist) instead of a linear nlist scan, the corpus read
+    # stays the probed-cells filter. Rows-only; recall vs the exact
+    # scan and router-exactness are pinned in tests.
+    from pulsar_spark.functions import hnsw_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    return hnsw_ivf_topk(emb, qvec, k=10, nlist=32, nprobe=8, exclude_id=0)
+
+
 def _q_policy_enforcement(spark, sf_dir):
     # Durable policy registry (sources/policies.py; the reference
     # persists these as namespace/topic policies — Namespaces.java:2116
@@ -3260,7 +3285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_topic_union": _q_multi_topic_union,
         "schema_json_decode": _q_schema_json_decode,
         "schema_kv_decode": _q_schema_kv_decode,
-        "schema_auto_consume": _q_schema_auto_consume,
+        # (schema_auto_consume's slot went to geo_replication: the
+        #  one-hop replicate_candidates change — GeoPersistentReplicator
+        #  .java:207 — altered its operator after its last driver
+        #  check; schema_auto_consume is driver-green r5, in KEYS)
+        "geo_replication": _q_geo_replication,
         # (schema_protobuf_decode's, schema_primitive_roundtrip's,
         #  subscription_stats' and batch_receive's freshness slots went
         #  to the new doc_contamination_bloom, media_audio_fingerprint,
@@ -3358,7 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_visibility": _q_txn_visibility,
         "media_byte_stats": _q_media_byte_stats,
         "ack_state": _q_ack_state,
-        "geo_replication": _q_geo_replication,
+        "schema_auto_consume": _q_schema_auto_consume,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
         "compact_strategic": _q_compact_strategic,
@@ -3395,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation": _q_streaming_curation,
         "media_decode": _q_media_decode,
         "doc_token_sketch": _q_doc_token_sketch,
+        "corpus_report_sketch": _q_corpus_report_sketch,
+        "embedding_hnsw_knn": _q_embedding_hnsw_knn,
     }
 
 

@@ -148,3 +148,45 @@ def corpus_report(
             ),
         )
     )
+
+
+def corpus_report_sketch(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Mergeable-sketch twin of :func:`corpus_report`'s quantile block
+    — the shape a 100 TB dataset card actually computes. Spark's
+    built-in ``percentile_approx`` is a Greenwald-Khanna rank sketch
+    (QuantileSummaries): mergeable across partitions, one map-side-
+    combinable aggregation, O(accuracy) state per group, deterministic
+    ``±n/accuracy`` rank-error bound. It replaces the exact
+    length-histogram path, whose state is bounded only because integer
+    char lengths have few distinct values — for a continuous column
+    (quality score, perplexity) the histogram is corpus-sized and the
+    sketch is the only shape that survives scale.
+
+    Returns ``(source, n_docs, p25_chars, p50_chars, p75_chars,
+    p90_chars)`` where each pNN is an ACTUAL stored length whose rank
+    is within ``n/accuracy`` of the target — the GK guarantee the
+    error-bound test pins. Rows-only by design: sketch internals are
+    engine-specific, so there is no cross-engine value hash; the
+    guarantee, not the bytes, is the contract."""
+    base = docs.select(
+        F.col(group_col).alias(group_col),
+        F.length(text_col).cast("bigint").alias("_len"),
+    )
+    probs = [0.25, 0.50, 0.75, 0.90]
+    q = base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx("_len", probs, accuracy).alias("_q"),
+    )
+    return q.select(
+        group_col,
+        "n_docs",
+        *[
+            F.element_at("_q", i + 1).alias(f"p{int(p * 100)}_chars")
+            for i, p in enumerate(probs)
+        ],
+    )

@@ -403,3 +403,107 @@ class TestPolicyRegistry:
         fresh = P.get_policies(t)
         assert fresh["retention"]["minutes"] == 30
         assert fresh["backlog_quota"]["limit_rows"] == 5
+
+
+class TestCorpusReportSketch:
+    def test_rank_error_bound(self, spark):
+        """GK guarantee: every approx pNN is an actual stored length
+        whose rank is within n/accuracy of the target rank."""
+        from pulsar_spark.functions import corpus_report_sketch
+        from pulsar_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        acc = 100
+        got = {
+            r.source: r
+            for r in corpus_report_sketch(docs, accuracy=acc).collect()
+        }
+        exact = {}
+        for r in docs.select("source", F.length("text").alias("l")).collect():
+            exact.setdefault(r.source, []).append(r.l)
+        for src, lens in exact.items():
+            lens.sort()
+            n = len(lens)
+            row = got[src]
+            assert row.n_docs == n
+            for p, name in ((0.25, "p25_chars"), (0.50, "p50_chars"),
+                            (0.75, "p75_chars"), (0.90, "p90_chars")):
+                v = getattr(row, name)
+                assert v in lens, (src, name, v)
+                # rank window: target rank +- n/accuracy (+1 slack for
+                # the rank convention at the boundary)
+                import bisect
+
+                lo = bisect.bisect_left(lens, v)
+                hi = bisect.bisect_right(lens, v) - 1
+                target = p * n
+                eps = n / acc + 1
+                assert lo - eps <= target <= hi + eps, (src, name, v, lo, hi, target)
+
+    def test_matches_exact_at_high_accuracy(self, spark):
+        """accuracy >> n collapses the sketch to exact ranks: each pNN
+        equals a nearest-rank quantile within one position."""
+        from pulsar_spark.functions import corpus_report_sketch
+
+        rows = [(f"s", int(i)) for i in range(1, 101)]
+        docs = spark.createDataFrame(
+            [(s, "x" * l) for s, l in rows], "source string, text string"
+        )
+        got = corpus_report_sketch(docs, accuracy=10_000).collect()[0]
+        assert abs(got.p50_chars - 50) <= 1
+        assert abs(got.p90_chars - 90) <= 1
+
+
+class TestHnsw:
+    def _grid(self, n=200, dim=8, seed=3):
+        import numpy as np
+
+        rs = np.random.RandomState(seed)
+        return [list(map(float, v)) for v in rs.rand(n, dim)]
+
+    def test_router_exact_vs_linear_scan(self):
+        """With ef = nlist the graph search must return the true
+        nearest centroids (beam covers the whole graph)."""
+        from pulsar_spark.functions.hnsw import _sq_l2, build_hnsw
+
+        cents = self._grid(128)
+        idx = build_hnsw(cents)
+        q = [0.5] * 8
+        got = [i for _, i in idx.search(q, 10, ef=128)]
+        want = sorted(range(128), key=lambda i: (_sq_l2(q, cents[i]), i))[:10]
+        assert got == want
+
+    def test_deterministic_build(self):
+        from pulsar_spark.functions.hnsw import build_hnsw
+
+        cents = self._grid(64)
+        a, b = build_hnsw(cents), build_hnsw(cents)
+        assert a.links == b.links and a.entry == b.entry
+
+    def test_recall_beats_probe_fraction(self, spark):
+        """hnsw_ivf_topk at nprobe=8/nlist=32 must recall most of the
+        exact top-10 (cells cluster neighbors together, so recall far
+        exceeds the 25% of corpus scanned)."""
+        from pulsar_spark.functions import cosine_topk, hnsw_ivf_topk
+        from pulsar_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+        exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10, exclude_id=0).collect()}
+        got = {r.vec_id for r in
+               hnsw_ivf_knn_rows(emb, qvec)}
+        assert len(exact & got) >= 7
+
+    def test_duplicate_node_rejected(self):
+        from pulsar_spark.functions.hnsw import HnswIndex
+
+        idx = HnswIndex()
+        idx.add(1, [0.0, 1.0])
+        with pytest.raises(ValueError):
+            idx.add(1, [0.0, 2.0])
+
+
+def hnsw_ivf_knn_rows(emb, qvec):
+    from pulsar_spark.functions import hnsw_ivf_topk
+
+    return hnsw_ivf_topk(emb, qvec, k=10, nlist=32, nprobe=8, exclude_id=0).collect()

@@ -137,6 +137,71 @@ def main() -> None:
         sketch_token_stats(bigdocs, group_col="source").count()
         out["sketch_stats_sec"] = round(time.perf_counter() - t0, 2)
 
+        # round-7 additions at scale — the 50x gate is the repo's only
+        # codegen-fallback detector, so every new operator family gets
+        # a line here. Bloom decontamination: distributed filter build
+        # + codegen probe + exact confirm; wall should track corpus
+        # grams, never |bench| x |corpus|.
+        from pulsar_spark.functions import contamination_check_bloom
+
+        t0 = time.perf_counter()
+        contamination_check_bloom(
+            bigdocs.where("doc_id % 97 != 0"),
+            bigdocs.where("doc_id % 97 = 0"),
+            n=5,
+        ).count()
+        out["contamination_bloom_sec"] = round(time.perf_counter() - t0, 2)
+
+        # URL canonicalization + keep-one dedup: one codegen expression
+        # chain + one hash window
+        from pulsar_spark.functions.urls import url_dedup
+
+        with_urls = bigdocs.withColumn(
+            "url",
+            F.concat(
+                F.lit("HTTP://WWW.Site"),
+                (F.col("doc_id") % 100_000).cast("string"),
+                F.lit(".COM:80/a/b?b=2&a=1#frag"),
+            ),
+        )
+        t0 = time.perf_counter()
+        url_dedup(with_urls).count()
+        out["url_dedup_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
+
+        # repeated-line removal (word-granularity here: the fixture has
+        # no newlines): a 0-shuffle array_distinct projection
+        from pulsar_spark.functions import remove_repeated_lines
+
+        t0 = time.perf_counter()
+        remove_repeated_lines(bigdocs, sep=" ").select(
+            F.sum("n_lines_removed")
+        ).collect()
+        out["repeated_lines_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
+
+        # audio fingerprinting: fused wav-decode + Haitsma-Kalker hash
+        # in Arrow batches over ~10x the sf0.1 clip fixture, then the
+        # Hamming-banded join (dense pattern buckets hit the star
+        # guard here by design — the timing is decode+hash-bound)
+        import __spark_entry__ as _e
+        from pulsar_spark.functions.phash import (
+            audio_fingerprint_media,
+            phash_near_dups,
+        )
+
+        media = _e._wav_media_fixture(spark, "/root/testdata/sf0.1", perturb=True)
+        bigmedia = (
+            media.crossJoin(spark.range(doc_rep).withColumnRenamed("id", "rep"))
+            .withColumn("media_id", F.col("media_id") + F.col("rep") * 10_000_000)
+            .drop("rep")
+        )
+        nm = bigmedia.count()
+        out["clips"] = nm
+        t0 = time.perf_counter()
+        phash_near_dups(
+            audio_fingerprint_media(bigmedia), max_hamming=3, hash_col="afp"
+        ).count()
+        out["audio_fp_clips_per_sec"] = round(nm / (time.perf_counter() - t0))
+
         # round-5 curation capstone at scale: gopher gate + trained
         # classifier + temperature mix + shuffle + pack over the
         # replicated corpus — all stages keyed/broadcast, so wall time
