@@ -196,11 +196,18 @@ def phash_near_dups(
     if max_hamming > n_bands - 1:
         import warnings
 
+        if max_hamming <= 15:
+            # smallest supported band count whose completeness bound
+            # (n_bands - 1) covers the threshold
+            fix = next(b for b in (2, 4, 8, 16) if b - 1 >= max_hamming)
+            hint = f"Pass n_bands={fix} for a complete scan."
+        else:
+            hint = ("No complete 64-bit banding exists past distance 15 "
+                    "(16 bands of 4 bits bound at 15).")
         warnings.warn(
             f"max_hamming={max_hamming} exceeds the {n_bands}-band "
             f"completeness bound ({n_bands - 1}): pairs at distance "
-            f"{n_bands}..{max_hamming} are best-effort. Pass n_bands="
-            f"{max(4, 1 << (max_hamming.bit_length()))} for a complete scan.",
+            f"{n_bands}..{max_hamming} are best-effort. {hint}",
             stacklevel=2,
         )
     width = 64 // n_bands

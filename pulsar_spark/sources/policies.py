@@ -126,10 +126,29 @@ def apply_policies(
         visible_messages,
     )
 
+    from pulsar_spark.sources.topics import _read_topic_if_present
+
     pol = effective_policies(topic_path, namespace_dir)
+    # a just-created topic holds only sidecars — an enforcement pass
+    # scheduled on it must no-op, not crash on schema inference
+    if _read_topic_if_present(spark, topic_path) is None:
+        return {"policies": pol, "empty": True}
     m = spark.read.option("mergeSchema", "true").parquet(topic_path)
     now_ts = F.lit(now).cast("timestamp") if isinstance(now, str) else now
     out = {"policies": pol, "messages": m}
+
+    def _size():
+        # size columns are only resolvable when the caller supplies
+        # size_expr or the envelope carries props; a size-based policy
+        # on any other topic must fail loudly, not with an
+        # UNRESOLVED_COLUMN deep inside the plan
+        if size_expr is not None:
+            return size_expr
+        if "props" in m.columns:
+            return F.octet_length("props")
+        raise ValueError(
+            "size-based policy needs size_expr: topic has no props column"
+        )
 
     vis = m
     if "message_ttl_seconds" in pol:
@@ -156,10 +175,14 @@ def apply_policies(
             budget = int(r.get("size_mb", -1)) * 1024 * 1024
         if budget < 0:
             budget = 1 << 62  # -1: unlimited size budget
-        if size_expr is None:
-            size_expr = F.octet_length("props")
+            # time-only retention never consults the size column
+            size = F.lit(0).cast("bigint") if size_expr is None and (
+                "props" not in m.columns
+            ) else _size()
+        else:
+            size = _size()
         out["retention_plan"] = retention_plan(
-            m.withColumn("msg_size", size_expr), cutoff, budget, "msg_size"
+            m.withColumn("msg_size", size), cutoff, budget, "msg_size"
         )
 
     if "backlog_quota" in pol and cursors is not None:
@@ -175,10 +198,8 @@ def apply_policies(
     if "compaction_threshold_bytes" in pol:
         from pulsar_spark.operators.compaction import compaction_due
 
-        if size_expr is None:
-            size_expr = F.octet_length("props")
         out["compaction_due"] = compaction_due(
-            m.withColumn("msg_size", size_expr),
+            m.withColumn("msg_size", _size()),
             int(pol["compaction_threshold_bytes"]),
             size_col="msg_size",
         )

@@ -781,31 +781,9 @@ def _write_subscriptions(topic_path: str, subs: dict) -> None:
     cursor). Single-writer assumption as in the reference's
     metadata-store compare-and-set — concurrent admin writers are
     last-writer-wins at file granularity, never torn JSON."""
-    final = os.path.join(topic_path, _SUBS)
-    fd, tmp = tempfile.mkstemp(prefix="_subs_", suffix=".tmp", dir=topic_path)
-    try:
-        # mkstemp creates 0600 and os.replace keeps the temp's mode —
-        # preserve the registry's existing permissions so the atomic
-        # rewrite doesn't silently lock out readers that could see the
-        # file before. One stat with a FileNotFoundError fallback (no
-        # exists/stat TOCTOU against a concurrent teardown), and a
-        # fixed 0644 first-write default (reading the umask would mean
-        # mutating it process-wide, racing every other thread).
-        # hand the fd to a file object FIRST so every later failure
-        # path (stat/fchmod/dump) closes it via the context manager —
-        # raising between mkstemp and fdopen would leak the descriptor
-        with os.fdopen(fd, "w") as fh:
-            try:
-                mode = os.stat(final).st_mode & 0o777
-            except FileNotFoundError:
-                mode = 0o644
-            os.fchmod(fh.fileno(), mode)
-            json.dump(subs, fh, indent=1, sort_keys=True)
-        os.replace(tmp, final)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    from pulsar_spark.sources.cursors import atomic_write_json
+
+    atomic_write_json(os.path.join(topic_path, _SUBS), subs)
 
 
 def create_subscription(

@@ -197,12 +197,22 @@ class ReplicatedSubscriptionsController:
         local_cluster: str,
         remotes: dict[str, str],
         snapshot_timeout_s: float = 30.0,
+        max_cached_snapshots: int = 10,
     ) -> None:
         self.spark = spark
         self.topic_path = topic_path
         self.local_cluster = local_cluster
         self.remotes = dict(remotes)
         self.snapshot_timeout_ms = int(snapshot_timeout_s * 1000)
+        self.max_cached_snapshots = int(max_cached_snapshots)
+
+    def _has_data(self) -> bool:
+        """Presence = partition= subdirectories exist — the same cheap
+        metadata check _read_topic_if_present uses, without paying a
+        reader's footer/schema inference just to probe."""
+        if not os.path.isdir(self.topic_path):
+            return False
+        return any(n.startswith("partition=") for n in os.listdir(self.topic_path))
 
     # ------------------------------------------------------------ state
 
@@ -285,11 +295,8 @@ class ReplicatedSubscriptionsController:
         Marker rows are rare, so the per-(origin, lane) ordered drain is
         a bounded collect over a marker-only filter that rides the topic
         scan. Returns the number of markers processed."""
-        from pulsar_spark.sources.topics import _read_topic_if_present
-
         now = _now_ms() if now_ms is None else int(now_ms)
-        df = _read_topic_if_present(self.spark, self.topic_path)
-        if df is None:
+        if not self._has_data():
             return 0
         df = self.spark.read.option("mergeSchema", "true").parquet(self.topic_path)
         if "replicated_from" not in df.columns or "props" not in df.columns:
@@ -416,6 +423,15 @@ class ReplicatedSubscriptionsController:
         }
         st["next_seq"] += 1
         st["snapshots"].append(snap)
+        # bound the completed-snapshot cache like the reference's
+        # ReplicatedSubscriptionSnapshotCache (which caps by count):
+        # with no subscription attached (or one that lags forever)
+        # nothing else ever prunes, and the sidecar would otherwise
+        # grow — and be rewritten — on every completed snapshot
+        if len(st["snapshots"]) > self.max_cached_snapshots:
+            st["snapshots"] = sorted(
+                st["snapshots"], key=lambda s: s["seq"]
+            )[-self.max_cached_snapshots:]
         st["last_completed_ms"] = now
         del st["pending"][sid]
         write_marker_rows(
@@ -489,6 +505,10 @@ class ReplicatedSubscriptionsController:
         ``isEnableReplicatedSubscriptions`` on."""
         from pulsar_spark.streaming.replication import replicate_batch
 
+        if not self._has_data():
+            # pre-created topic with only sidecars: the normal deploy
+            # order attaches the controller before the first produce
+            return
         local = self.spark.read.option("mergeSchema", "true").parquet(self.topic_path)
         for cluster, dst in sorted(self.remotes.items()):
             replicate_batch(

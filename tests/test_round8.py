@@ -507,3 +507,105 @@ def hnsw_ivf_knn_rows(emb, qvec):
     from pulsar_spark.functions import hnsw_ivf_topk
 
     return hnsw_ivf_topk(emb, qvec, k=10, nlist=32, nprobe=8, exclude_id=0).collect()
+
+
+class TestReviewFindingsRound8:
+    """Regression tests for the round-8 code-review findings."""
+
+    def test_apply_policies_empty_topic_noops(self, spark, tmp_path):
+        from pulsar_spark.sources import policies as P
+        from pulsar_spark.sources.topics import create_topic
+
+        t = str(tmp_path / "t")
+        create_topic(t, 2)
+        P.set_policy(t, "message_ttl_seconds", 3600)
+        out = P.apply_policies(spark, t, "2030-01-01 00:00:00")
+        assert out["empty"] is True and "visible" not in out
+
+    def test_size_policy_without_props_raises_clearly(self, spark, tmp_path):
+        from pulsar_spark.sources import policies as P
+        from pulsar_spark.sources.topics import create_topic, produce
+
+        t = str(tmp_path / "t")
+        create_topic(t, 2)
+        produce(spark.createDataFrame([("a", 1)], "key string, v bigint"),
+                t, key_col="key")
+        P.set_policy(t, "compaction_threshold_bytes", 10)
+        with pytest.raises(ValueError, match="size_expr"):
+            P.apply_policies(spark, t, "2030-01-01 00:00:00")
+        # explicit size_expr unblocks it
+        out = P.apply_policies(spark, t, "2030-01-01 00:00:00",
+                               size_expr=F.lit(100))
+        assert out["compaction_due"].where("due").count() == 1
+
+    def test_time_only_retention_without_props(self, spark, tmp_path):
+        from pulsar_spark.sources import policies as P
+        from pulsar_spark.sources.topics import create_topic, produce
+
+        t = str(tmp_path / "t")
+        create_topic(t, 2)
+        produce(spark.createDataFrame([(str(i), i) for i in range(6)],
+                                      "key string, v bigint"),
+                t, key_col="key")
+        P.set_policy(t, "retention", {"minutes": -1})  # keep forever
+        out = P.apply_policies(spark, t, "2030-01-01 00:00:00")
+        assert out["retention_plan"].where("deletable").count() == 0
+
+    def test_controller_on_precreated_empty_topic(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import create_topic
+        from pulsar_spark.streaming.replicated_subscriptions import (
+            ReplicatedSubscriptionsController,
+        )
+
+        t, w = str(tmp_path / "t"), str(tmp_path / "w")
+        create_topic(t, 2)
+        c = ReplicatedSubscriptionsController(spark, t, "east", {"west": w})
+        c.tick(now_ms=1_000)  # must not crash: no data yet anywhere
+        assert c.process_markers(now_ms=2_000) == 0
+
+    def test_snapshot_cache_is_bounded(self, spark, tmp_path):
+        import os as _os
+
+        from pulsar_spark.sources.topics import create_topic, produce
+        from pulsar_spark.streaming.replicated_subscriptions import (
+            ReplicatedSubscriptionsController,
+        )
+
+        east, west = str(tmp_path / "east"), str(tmp_path / "west")
+        for topic, ids in ((east, range(4)), (west, range(100, 103))):
+            create_topic(topic, 2)
+            produce(spark.createDataFrame([(str(i), i) for i in ids],
+                                          "key string, event_id bigint"),
+                    topic, key_col="key")
+        ce = ReplicatedSubscriptionsController(
+            spark, east, "east", {"west": west}, max_cached_snapshots=2)
+        cw = ReplicatedSubscriptionsController(
+            spark, west, "west", {"east": east})
+        for i in range(3):
+            # new data each round so the no-new-data guard never skips
+            produce(spark.createDataFrame([(f"x{i}", 1000 + i)],
+                                          "key string, event_id bigint"),
+                    east, key_col="key")
+            assert ce.start_snapshot(now_ms=1_000 + i) is not None
+            ce.replicate_out()
+            cw.tick(now_ms=2_000 + i)
+            ce.process_markers(now_ms=3_000 + i)
+        st = ce._load()
+        assert len(st["snapshots"]) == 2
+        seqs = [s["seq"] for s in st["snapshots"]]
+        assert seqs == sorted(seqs)  # newest kept
+
+    def test_phash_warning_hint_is_actionable(self, spark):
+        import warnings
+
+        from pulsar_spark.functions.phash import phash_near_dups
+
+        df = spark.createDataFrame([(1, 7)], "media_id bigint, phash long")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            phash_near_dups(df, max_hamming=12)  # default 4 bands
+            assert any("n_bands=16" in str(x.message) for x in w)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            phash_near_dups(df, max_hamming=20, n_bands=16)
+            assert any("No complete" in str(x.message) for x in w)
