@@ -230,12 +230,16 @@ def replicate_stream(
     checkpoint_dir: str,
     num_partitions: int | None = None,
     max_files_per_trigger: int | None = None,
+    replicated_subscriptions: bool = False,
 ):
     """Open the replicator over a local topic and return the started
     StreamingQuery (availableNow: drains everything the checkpoint has
     not seen, then stops — call again as traffic arrives; a
     Trigger.ProcessingTime deployment is the same writer without
-    availableNow)."""
+    availableNow). ``replicated_subscriptions`` is the broker's
+    ``isEnableReplicatedSubscriptions``: the stream then also forwards
+    the snapshot/update protocol markers
+    (streaming/replicated_subscriptions.py)."""
     from pulsar_spark.streaming.subscribe import subscribe
 
     stream = subscribe(spark, src_topic, max_files_per_trigger=max_files_per_trigger)
@@ -245,6 +249,7 @@ def replicate_stream(
             replicate_batch(
                 batch, dst_topic, local_cluster, target_cluster,
                 num_partitions=num_partitions,
+                replicated_subscriptions=replicated_subscriptions,
             )
 
     return (

@@ -72,7 +72,11 @@ def subscribe(
         raise ValueError(
             f"initial_position must be earliest|latest, got {initial_position}"
         )
-    static = spark.read.parquet(topic_path)  # schema discovery only
+    # schema discovery only — mergeSchema, because a topic legitimately
+    # mixes file schemas (replicated-in files add src_* columns,
+    # protocol marker files add marker_type/props) and sampling one
+    # footer would silently drop those columns from the whole stream
+    static = spark.read.option("mergeSchema", "true").parquet(topic_path)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -161,7 +165,11 @@ def subscribe_assigned(
     )
 
     seg_ids = [int(s.segment_id) for s in assignment.segments]
-    static = spark.read.parquet(topic_path)  # schema discovery only
+    # schema discovery only — mergeSchema, because a topic legitimately
+    # mixes file schemas (replicated-in files add src_* columns,
+    # protocol marker files add marker_type/props) and sampling one
+    # footer would silently drop those columns from the whole stream
+    static = spark.read.option("mergeSchema", "true").parquet(topic_path)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

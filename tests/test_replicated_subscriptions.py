@@ -254,3 +254,31 @@ class TestCursorRegistry:
         got = cursors.ack_cumulative(t, "ghost", {0: 1}, create_replicated=True)
         assert got == {0: 1}
         assert cursors.is_replicated(t, "ghost")
+
+
+class TestStreamingReplicatorCarriesMarkers:
+    def test_replicate_stream_forwards_protocol_markers(self, spark, tmp_path):
+        """The streaming replicator leg (replicate_stream with
+        isEnableReplicatedSubscriptions on) carries the snapshot
+        protocol end-to-end: a request written at east reaches west
+        through the STREAM, west answers, and east completes."""
+        from pulsar_spark.streaming.replication import replicate_stream
+
+        east, west = str(tmp_path / "east"), str(tmp_path / "west")
+        _produce(spark, east, range(8))
+        _produce(spark, west, range(100, 104))
+        ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+        assert ce.start_snapshot(now_ms=1_000) is not None
+
+        def drain(src, dst, local, target, ck):
+            q = replicate_stream(spark, src, dst, local, target, ck,
+                                 replicated_subscriptions=True)
+            assert q.awaitTermination(120)
+
+        drain(east, west, "east", "west", str(tmp_path / "ck_ew"))
+        cw.process_markers(now_ms=2_000)       # west answers
+        drain(west, east, "west", "east", str(tmp_path / "ck_we"))
+        ce.process_markers(now_ms=3_000)       # east completes
+        st = ce._load()
+        assert not st["pending"] and len(st["snapshots"]) == 1
