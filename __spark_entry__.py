@@ -1596,6 +1596,102 @@ def _wav_media_fixture(spark, sf_dir, perturb: bool):
     )
 
 
+def _avi_media_fixture(spark, sf_dir):
+    """MJPEG-AVI fixture: every 7th doc gets an AVI of ``4 + doc_id%3``
+    solid 24x16 frames, frame f's gray = (37*(doc_id%5) + 29*f) % 256 —
+    frame count, dims, and sampled indexes are all formula-derived so
+    the oracle can pin them without decoding; the decoded pixel means
+    are pinned (with JPEG-DC tolerance) in pytest."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 7 == 0
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.video import encode_avi_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    np.full((16, 24, 3), (37 * (d % 5) + 29 * f) % 256, np.uint8)
+                    for f in range(4 + d % 3)
+                ]
+                rows.append((d, "video", "avi", encode_avi_mjpeg(frames, fps=5)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    return docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+
+
+def _q_media_video_frames(spark, sf_dir):
+    # REAL video frame sampling (functions/video.py): parse the MJPEG
+    # AVI container, JPEG-decode every 2nd frame, emit one row per
+    # sampled frame. The oracle pins the formula-planted frame count,
+    # dims (which come from the DECODED pixels — a broken JPEG kernel
+    # mismatches), and the sampling arithmetic; the lossy-but-
+    # deterministic pixel means are tolerance-pinned in pytest.
+    from pulsar_spark.functions.video import sample_video_frames
+
+    return sample_video_frames(
+        _avi_media_fixture(spark, sf_dir), every_n=2
+    ).select("media_id", "frame_idx", "n_frames", "width", "height")
+
+
+def _adpcm_media_fixture(spark, sf_dir):
+    """IMA-ADPCM WAV fixture: every 11th doc, signal pattern =
+    doc_id % 13 (two-tone int16, 4000 samples at 8 kHz) — identical
+    patterns encode to identical bytes, so decoded-PCM grouping must
+    reproduce doc_id % 13 exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 11 == 0
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.video import encode_wav_ima
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % 13
+                t = np.arange(4000)
+                sig = (
+                    9000 * np.sin(2 * np.pi * (120 + 53 * g) * t / 8000)
+                    + 5000 * np.sin(2 * np.pi * (350 + 97 * g) * t / 8000)
+                ).astype(np.int64)
+                rows.append((d, "audio", "wav", encode_wav_ima(sig, 8000)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    return docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+
+
+def _q_media_audio_adpcm(spark, sf_dir):
+    # REAL compressed-audio decode (functions/video.py decode_wav_ima,
+    # IMA/DVI ADPCM — bit-exact integer math): grouping by the md5 of
+    # the DECODED sample stream must reproduce the planted pattern
+    # (doc_id % 13); a wrong table, predictor clamp, nibble order, or
+    # fact-trim splits groups and mismatches.
+    from pulsar_spark.functions.video import adpcm_exact_groups
+
+    return adpcm_exact_groups(_adpcm_media_fixture(spark, sf_dir)).select(
+        "media_id", "canonical_id", "group_size", "is_dup", "n_samples", "rate"
+    )
+
+
 def _q_media_audio_fingerprint(spark, sf_dir):
     # Audio perceptual fingerprinting (functions/phash.py
     # audio_fingerprint64, Haitsma & Kalker 2002 reduced to one 64-bit
@@ -3251,8 +3347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subscription_lifecycle": _q_subscription_lifecycle,
         "doc_remove_dup_spans": _q_doc_remove_dup_spans,
         "scalable_split_stats": _q_scalable_split_stats,
-        "key_shared_bucket_stats": _q_key_shared_bucket_stats,
-        "segment_load_rates": _q_segment_load_rates,
+        # (key_shared_bucket_stats' and segment_load_rates' slots went
+        #  to the new media_video_frames and media_audio_adpcm: both
+        #  displaced queries are driver-green r7, in KEYS)
+        "media_video_frames": _q_media_video_frames,
+        "media_audio_adpcm": _q_media_audio_adpcm,
         # -- freshness rotation: the oldest driver checks on the
         #    board (r4-checked, slid below the marker in r6)
         "table_view": _q_table_view,
@@ -3308,6 +3407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  policy_enforcement: both driver-green r7, in KEYS)
         "stream_cumulative_ack": _q_stream_cumulative_ack,
         "scalable_multi_topic_stats": _q_scalable_multi_topic_stats,
+        "key_shared_bucket_stats": _q_key_shared_bucket_stats,
+        "segment_load_rates": _q_segment_load_rates,
         # (schema_avro_decode's slot went to geo_replication_stream:
         #  driver-green r5, kept in parity KEYS)
         "schema_avro_decode": _q_schema_avro_decode,
@@ -4553,6 +4654,35 @@ def oracle_sql() -> dict[str, str]:
                      AS group_size,
                    doc_id != min(doc_id) OVER (PARTITION BY doc_id % 37) AS is_dup
             FROM documents
+        """,
+        # Formula-planted MJPEG-AVI containers: frame count, decoded
+        # dims, and every-2nd sampling arithmetic are all oracle-
+        # derivable without a JPEG decoder (a broken container parse or
+        # frame decode mismatches rows/dims; lossy pixel means are
+        # tolerance-pinned in pytest instead).
+        "media_video_frames": """
+            WITH vids AS (
+              SELECT doc_id, 4 + doc_id % 3 AS n_frames
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                   CAST(n_frames AS INT) AS n_frames,
+                   CAST(24 AS INT) AS width, CAST(16 AS INT) AS height
+            FROM vids, LATERAL unnest(range(0, n_frames, 2)) AS t(i)
+        """,
+        # IMA-ADPCM decode is bit-exact integer math: grouping by the
+        # md5 of the DECODED samples must reproduce the planted signal
+        # pattern (doc_id % 13) over the planted subset.
+        "media_audio_adpcm": """
+            SELECT doc_id AS media_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 13) AS canonical_id,
+                   CAST(count(*) OVER (PARTITION BY doc_id % 13) AS BIGINT)
+                     AS group_size,
+                   doc_id != min(doc_id) OVER (PARTITION BY doc_id % 13)
+                     AS is_dup,
+                   CAST(4000 AS INT) AS n_samples,
+                   CAST(8000 AS INT) AS rate
+            FROM documents WHERE doc_id % 11 = 0
         """,
         # Stored-policy enforcement must equal the parameterized
         # operators: TTL + delayed visibility (namespace TTL policy),

@@ -281,16 +281,24 @@ def _encode_png(arr) -> bytes:
 
 
 def _decode_wav(payload: bytes):
-    """PCM WAV (8/16-bit) via the stdlib ``wave`` module -> (mono
-    float32 array in [-1, 1], sample_rate, n_channels)."""
+    """WAV -> (mono float32 array in [-1, 1], sample_rate,
+    n_channels). PCM (8/16-bit) via the stdlib ``wave`` module;
+    IMA-ADPCM (format tag 0x0011, which ``wave`` rejects) via the
+    real integer decoder in functions/video.py."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload)) as wf:
-        rate, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error:
+        from pulsar_spark.functions.video import decode_wav_ima
+
+        pcm, rate = decode_wav_ima(bytes(payload))
+        return pcm.astype(np.float32) / 32768.0, rate, 1
     if sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sw == 1:
@@ -355,7 +363,7 @@ def _feature_audio(x, rate: int, nch: int) -> list[float]:
 
 
 #: codecs with REAL decode kernels in this container
-REAL_CODECS = ("jpeg", "jpg", "png", "bmp", "ppm", "pgm", "wav")
+REAL_CODECS = ("jpeg", "jpg", "png", "bmp", "ppm", "pgm", "wav", "avi")
 
 
 def _decode_pixels(payload: bytes, codec: str):
@@ -384,6 +392,23 @@ def _decode_real(payload: bytes, codec: str) -> dict:
             "duration_ms": int(round(len(x) / rate * 1000)),
             "n_frames": len(x),
             "feature": _feature_audio(x, rate, nch),
+        }
+    if codec == "avi":
+        # MJPEG-in-AVI (functions/video.py): real container parse +
+        # first-frame JPEG decode for the features; duration from the
+        # container clock
+        from pulsar_spark.functions.jpeg import decode_jpeg
+        from pulsar_spark.functions.video import parse_avi
+
+        info = parse_avi(bytes(payload))
+        px = decode_jpeg(info["frames"][0])
+        n = len(info["frames"])
+        return {
+            "width": int(info["width"]),
+            "height": int(info["height"]),
+            "duration_ms": int(round(n * (info["us_per_frame"] or 0) / 1000)),
+            "n_frames": n,
+            "feature": _feature_image(px),
         }
     px = _decode_pixels(payload, codec)
     h, w = px.shape[:2]

@@ -609,3 +609,138 @@ class TestReviewFindingsRound8:
             warnings.simplefilter("always")
             phash_near_dups(df, max_hamming=20, n_bands=16)
             assert any("No complete" in str(x.message) for x in w)
+
+
+class TestVideoAvi:
+    def _frames(self, grays, w=24, h=16):
+        import numpy as np
+
+        return [np.full((h, w, 3), g, dtype=np.uint8) for g in grays]
+
+    def test_container_round_trip(self):
+        from pulsar_spark.functions.video import encode_avi_mjpeg, parse_avi
+
+        avi = encode_avi_mjpeg(self._frames([10, 100, 200]), fps=5)
+        info = parse_avi(avi)
+        assert len(info["frames"]) == 3 == info["n_frames"]
+        assert (info["width"], info["height"]) == (24, 16)
+        assert info["us_per_frame"] == 200_000
+
+    def test_truncated_tail_is_lenient_and_bad_magic_raises(self):
+        from pulsar_spark.functions.video import encode_avi_mjpeg, parse_avi
+
+        avi = encode_avi_mjpeg(self._frames([10, 100, 200]), fps=5)
+        assert len(parse_avi(avi[:-30])["frames"]) >= 2
+        with pytest.raises(ValueError, match="RIFF"):
+            parse_avi(b"nonsense")
+
+    def test_sampled_frame_means_match_planting(self, spark, tmp_path):
+        """JPEG is lossy but deterministic: each solid sampled frame's
+        decoded mean must sit within DC-quantization distance of the
+        planted gray."""
+        import numpy as np
+
+        from pulsar_spark.functions.video import (
+            encode_avi_mjpeg,
+            sample_video_frames,
+        )
+
+        grays = [16, 64, 128, 200, 240]
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_avi_mjpeg(self._frames(grays), fps=5)))],
+            "media_id bigint, payload binary",
+        )
+        rows = {r.frame_idx: r for r in sample_video_frames(df, every_n=2).collect()}
+        assert sorted(rows) == [0, 2, 4]
+        for idx, r in rows.items():
+            assert abs(r.mean_luma_q - grays[idx]) <= 4, (idx, r.mean_luma_q)
+            assert (r.width, r.height, r.n_frames) == (24, 16, 5)
+
+    def test_decode_media_real_tier_handles_avi(self, spark):
+        from pulsar_spark.functions.multimodal import decode_media
+        from pulsar_spark.functions.video import encode_avi_mjpeg
+
+        df = spark.createDataFrame(
+            [(7, "video", "avi",
+              bytearray(encode_avi_mjpeg(self._frames([50, 60]), fps=10)))],
+            "media_id bigint, modality string, codec string, payload binary",
+        )
+        r = decode_media(df, strict=True).collect()[0]
+        assert (r.width, r.height, r.n_frames) == (24, 16, 2)
+        assert r.duration_ms == 200
+
+
+class TestAdpcm:
+    def _sig(self, n=6000, seed=1):
+        import numpy as np
+
+        t = np.arange(n)
+        return (9000 * np.sin(2 * np.pi * 440 * t / 8000)
+                + 4000 * np.sin(2 * np.pi * 1100 * t / 8000)).astype(np.int64)
+
+    def test_round_trip_snr_and_determinism(self):
+        import numpy as np
+
+        from pulsar_spark.functions.video import decode_wav_ima, encode_wav_ima
+
+        sig = self._sig()
+        wav = encode_wav_ima(sig, 8000)
+        assert wav == encode_wav_ima(sig, 8000)
+        pcm, rate = decode_wav_ima(wav)
+        assert rate == 8000 and len(pcm) == len(sig)
+        err = pcm.astype(np.float64) - sig
+        # 4-bit ADPCM on a two-tone signal: assert the codec-quality
+        # contract (steady-state SNR), not a per-sample bound — the
+        # high-slew composite legitimately quantizes coarser than a
+        # single tone
+        rms_sig = float(np.sqrt((sig[200:] ** 2).mean()))
+        rms_err = float(np.sqrt((err[200:] ** 2).mean()))
+        assert rms_err / rms_sig < 0.08, rms_err / rms_sig
+
+    def test_fact_chunk_trims_pad_sample(self):
+        from pulsar_spark.functions.video import decode_wav_ima, encode_wav_ima
+
+        # 506 samples = one full 505 block + 1 header sample in block 2;
+        # and a mid-block even remainder that forces a pad nibble
+        for n in (506, 700):
+            sig = self._sig(n)
+            pcm, _ = decode_wav_ima(encode_wav_ima(sig, 8000))
+            assert len(pcm) == n
+
+    def test_wav_decoder_falls_back_to_ima(self, spark):
+        """multimodal._decode_wav: stdlib wave rejects format 0x0011;
+        the real IMA decoder takes over transparently, so
+        decode_media(strict=True) works on compressed audio."""
+        from pulsar_spark.functions.multimodal import decode_media
+        from pulsar_spark.functions.video import encode_wav_ima
+
+        df = spark.createDataFrame(
+            [(3, "audio", "wav", bytearray(encode_wav_ima(self._sig(4000), 8000)))],
+            "media_id bigint, modality string, codec string, payload binary",
+        )
+        r = decode_media(df, strict=True).collect()[0]
+        assert r.n_frames == 4000
+        assert r.duration_ms == 500
+
+    def test_exact_groups_split_on_signal_change(self, spark):
+        import numpy as np
+
+        from pulsar_spark.functions.video import (
+            adpcm_exact_groups,
+            encode_wav_ima,
+        )
+
+        def clip(g):
+            t = np.arange(1011)
+            return bytearray(encode_wav_ima(
+                (5000 * np.sin(2 * np.pi * (100 + g * 50) * t / 8000)).astype(np.int64),
+                8000))
+
+        df = spark.createDataFrame(
+            [(i, clip(i % 3)) for i in range(9)], "media_id bigint, payload binary"
+        )
+        got = {r.media_id: r for r in adpcm_exact_groups(df).collect()}
+        for i in range(9):
+            assert got[i].canonical_id == i % 3
+            assert got[i].group_size == 3
+            assert got[i].n_samples == 1011
