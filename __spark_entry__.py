@@ -1722,6 +1722,172 @@ def _q_media_audio_near_dups(spark, sf_dir):
     return phash_near_dups(hashed, max_hamming=6, hash_col="afp")
 
 
+def _q_media_decode_gif(spark, sf_dir):
+    # REAL GIF decode (functions/gif.py: full variable-width LZW with
+    # table growth + deferred clear, 4-pass interlace, GCE frame
+    # clocks). Payloads are genuine GIFs encoded in-flight by the
+    # module's own LZW compressor; three families exercise three
+    # decoder paths: (0) animated 3-frame with per-frame GCE delays
+    # (duration = sum of delays), (1) INTERLACED vertical-ramp still
+    # (the row permutation must invert exactly or the mean shifts),
+    # (2) 255-color ramp still (LZW code width grows past 9 bits).
+    # The oracle recomputes dims / frame count / duration / channel
+    # sum in closed form — a wrong LZW table entry, band order, or
+    # delay unit is a hash mismatch.
+    from pulsar_spark.functions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.gif import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:  # animated: 3 solid frames, GCE delays
+                    v = d * 17 % 254
+                    frames = [
+                        np.full((2 + d % 3, 3 + d % 4, 3), v + f, np.uint8)
+                        for f in range(3)
+                    ]
+                    delays = [d % 10 + 1, d % 10 + 2, d % 10 + 3]
+                    payload = encode_gif(frames, delays_cs=delays)
+                elif d % 3 == 1:  # interlaced vertical ramp (odd height)
+                    h, w = 5 + 2 * (d % 3), 3 + d % 4
+                    ramp = (d % 200 + np.arange(h, dtype=np.int32)) % 256
+                    px = np.repeat(
+                        ramp.astype(np.uint8)[:, None, None], 3, axis=2
+                    ).repeat(w, axis=1)
+                    payload = encode_gif(px, interlace=True)
+                else:  # 255-color ramp: LZW width growth past 9 bits
+                    row = np.arange(255, dtype=np.uint8)
+                    px = np.stack([row] * 3, axis=-1)[None].repeat(16, axis=0)
+                    payload = encode_gif(px)
+                rows.append((d, "image", "gif", payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    out = decode_media(media, strict=True)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        "duration_ms",
+        # feature[0] is the gray mean in [0,1]; x765 recovers the exact
+        # integer channel sum of the FIRST frame (fixture rows are
+        # achromatic, so 765*mean = 3*gray mean, an exact integer)
+        F.round(F.element_at("feature", 1) * 765).cast("int").alias("rgb_sum"),
+        "decode_ok",
+    )
+
+
+def _q_media_decode_g711(spark, sf_dir):
+    # REAL telephony-audio decode (functions/audio.py, ITU-T G.711):
+    # mu-law WAVs (format tag 7) for even docs, A-law (tag 6) for odd,
+    # each a constant-amplitude codebook value derived from doc_id.
+    # The oracle recomputes the expanded 16-bit magnitude from the
+    # G.711 segment/mantissa formulas IN SQL — a wrong bias, segment
+    # shift, or sign convention mismatches every row; duration checks
+    # the fact-chunk/data walk.
+    from pulsar_spark.functions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.audio import (
+            alaw_decode_table,
+            encode_wav_g711,
+            ulaw_decode_table,
+        )
+
+        ut, at = ulaw_decode_table(), alaw_decode_table()
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + (d % 50) * 8  # divisible by 8: exact ms at 8 kHz
+                # 16..127 keeps the value nonzero and positive in both laws
+                c = 16 + d % 112
+                if d % 2 == 0:
+                    pcm = np.full(n, ut[(~c) & 0xFF], np.int16)
+                    payload = encode_wav_g711(pcm, 8000, "ulaw")
+                else:
+                    pcm = np.full(n, at[(0x80 | c) ^ 0x55], np.int16)
+                    payload = encode_wav_g711(pcm, 8000, "alaw")
+                rows.append((d, "audio", "wav", payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    out = decode_media(media, strict=True)
+    return out.select(
+        "media_id",
+        "duration_ms",
+        "n_frames",
+        # feature[2] is peak |x| with x = pcm/32768: x32768 recovers the
+        # exact expanded 16-bit magnitude (constant-amplitude fixture)
+        F.round(F.element_at("feature", 3) * 32768).cast("int").alias("peak_i16"),
+        "decode_ok",
+    )
+
+
+def _q_media_y4m_frames(spark, sf_dir):
+    # REAL uncompressed-video frame sampling (functions/video.py
+    # parse_y4m + sample_video_frames codec dispatch): Y4M is lossless,
+    # so unlike the MJPEG AVI twin the per-frame pixel means are
+    # oracle-pinned EXACTLY, not tolerance-pinned — frame f of doc d is
+    # solid gray (31*(d%6) + 41*f) % 256 in a Cmono container.
+    from pulsar_spark.functions.video import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 5 == 0
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.video import encode_y4m
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    np.full((6 + d % 2, 8 + d % 3), (31 * (d % 6) + 41 * f) % 256,
+                            np.uint8)
+                    for f in range(2 + d % 4)
+                ]
+                rows.append(
+                    (d, "video", "y4m", encode_y4m(frames, 10, 1, "mono"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    return sample_video_frames(media, every_n=2).select(
+        "media_id", "frame_idx", "n_frames", "width", "height", "mean_luma_q"
+    )
+
+
 def _q_geo_replication_stream(spark, sf_dir):
     # Streaming geo-replication (streaming/replication.py, the
     # GeoPersistentReplicator as a streaming query): the fixture topic
@@ -3387,9 +3553,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretraining_pipeline_v3": _q_pretraining_pipeline_v3,
         "doc_embedding_join": _q_doc_embedding_join,
         "doc_contamination": _q_doc_contamination,
-        "multi_topic_union": _q_multi_topic_union,
-        "schema_json_decode": _q_schema_json_decode,
-        "schema_kv_decode": _q_schema_kv_decode,
+        # -- new round-8 media kernels: real GIF LZW decode, G.711
+        #    telephony audio, Y4M uncompressed video frame sampling
+        #    (multi_topic_union's, schema_json_decode's and
+        #    schema_kv_decode's freshness slots — all three displaced
+        #    queries are driver-green and in parity KEYS)
+        "media_decode_gif": _q_media_decode_gif,
+        "media_decode_g711": _q_media_decode_g711,
+        "media_y4m_frames": _q_media_y4m_frames,
         # (schema_auto_consume's slot went to geo_replication: the
         #  one-hop replicate_candidates change — GeoPersistentReplicator
         #  .java:207 — altered its operator after its last driver
@@ -3408,6 +3579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replicated_subscription_failover": _q_replicated_subscription_failover,
         "policy_enforcement": _q_policy_enforcement,
         # ---- 50-entry driver prefix ends here ----
+        "multi_topic_union": _q_multi_topic_union,
+        "schema_json_decode": _q_schema_json_decode,
+        "schema_kv_decode": _q_schema_kv_decode,
         # (stream_cumulative_ack's and scalable_multi_topic_stats'
         #  slots went to the new replicated_subscription_failover and
         #  policy_enforcement: both driver-green r7, in KEYS)
@@ -4666,6 +4840,67 @@ def oracle_sql() -> dict[str, str]:
         # derivable without a JPEG decoder (a broken container parse or
         # frame decode mismatches rows/dims; lossy pixel means are
         # tolerance-pinned in pytest instead).
+        # REAL GIF decode: dims / frame count / GCE clock / first-frame
+        # channel sum recomputed in closed form from the fixture
+        # formulas (families: animated, interlaced ramp, 255-color ramp).
+        "media_decode_gif": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 3 + doc_id % 4
+                        WHEN 1 THEN 3 + doc_id % 4
+                        ELSE 255 END AS INT) AS width,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 2 + doc_id % 3
+                        WHEN 1 THEN 5 + 2 * (doc_id % 3)
+                        ELSE 16 END AS INT) AS height,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 3 ELSE 1 END AS INT)
+                     AS n_frames,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN (3 * (doc_id % 10) + 6) * 10
+                        END AS INT) AS duration_ms,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 3 * (doc_id * 17 % 254)
+                        WHEN 1 THEN 3 * (doc_id % 200 + (doc_id % 3) + 2)
+                        ELSE 381 END AS INT) AS rgb_sum,
+                   TRUE AS decode_ok
+            FROM documents
+        """,
+        # G.711 expansion recomputed from the ITU segment/mantissa
+        # closed forms: mu-law ((man*8+132)*2^seg - 132), A-law
+        # ((man*16+264)*2^(seg-1), seg>=1 by fixture construction).
+        "media_decode_g711": """
+            WITH codes AS (
+              SELECT doc_id, 16 + doc_id % 112 AS c,
+                     400 + (doc_id % 50) * 8 AS n
+              FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(n / 8 AS INT) AS duration_ms,
+                   CAST(n AS INT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN ((c % 16) * 8 + 132) * power(2, c // 16) - 132
+                        ELSE ((c % 16) * 16 + 264) * power(2, c // 16 - 1)
+                        END AS INT) AS peak_i16,
+                   TRUE AS decode_ok
+            FROM codes
+        """,
+        # Y4M is lossless, so the sampled per-frame means are pinned
+        # EXACTLY (the AVI twin's JPEG means are tolerance-pinned in
+        # pytest instead).
+        "media_y4m_frames": """
+            WITH vids AS (
+              SELECT doc_id, 2 + doc_id % 4 AS n_frames,
+                     8 + doc_id % 3 AS width, 6 + doc_id % 2 AS height
+              FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                   CAST(n_frames AS INT) AS n_frames,
+                   CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST((31 * (doc_id % 6) + 41 * i) % 256 AS BIGINT)
+                     AS mean_luma_q
+            FROM vids, LATERAL unnest(range(0, n_frames, 2)) AS t(i)
+        """,
         "media_video_frames": """
             WITH vids AS (
               SELECT doc_id, 4 + doc_id % 3 AS n_frames

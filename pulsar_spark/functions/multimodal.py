@@ -295,6 +295,16 @@ def _decode_wav(payload: bytes):
             rate, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
             raw = wf.readframes(wf.getnframes())
     except wave.Error:
+        # non-PCM format tags the stdlib rejects: G.711 mu/A-law
+        # (tags 7/6, functions/audio.py) then IMA-ADPCM (tag 0x11,
+        # functions/video.py) — all REAL integer kernels
+        from pulsar_spark.functions.audio import decode_wav_g711
+
+        try:
+            pcm, rate = decode_wav_g711(bytes(payload))
+            return pcm.astype(np.float32) / 32768.0, rate, 1
+        except ValueError:
+            pass
         from pulsar_spark.functions.video import decode_wav_ima
 
         pcm, rate = decode_wav_ima(bytes(payload))
@@ -363,7 +373,10 @@ def _feature_audio(x, rate: int, nch: int) -> list[float]:
 
 
 #: codecs with REAL decode kernels in this container
-REAL_CODECS = ("jpeg", "jpg", "png", "bmp", "ppm", "pgm", "wav", "avi")
+REAL_CODECS = (
+    "jpeg", "jpg", "png", "bmp", "ppm", "pgm", "gif",
+    "wav", "avi", "y4m",
+)
 
 
 def _decode_pixels(payload: bytes, codec: str):
@@ -380,6 +393,10 @@ def _decode_pixels(payload: bytes, codec: str):
         return _decode_png(payload)
     if codec == "bmp":
         return _decode_bmp(payload)
+    if codec == "gif":
+        from pulsar_spark.functions.gif import decode_gif
+
+        return decode_gif(bytes(payload))["frames"][0]
     raise ValueError(f"no real pixel kernel for codec {codec}")
 
 
@@ -410,7 +427,41 @@ def _decode_real(payload: bytes, codec: str) -> dict:
             "n_frames": n,
             "feature": _feature_image(px),
         }
+    if codec == "y4m":
+        # uncompressed YUV4MPEG2 (functions/video.py): duration from
+        # the header frame rate, features from the first frame
+        from pulsar_spark.functions.video import parse_y4m
+
+        info = parse_y4m(bytes(payload))
+        n = len(info["frames"])
+        return {
+            "width": int(info["width"]),
+            "height": int(info["height"]),
+            "duration_ms": int(round(n * 1000 * info["fps_den"] / info["fps_num"])),
+            "n_frames": n,
+            "feature": _feature_image(info["frames"][0]),
+        }
+    if codec == "gif":
+        # real LZW decode (functions/gif.py); a 1-frame GIF is an
+        # image (duration null), an animation reports the GCE clock
+        from pulsar_spark.functions.gif import decode_gif
+
+        info = decode_gif(bytes(payload))
+        n = len(info["frames"])
+        return {
+            "width": info["width"],
+            "height": info["height"],
+            "duration_ms": (
+                int(sum(info["delays_cs"]) * 10) if n > 1 else None
+            ),
+            "n_frames": n,
+            "feature": _feature_image(info["frames"][0]),
+        }
     px = _decode_pixels(payload, codec)
+    if px.ndim == 2:
+        import numpy as np
+
+        px = np.stack([px] * 3, axis=-1)
     h, w = px.shape[:2]
     return {
         "width": w,
@@ -458,13 +509,14 @@ def _decode_stub(payload: bytes, modality: str) -> dict:
 def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Rows whose ``codec`` is in ``REAL_CODECS`` (bmp/ppm/pgm/wav) run the
-    REAL numpy/stdlib kernels — actual pixel/sample decode, actual
-    features; a malformed payload yields ``decode_ok=false`` with null
-    metadata (bad bytes are data, not exceptions, in a 100 TB crawl).
-    Other codecs run the deterministic stub, or raise
-    NotImplementedError under ``strict=True`` — the marker that a
-    compressed-codec kernel must be dropped in.
+    Rows whose ``codec`` is in ``REAL_CODECS`` (jpeg/png/bmp/ppm/pgm/
+    gif for images; wav — PCM, G.711 mu/A-law, IMA-ADPCM — for audio;
+    avi/y4m/gif for video) run the REAL numpy/stdlib kernels — actual
+    pixel/sample decode, actual features; a malformed payload yields
+    ``decode_ok=false`` with null metadata (bad bytes are data, not
+    exceptions, in a 100 TB crawl). Other codecs run the deterministic
+    stub, or raise NotImplementedError under ``strict=True`` — the
+    marker that a compressed-codec kernel must be dropped in.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -526,9 +578,12 @@ def resize_media(
     ppm — the resized raster is RGB; png re-encodes as color-type-2
     RGB; jpeg re-encodes as baseline 4:4:4 when the target dims are
     multiples of 8 and upcasts to png otherwise — the pure-numpy
-    encoder has no edge-replication path). Library-bound codecs
-    (h264 ...) take the stub path (deterministic bytes; swap in
-    ffmpeg where available) or raise under ``strict=True``."""
+    encoder has no edge-replication path). gif/y4m rows resize every
+    frame: bilinear output breaks GIF's palette invariant, so a still
+    GIF upcasts to png and an animation to y4m (uncompressed video);
+    y4m re-encodes as full-chroma y4m. Library-bound codecs (h264 ...)
+    take the stub path (deterministic bytes; swap in ffmpeg where
+    available) or raise under ``strict=True``."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -549,23 +604,52 @@ def resize_media(
             encoders["jpeg"] = encoders["jpg"] = _encode_png
 
         def one(payload, codec):
-            """-> (new_payload, resized?). Malformed real-codec bytes
-            are data, not exceptions (same contract as decode_media):
-            the row passes through untouched with resized=False."""
+            """-> (new_payload, resized?, new_codec|None). Malformed
+            real-codec bytes are data, not exceptions (same contract as
+            decode_media): the row passes through untouched with
+            resized=False."""
             codec = (codec or "").lower()
             if codec in ("jpeg", "jpg", "png", "bmp", "ppm", "pgm"):
                 try:
                     px = decoders.get(codec, _decode_pnm)(bytes(payload))
                     resized = _resize_bilinear(px, width, height)
                 except Exception:
-                    return payload, False
-                return encoders.get(codec, _encode_ppm)(resized), True
+                    return payload, False, None
+                return encoders.get(codec, _encode_ppm)(resized), True, None
+            if codec in ("gif", "y4m"):
+                # bilinear interpolation breaks GIF's <=256-color
+                # palette invariant, so resized GIFs container-upcast:
+                # stills to PNG, animations to Y4M (uncompressed RGB
+                # video); Y4M re-encodes as full-chroma Y4M.
+                from pulsar_spark.functions.gif import decode_gif
+                from pulsar_spark.functions.video import encode_y4m, parse_y4m
+
+                try:
+                    if codec == "gif":
+                        info = decode_gif(bytes(payload))
+                        fps = (100, max(sum(info["delays_cs"]), 1))
+                    else:
+                        info = parse_y4m(bytes(payload))
+                        fps = (info["fps_num"], info["fps_den"])
+                    frames = [
+                        _resize_bilinear(f, width, height)
+                        for f in info["frames"]
+                    ]
+                except Exception:
+                    return payload, False, None
+                if codec == "gif" and len(frames) == 1:
+                    return _encode_png(frames[0]), True, "png"
+                return encode_y4m(frames, fps[0], fps[1], "444"), True, "y4m"
             if strict:
                 raise NotImplementedError(
                     f"no codec library for {codec!r}; real resize covers "
-                    "jpeg/png/bmp/ppm/pgm"
+                    "jpeg/png/bmp/ppm/pgm/gif/y4m"
                 )
-            return hashlib.sha256(bytes(payload or b"") + dim_tag).digest(), True
+            return (
+                hashlib.sha256(bytes(payload or b"") + dim_tag).digest(),
+                True,
+                None,
+            )
 
         for pdf in batches:
             pdf = pdf.copy()
@@ -578,11 +662,19 @@ def resize_media(
             results = [
                 one(p, c) for p, c in zip(pdf.loc[visual, "payload"], codecs)
             ]
-            pdf.loc[visual, "payload"] = [p for p, _ in results]
-            ok = pdf.index[visual][[s for _, s in results]]
+            pdf.loc[visual, "payload"] = [p for p, _, _ in results]
+            ok = pdf.index[visual][[s for _, s, _ in results]]
             pdf.loc[ok, "width"] = width
             pdf.loc[ok, "height"] = height
             if "codec" in pdf.columns:
+                # container upcasts decided per row (gif -> png/y4m)
+                upcast = {
+                    i: nc
+                    for i, (_, s, nc) in zip(pdf.index[visual], results)
+                    if s and nc
+                }
+                if upcast:
+                    pdf.loc[list(upcast), "codec"] = list(upcast.values())
                 # pgm re-encodes as ppm (RGB container)
                 pgm_ok = pdf.index.isin(ok) & (pdf["codec"].str.lower() == "pgm")
                 pdf.loc[pgm_ok, "codec"] = "ppm"

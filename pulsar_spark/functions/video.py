@@ -118,16 +118,19 @@ def sample_video_frames(
     every_n: int = 2,
     batch_rows: int = 16,
 ) -> DataFrame:
-    """REAL frame sampling over MJPEG AVIs: parse the container, decode
-    ONLY frames 0, n, 2n, ... with the repo's JPEG kernel, and emit one
-    row per sampled frame:
+    """REAL frame sampling over the video containers with real kernels
+    — MJPEG AVI (default), animated GIF, and Y4M, dispatched on the
+    ``codec`` column when present. Only frames 0, n, 2n, ... are
+    pixel-decoded; one output row per sampled frame:
 
     ``(media_id, frame_idx, n_frames, width, height, mean_luma_q)``
 
     with ``mean_luma_q`` the decoded frame's mean gray value rounded to
-    an int (JPEG is lossy but deterministic: same bytes -> same pixels
-    -> same mean on every engine/run). Fused parse+decode in one Arrow
-    pass; unsampled frames are never entropy-decoded."""
+    an int (the codecs are deterministic: same bytes -> same pixels ->
+    same mean on every engine/run). Fused parse+decode in one Arrow
+    pass; for AVI, unsampled frames are never entropy-decoded (GIF's
+    LZW is inherently sequential and Y4M is uncompressed, so "skip"
+    there saves only the RGB conversion)."""
     out_schema = ("media_id bigint, frame_idx int, n_frames int, "
                   "width int, height int, mean_luma_q bigint")
 
@@ -135,15 +138,30 @@ def sample_video_frames(
         import numpy as np
         import pandas as pd
 
+        from pulsar_spark.functions.gif import decode_gif
         from pulsar_spark.functions.jpeg import decode_jpeg
 
         for pdf in batches:
             rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                info = parse_avi(bytes(payload))
-                frames = info["frames"]
+            codecs = (
+                pdf["codec"] if "codec" in pdf.columns
+                else ["avi"] * len(pdf)
+            )
+            for media_id, payload, codec in zip(
+                pdf["media_id"], pdf["payload"], codecs
+            ):
+                codec = (codec or "avi").lower()
+                if codec == "gif":
+                    frames = decode_gif(bytes(payload))["frames"]
+                    decode = None
+                elif codec == "y4m":
+                    frames = parse_y4m(bytes(payload))["frames"]
+                    decode = None
+                else:
+                    frames = parse_avi(bytes(payload))["frames"]
+                    decode = decode_jpeg
                 for idx in range(0, len(frames), every_n):
-                    px = decode_jpeg(frames[idx])
+                    px = decode(frames[idx]) if decode else frames[idx]
                     arr = np.asarray(px, dtype=np.float64)
                     if arr.ndim == 3:
                         arr = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
@@ -158,7 +176,7 @@ def sample_video_frames(
                                "width", "height", "mean_luma_q"],
             )
 
-    cols = [c for c in ("media_id", "payload") if c in media.columns]
+    cols = [c for c in ("media_id", "payload", "codec") if c in media.columns]
     return media.select(*cols).mapInPandas(run, out_schema)
 
 
@@ -333,3 +351,134 @@ def adpcm_exact_groups(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         "n_samples",
         "rate",
     )
+
+
+# ------------------------------------------------------------------ Y4M
+
+#: BT.601 full-range RGB<->YCbCr (the matrix JFIF uses) — gray input
+#: (R=G=B) maps to U=V=128 exactly, so achromatic fixtures roundtrip
+#: bit-exact through every chroma layout.
+_Y4M_SPACES = ("mono", "444", "420", "420jpeg", "420mpeg2", "420paldv")
+
+
+def encode_y4m(frames, fps_num: int = 25, fps_den: int = 1,
+               colorspace: str = "444") -> bytes:
+    """HxW (gray) or HxWx3 uint8 frame list -> YUV4MPEG2 bytes.
+
+    Y4M (the mjpegtools public interchange format) is an UNCOMPRESSED
+    video container: one plain-text stream header
+    (``YUV4MPEG2 W.. H.. F<num>:<den> Ip A0:0 C<space>``) then
+    ``FRAME\\n`` + raw planar YUV per frame. ``mono`` stores luma only;
+    ``444`` full-res chroma; ``420*`` variants 2x2-subsampled chroma
+    (encoded here by plain 2x2 averaging; the tag only differs in siting
+    metadata, which a decoder without resampling treats identically).
+    """
+    import numpy as np
+
+    if colorspace not in _Y4M_SPACES:
+        raise ValueError(f"colorspace must be one of {_Y4M_SPACES}")
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if colorspace.startswith("420") and (h % 2 or w % 2):
+        raise ValueError("420 colorspaces need even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A0:0 C{colorspace}\n"
+    out = bytearray(head.encode("ascii"))
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out += b"FRAME\n"
+        if colorspace == "mono":
+            gray = f if f.ndim == 2 else np.round(
+                0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+            ).astype(np.uint8)
+            out += gray.tobytes()
+            continue
+        rgb = np.stack([f] * 3, axis=-1) if f.ndim == 2 else f
+        r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        y, u, v = (np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, u, v))
+        if colorspace != "444":
+            u = np.round(
+                u.reshape(h // 2, 2, w // 2, 2).astype(np.float64).mean(axis=(1, 3))
+            ).astype(np.uint8)
+            v = np.round(
+                v.reshape(h // 2, 2, w // 2, 2).astype(np.float64).mean(axis=(1, 3))
+            ).astype(np.uint8)
+        out += y.tobytes() + u.tobytes() + v.tobytes()
+    return bytes(out)
+
+
+def parse_y4m(payload: bytes) -> dict:
+    """YUV4MPEG2 bytes -> ``{"width", "height", "fps_num", "fps_den",
+    "colorspace", "frames": [HxWx3 uint8 ...]}`` with YCbCr converted
+    back to RGB (BT.601 full-range; 420 chroma upsampled by 2x2
+    replication — exact for achromatic content)."""
+    import numpy as np
+
+    buf = bytes(payload)
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420jpeg"  # spec default
+    for tok in buf[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            colorspace = tok[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    space = colorspace.lower()
+    base = "mono" if space == "mono" else ("444" if space.startswith("444") else "420")
+    if base == "420" and not space.startswith("420"):
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    ysz = w * h
+    csz = 0 if base == "mono" else (ysz if base == "444" else (w // 2) * (h // 2))
+    frames = []
+    pos = nl + 1
+    while pos < len(buf):
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0 or buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame header")
+        pos = fnl + 1
+        need = ysz + 2 * csz
+        if pos + need > len(buf):
+            raise ValueError("truncated Y4M frame data")
+        y = np.frombuffer(buf, np.uint8, ysz, pos).reshape(h, w)
+        if base == "mono":
+            frames.append(np.stack([y] * 3, axis=-1))
+            pos += need
+            continue
+        u = np.frombuffer(buf, np.uint8, csz, pos + ysz)
+        v = np.frombuffer(buf, np.uint8, csz, pos + ysz + csz)
+        if base == "444":
+            u, v = u.reshape(h, w), v.reshape(h, w)
+        else:
+            u = u.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+            v = v.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+        yf, uf, vf = (p.astype(np.float64) for p in (y, u, v))
+        r = yf + 1.402 * (vf - 128.0)
+        g = yf - 0.344136 * (uf - 128.0) - 0.714136 * (vf - 128.0)
+        b = yf + 1.772 * (uf - 128.0)
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+        frames.append(rgb)
+        pos += need
+    if not frames:
+        raise ValueError("Y4M contained no frames")
+    return {
+        "width": int(w),
+        "height": int(h),
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "frames": frames,
+    }

@@ -92,11 +92,24 @@ class SchemaRegistry:
         return (len(vs) - 1, vs[-1]) if vs else None
 
     def register(
-        self, topic: str, schema: StructType, strategy: str = "FULL"
+        self,
+        topic: str,
+        schema: StructType,
+        strategy: str | None = "FULL",
+        policy_dir: str | None = None,
     ) -> int:
         """Register a new schema version after the compatibility check.
         Returns the assigned version. Identical re-registration is a
-        no-op returning the existing version (reference behavior)."""
+        no-op returning the existing version (reference behavior).
+
+        ``strategy=None`` resolves the strategy from the DURABLE policy
+        registry (``schema_compatibility_strategy`` in the topic's /
+        namespace's ``_policies.json`` via ``policy_dir``, defaulting
+        to FULL) — the Namespaces.setSchemaCompatibilityStrategy path:
+        operators tune compatibility as stored config, not per-call
+        arguments, and a restart forgets nothing."""
+        if strategy is None:
+            strategy = self.stored_strategy(policy_dir)
         if strategy not in STRATEGIES:
             raise ValueError(f"unknown strategy {strategy}")
         versions = self.versions(topic)
@@ -150,11 +163,67 @@ class SchemaRegistry:
             os.remove(f)
         return n
 
-    def validate_produce(self, topic: str, df: DataFrame) -> None:
+    @staticmethod
+    def stored_strategy(policy_dir: str | None) -> str:
+        """Resolve ``schema_compatibility_strategy`` from the durable
+        policy registry (namespace overlaid by topic), default FULL."""
+        if policy_dir is None:
+            return "FULL"
+        from pulsar_spark.sources.policies import effective_policies
+
+        return effective_policies(policy_dir).get(
+            "schema_compatibility_strategy", "FULL"
+        )
+
+    def auto_register(
+        self, topic: str, schema: StructType, policy_dir: str | None = None
+    ) -> int:
+        """The producer-connect schema path: a producer arriving with a
+        schema the topic has never seen auto-registers it — unless the
+        stored ``is_allow_auto_update_schema`` policy forbids it
+        (Namespaces.setIsAllowAutoUpdateSchema; the broker then rejects
+        the producer with IncompatibleSchema). Known schemas always
+        connect, whatever the flag says."""
+        existing = self.version_by_schema(topic, schema)
+        if existing is not None:
+            return existing
+        allow = True
+        if policy_dir is not None:
+            from pulsar_spark.sources.policies import effective_policies
+
+            allow = bool(
+                effective_policies(policy_dir).get(
+                    "is_allow_auto_update_schema", True
+                )
+            )
+        if not allow:
+            raise IncompatibleSchemaError(
+                f"topic {topic} has is_allow_auto_update_schema=false: "
+                "producers may not register new schema versions"
+            )
+        return self.register(topic, schema, strategy=None, policy_dir=policy_dir)
+
+    def validate_produce(
+        self, topic: str, df: DataFrame, policy_dir: str | None = None
+    ) -> None:
         """AUTO_PRODUCE analog: refuse an append whose frame does not
-        match the topic's latest registered schema."""
+        match the topic's latest registered schema. When the stored
+        ``schema_validation_enforced`` policy is true
+        (Namespaces.setSchemaValidationEnforced), a topic with NO
+        registered schema also refuses — the reference rejects
+        schema-less producers on enforced namespaces."""
         latest = self.latest(topic)
         if latest is None:
+            if policy_dir is not None:
+                from pulsar_spark.sources.policies import effective_policies
+
+                if effective_policies(policy_dir).get(
+                    "schema_validation_enforced", False
+                ):
+                    raise IncompatibleSchemaError(
+                        f"topic {topic} enforces schema validation but has "
+                        "no registered schema: register one before producing"
+                    )
             return
         _, schema = latest
         got = {f.name: f.dataType.simpleString() for f in df.schema.fields}

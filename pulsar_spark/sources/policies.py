@@ -41,6 +41,9 @@ KNOWN_KEYS = {
     "delayed_delivery": "Namespaces.setDelayedDeliveryMessages",
     "compaction_threshold_bytes": "Namespaces.setCompactionThreshold",
     "scalable_auto_scale_policy": "PIP-483 namespace AutoScalePolicyOverride",
+    "schema_compatibility_strategy": "Namespaces.setSchemaCompatibilityStrategy",
+    "is_allow_auto_update_schema": "Namespaces.setIsAllowAutoUpdateSchema",
+    "schema_validation_enforced": "Namespaces.setSchemaValidationEnforced",
 }
 
 

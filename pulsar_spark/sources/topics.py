@@ -277,7 +277,9 @@ def produce(
     for icept in interceptors or []:
         payload = icept(payload)
     if registry is not None:
-        registry.validate_produce(topic_path, payload)
+        # the topic directory doubles as its policy dir, so a stored
+        # schema_validation_enforced policy gates schema-less appends
+        registry.validate_produce(topic_path, payload, policy_dir=topic_path)
     # One read of the stored topic serves the quota check, the dedup
     # high-water map and the offset rebase below — not three separate
     # jobs per append. Presence is decided by the partition= dirs (a

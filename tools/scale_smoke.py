@@ -217,6 +217,69 @@ def main() -> None:
         ).count()
         out["curate_v4_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
 
+        # round-8 media kernels at scale: the GIF LZW / G.711 / Y4M
+        # decode paths are fused Arrow passes (compressed bytes shuffle
+        # once, pixels/samples never leave the worker), so items/sec
+        # should be flat in corpus size — a codegen or batching
+        # regression shows up as a falling rate, like the image codecs
+        from pulsar_spark.functions.multimodal import decode_media
+        from pulsar_spark.functions.video import sample_video_frames
+
+        media_ids = bigdocs.select(
+            (F.col("doc_id") % 50_000).alias("media_id")
+        ).distinct()
+
+        def _enc_media(batches):
+            import numpy as np
+            import pandas as pd
+
+            from pulsar_spark.functions.audio import encode_wav_g711
+            from pulsar_spark.functions.gif import encode_gif
+            from pulsar_spark.functions.video import encode_y4m
+
+            for pdf in batches:
+                rows = []
+                for d in pdf["media_id"]:
+                    d = int(d)
+                    if d % 3 == 0:
+                        frames = [
+                            np.full((16, 16, 3), (d + f * 7) % 256, np.uint8)
+                            for f in range(3)
+                        ]
+                        rows.append((d, "video", "gif", encode_gif(frames)))
+                    elif d % 3 == 1:
+                        pcm = np.full(2000, (d * 37) % 8000 - 4000, np.int16)
+                        rows.append(
+                            (d, "audio", "wav", encode_wav_g711(pcm, 8000, "ulaw"))
+                        )
+                    else:
+                        frames = [
+                            np.full((16, 16), (d + f * 11) % 256, np.uint8)
+                            for f in range(4)
+                        ]
+                        rows.append(
+                            (d, "video", "y4m", encode_y4m(frames, 10, 1, "mono"))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "modality", "codec", "payload"]
+                )
+
+        bigav = media_ids.mapInPandas(
+            _enc_media,
+            "media_id bigint, modality string, codec string, payload binary",
+        ).persist()
+        nav = bigav.count()
+        out["av_items"] = nav
+        t0 = time.perf_counter()
+        decode_media(bigav, strict=True).where("decode_ok").count()
+        out["av_decode_items_per_sec"] = round(nav / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        sample_video_frames(
+            bigav.where("modality = 'video'"), every_n=2
+        ).count()
+        out["video_frame_sample_sec"] = round(time.perf_counter() - t0, 2)
+        bigav.unpersist()
+
         # scalable-topic ingest at scale: range routing + per-segment
         # offset window — same shape as classic produce, so throughput
         # should match B1
