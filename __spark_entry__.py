@@ -2298,6 +2298,62 @@ def _q_streaming_curation(spark, sf_dir):
     )
 
 
+def _q_doc_incremental_near_dedup(spark, sf_dir):
+    # Incremental NEAR-dup dedup (functions/dedupe.py
+    # incremental_near_dedup): epoch 0 commits the corpus' MinHash
+    # band/signature stores; epoch 1 arrives as a mix of EDITED
+    # recrawls (every 5th doc's text + a short tail — byte-different,
+    # so exact incremental dedup would pass them) and genuinely fresh
+    # documents. Survivors must be exactly the fresh ones. Rows-only
+    # by design (LSH banding + signature-agreement verify have no SQL
+    # analog); recall/idempotence/two-phase invariants are asserted in
+    # tests/test_incremental_near.py.
+    import tempfile
+
+    from pulsar_spark.functions.dedupe import (
+        commit_near_fingerprints,
+        incremental_near_dedup,
+    )
+
+    store = tempfile.mkdtemp(prefix="psnear_") + "/store"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    e0 = incremental_near_dedup(
+        docs, store, threshold=0.5, epoch=0, update_store=False
+    )
+    commit_near_fingerprints(e0, store, epoch=0)
+    recrawls = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
+        "source",
+    )
+    fresh = docs.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        # token space disjoint from the corpus: never a near-match
+        F.concat(
+            F.lit("fresh"), F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(25)),
+                    lambda i: F.concat(
+                        F.lit("nw"), F.col("doc_id").cast("string"),
+                        F.lit("x"), i.cast("string"),
+                    ),
+                ),
+                " ",
+            ),
+        ).alias("text"),
+        "source",
+    )
+    e1 = incremental_near_dedup(
+        recrawls.unionByName(fresh), store, threshold=0.5, epoch=1,
+        update_store=False,
+    )
+    return e1.select("doc_id", "source").orderBy("doc_id")
+
+
 def _q_corpus_report(spark, sf_dir):
     # Dataset-card aggregate (functions/report.py corpus_report): per-
     # source doc/token counts, nearest-rank length quantiles from a
@@ -3703,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_near_dups": _q_media_audio_near_dups,
         "doc_remove_dup_spans_xx": _q_doc_remove_dup_spans_xx,
         "streaming_curation": _q_streaming_curation,
+        "doc_incremental_near_dedup": _q_doc_incremental_near_dedup,
         "media_decode": _q_media_decode,
         "doc_token_sketch": _q_doc_token_sketch,
         "corpus_report_sketch": _q_corpus_report_sketch,

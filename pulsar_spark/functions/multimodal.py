@@ -627,7 +627,12 @@ def resize_media(
                 try:
                     if codec == "gif":
                         info = decode_gif(bytes(payload))
-                        fps = (100, max(sum(info["delays_cs"]), 1))
+                        # preserve the clip clock: n_frames per
+                        # total-delay centiseconds
+                        fps = (
+                            100 * len(info["frames"]),
+                            max(sum(info["delays_cs"]), 1),
+                        )
                     else:
                         info = parse_y4m(bytes(payload))
                         fps = (info["fps_num"], info["fps_den"])

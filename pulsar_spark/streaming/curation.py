@@ -39,6 +39,7 @@ def curate_batch(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_threshold: float | None = None,
 ) -> None:
     """One epoch of the streaming curation recipe (importable so tests
     and the foreachBatch closure share one implementation).
@@ -51,10 +52,20 @@ def curate_batch(
     its own output rather than anti-joining against itself and silently
     emptying it. Gate-failed documents still commit their fingerprints
     — "seen" is a dedup property, independent of quality, so a rejected
-    document's later copies do not sneak in through a fresh batch."""
+    document's later copies do not sneak in through a fresh batch.
+
+    ``near_threshold`` adds the incremental NEAR-dup stage after the
+    exact one (functions/dedupe.py ``incremental_near_dedup``): edited
+    recrawls that survive the byte-exact anti-join still fall to the
+    all-time MinHash band store. Its signature store commits in the
+    same two-phase position (after the packed write), into its own
+    per-epoch subdirectories under ``<fingerprint_store>_near`` —
+    replay idempotence holds for both stores together."""
     from pulsar_spark.functions.dedupe import (
         commit_fingerprints,
+        commit_near_fingerprints,
         incremental_exact_dedup,
+        incremental_near_dedup,
     )
     from pulsar_spark.functions.packing import materialize_packed_shards
 
@@ -62,6 +73,12 @@ def curate_batch(
         docs, fingerprint_store, text_col=text_col, id_col=id_col,
         update_store=False, epoch=int(epoch_id),
     )
+    if near_threshold is not None:
+        survivors = incremental_near_dedup(
+            survivors, f"{fingerprint_store}_near", threshold=near_threshold,
+            text_col=text_col, id_col=id_col,
+            update_store=False, epoch=int(epoch_id),
+        )
     # the survivors feed two sinks (pack output + fingerprint commit):
     # pin them so the anti-join doesn't recompute against a store the
     # first sink's commit may already have grown
@@ -79,6 +96,11 @@ def curate_batch(
         commit_fingerprints(
             survivors, fingerprint_store, text_col=text_col, epoch=int(epoch_id)
         )
+        if near_threshold is not None:
+            commit_near_fingerprints(
+                survivors, f"{fingerprint_store}_near",
+                text_col=text_col, id_col=id_col, epoch=int(epoch_id),
+            )
     finally:
         survivors.unpersist()
 
@@ -96,6 +118,7 @@ def streaming_curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int | None = None,
+    near_threshold: float | None = None,
 ):
     """Open the streaming curation pipeline over a topic and return the
     started StreamingQuery (availableNow trigger: drains everything the
@@ -118,6 +141,7 @@ def streaming_curate(
                 batch, epoch_id, fingerprint_store, output_path,
                 gate=gate, seq_len=seq_len, shard_col=shard_col,
                 id_col=id_col, text_col=text_col,
+                near_threshold=near_threshold,
             )
 
     return (
