@@ -287,6 +287,63 @@ def main() -> None:
 
         timed("x8_media_phash", _x8, remeasure=True)
 
+        # x9: mixed-container media decode — GIF (real LZW), G.711
+        # telephony WAV, Y4M video, encoded in-flight and decoded
+        # through the strict real-kernel tier in one fused Arrow pass.
+        # Extra (added round 8), not in headline_total.
+        def _x9():
+            from pulsar_spark.functions.multimodal import decode_media
+
+            ids = docs.select("doc_id").limit(2000)
+
+            def enc(batches):
+                import numpy as np
+                import pandas as pd
+
+                from pulsar_spark.functions.audio import encode_wav_g711
+                from pulsar_spark.functions.gif import encode_gif
+                from pulsar_spark.functions.video import encode_y4m
+
+                for pdf in batches:
+                    rows = []
+                    for d in pdf["doc_id"]:
+                        d = int(d)
+                        if d % 3 == 0:
+                            frames = [
+                                np.full((16, 16, 3), (d + f * 7) % 256, np.uint8)
+                                for f in range(3)
+                            ]
+                            rows.append((d, "video", "gif", encode_gif(frames)))
+                        elif d % 3 == 1:
+                            pcm = np.full(2000, (d * 37) % 8000 - 4000, np.int16)
+                            rows.append(
+                                (d, "audio", "wav",
+                                 encode_wav_g711(pcm, 8000, "ulaw"))
+                            )
+                        else:
+                            frames = [
+                                np.full((16, 16), (d + f * 11) % 256, np.uint8)
+                                for f in range(4)
+                            ]
+                            rows.append(
+                                (d, "video", "y4m",
+                                 encode_y4m(frames, 10, 1, "mono"))
+                            )
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["media_id", "modality", "codec", "payload"],
+                    )
+
+            import pandas as pd  # noqa: F401  (worker import warm)
+
+            media = ids.repartition(32).mapInPandas(
+                enc,
+                "media_id bigint, modality string, codec string, payload binary",
+            )
+            return decode_media(media, strict=True).where("decode_ok").count()
+
+        timed("x9_media_av_decode", _x9, remeasure=True)
+
         # x5: corpus-hygiene pass (deterministic half-sample -> PII
         # scrub -> cross-doc duplicated-5-gram fraction) — the narrow
         # filter + regex stages ride the scan; the gram agg/join is the
@@ -323,6 +380,7 @@ def main() -> None:
         "x6_pretraining_to_shards",
         "x7_curation_v4",
         "x8_media_phash",
+        "x9_media_av_decode",
     ]
     total = round(sum(v for k, v in timings.items() if k not in extras), 3)
     queries_min = {k: min(rs) for k, rs in runs_detail.items()}
