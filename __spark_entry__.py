@@ -1846,6 +1846,61 @@ def _q_media_decode_g711(spark, sf_dir):
     )
 
 
+def _q_media_decode_flac(spark, sf_dir):
+    # REAL lossless compressed-audio decode (functions/flac.py: rice
+    # entropy coding, FIXED-predictor reconstruction, CRC-8/-16
+    # verified frames — no external tables, everything a decoder needs
+    # is in the stream). Three fixture families exercise three decoder
+    # paths: (0) constant signal -> CONSTANT subframe, (1) sawtooth
+    # ramp -> FIXED-order prediction with near-zero residuals, (2)
+    # alternating +-A square -> rice-coded order-0/verbatim. The
+    # oracle recomputes duration / sample count / exact peak in closed
+    # form — a wrong rice parameter, zigzag, warmup handling, or CRC
+    # bug kills the whole row, not just a sample.
+    from pulsar_spark.functions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_spark.functions.flac import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 800 + (d % 40) * 8
+                amp = 100 + (d % 1000) * 30
+                if d % 3 == 0:
+                    sig = np.full(n, amp, np.int16)
+                elif d % 3 == 1:
+                    sig = (np.arange(n) % amp).astype(np.int16)
+                else:
+                    sig = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(
+                        np.int16
+                    )
+                rows.append((d, "audio", "flac", encode_flac(sig, 8000)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "codec", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        enc, "media_id bigint, modality string, codec string, payload binary"
+    )
+    out = decode_media(media, strict=True)
+    return out.select(
+        "media_id",
+        "duration_ms",
+        "n_frames",
+        # feature[2] is peak |x| with x = pcm/32768: x32768 recovers
+        # the exact 16-bit peak (int/2^15 is float32-exact)
+        F.round(F.element_at("feature", 3) * 32768).cast("int").alias("peak_i16"),
+        "decode_ok",
+    )
+
+
 def _q_media_y4m_frames(spark, sf_dir):
     # REAL uncompressed-video frame sampling (functions/video.py
     # parse_y4m + sample_video_frames codec dispatch): Y4M is lossless,
@@ -3608,14 +3663,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretraining_pipeline_v2": _q_pretraining_pipeline_v2,
         "pretraining_pipeline_v3": _q_pretraining_pipeline_v3,
         "doc_embedding_join": _q_doc_embedding_join,
-        "doc_contamination": _q_doc_contamination,
         # -- new round-8 media kernels: real GIF LZW decode, G.711
-        #    telephony audio, Y4M uncompressed video frame sampling
-        #    (multi_topic_union's, schema_json_decode's and
-        #    schema_kv_decode's freshness slots — all three displaced
+        #    telephony audio, FLAC lossless compressed audio, Y4M
+        #    uncompressed video frame sampling (doc_contamination's,
+        #    multi_topic_union's, schema_json_decode's and
+        #    schema_kv_decode's freshness slots — all four displaced
         #    queries are driver-green and in parity KEYS)
         "media_decode_gif": _q_media_decode_gif,
         "media_decode_g711": _q_media_decode_g711,
+        "media_decode_flac": _q_media_decode_flac,
         "media_y4m_frames": _q_media_y4m_frames,
         # (schema_auto_consume's slot went to geo_replication: the
         #  one-hop replicate_candidates change — GeoPersistentReplicator
@@ -3635,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replicated_subscription_failover": _q_replicated_subscription_failover,
         "policy_enforcement": _q_policy_enforcement,
         # ---- 50-entry driver prefix ends here ----
+        "doc_contamination": _q_doc_contamination,
         "multi_topic_union": _q_multi_topic_union,
         "schema_json_decode": _q_schema_json_decode,
         "schema_kv_decode": _q_schema_kv_decode,
@@ -4940,6 +4997,24 @@ def oracle_sql() -> dict[str, str]:
                         END AS INT) AS peak_i16,
                    TRUE AS decode_ok
             FROM codes
+        """,
+        # FLAC is lossless integer coding: sample count, duration, and
+        # the exact 16-bit peak are recomputed from the fixture
+        # formulas (constant / cyclic ramp / alternating square).
+        "media_decode_flac": """
+            WITH sig AS (
+              SELECT doc_id, 800 + (doc_id % 40) * 8 AS n,
+                     100 + (doc_id % 1000) * 30 AS amp
+              FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(n / 8 AS INT) AS duration_ms,
+                   CAST(n AS INT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 3 = 1
+                        THEN least(amp - 1, n - 1)
+                        ELSE amp END AS INT) AS peak_i16,
+                   TRUE AS decode_ok
+            FROM sig
         """,
         # Y4M is lossless, so the sampled per-frame means are pinned
         # EXACTLY (the AVI twin's JPEG means are tolerance-pinned in

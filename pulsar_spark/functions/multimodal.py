@@ -375,7 +375,7 @@ def _feature_audio(x, rate: int, nch: int) -> list[float]:
 #: codecs with REAL decode kernels in this container
 REAL_CODECS = (
     "jpeg", "jpg", "png", "bmp", "ppm", "pgm", "gif",
-    "wav", "avi", "y4m",
+    "wav", "flac", "avi", "y4m",
 )
 
 
@@ -403,6 +403,27 @@ def _decode_pixels(payload: bytes, codec: str):
 def _decode_real(payload: bytes, codec: str) -> dict:
     if codec == "wav":
         x, rate, nch = _decode_wav(payload)
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": int(round(len(x) / rate * 1000)),
+            "n_frames": len(x),
+            "feature": _feature_audio(x, rate, nch),
+        }
+    if codec == "flac":
+        # real lossless compressed audio (functions/flac.py: rice
+        # entropy decode, FIXED/LPC prediction, CRC-verified frames)
+        import numpy as np
+
+        from pulsar_spark.functions.flac import decode_flac
+
+        pcm, rate = decode_flac(payload)
+        if pcm.ndim > 1:
+            nch = pcm.shape[1]
+            x = pcm.astype(np.float32).mean(axis=1) / 32768.0
+        else:
+            nch = 1
+            x = pcm.astype(np.float32) / 32768.0
         return {
             "width": None,
             "height": None,
@@ -510,8 +531,8 @@ def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     Rows whose ``codec`` is in ``REAL_CODECS`` (jpeg/png/bmp/ppm/pgm/
-    gif for images; wav — PCM, G.711 mu/A-law, IMA-ADPCM — for audio;
-    avi/y4m/gif for video) run the REAL numpy/stdlib kernels — actual
+    gif for images; wav — PCM, G.711 mu/A-law, IMA-ADPCM — and flac
+    for audio; avi/y4m/gif for video) run the REAL numpy/stdlib kernels — actual
     pixel/sample decode, actual features; a malformed payload yields
     ``decode_ok=false`` with null metadata (bad bytes are data, not
     exceptions, in a 100 TB crawl). Other codecs run the deterministic

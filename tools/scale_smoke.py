@@ -234,6 +234,7 @@ def main() -> None:
             import pandas as pd
 
             from pulsar_spark.functions.audio import encode_wav_g711
+            from pulsar_spark.functions.flac import encode_flac
             from pulsar_spark.functions.gif import encode_gif
             from pulsar_spark.functions.video import encode_y4m
 
@@ -241,16 +242,22 @@ def main() -> None:
                 rows = []
                 for d in pdf["media_id"]:
                     d = int(d)
-                    if d % 3 == 0:
+                    if d % 4 == 0:
                         frames = [
                             np.full((16, 16, 3), (d + f * 7) % 256, np.uint8)
                             for f in range(3)
                         ]
                         rows.append((d, "video", "gif", encode_gif(frames)))
-                    elif d % 3 == 1:
+                    elif d % 4 == 1:
                         pcm = np.full(2000, (d * 37) % 8000 - 4000, np.int16)
                         rows.append(
                             (d, "audio", "wav", encode_wav_g711(pcm, 8000, "ulaw"))
+                        )
+                    elif d % 4 == 2:
+                        sig = ((np.arange(2000) * (1 + d % 7)) % 4096
+                               - 2048).astype(np.int16)
+                        rows.append(
+                            (d, "audio", "flac", encode_flac(sig, 8000))
                         )
                     else:
                         frames = [
