@@ -15,7 +15,7 @@ order, quantized coefficients from the stream), rice-coded residuals
 right/left / mid-side stereo decorrelation, frame CRC-16 verification.
 
 Encode (fixture tier, what the oracle + property tests mint): 16-bit
-mono/stereo, fixed block size, per-block best-of FIXED orders 0-2 vs
+MONO, fixed block size, per-block best-of FIXED orders 0-2 vs
 VERBATIM with a single rice partition (parameter from the mean-abs
 residual estimate) — a genuine rice-entropy-coded FLAC stream any
 conforming decoder reads.
@@ -144,18 +144,18 @@ def _unzigzag(u: int) -> int:
 
 def _utf8_code(n: int) -> bytes:
     """FLAC's UTF-8-style frame-number coding (plain UTF-8 over the
-    integer, extended past U+10FFFF by the same pattern)."""
+    integer, extended past U+10FFFF by the same pattern). An
+    ``nbytes``-byte sequence has a lead byte of ``nbytes`` ones then a
+    zero (capacity ``5*nbytes + 1`` payload bits)."""
     if n < 0x80:
         return bytes((n,))
-    out = []
-    bits = n.bit_length()
     nbytes = 2
-    while bits > 5 * nbytes + (6 - nbytes):  # capacity of the pattern
+    while n.bit_length() > 5 * nbytes + 1:
         nbytes += 1
-    lead = (0xFF << (8 - nbytes - 1)) & 0xFF
+    lead = (0xFF << (8 - nbytes)) & 0xFF
     shift = 6 * (nbytes - 1)
-    out.append(lead | (n >> shift))
-    for i in range(nbytes - 1):
+    out = [lead | (n >> shift)]
+    for _ in range(nbytes - 1):
         shift -= 6
         out.append(0x80 | ((n >> shift) & 0x3F))
     return bytes(out)
@@ -193,8 +193,7 @@ def _best_fixed_order(block, max_order: int = 2) -> int:
             if len(cur) <= 1:
                 break
             cur = [cur[i] - cur[i - 1] for i in range(1, len(cur))]
-        tail = cur[max(0, order - order):]
-        cost = sum(abs(x) for x in tail) / max(1, len(tail))
+        cost = sum(abs(x) for x in cur) / max(1, len(cur))
         if best_cost is None or cost < best_cost:
             best, best_cost = order, cost
     return best
@@ -234,10 +233,8 @@ def encode_flac(samples, rate: int = 8000, block_size: int = 4096) -> bytes:
     out = bytearray(b"fLaC")
     out += bytes((0x80,)) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
-    for frame_idx, start in enumerate(range(0, max(n, 1), block_size)):
+    for frame_idx, start in enumerate(range(0, n, block_size)):
         block = x[start : start + block_size]
-        if not block:
-            block = [0]
         bs = len(block)
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)  # sync
@@ -361,9 +358,10 @@ def _read_residuals(br: _BitReader, bs: int, order: int):
     escape = (1 << pbits) - 1
     part_order = br.read(4)
     n_parts = 1 << part_order
-    if bs % n_parts or (bs >> part_order) <= order and n_parts > 1:
-        if bs % n_parts:
-            raise ValueError("block size not divisible by partition count")
+    if bs % n_parts:
+        raise ValueError("block size not divisible by partition count")
+    if n_parts > 1 and (bs >> part_order) <= order:
+        raise ValueError("FLAC partition order leaves no residuals in partition 0")
     out = []
     for p in range(n_parts):
         count = (bs >> part_order) - (order if p == 0 else 0)
@@ -439,6 +437,8 @@ def decode_flac(payload: bytes):
             br.read(16)
         fbits = bits if bits_code == 0 else _BITS_CODES[bits_code]
         br.align()
+        if br.byte >= len(buf):
+            raise ValueError("truncated FLAC frame header")
         header_crc = buf[br.byte]
         if _crc8(buf[frame_start : br.byte]) != header_crc:
             raise ValueError("FLAC frame header CRC mismatch")

@@ -269,3 +269,30 @@ class TestSparkIntegrationFlac:
         assert out["decode_ok"] and out["duration_ms"] == 100
         assert out["n_frames"] == 800
         assert round(out["feature"][2] * 32768) == 12345
+
+
+class TestReviewFindingsFlac:
+    def test_long_clip_frame_numbers_past_127(self):
+        # frame index >= 128 exercises the multi-byte UTF-8-style
+        # frame-number coding (the lead-byte pattern regression)
+        rng = np.random.default_rng(7)
+        sig = rng.integers(-500, 500, 256 * 130).astype(np.int16)
+        dec, _ = decode_flac(encode_flac(sig, 8000, block_size=256))
+        assert np.array_equal(dec, sig.astype(np.int32))
+
+    def test_utf8_code_is_real_utf8(self):
+        # for values in the Unicode range the coding IS UTF-8
+        for n in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000):
+            assert _utf8_code(n) == chr(n).encode("utf-8"), hex(n)
+
+    def test_empty_signal_roundtrips_empty(self):
+        dec, rate = decode_flac(encode_flac(np.array([], np.int16), 8000))
+        assert rate == 8000 and len(dec) == 0
+
+    def test_truncation_after_header_is_valueerror(self):
+        enc = encode_flac(np.arange(100, dtype=np.int16), 8000)
+        for cut in range(40, len(enc)):
+            try:
+                decode_flac(enc[:cut])
+            except ValueError:
+                pass  # every truncation point must surface as ValueError
