@@ -112,7 +112,15 @@ def encode_wav_g711(samples, rate: int = 8000, law: str = "ulaw") -> bytes:
 def decode_wav_g711(payload: bytes):
     """G.711 WAV -> (int16 numpy array, sample_rate). Walks the RIFF
     chunks (fmt/fact/data, same shape as video.decode_wav_ima) and
-    expands via one table lookup over the whole byte array."""
+    expands via one table lookup over the whole byte array. Total over
+    arbitrary bytes: malformed payloads raise ValueError only."""
+    try:
+        return _decode_wav_g711(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt G.711 WAV: {exc}") from exc
+
+
+def _decode_wav_g711(payload: bytes):
     import numpy as np
 
     buf = bytes(payload)

@@ -259,7 +259,18 @@ def decode_gif(payload: bytes) -> dict:
     frame composed onto the logical screen honoring frame offsets,
     transparency, and disposal methods 1 (keep), 2 (restore
     background), 3 (restore previous).
+
+    Total over arbitrary bytes: malformed/truncated payloads raise
+    ValueError (never IndexError/struct.error — a corrupt length byte
+    must not change the exception contract a crawl pipeline relies on).
     """
+    try:
+        return _decode_gif(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt GIF: {exc}") from exc
+
+
+def _decode_gif(payload: bytes) -> dict:
     import numpy as np
 
     buf = bytes(payload)

@@ -416,7 +416,15 @@ def parse_y4m(payload: bytes) -> dict:
     """YUV4MPEG2 bytes -> ``{"width", "height", "fps_num", "fps_den",
     "colorspace", "frames": [HxWx3 uint8 ...]}`` with YCbCr converted
     back to RGB (BT.601 full-range; 420 chroma upsampled by 2x2
-    replication — exact for achromatic content)."""
+    replication — exact for achromatic content). Total over arbitrary
+    bytes: malformed payloads raise ValueError only."""
+    try:
+        return _parse_y4m(payload)
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"truncated or corrupt Y4M: {exc}") from exc
+
+
+def _parse_y4m(payload: bytes) -> dict:
     import numpy as np
 
     buf = bytes(payload)
