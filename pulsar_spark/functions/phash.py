@@ -101,7 +101,7 @@ def perceptual_hash_media(media: DataFrame) -> DataFrame:
     ``mapInPandas`` stage computes pHash and dHash straight off the
     decoded pixels — pixel arrays live only inside the batch, never in
     a shuffle. Image codecs only (the real kernels: bmp/ppm/pgm/png/
-    jpeg); non-image rows raise, like decode_media(strict=True).
+    jpeg/gif); non-image rows raise, like decode_media(strict=True).
 
     Returns ``(media_id bigint, codec string, width int, height int,
     phash bigint, dhash bigint)``.

@@ -72,7 +72,17 @@ def b2():
             "2024-01-25 00:00:00")
     ).count()
 
-FNS = {"x5": x5, "x3": x3, "b2": b2}
+def x2():
+    # bench.py's x2: MinHash near-dups with the star guard; the cache
+    # clear mirrors bench's clear_cache=True (minhash persists its
+    # candidate frames internally)
+    from pulsar_spark.functions import minhash_near_duplicates
+    spark.catalog.clearCache()
+    return minhash_near_duplicates(
+        docs, threshold=0.5, max_bucket_size=512
+    ).count()
+
+FNS = {"x5": x5, "x3": x3, "b2": b2, "x2": x2}
 out = {}
 for q in queries:
     fn = FNS[q]
