@@ -1901,6 +1901,86 @@ def _q_media_decode_flac(spark, sf_dir):
     )
 
 
+def _q_warc_ingest(spark, sf_dir):
+    # Crawl ingestion capstone (sources/warc.py + functions/html.py):
+    # documents round-trip through REAL Common-Crawl plumbing —
+    # multistream-gzip WARC archives written per partition, read back
+    # via binaryFile, records parsed, HTTP responses split, server
+    # charsets decoded (half utf-8, half iso-8859-1 with a non-ASCII
+    # title), and text extracted by the real HTML parser
+    # (script/style/comment stripping, entity decode, block breaks).
+    # Per-file chaff (warcinfo records, a 404 response, a non-HTML 200)
+    # must be filtered. The oracle reproduces url/host/text/n_chars/
+    # fetch_date in closed form — the extracted text value-hash-matches
+    # 'Doc & é <id>\n' + documents.text exactly.
+    import os
+    import tempfile
+
+    from pulsar_spark.sources.warc import warc_to_documents
+
+    tmp = tempfile.mkdtemp(prefix="pswarc_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+
+    def write_part(batches):
+        import uuid
+
+        import pandas as pd
+
+        from pulsar_spark.sources.warc import encode_warc
+
+        n_written = 0
+        recs = [{"warc_type": "warcinfo", "payload": b"software: pulsar-spark"}]
+        for pdf in batches:
+            for d, text, src in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                d = int(d)
+                charset = "utf-8" if d % 2 == 0 else "iso-8859-1"
+                html = (
+                    f"<html><head><title>Doc &amp; é {d}</title>"
+                    "<style>p{margin:0}</style>"
+                    '<script>var t = "<p>never text</p>";</script></head>'
+                    f"<body><!-- chaff --><p>{text}</p></body></html>"
+                ).encode(charset)
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="
+                    + charset.encode() + b"\r\n\r\n" + html
+                )
+                recs.append({
+                    "warc_type": "response",
+                    "record_id": f"urn:doc:{d}",
+                    "target_uri": f"http://{src}.example.com/doc/{d}",
+                    "date": f"2024-02-{d % 28 + 1:02d}T00:00:00Z",
+                    "content_type": "application/http;msgtype=response",
+                    "payload": http,
+                })
+                n_written += 1
+        # per-file chaff the ingester must drop: a 404 and a non-HTML 200
+        recs.append({
+            "warc_type": "response",
+            "target_uri": "http://gone.example.com/x",
+            "payload": b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone",
+        })
+        recs.append({
+            "warc_type": "response",
+            "target_uri": "http://api.example.com/j",
+            "payload": b'HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n{"a":1}',
+        })
+        if n_written:
+            path = os.path.join(tmp, f"part-{uuid.uuid4().hex}.warc.gz")
+            with open(path, "wb") as fh:
+                fh.write(encode_warc(recs, gzip_members=True))
+        yield pd.DataFrame({"n": [n_written]})
+
+    docs.repartition(8).mapInPandas(write_part, "n bigint").agg(
+        F.sum("n")
+    ).collect()
+
+    return warc_to_documents(spark, tmp + "/*.warc.gz").select(
+        "url", "source", "text", "n_chars", "fetch_date"
+    )
+
+
 def _q_media_y4m_frames(spark, sf_dir):
     # REAL uncompressed-video frame sampling (functions/video.py
     # parse_y4m + sample_video_frames codec dispatch): Y4M is lossless,
@@ -3667,7 +3747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
-        "pretraining_pipeline_v2": _q_pretraining_pipeline_v2,
         "pretraining_pipeline_v3": _q_pretraining_pipeline_v3,
         "doc_embedding_join": _q_doc_embedding_join,
         # -- new round-8 media kernels: real GIF LZW decode, G.711
@@ -3680,6 +3759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_g711": _q_media_decode_g711,
         "media_decode_flac": _q_media_decode_flac,
         "media_y4m_frames": _q_media_y4m_frames,
+        # -- round-8 crawl-ingestion capstone (pretraining_pipeline_v2's
+        #    slot; displaced query is driver-green and in parity KEYS)
+        "warc_ingest": _q_warc_ingest,
         # (schema_auto_consume's slot went to geo_replication: the
         #  one-hop replicate_candidates change — GeoPersistentReplicator
         #  .java:207 — altered its operator after its last driver
@@ -3749,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set_select": _q_training_set_select,
         "training_set_select_scalable": _q_training_set_select_scalable,
         "pretraining_pipeline": _q_pretraining_pipeline,
+        "pretraining_pipeline_v2": _q_pretraining_pipeline_v2,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_pack_materialize": _q_doc_pack_materialize,
         "doc_pii_scrub": _q_doc_pii_scrub,
@@ -5004,6 +5087,19 @@ def oracle_sql() -> dict[str, str]:
                         END AS INT) AS peak_i16,
                    TRUE AS decode_ok
             FROM codes
+        """,
+        # Crawl ingestion: the WARC -> gzip -> HTTP -> charset -> HTML
+        # pipeline must reproduce documents.text EXACTLY (title line +
+        # paragraph); chaff records (warcinfo/404/non-HTML) vanish.
+        "warc_ingest": """
+            SELECT 'http://' || source || '.example.com/doc/' || doc_id AS url,
+                   source || '.example.com' AS source,
+                   'Doc & é ' || doc_id || chr(10) || text AS text,
+                   CAST(length('Doc & é ' || doc_id || chr(10) || text) AS INT)
+                     AS n_chars,
+                   TIMESTAMP '2024-02-01 00:00:00'
+                     + to_days(CAST(doc_id % 28 AS INT)) AS fetch_date
+            FROM documents
         """,
         # FLAC is lossless integer coding: sample count, duration, and
         # the exact 16-bit peak are recomputed from the fixture
