@@ -1933,14 +1933,26 @@ def _q_warc_ingest(spark, sf_dir):
         n_written = 0
         recs = [{"warc_type": "warcinfo", "payload": b"software: pulsar-spark"}]
         for pdf in batches:
+            import html as html_mod
+
             for d, text, src in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
                 d = int(d)
-                charset = "utf-8" if d % 2 == 0 else "iso-8859-1"
+                # body text is ESCAPED into the page (the extractor
+                # entity-decodes it back, so the oracle still matches
+                # documents.text verbatim even if the generator ever
+                # produces '&'/'<'); latin-1 only when encodable
+                charset = "utf-8"
+                if d % 2 == 1:
+                    try:
+                        text.encode("iso-8859-1")
+                        charset = "iso-8859-1"
+                    except UnicodeEncodeError:
+                        pass
                 html = (
                     f"<html><head><title>Doc &amp; é {d}</title>"
                     "<style>p{margin:0}</style>"
                     '<script>var t = "<p>never text</p>";</script></head>'
-                    f"<body><!-- chaff --><p>{text}</p></body></html>"
+                    f"<body><!-- chaff --><p>{html_mod.escape(text)}</p></body></html>"
                 ).encode(charset)
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="

@@ -31,7 +31,6 @@ original table.
 from __future__ import annotations
 
 import gzip
-import io
 import zlib
 from typing import Iterator
 
@@ -71,19 +70,11 @@ def encode_warc(records, gzip_members: bool = True) -> bytes:
 
 
 def _gunzip_multistream(buf: bytes) -> bytes:
-    """Concatenated gzip members -> concatenated plaintext (stdlib
-    zlib, one DecompressObj per member)."""
-    out = bytearray()
-    pos = 0
-    while pos < len(buf):
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += d.decompress(buf[pos:])
-        out += d.flush()
-        tail = d.unused_data
-        if not tail:
-            break
-        pos = len(buf) - len(tail)
-    return bytes(out)
+    """Concatenated gzip members -> concatenated plaintext.
+    ``gzip.decompress`` walks every member and raises EOFError on a
+    truncated one — a cut 1 GiB crawl archive must FAIL, not silently
+    lose its tail records."""
+    return gzip.decompress(buf)
 
 
 def parse_warc(payload: bytes) -> list[dict]:
@@ -93,7 +84,13 @@ def parse_warc(payload: bytes) -> list[dict]:
     ValueError."""
     try:
         return _parse_warc(payload)
-    except (IndexError, UnicodeDecodeError, zlib.error, EOFError) as exc:
+    except (
+        IndexError,
+        UnicodeDecodeError,
+        zlib.error,
+        EOFError,
+        gzip.BadGzipFile,
+    ) as exc:
         raise ValueError(f"truncated or corrupt WARC: {exc}") from exc
 
 
@@ -160,10 +157,17 @@ def split_http_response(payload: bytes):
 
 
 def _http_charset(content_type: str | None) -> str:
-    if content_type and "charset=" in content_type:
-        cs = content_type.split("charset=", 1)[1].split(";")[0].strip().strip('"')
+    """Charset token of a Content-Type value (HTTP header values are
+    case-insensitive per RFC 9110), validated by codec LOOKUP only —
+    probing with a sample decode would reject valid multibyte codecs
+    like utf-16 whose units span several bytes."""
+    ct = (content_type or "").lower()
+    if "charset=" in ct:
+        cs = ct.split("charset=", 1)[1].split(";")[0].strip().strip('"')
+        import codecs
+
         try:
-            "x".encode().decode(cs)
+            codecs.lookup(cs)
             return cs
         except LookupError:
             pass
@@ -202,8 +206,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             status, hh, body = split_http_response(body)
                             h_ct = hh.get("content-type")
                         except ValueError:
-                            status, h_ct = None, None
-                            body = rec["payload"]
+                            pass  # unframable response: raw content row
                     rows.append(
                         (path_, rec["record_id"], rec["warc_type"],
                          rec["target_uri"], rec["date"], rec["content_type"],
@@ -242,7 +245,9 @@ def warc_to_documents(
     recs = read_warc(spark, path).where(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
+        # media types are case-insensitive (RFC 9110): real hosts
+        # serve 'Text/HTML'
+        & F.lower("http_content_type").startswith("text/html")
     )
 
     def extract(batches: Iterator) -> Iterator:

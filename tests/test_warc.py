@@ -171,3 +171,51 @@ class TestSparkEndToEnd:
         assert bytes(by_type["response"]["body"]) == b"<p>hi</p>"
         assert by_type["warcinfo"]["http_status"] is None
         assert bytes(by_type["warcinfo"]["body"]) == b"software: x"
+
+
+class TestReviewFindingsWarc:
+    def test_truncated_gzip_raises(self):
+        gz = encode_warc(TestWarcContainer.RECS, gzip_members=True)
+        for cut in (5, len(gz) // 2, len(gz) - 3):
+            with pytest.raises(ValueError):
+                parse_warc(gz[:cut])
+
+    def test_utf16_charset_is_handled(self, spark, tmp_path):
+        from pulsar_spark.sources.warc import warc_to_documents
+
+        html = "<html><body><p>wide chars</p></body></html>"
+        recs = [{
+            "warc_type": "response",
+            "record_id": "urn:u16",
+            "target_uri": "http://wide.example.com/u",
+            "content_type": "application/http;msgtype=response",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-16\r\n\r\n"
+            + html.encode("utf-16"),
+        }]
+        (tmp_path / "u.warc.gz").write_bytes(encode_warc(recs))
+        rows = warc_to_documents(spark, str(tmp_path / "*.warc.gz")).collect()
+        assert len(rows) == 1 and rows[0]["text"] == "wide chars"
+
+    def test_content_type_case_insensitive(self, spark, tmp_path):
+        from pulsar_spark.sources.warc import warc_to_documents
+
+        recs = [{
+            "warc_type": "response",
+            "record_id": "urn:iis",
+            "target_uri": "http://legacy.example.com/p",
+            "content_type": "application/http;msgtype=response",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; Charset=UTF-8\r\n\r\n"
+            b"<p>old server</p>",
+        }]
+        (tmp_path / "c.warc.gz").write_bytes(encode_warc(recs))
+        rows = warc_to_documents(spark, str(tmp_path / "*.warc.gz")).collect()
+        assert len(rows) == 1 and rows[0]["text"] == "old server"
+
+    def test_escaped_body_roundtrips_specials(self):
+        # the fixture escape path: '&'/'<' in source text must survive
+        # the HTML wrap + extraction verbatim
+        import html as html_mod
+
+        text = "AT&T sells <widgets> & more"
+        page = f"<html><body><p>{html_mod.escape(text)}</p></body></html>"
+        assert html_to_text(page) == text
