@@ -287,6 +287,52 @@ def main() -> None:
         out["video_frame_sample_sec"] = round(time.perf_counter() - t0, 2)
         bigav.unpersist()
 
+        # crawl ingestion at scale: 50k docs wrapped into multistream
+        # .warc.gz archives (one per partition, like real ~1 GiB crawl
+        # files), then the full parse -> HTTP -> charset -> HTML
+        # extraction chain; docs/sec should be flat in corpus size
+        # (one fused Arrow pass per archive, nothing but text shuffles)
+        from pulsar_spark.sources.warc import warc_to_documents
+
+        warc_dir = tempfile.mkdtemp(prefix="pulsar_spark_warc_")
+
+        def _write_warc(batches):
+            import html as html_mod
+            import os
+            import uuid
+
+            import pandas as pd
+
+            from pulsar_spark.sources.warc import encode_warc
+
+            recs = []
+            for pdf in batches:
+                for d, text in zip(pdf["doc_id"], pdf["text"]):
+                    body = (
+                        f"<html><head><title>D{int(d)}</title></head><body>"
+                        f"<p>{html_mod.escape(text)}</p></body></html>"
+                    ).encode()
+                    recs.append({
+                        "warc_type": "response",
+                        "record_id": f"urn:doc:{int(d)}",
+                        "target_uri": f"http://h{int(d) % 100}.example.com/{int(d)}",
+                        "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                        b"charset=utf-8\r\n\r\n" + body,
+                    })
+            if recs:
+                p = os.path.join(warc_dir, f"part-{uuid.uuid4().hex}.warc.gz")
+                with open(p, "wb") as fh:
+                    fh.write(encode_warc(recs))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+        bigdocs.select("doc_id", "text").repartition(32).mapInPandas(
+            _write_warc, "n bigint"
+        ).agg(F.sum("n")).collect()
+        t0 = time.perf_counter()
+        warc_to_documents(spark, warc_dir + "/*.warc.gz").count()
+        out["warc_ingest_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
+        shutil.rmtree(warc_dir, ignore_errors=True)
+
         # scalable-topic ingest at scale: range routing + per-segment
         # offset window — same shape as classic produce, so throughput
         # should match B1
