@@ -42,6 +42,7 @@ __all__ = [
     "split_http_response",
     "read_warc",
     "warc_to_documents",
+    "wet_to_documents",
 ]
 
 
@@ -266,6 +267,56 @@ def warc_to_documents(
 
     out = recs.mapInPandas(
         extract,
+        "record_id string, target_uri string, warc_date string, text string",
+    )
+    host = F.parse_url("target_uri", F.lit("HOST"))
+    return (
+        out.select(
+            F.xxhash64("record_id").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.coalesce(host, F.lit("unknown")).alias("source"),
+            "text",
+            F.length("text").alias("n_chars"),
+            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ssX").alias(
+                "fetch_date"
+            ),
+        )
+        .where(F.col("n_chars") >= min_chars)
+    )
+
+
+def wet_to_documents(
+    spark: SparkSession,
+    path: str,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Common Crawl WET archives -> the ``documents`` shape.
+
+    WET files are WARC containers whose ``conversion`` records carry
+    ALREADY-extracted plain text (Content-Type text/plain, utf-8) — the
+    sibling of ``warc_to_documents`` for pipelines that start from the
+    crawl's pre-extracted tier instead of raw HTML. Same fused-Arrow /
+    binaryFile shape; whitespace-normalizes the text the same way
+    html_to_text would so both entry points feed dedup identically."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path).where(F.col("warc_type") == "conversion")
+
+    def decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf[["record_id", "target_uri", "warc_date", "body"]].copy()
+            pdf["text"] = [
+                "\n".join(
+                    " ".join(line.split())
+                    for line in bytes(b).decode("utf-8", "replace").splitlines()
+                    if line.strip()
+                )
+                for b in pdf["body"]
+            ]
+            yield pdf.drop(columns=["body"])
+
+    out = recs.mapInPandas(
+        decode,
         "record_id string, target_uri string, warc_date string, text string",
     )
     host = F.parse_url("target_uri", F.lit("HOST"))

@@ -219,3 +219,31 @@ class TestReviewFindingsWarc:
         text = "AT&T sells <widgets> & more"
         page = f"<html><body><p>{html_mod.escape(text)}</p></body></html>"
         assert html_to_text(page) == text
+
+
+class TestWet:
+    def test_wet_to_documents(self, spark, tmp_path):
+        from pulsar_spark.sources.warc import wet_to_documents
+
+        recs = [
+            {"warc_type": "warcinfo", "payload": b"software: wet"},
+            {
+                "warc_type": "conversion",
+                "record_id": "urn:wet:1",
+                "target_uri": "http://a.example.com/p",
+                "content_type": "text/plain",
+                "payload": "line one\n\n  spaced   line  \n".encode(),
+            },
+            {  # raw response records are NOT conversion rows: ignored
+                "warc_type": "response",
+                "target_uri": "http://b.example.com/q",
+                "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>",
+            },
+        ]
+        (tmp_path / "w.warc.wet.gz").write_bytes(encode_warc(recs))
+        rows = wet_to_documents(spark, str(tmp_path / "*.wet.gz")).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["url"] == "http://a.example.com/p"
+        assert r["text"] == "line one\nspaced line"
+        assert r["source"] == "a.example.com"
