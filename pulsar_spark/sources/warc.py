@@ -157,21 +157,43 @@ def split_http_response(payload: bytes):
     return status, headers, payload[sep + 4 :]
 
 
-def _http_charset(content_type: str | None) -> str:
-    """Charset token of a Content-Type value (HTTP header values are
-    case-insensitive per RFC 9110), validated by codec LOOKUP only —
-    probing with a sample decode would reject valid multibyte codecs
-    like utf-16 whose units span several bytes."""
+def _valid_codec(cs: str) -> str | None:
+    """Codec name if Python knows it, else None — validated by LOOKUP
+    only: probing with a sample decode would reject valid multibyte
+    codecs like utf-16 whose units span several bytes."""
+    import codecs
+
+    try:
+        codecs.lookup(cs)
+        return cs
+    except LookupError:
+        return None
+
+
+def _http_charset(content_type: str | None, body: bytes = b"") -> str:
+    """Document charset: the Content-Type header's charset token
+    (values are case-insensitive per RFC 9110) or, when the header
+    omits it, the WHATWG fallback — sniff ``charset=`` out of a
+    ``<meta>`` tag in the first 1024 bytes (the prefix the standard
+    says must contain the declaration). utf-8 otherwise."""
     ct = (content_type or "").lower()
     if "charset=" in ct:
         cs = ct.split("charset=", 1)[1].split(";")[0].strip().strip('"')
-        import codecs
+        got = _valid_codec(cs)
+        if got:
+            return got
+    if body:
+        import re
 
-        try:
-            codecs.lookup(cs)
-            return cs
-        except LookupError:
-            pass
+        m = re.search(
+            rb"""<meta[^>]{0,200}charset\s*=\s*["']?([a-zA-Z0-9_\-]{2,20})""",
+            body[:1024],
+            re.IGNORECASE,
+        )
+        if m:
+            got = _valid_codec(m.group(1).decode("ascii", "replace").lower())
+            if got:
+                return got
     return "utf-8"
 
 
@@ -257,10 +279,9 @@ def warc_to_documents(
         for pdf in batches:
             texts = []
             for body, ct in zip(pdf["body"], pdf["http_content_type"]):
-                cs = _http_charset(ct)
-                texts.append(
-                    html_to_text(bytes(body).decode(cs, "replace"))
-                )
+                body = bytes(body)
+                cs = _http_charset(ct, body)
+                texts.append(html_to_text(body.decode(cs, "replace")))
             pdf = pdf[["record_id", "target_uri", "warc_date"]].copy()
             pdf["text"] = texts
             yield pdf

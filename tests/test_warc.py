@@ -247,3 +247,34 @@ class TestWet:
         assert r["url"] == "http://a.example.com/p"
         assert r["text"] == "line one\nspaced line"
         assert r["source"] == "a.example.com"
+
+
+class TestMetaCharsetSniff:
+    def test_meta_charset_fallback(self, spark, tmp_path):
+        # no charset in the HTTP header: the WHATWG 1024-byte meta
+        # sniff must find <meta charset=iso-8859-1> and decode é
+        from pulsar_spark.sources.warc import warc_to_documents
+
+        html = ('<html><head><meta charset="iso-8859-1"></head>'
+                "<body><p>café sniffé</p></body></html>").encode("iso-8859-1")
+        recs = [{
+            "warc_type": "response",
+            "record_id": "urn:sniff",
+            "target_uri": "http://m.example.com/s",
+            "content_type": "application/http;msgtype=response",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html,
+        }]
+        (tmp_path / "m.warc.gz").write_bytes(encode_warc(recs))
+        rows = warc_to_documents(spark, str(tmp_path / "*.warc.gz")).collect()
+        assert rows[0]["text"] == "café sniffé"
+
+    def test_header_charset_wins_over_meta(self):
+        from pulsar_spark.sources.warc import _http_charset
+
+        body = b'<meta charset="iso-8859-1">'
+        assert _http_charset("text/html; charset=utf-8", body) == "utf-8"
+        assert _http_charset("text/html", body) == "iso-8859-1"
+        assert _http_charset("text/html", b"<meta charset=nosuchcs>") == "utf-8"
+        # sniff only looks at the first 1024 bytes, per the standard
+        far = b" " * 1100 + b'<meta charset="iso-8859-1">'
+        assert _http_charset("text/html", far) == "utf-8"
