@@ -489,3 +489,28 @@ class TestSchemaPolicies:
         # registering the schema unblocks the enforced produce
         reg.register(os.path.normpath(topic), df.schema)
         produce(df, topic, num_partitions=2, registry=reg)
+
+
+class TestGifPhash:
+    def test_phash_sees_gif_pixels(self, spark):
+        # the perceptual-hash pixel entry (_decode_pixels) dispatches
+        # gif to the real LZW kernel: a GIF and a BMP of the SAME
+        # pixels must produce the SAME perceptual hashes
+        from pulsar_spark.functions.gif import encode_gif
+        from pulsar_spark.functions.multimodal import _encode_bmp
+        from pulsar_spark.functions.phash import perceptual_hash_media
+
+        rng = np.random.default_rng(11)
+        pal = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 12, (24, 32))]
+        media = spark.createDataFrame(
+            [
+                (1, "image", "gif", bytearray(encode_gif(px))),
+                (2, "image", "bmp", bytearray(_encode_bmp(px))),
+            ],
+            "media_id bigint, modality string, codec string, payload binary",
+        )
+        rows = {r.media_id: r for r in perceptual_hash_media(media).collect()}
+        assert rows[1].phash == rows[2].phash
+        assert rows[1].dhash == rows[2].dhash
+        assert (rows[1].width, rows[1].height) == (32, 24)
