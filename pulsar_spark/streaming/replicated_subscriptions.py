@@ -43,10 +43,18 @@ only when ALL lanes of ALL clusters have answered, at which point its
 own high-watermark vector dominates every covered remote row — that
 vector is the snapshot's ``local_position``.
 
-Scale shape: markers are a handful of rows per snapshot; every scan
-here is either a bounded per-partition MAX (watermarks) or a
-marker-only filter that rides the topic scan. Nothing is data-sized
-except the replication itself, which is the ordinary replicator path.
+Scale shape: markers are a handful of rows per snapshot, and the
+controller is INCREMENTAL — both halves of ``tick()`` are driven by
+checkpointed Structured Streaming legs over the local topic (the
+file source's seen-files log), so each stored file is read a bounded
+number of times ever (once by the marker drain, once per replicator
+leg) and a tick with no new data plans ZERO batches and reads ZERO
+data files. Protocol-marker writes are batched per call (one append,
+not one file per marker), and the stored marker rows fold into the
+ordinary ``compact_topic_storage`` maintenance rewrite like any other
+log entry. The only non-incremental reads are the bounded
+per-partition MAX watermark aggregates taken while answering or
+completing a snapshot.
 """
 from __future__ import annotations
 
@@ -74,6 +82,9 @@ REPLICATED_MARKER_TYPES = (
 )
 
 _STATE = "_replsub_state.json"
+#: streaming-checkpoint root inside the topic dir (underscore prefix =
+#: invisible to parquet partition discovery, like the state sidecar)
+_CKPT = "_replsub_ckpt"
 
 _MIN_MARKER_SCHEMA = T.StructType(
     [
@@ -205,6 +216,18 @@ class ReplicatedSubscriptionsController:
         self.remotes = dict(remotes)
         self.snapshot_timeout_ms = int(snapshot_timeout_s * 1000)
         self.max_cached_snapshots = int(max_cached_snapshots)
+        # markers emitted while draining are buffered and flushed as ONE
+        # append per processing pass — a snapshot cadence of seconds must
+        # not grow the topic's file count one tiny file per marker
+        self._marker_buffer: list[tuple[int, int, dict]] = []
+
+    def _emit(self, rows: list[tuple[int, int, dict]]) -> None:
+        self._marker_buffer.extend(rows)
+
+    def _flush_markers(self) -> None:
+        if self._marker_buffer:
+            write_marker_rows(self.spark, self.topic_path, self._marker_buffer)
+            self._marker_buffer = []
 
     def _has_data(self) -> bool:
         """Presence = partition= subdirectories exist — the same cheap
@@ -292,43 +315,85 @@ class ReplicatedSubscriptionsController:
         """Process every replicated-subscription marker that arrived
         through the replication channel since the last call
         (``receivedReplicatedSubscriptionMarker`` dispatch, :113-126).
-        Marker rows are rare, so the per-(origin, lane) ordered drain is
-        a bounded collect over a marker-only filter that rides the topic
-        scan. Returns the number of markers processed."""
+
+        Incremental: the drain is a checkpointed availableNow stream
+        over the topic (checkpoint ``_replsub_ckpt/markers`` inside the
+        topic dir), so each stored file is marker-scanned ONCE ever — a
+        call with no new files plans zero batches and reads zero data
+        files, where a full-topic re-read would be O(log size) per
+        tick. The marker-type/origin filter rides the batch scan (only
+        five narrow columns are ever collected); the persisted
+        per-(origin, lane) watermarks remain as the idempotence guard
+        for checkpoint loss and for at-least-once batch replays.
+        Returns the number of markers processed."""
         now = _now_ms() if now_ms is None else int(now_ms)
         if not self._has_data():
             return 0
-        df = self.spark.read.option("mergeSchema", "true").parquet(self.topic_path)
-        if "replicated_from" not in df.columns or "props" not in df.columns:
+        from pulsar_spark.streaming.subscribe import subscribe
+
+        stream = subscribe(self.spark, self.topic_path)
+        if "replicated_from" not in stream.columns or "props" not in stream.columns:
+            # no marker has ever been written anywhere in this topic —
+            # nothing to drain (the files stay unseen by the marker
+            # checkpoint and are caught up the first time markers exist)
             return 0
         st = self._load()
         wms = st["marker_watermarks"]
-        rows = (
-            df.where(
-                F.col("marker_type").isin(list(REPLICATED_MARKER_TYPES))
-                & F.col("replicated_from").isNotNull()
+        collected: list = []
+
+        def handle(batch: DataFrame, epoch_id: int) -> None:
+            collected.extend(
+                batch.where(
+                    F.col("marker_type").isin(list(REPLICATED_MARKER_TYPES))
+                    & F.col("replicated_from").isNotNull()
+                )
+                .select(
+                    "replicated_from", "partition", "offset", "marker_type", "props"
+                )
+                .collect()
             )
-            .select("replicated_from", "partition", "offset", "marker_type", "props")
-            .collect()
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.topic_path, _CKPT, "markers"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination()
         rows = [
-            r for r in rows
+            r for r in collected
             if int(r.offset) >= int(wms.get(f"{r.replicated_from}|{int(r.partition)}", 0))
         ]
         rows.sort(key=lambda r: (r.replicated_from, int(r.partition), int(r.offset)))
         n = 0
+        completed_snapshot = False
         for r in rows:
             payload = json.loads(r.props)
             mt = int(r.marker_type)
             if mt == MARKER_SNAPSHOT_REQUEST:
                 self._received_snapshot_request(payload)
             elif mt == MARKER_SNAPSHOT_RESPONSE:
-                self._received_snapshot_response(st, payload, now)
+                completed_snapshot |= self._received_snapshot_response(st, payload, now)
             elif mt == MARKER_SUBSCRIPTION_UPDATE:
                 self._received_subscription_update(payload)
             key = f"{r.replicated_from}|{int(r.partition)}"
             wms[key] = max(int(wms.get(key, 0)), int(r.offset) + 1)
             n += 1
+        # ONE append for every marker this pass emitted (responses,
+        # round-2 requests, completed snapshots)
+        self._flush_markers()
+        if completed_snapshot:
+            # the no-new-data guard must compare against the watermark
+            # INCLUDING the snapshot marker just flushed, or every
+            # snapshot would be followed by another covering only its
+            # own marker row
+            st["last_snapshot_watermark"] = {
+                str(k): v
+                for k, v in high_watermarks(self.spark, self.topic_path).items()
+            }
         self._save(st)
         return n
 
@@ -347,9 +412,12 @@ class ReplicatedSubscriptionsController:
         parts = sorted(
             set(range(meta["num_partitions"])) | set(wm) if meta else set(wm) | {0}
         )
-        write_marker_rows(
-            self.spark,
-            self.topic_path,
+        # buffered: the watermark is read NOW (covering everything that
+        # arrived before this request through the per-lane FIFO), the
+        # rows land in the single per-pass flush — nothing else appends
+        # between read and flush (single-writer controller), so the
+        # consistent-cut argument is unchanged
+        self._emit(
             [
                 (
                     p,
@@ -368,20 +436,22 @@ class ReplicatedSubscriptionsController:
             ],
         )
 
-    def _received_snapshot_response(self, st: dict, payload: dict, now: int) -> None:
+    def _received_snapshot_response(self, st: dict, payload: dict, now: int) -> bool:
         """The snapshot-builder path (:180 →
         ReplicatedSubscriptionsSnapshotBuilder.receivedSnapshotResponse):
         first-round positions are kept (putIfAbsent), the second round
         only ticks off arrivals; with >1 remote the first complete round
-        triggers a second request, the last completes the snapshot."""
+        triggers a second request, the last completes the snapshot.
+        Returns True when this response COMPLETED a snapshot (the
+        caller refreshes the no-new-data watermark after the flush)."""
         if payload.get("source_cluster") != self.local_cluster:
-            return
+            return False
         sid = payload["snapshot_id"]
         b = st["pending"].get(sid)
         if b is None:
-            return  # late reply for a timed-out snapshot (:183)
+            return False  # late reply for a timed-out snapshot (:183)
         if int(payload.get("round", 1)) != int(b["round"]):
-            return  # stale round replay
+            return False  # stale round replay
         cl = payload["cluster"]
         lane = str(int(payload["partition"]))
         b["responses"].setdefault(cl, {}).setdefault(lane, int(payload["next_offset"]))
@@ -395,20 +465,18 @@ class ReplicatedSubscriptionsController:
             for cl_ in self.remotes
         )
         if not complete:
-            return
+            return False
         if len(self.remotes) > 1 and int(b["round"]) == 1:
             # two rounds needed to catch messages in flight between the
             # other clusters (builder:needTwoRounds)
             b["round"] = 2
             b["arrived"] = {}
-            write_marker_rows(
-                self.spark,
-                self.topic_path,
+            self._emit(
                 [(0, MARKER_SNAPSHOT_REQUEST,
                   {"snapshot_id": sid, "source_cluster": self.local_cluster,
                    "round": 2})],
             )
-            return
+            return False
         # snapshot complete: local position = our full watermark vector,
         # which dominates every remote row covered by the responses
         # (they all arrived before the responses' lane rows did)
@@ -434,16 +502,10 @@ class ReplicatedSubscriptionsController:
             )[-self.max_cached_snapshots:]
         st["last_completed_ms"] = now
         del st["pending"][sid]
-        write_marker_rows(
-            self.spark, self.topic_path, [(0, MARKER_SNAPSHOT, snap)]
-        )
-        # the no-new-data guard compares against the watermark INCLUDING
-        # the snapshot marker just stored, or every snapshot would be
-        # followed by another one covering only its own marker row
-        st["last_snapshot_watermark"] = {
-            str(k): v
-            for k, v in high_watermarks(self.spark, self.topic_path).items()
-        }
+        self._emit([(0, MARKER_SNAPSHOT, snap)])
+        # the caller refreshes last_snapshot_watermark AFTER the flush
+        # so the recorded vector includes the snapshot marker row
+        return True
 
     def _received_subscription_update(self, payload: dict) -> None:
         """:200 ``receiveSubscriptionUpdated``: if the update carries a
@@ -498,27 +560,56 @@ class ReplicatedSubscriptionsController:
 
     # ------------------------------------------------------------- wiring
 
-    def replicate_out(self) -> None:
+    def replicate_out(self) -> dict[str, int]:
         """Forward the local topic to every remote with
-        replicated-subscription markers enabled — one replicator leg
-        per remote, the GeoPersistentReplicator with
-        ``isEnableReplicatedSubscriptions`` on."""
-        from pulsar_spark.streaming.replication import replicate_batch
+        replicated-subscription markers enabled — one CHECKPOINTED
+        replicator leg per remote (``replicate_stream`` with
+        ``isEnableReplicatedSubscriptions`` on, checkpoint
+        ``_replsub_ckpt/out-<cluster>`` inside the topic dir), the
+        GeoPersistentReplicator shape.
+
+        Incremental: the file source's seen-files log means each local
+        file is forwarded-scanned once per remote ever; a call with no
+        new data plans zero batches and reads zero data files (where
+        the previous full-topic ``replicate_batch`` re-read the whole
+        log AND the whole remote coordinate set every cycle). The legs
+        run concurrently (started, then awaited). A replay after a torn
+        epoch is still exactly-once via the replicator's presence
+        dedup, whose anti-join build side stays bounded to the replayed
+        batch's offset window. Returns per-remote input-row counts of
+        this pass (all zero on a quiescent tick)."""
+        from pulsar_spark.streaming.replication import replicate_stream
 
         if not self._has_data():
             # pre-created topic with only sidecars: the normal deploy
             # order attaches the controller before the first produce
-            return
-        local = self.spark.read.option("mergeSchema", "true").parquet(self.topic_path)
-        for cluster, dst in sorted(self.remotes.items()):
-            replicate_batch(
-                local, dst, self.local_cluster, cluster,
+            return {c: 0 for c in self.remotes}
+        legs = {
+            cluster: replicate_stream(
+                self.spark,
+                self.topic_path,
+                dst,
+                self.local_cluster,
+                cluster,
+                os.path.join(self.topic_path, _CKPT, f"out-{cluster}"),
                 replicated_subscriptions=True,
             )
+            for cluster, dst in sorted(self.remotes.items())
+        }
+        out: dict[str, int] = {}
+        for cluster, q in legs.items():
+            q.awaitTermination()
+            out[cluster] = sum(
+                int(p["numInputRows"]) for p in (q.recentProgress or [])
+            )
+        return out
 
-    def tick(self, now_ms: int | None = None) -> None:
+    def tick(self, now_ms: int | None = None) -> dict:
         """One controller cycle: process whatever the replication
         channel delivered, then forward local rows (data AND protocol
-        markers) to every remote."""
-        self.process_markers(now_ms=now_ms)
-        self.replicate_out()
+        markers) to every remote. Both halves are checkpoint-driven, so
+        a tick on a quiescent topic is marker-file listings only — no
+        data file is (re)read. Returns
+        ``{"markers": n, "forwarded": {cluster: input_rows}}``."""
+        n = self.process_markers(now_ms=now_ms)
+        return {"markers": n, "forwarded": self.replicate_out()}

@@ -256,6 +256,85 @@ class TestCursorRegistry:
         assert cursors.is_replicated(t, "ghost")
 
 
+class TestIncrementalController:
+    """VERDICT r8 #1: the controller must be incremental — a tick with
+    no new data plans zero batches and reads zero data files (both the
+    marker drain and every replicator leg are checkpointed availableNow
+    streams over the topic's file source)."""
+
+    def test_quiescent_tick_reads_no_data_files(self, spark, tmp_path):
+        east, west = str(tmp_path / "east"), str(tmp_path / "west")
+        _produce(spark, east, range(20))
+        _produce(spark, west, range(100, 110))
+        ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+        assert ce.start_snapshot(now_ms=1_000) is not None
+        ce.replicate_out()
+        cw.tick(now_ms=2_000)
+        ce.process_markers(now_ms=3_000)
+        assert len(ce._load()["snapshots"]) == 1
+        # drain until the mesh is quiescent (markers written by one tick
+        # are new files to the next)
+        for t in range(4):
+            ce.tick(now_ms=4_000 + t)
+            cw.tick(now_ms=4_000 + t)
+        se = ce.tick(now_ms=9_000)
+        sw = cw.tick(now_ms=9_000)
+        # zero input rows across every leg == no data file was read
+        assert se["markers"] == 0 and sw["markers"] == 0
+        assert all(v == 0 for v in se["forwarded"].values()), se
+        assert all(v == 0 for v in sw["forwarded"].values()), sw
+
+    def test_marker_writes_batched_one_append_per_pass(self, spark, tmp_path, monkeypatch):
+        """Two snapshot requests processed in one drain must flush as
+        ONE append (write_marker_rows call), not one per marker —
+        marker-file growth is bounded per tick, not per marker."""
+        east, west = str(tmp_path / "east"), str(tmp_path / "west")
+        _produce(spark, east, range(6))
+        _produce(spark, west, range(100, 104))
+        ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+        # two requests from east arrive at west in one pass (the second
+        # snapshot can start because none is pending at east after a
+        # timeout sweep window; force it by timing out the first)
+        assert ce.start_snapshot(now_ms=1_000) is not None
+        assert ce.start_snapshot(now_ms=1_000 + 31_000) is not None
+        ce.replicate_out()
+        import pulsar_spark.streaming.replicated_subscriptions as rs
+
+        calls = []
+        real = rs.write_marker_rows
+
+        def counting(spark_, path, rows):
+            calls.append(len(rows))
+            return real(spark_, path, rows)
+
+        monkeypatch.setattr(rs, "write_marker_rows", counting)
+        n = cw.process_markers(now_ms=40_000)
+        assert n == 2  # both requests drained in one pass
+        # one flush carrying every response lane of both answers
+        assert len(calls) == 1 and calls[0] >= 2
+
+    def test_checkpoint_survives_controller_restart(self, spark, tmp_path):
+        """The streaming checkpoints live in the topic dir, so a FRESH
+        controller object neither re-forwards nor re-drains."""
+        east, west = str(tmp_path / "east"), str(tmp_path / "west")
+        _produce(spark, east, range(10))
+        _produce(spark, west, range(100, 105))
+        ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+        ce.start_snapshot(now_ms=1_000)
+        ce.replicate_out()
+        cw.tick(now_ms=2_000)
+        ce.process_markers(now_ms=3_000)
+        for t in range(4):
+            ce.tick(now_ms=4_000 + t)
+            cw.tick(now_ms=4_000 + t)
+        ce2 = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        s = ce2.tick(now_ms=9_000)
+        assert s["markers"] == 0 and all(v == 0 for v in s["forwarded"].values())
+
+
 class TestStreamingReplicatorCarriesMarkers:
     def test_replicate_stream_forwards_protocol_markers(self, spark, tmp_path):
         """The streaming replicator leg (replicate_stream with
