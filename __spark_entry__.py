@@ -228,6 +228,78 @@ def _q_scalable_split_stats(spark, sf_dir):
     return scalable_stats(spark, d)
 
 
+def _q_scalable_txn_visibility(spark, sf_dir):
+    # v5 transactions over scalable topics (sources/scalable_txn.py —
+    # PulsarClient.newTransaction PulsarClient.java:95,
+    # Transaction.java:30 commit/abort,
+    # ScalableStreamConsumer.acknowledgeCumulative(…, Transaction)
+    # ScalableStreamConsumer.java:302): a non-txn batch plus three
+    # transactional batches land in the segment logs immediately
+    # (txn-buffer staging); one txn commits WITH a staged subscription
+    # checkpoint advance (the vector = the non-txn batch's per-segment
+    # counts), one stays OPEN, one aborts. The committed view must show
+    # exactly non-txn + committed rows, and the subscription cursor
+    # must sit exactly at the staged vector — both halves of the atomic
+    # commit in one result.
+    import tempfile
+
+    from pulsar_spark.sources import (
+        V5TransactionCoordinator,
+        create_scalable_topic,
+        create_subscription,
+        new_transaction,
+        produce_scalable,
+        produce_scalable_txn,
+        read_scalable_committed,
+        subscription_checkpoint,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_orderkey").alias("okey"),
+        "o_totalprice",
+    )
+    base = tempfile.mkdtemp(prefix="pstxn5_")
+    d = base + "/topic"
+    create_scalable_topic(d, num_initial_segments=2)
+    coord = V5TransactionCoordinator(base + "/coord.json")
+    produce_scalable(
+        orders.where(F.col("okey") % 4 == 0), d, key_col="k", deterministic_mod=True
+    )
+    create_subscription(d, "sub")
+    # the non-txn batch's per-segment counts = its high watermarks + 1
+    # (it was produced first, offsets 0..n-1) — the staged ack vector
+    from pulsar_spark.sources import segment_high_watermarks
+
+    vector = {s: hi + 1 for s, hi in segment_high_watermarks(spark, d).items()}
+    t_commit = new_transaction(coord)
+    t_open = new_transaction(coord)
+    t_abort = new_transaction(coord)
+    for t, m in ((t_commit, 1), (t_open, 2), (t_abort, 3)):
+        produce_scalable_txn(
+            orders.where(F.col("okey") % 4 == m), d, coord, t,
+            key_col="k", deterministic_mod=True,
+        )
+    coord.acknowledge_cumulative(t_commit, d, "sub", vector)
+    coord.commit(t_commit)
+    coord.abort(t_abort)
+    cursor = subscription_checkpoint(d, "sub").offsets
+    cur_map = F.create_map(
+        *[x for s, off in sorted(cursor.items())
+          for x in (F.lit(int(s)).cast("int"), F.lit(int(off)).cast("bigint"))]
+    )
+    return (
+        read_scalable_committed(spark, d, coord)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_visible"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .withColumn("cursor", F.coalesce(cur_map[F.col("segment")], F.lit(0).cast("bigint")))
+        .select("segment", "n_visible", "sum_price", "cursor")
+    )
+
+
 def _q_scalable_multi_topic_stats(spark, sf_dir):
     # Multi-topic scalable consume (sources/scalable.py
     # read_namespace_from_checkpoint — MultiTopicStreamConsumer.java /
@@ -3702,6 +3774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally by tests/test_oracle_parity.py; the structural test in
     # tests/test_meta_freshness.py enforces that invariant mechanically.
     return {
+        # -- new round-9 queries
+        "scalable_txn_visibility": _q_scalable_txn_visibility,
         # -- new round-7 queries: per-segment admin cursor verbs,
         #    perceptual-hash dedup, watermark-count batch projection
         "segment_subscription_lifecycle": _q_segment_subscription_lifecycle,
@@ -4585,6 +4659,24 @@ def oracle_sql() -> dict[str, str]:
             FROM messages
             WHERE event_id % 7 = 0
               AND publish_time < TIMESTAMP '2024-01-19 00:00:00'
+        """,
+        "scalable_txn_visibility": """
+            WITH src AS (
+              SELECT o_orderkey AS okey, o_totalprice,
+                     CAST(CASE WHEN (o_orderkey * 2654435761) % 65536 < 32768
+                          THEN 0 ELSE 1 END AS INT) AS segment
+              FROM orders
+            ),
+            vis AS (SELECT * FROM src WHERE okey % 4 IN (0, 1)),
+            cur AS (
+              SELECT segment, count(*) AS cursor FROM src
+              WHERE okey % 4 = 0 GROUP BY segment
+            )
+            SELECT v.segment, count(*) AS n_visible,
+                   CAST(round(sum(v.o_totalprice), 2) AS DOUBLE) AS sum_price,
+                   CAST(coalesce(any_value(c.cursor), 0) AS BIGINT) AS cursor
+            FROM vis v LEFT JOIN cur c ON v.segment = c.segment
+            GROUP BY v.segment
         """,
         "scalable_split_stats": """
             WITH e AS (

@@ -47,9 +47,13 @@ class TransactionCoordinator:
             return json.load(fh)
 
     def _save(self, state: dict[str, dict]) -> None:
+        # atomic rename: the status flip IS the durable commit point
+        # for v5 transactions (sources/scalable_txn.py), so a torn
+        # write here would tear the commit itself
+        from pulsar_spark.sources.cursors import atomic_write_json
+
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "w") as fh:
-            json.dump(state, fh)
+        atomic_write_json(self.path, state)
 
     def begin(self, timeout_s: float = 60.0) -> int:
         state = self._load()

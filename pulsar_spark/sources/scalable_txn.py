@@ -1,0 +1,286 @@
+"""v5 transactions over scalable topics — atomic produce + checkpoint
+advance.
+
+Reference semantics: the v5 client API exposes
+``PulsarClient.newTransaction()`` (pulsar-client-api-v5/.../v5/
+PulsarClient.java:95) returning a ``Transaction`` handle
+(Transaction.java:30 — commit makes produced messages visible AND
+acknowledgments durable atomically; abort discards both);
+``ScalableTopicProducer.sendInternal`` routes a transactional send to
+the owning segment's producer (pulsar-client-v5/.../v5/
+ScalableTopicProducer.java:190), ``QueueConsumer.acknowledge(MessageId,
+Transaction)`` (QueueConsumer.java:94 →
+ScalableQueueConsumer.java:234) stages an individual ack under the
+txn, and ``StreamConsumer.acknowledgeCumulative(MessageId,
+Transaction)`` (ScalableStreamConsumer.java:302) stages the position
+VECTOR — each segment advanced up to the vector's entry. The broker
+side is TransactionCoordinatorV5 (pulsar-broker/.../transaction/
+coordinator/v5/TransactionCoordinatorV5.java): a metadata-store state
+machine whose COMMITTED flip is the atomic point, after which the
+per-topic/per-subscription effects are applied as idempotent replay.
+
+Spark-first composition: transactional produces reuse the classic txn
+buffer rendering — rows land in the segment files immediately, stamped
+with ``txn_id``, and every reader view anti-joins against the
+non-committed set (operators/transactions.committed_view, a broadcast
+of the coordinator's tiny state table). Transactional acks stage a
+per-(topic, subscription) offset vector INSIDE the coordinator's
+record; ``commit()`` first flips the status (one atomic JSON rename —
+the durable commit point) and then applies the staged vectors to the
+persisted subscription registry (sources/scalable.py
+``save_subscription_checkpoint``) as max-forward merges, marking the
+record applied. A crash between the two halves is recovered by
+``recover()``: any COMMITTED-but-unapplied record is re-applied —
+idempotent because cursor advances are monotone merges — and aborted
+or timed-out records drop their staged vectors.
+
+Divergence note (documented, same as CheckpointConsumer): the engine's
+scalable cursor is a position VECTOR with no ack-hole set, so a
+committed INDIVIDUAL ack (queue discipline) advances each segment's
+cursor only over the contiguous acked prefix; acked-but-holed offsets
+past the prefix are redelivered at-least-once after a failover, which
+is the discipline's stated redelivery contract.
+
+Scale shape: the coordinator record is O(segments × subscriptions)
+JSON — the reference keeps the same thing in the metadata store;
+nothing here scans data. Visibility filtering broadcasts the bounded
+txn-state table and rides the segment scan.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_spark.operators.transactions import (
+    ABORTED,
+    COMMITTED,
+    OPEN,
+    TransactionCoordinator,
+    committed_view,
+)
+from pulsar_spark.sources.scalable import (
+    Checkpoint,
+    produce_scalable,
+    save_subscription_checkpoint,
+    subscription_checkpoint,
+)
+
+
+def _advance_vector(topic_path: str, subscription: str, offsets: dict) -> None:
+    """Max-forward merge of a staged vector into the persisted
+    subscription checkpoint — monotone, hence safely re-appliable by
+    crash recovery."""
+    ck = subscription_checkpoint(topic_path, subscription)
+    merged = dict(ck.offsets)
+    for seg, off in offsets.items():
+        merged[int(seg)] = max(int(merged.get(int(seg), 0)), int(off))
+    save_subscription_checkpoint(topic_path, subscription, Checkpoint(merged))
+
+
+class V5TransactionCoordinator(TransactionCoordinator):
+    """TransactionCoordinatorV5 rendering: the classic file-backed state
+    machine (begin/commit/abort/timeout — operators/transactions.py)
+    extended with staged subscription-checkpoint advances so a v5
+    transaction atomically covers produces AND acks.
+
+    Record layout per txn (beyond status/deadline):
+    ``pending_acks``: {topic_path: {subscription: {segment: next_off}}}
+    (cumulative/vector acks), ``pending_acks_individual``: same nesting
+    with offset LISTS (queue-discipline acks), ``acks_applied``: the
+    post-commit half's completion flag."""
+
+    # ------------------------------------------------------------ staging
+
+    def acknowledge_cumulative(
+        self,
+        txn_id: int,
+        topic_path: str,
+        subscription: str,
+        offsets: dict[int, int],
+    ) -> None:
+        """StreamConsumer.acknowledgeCumulative(MessageId, Transaction)
+        (ScalableStreamConsumer.java:302): stage the position vector —
+        per segment, the cursor will advance to ``next_off`` on commit.
+        Later stages within the same txn merge max-forward."""
+        state = self._load()
+        rec = self._open_record(state, txn_id)
+        staged = (
+            rec.setdefault("pending_acks", {})
+            .setdefault(topic_path, {})
+            .setdefault(subscription, {})
+        )
+        for seg, off in offsets.items():
+            k = str(int(seg))
+            staged[k] = max(int(staged.get(k, 0)), int(off))
+        self._save(state)
+
+    def acknowledge(
+        self,
+        txn_id: int,
+        topic_path: str,
+        subscription: str,
+        segment_id: int,
+        offset: int,
+    ) -> None:
+        """QueueConsumer.acknowledge(MessageId, Transaction)
+        (QueueConsumer.java:94 → ScalableQueueConsumer.java:234): stage
+        ONE message id under the txn. On commit the individual acks
+        fold into the vector over the contiguous prefix (see the module
+        divergence note)."""
+        state = self._load()
+        rec = self._open_record(state, txn_id)
+        lst = (
+            rec.setdefault("pending_acks_individual", {})
+            .setdefault(topic_path, {})
+            .setdefault(subscription, {})
+            .setdefault(str(int(segment_id)), [])
+        )
+        if int(offset) not in lst:
+            lst.append(int(offset))
+        self._save(state)
+
+    def _open_record(self, state: dict, txn_id: int) -> dict:
+        rec = state.get(str(txn_id))
+        if rec is None:
+            raise KeyError(f"unknown txn {txn_id}")
+        if rec["status"] != OPEN:
+            raise ValueError(f"txn {txn_id} is {rec['status']}, cannot stage acks")
+        return rec
+
+    # ------------------------------------------------------- commit/abort
+
+    def commit(self, txn_id: int) -> None:
+        """Transaction.commit (Transaction.java:30): flip to COMMITTED —
+        ONE atomic registry write, the durable commit point that makes
+        every produced row visible to ``read_scalable_committed`` — then
+        apply the staged checkpoint advances. A crash between the two
+        halves leaves a COMMITTED-but-unapplied record that
+        ``recover()`` (or the next ``commit`` attempt's caller calling
+        recover) finishes idempotently."""
+        self._transition(txn_id, COMMITTED)
+        self._apply_acks(txn_id)
+
+    def abort(self, txn_id: int) -> None:
+        """Transaction.abort: produced rows stay invisible forever (the
+        txn buffer discards), staged ack vectors are rolled back —
+        never applied, and dropped from the record so the messages
+        remain redeliverable."""
+        self._transition(txn_id, ABORTED)
+        state = self._load()
+        rec = state[str(txn_id)]
+        rec.pop("pending_acks", None)
+        rec.pop("pending_acks_individual", None)
+        self._save(state)
+
+    def _fold_individual(self, topic_path: str, sub: str, by_seg: dict) -> dict:
+        """Contiguous-prefix fold of committed individual acks: from the
+        current cursor, advance while the next offset is acked."""
+        cur = subscription_checkpoint(topic_path, sub).offsets
+        out = {}
+        for seg, offsets in by_seg.items():
+            acked = set(int(o) for o in offsets)
+            pos = int(cur.get(int(seg), 0))
+            while pos in acked:
+                pos += 1
+            out[int(seg)] = pos
+        return out
+
+    def _apply_acks(self, txn_id: int) -> bool:
+        """The post-commit half: push staged vectors into the persisted
+        subscription registry. Idempotent (monotone merges) and guarded
+        by ``acks_applied`` so replay after a crash is safe. Returns
+        True when this call did the application."""
+        state = self._load()
+        rec = state[str(txn_id)]
+        if rec.get("acks_applied") or rec["status"] != COMMITTED:
+            return False
+        for topic, subs in rec.get("pending_acks", {}).items():
+            for sub, offsets in subs.items():
+                _advance_vector(topic, sub, offsets)
+        for topic, subs in rec.get("pending_acks_individual", {}).items():
+            for sub, by_seg in subs.items():
+                _advance_vector(topic, sub, self._fold_individual(topic, sub, by_seg))
+        rec["acks_applied"] = True
+        self._save(state)
+        return True
+
+    def recover(self) -> dict[str, int]:
+        """Crash/restart sweep (TransactionCoordinatorV5's replay of the
+        metadata log): finish the post-commit half of every
+        COMMITTED-but-unapplied txn, drop staged acks of ABORTED ones,
+        and abort timed-out OPEN ones first (inherited sweep). Running
+        it twice is a no-op. Returns counts for observability."""
+        timed_out = self.sweep_timeouts()
+        applied = 0
+        for k, rec in self._load().items():
+            if rec["status"] == COMMITTED and not rec.get("acks_applied"):
+                applied += int(self._apply_acks(int(k)))
+        # reload AFTER the applies (each apply persists its own flag)
+        state = self._load()
+        dropped = 0
+        for rec in state.values():
+            if rec["status"] == ABORTED and (
+                rec.get("pending_acks") or rec.get("pending_acks_individual")
+            ):
+                rec.pop("pending_acks", None)
+                rec.pop("pending_acks_individual", None)
+                dropped += 1
+        self._save(state)
+        return {"applied": applied, "dropped": dropped, "timed_out": len(timed_out)}
+
+
+def new_transaction(
+    coordinator: V5TransactionCoordinator, timeout_s: float = 60.0
+) -> int:
+    """PulsarClient.newTransaction (PulsarClient.java:95): open a txn on
+    the coordinator; the returned id threads through transactional
+    produces and acks."""
+    return coordinator.begin(timeout_s=timeout_s)
+
+
+def produce_scalable_txn(
+    payload: DataFrame,
+    topic_path: str,
+    coordinator: V5TransactionCoordinator,
+    txn_id: int,
+    **produce_kwargs,
+) -> None:
+    """Transactional produce into a scalable topic
+    (ScalableTopicProducer.sendInternal with a txn,
+    ScalableTopicProducer.java:190): rows route to their owning
+    segments and land in the log immediately — the txn-buffer staging —
+    stamped with ``txn_id`` so every committed view hides them until
+    the coordinator's COMMITTED flip."""
+    if coordinator.status(txn_id) != OPEN:
+        raise ValueError(f"txn {txn_id} not OPEN")
+    produce_scalable(
+        payload.withColumn("txn_id", F.lit(int(txn_id)).cast("bigint")),
+        topic_path,
+        **produce_kwargs,
+    )
+
+
+def read_scalable_committed(
+    spark: SparkSession,
+    topic_path: str,
+    coordinator: V5TransactionCoordinator,
+    include_sealed: bool = True,
+) -> DataFrame:
+    """Committed-only scan of a scalable topic: non-transactional rows
+    plus rows of COMMITTED txns (TopicTransactionBuffer visibility,
+    composed over segments). mergeSchema because the topic legitimately
+    mixes transactional files (txn_id column) with plain ones; the
+    txn-state table is bounded and broadcast."""
+    from pulsar_spark.sources.scalable import active_segments, scalable_metadata
+
+    df = spark.read.option("mergeSchema", "true").parquet(topic_path)
+    if not include_sealed:
+        meta = scalable_metadata(topic_path)
+        ids = [s["segment_id"] for s in active_segments(meta)]
+        df = df.where(F.col("segment").isin(ids))
+    if "txn_id" not in df.columns:
+        return df
+    return committed_view(df, coordinator.state_df(spark))
