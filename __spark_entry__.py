@@ -2232,6 +2232,55 @@ def _q_embedding_hnsw_knn(spark, sf_dir):
     return hnsw_ivf_topk(emb, qvec, k=10, nlist=32, nprobe=8, exclude_id=0)
 
 
+def _q_policy_offload(spark, sf_dir):
+    # Stored OffloadPolicies driving tiered storage (sources/policies.py
+    # run_offload_policy — Namespaces.setOffloadPolicies
+    # Namespaces.java:4232 / removeOffloadPolicies :4246; enforcement =
+    # the crash-idempotent sources/tiered.py rewrite): the policy is
+    # persisted on the topic, the pass offloads rows older than
+    # now - age_seconds (5 days before VISIBLE_AT == TTL_CUTOFF) to the
+    # stored cold_path, and the result pins all three views — hot tier,
+    # cold tier, and the read-through union — per partition. The oracle
+    # re-derives the split from publish_time alone.
+    import tempfile
+
+    from pulsar_spark.sources import policies as P
+    from pulsar_spark.sources.tiered import tiered_view
+    from pulsar_spark.sources.topics import write_topic
+
+    base = tempfile.mkdtemp(prefix="psoff_")
+    t, cold = base + "/events", base + "/events_cold"
+    write_topic(_messages(spark, sf_dir), t, repartition=False)
+    P.set_policy(t, "offload_policies", {"cold_path": cold, "age_seconds": 432_000})
+    stats = P.run_offload_policy(spark, t, VISIBLE_AT)
+    assert stats and stats.get("offloaded", 0) > 0
+    # a second enforcement pass must be a no-op (idempotent rewrite)
+    stats2 = P.run_offload_policy(spark, t, VISIBLE_AT)
+    assert stats2 == {"offloaded": 0, "hot": stats["hot"]}
+    hot_c = (
+        spark.read.parquet(t).groupBy("partition")
+        .agg(F.count("*").alias("hot_count"))
+    )
+    cold_c = (
+        spark.read.parquet(cold).groupBy("partition")
+        .agg(F.count("*").alias("cold_count"))
+    )
+    both = (
+        tiered_view(spark, t, cold).groupBy("partition")
+        .agg(F.count("*").alias("total_count"))
+    )
+    return (
+        hot_c.join(cold_c, "partition", "full")
+        .join(both, "partition", "full")
+        .select(
+            "partition",
+            F.coalesce("hot_count", F.lit(0)).alias("hot_count"),
+            F.coalesce("cold_count", F.lit(0)).alias("cold_count"),
+            "total_count",
+        )
+    )
+
+
 def _q_policy_enforcement(spark, sf_dir):
     # Durable policy registry (sources/policies.py; the reference
     # persists these as namespace/topic policies — Namespaces.java:2116
@@ -3776,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new round-9 queries
         "scalable_txn_visibility": _q_scalable_txn_visibility,
+        "policy_offload": _q_policy_offload,
         # -- new round-7 queries: per-segment admin cursor verbs,
         #    perceptual-hash dedup, watermark-count batch projection
         "segment_subscription_lifecycle": _q_segment_subscription_lifecycle,
@@ -5268,6 +5318,16 @@ def oracle_sql() -> dict[str, str]:
         # operators: TTL + delayed visibility (namespace TTL policy),
         # the RetentionPolicies window+budget plan (topic policy), and
         # the compactionThreshold trigger — all per partition.
+        "policy_offload": f"""
+            WITH {_M}
+            SELECT partition,
+                   CAST(sum(CASE WHEN publish_time >= TIMESTAMP '2024-01-15 00:00:00'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS hot_count,
+                   CAST(sum(CASE WHEN publish_time < TIMESTAMP '2024-01-15 00:00:00'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS cold_count,
+                   count(*) AS total_count
+            FROM messages GROUP BY partition
+        """,
         "policy_enforcement": f"""
             WITH {_M}, sized AS (
               SELECT partition, "offset", publish_time, deliver_at,

@@ -44,6 +44,7 @@ KNOWN_KEYS = {
     "schema_compatibility_strategy": "Namespaces.setSchemaCompatibilityStrategy",
     "is_allow_auto_update_schema": "Namespaces.setIsAllowAutoUpdateSchema",
     "schema_validation_enforced": "Namespaces.setSchemaValidationEnforced",
+    "offload_policies": "Namespaces.setOffloadPolicies (Namespaces.java:4232)",
 }
 
 
@@ -209,4 +210,66 @@ def apply_policies(
 
     if "deduplication_enabled" in pol:
         out["deduplication_enabled"] = bool(pol["deduplication_enabled"])
+
+    if "offload_policies" in pol:
+        # planning arm only (apply_policies is read-only): the rows the
+        # stored OffloadPolicies would move to the cold tier, and the
+        # resolved cutoff; run_offload_policy performs the move
+        cutoff = _offload_cutoff(pol["offload_policies"], now_ts)
+        out["offload_cutoff"] = cutoff
+        tcol = pol["offload_policies"].get("time_col", "publish_time")
+        out["offload_candidates"] = m.where(F.col(tcol) < cutoff)
     return out
+
+
+def _offload_cutoff(pol: dict, now_ts):
+    """Resolved offload cutoff: rows older than ``age_seconds`` before
+    ``now`` move cold (the time rendering of the reference's
+    managedLedgerOffloadDeletionLag/threshold knobs; parquet's offload
+    unit is the row/file, see sources/tiered.py)."""
+    from pyspark.sql import functions as F
+
+    age = int(pol["age_seconds"])
+    return now_ts - F.expr(f"make_interval(0, 0, 0, 0, 0, 0, {age})")
+
+
+def run_offload_policy(spark, topic_path: str, now: str, namespace_dir: str | None = None):
+    """Enforce the stored OffloadPolicies (Namespaces.setOffloadPolicies,
+    Namespaces.java:4232 / removeOffloadPolicies :4246): offload rows
+    older than ``now - age_seconds`` to the policy's ``cold_path`` via
+    the crash-idempotent ``offload_partitions`` rewrite. A
+    ``threshold_bytes`` key is the reference's
+    managedLedgerOffloadThresholdInBytes trigger: the offload only runs
+    when the hot tier's stored bytes exceed it (below the threshold the
+    pass is a metadata-only no-op). Returns the offload stats, or a
+    skip record, or None when no offload policy is stored."""
+    import datetime
+
+    from pulsar_spark.sources.tiered import offload_partitions
+
+    pol = effective_policies(topic_path, namespace_dir).get("offload_policies")
+    if not pol:
+        return None
+    cold_path = pol["cold_path"]
+    thr = pol.get("threshold_bytes")
+    if thr is not None:
+        hot_bytes = 0
+        for root, _dirs, files in os.walk(topic_path):
+            hot_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        if hot_bytes <= int(thr):
+            return {"skipped": True, "hot_bytes": hot_bytes, "threshold": int(thr)}
+    now_dt = datetime.datetime.fromisoformat(now)
+    cutoff = (now_dt - datetime.timedelta(seconds=int(pol["age_seconds"]))).isoformat(
+        sep=" "
+    )
+    return offload_partitions(
+        spark,
+        topic_path,
+        cold_path,
+        cutoff,
+        time_col=pol.get("time_col", "publish_time"),
+    )

@@ -66,9 +66,17 @@ def offload_partitions(
     tmp = hot_path.rstrip("/") + "__rewrite"
     old = hot_path.rstrip("/") + "__old"
     keep_rows.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(tmp)
-    sidecar = os.path.join(hot_path, "_topic.json")
-    if os.path.exists(sidecar):
-        shutil.copy2(sidecar, os.path.join(tmp, "_topic.json"))
+    # EVERY metadata sidecar survives the swap — topic identity
+    # (_topic.json), stored policies (_policies.json — losing it here
+    # would silently disable the very offload policy that triggered
+    # this rewrite), subscriptions, replication state/checkpoints
+    for name in os.listdir(hot_path):
+        src = os.path.join(hot_path, name)
+        if name.startswith("_") and not name.endswith(".parquet"):
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(tmp, name), dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, os.path.join(tmp, name))
     # Idempotent cold append: a prior run may have appended these rows
     # already (crash before the swap); (partition, offset) identifies a
     # message, so an anti-join drops the already-offloaded ones. The
