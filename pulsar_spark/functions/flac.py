@@ -435,7 +435,14 @@ def decode_flac(payload: bytes):
             br.read(8)
         elif rate_code in (0b1101, 0b1110):
             br.read(16)
-        fbits = bits if bits_code == 0 else _BITS_CODES[bits_code]
+        if bits_code == 0:
+            fbits = bits
+        elif bits_code in _BITS_CODES:
+            fbits = _BITS_CODES[bits_code]
+        else:
+            # 0b011 is reserved (RFC 9639 §9.1.4) — must hold the
+            # total-ValueError contract, not leak a KeyError
+            raise ValueError("reserved FLAC bits-per-sample code")
         br.align()
         if br.byte >= len(buf):
             raise ValueError("truncated FLAC frame header")

@@ -305,6 +305,11 @@ def _decode_gif(payload: bytes) -> dict:
             pos += 1
             if label == 0xF9:  # graphic control
                 size = buf[pos]
+                if size != 4:
+                    # GIF89a §23: the GCE data sub-block is exactly 4
+                    # bytes; any other declared size would make the
+                    # fixed-offset reads below land on the wrong bytes
+                    raise ValueError(f"malformed GCE block size {size}")
                 fields = buf[pos + 1]
                 delay_cs = struct.unpack_from("<H", buf, pos + 2)[0]
                 t_idx = buf[pos + 4]

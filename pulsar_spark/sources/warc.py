@@ -39,11 +39,31 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "encode_warc",
     "parse_warc",
+    "iter_warc_records",
     "split_http_response",
     "read_warc",
     "warc_to_documents",
     "wet_to_documents",
 ]
+
+
+def _fetch_date():
+    """``warc_date`` header -> ``fetch_date`` timestamp. WARC 1.0 dates
+    are second-granularity ``yyyy-MM-ddTHH:mm:ssZ``, but WARC 1.1 /
+    real Common Crawl records frequently carry fractional seconds
+    (``2024-02-01T00:00:00.123Z``) — coalesce over the fraction-trimmed
+    form so those parse instead of turning into silent NULLs.
+    try_to_timestamp keeps one malformed header from failing the whole
+    scan under the driver's ANSI session."""
+    from pyspark.sql import functions as F
+
+    pat = F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+    return F.coalesce(
+        F.try_to_timestamp(F.col("warc_date"), pat),
+        F.try_to_timestamp(
+            F.regexp_replace("warc_date", r"\.\d+", ""), pat
+        ),
+    )
 
 
 def encode_warc(records, gzip_members: bool = True) -> bytes:
@@ -70,21 +90,56 @@ def encode_warc(records, gzip_members: bool = True) -> bytes:
     return bytes(out)
 
 
-def _gunzip_multistream(buf: bytes) -> bytes:
-    """Concatenated gzip members -> concatenated plaintext.
-    ``gzip.decompress`` walks every member and raises EOFError on a
-    truncated one — a cut 1 GiB crawl archive must FAIL, not silently
-    lose its tail records."""
-    return gzip.decompress(buf)
+def _iter_plaintext(buf: bytes):
+    """Multistream gzip -> plaintext CHUNKS, decompressed incrementally
+    (``zlib.decompressobj(wbits=31)``) so the full plaintext of a
+    ~1 GiB crawl archive is never resident at once; plain input yields
+    itself. Failure parity with ``gzip.decompress``: a truncated member
+    raises EOFError, trailing non-gzip garbage raises BadGzipFile — a
+    cut archive must FAIL, not silently lose its tail records."""
+    buf = bytes(buf)
+    if buf[:2] != b"\x1f\x8b":
+        yield buf
+        return
+    view = memoryview(buf)
+    chunk_sz = 1 << 20
+    pos = 0
+    while pos < len(view):
+        if bytes(view[pos : pos + 2]) != b"\x1f\x8b":
+            raise gzip.BadGzipFile("trailing garbage after gzip member")
+        d = zlib.decompressobj(31)
+        while not d.eof and pos < len(view):
+            fed = bytes(view[pos : pos + chunk_sz])
+            pos += len(fed)
+            out = d.decompress(fed)
+            if out:
+                yield out
+        if not d.eof:
+            raise EOFError("truncated gzip member")
+        tail = d.flush()
+        if tail:
+            yield tail
+        pos -= len(d.unused_data)  # rewind to the next member boundary
 
 
 def parse_warc(payload: bytes) -> list[dict]:
     """WARC bytes (plain or multistream gzip) -> record dicts
     ``{"warc_type", "record_id", "target_uri", "date", "content_type",
     "payload"}``. Total over arbitrary bytes: malformed input raises
-    ValueError."""
+    ValueError. Materializes every record — scan paths should consume
+    ``iter_warc_records`` instead."""
+    return list(iter_warc_records(payload))
+
+
+def iter_warc_records(payload: bytes):
+    """Streaming WARC record iterator: gzip members decompress
+    incrementally and the parse window holds at most one record's
+    header + payload at a time, so per-task peak memory is
+    O(largest record), not O(archive) (the shape a ~1 GiB
+    one-task-per-archive crawl read needs). Total over arbitrary
+    bytes: malformed input raises ValueError mid-iteration."""
     try:
-        return _parse_warc(payload)
+        yield from _iter_warc_records(payload)
     except (
         IndexError,
         UnicodeDecodeError,
@@ -95,25 +150,45 @@ def parse_warc(payload: bytes) -> list[dict]:
         raise ValueError(f"truncated or corrupt WARC: {exc}") from exc
 
 
-def _parse_warc(payload: bytes) -> list[dict]:
-    buf = bytes(payload)
-    if buf[:2] == b"\x1f\x8b":
-        buf = _gunzip_multistream(buf)
-    records = []
-    pos = 0
-    while pos < len(buf):
+def _iter_warc_records(payload: bytes):
+    chunks = _iter_plaintext(payload)
+    window = bytearray()
+    done = False
+
+    def pull() -> bool:
+        nonlocal done
+        if done:
+            return False
+        try:
+            window.extend(next(chunks))
+            return True
+        except StopIteration:
+            done = True
+            return False
+
+    while True:
         # tolerate inter-record padding
-        while pos < len(buf) and buf[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= len(buf):
-            break
-        if not buf.startswith(b"WARC/", pos):
-            raise ValueError(f"expected WARC/ version line at offset {pos}")
-        head_end = buf.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            raise ValueError("unterminated WARC header block")
+        i = 0
+        while True:
+            while i < len(window) and window[i] in (0x0D, 0x0A):
+                i += 1
+            if i < len(window) or not pull():
+                break
+        del window[:i]
+        if not window:
+            return
+        while len(window) < 5 and pull():
+            pass
+        if not bytes(window[:5]) == b"WARC/":
+            raise ValueError("expected WARC/ version line")
+        while True:
+            head_end = window.find(b"\r\n\r\n")
+            if head_end >= 0:
+                break
+            if not pull():
+                raise ValueError("unterminated WARC header block")
         headers: dict[str, str] = {}
-        lines = buf[pos:head_end].decode("utf-8", "replace").split("\r\n")
+        lines = bytes(window[:head_end]).decode("utf-8", "replace").split("\r\n")
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
@@ -122,20 +197,18 @@ def _parse_warc(payload: bytes) -> list[dict]:
         except (KeyError, ValueError):
             raise ValueError("WARC record missing a valid Content-Length")
         body_start = head_end + 4
-        if body_start + length > len(buf):
-            raise ValueError("WARC content block runs past the payload")
-        records.append(
-            {
-                "warc_type": headers.get("warc-type", ""),
-                "record_id": headers.get("warc-record-id", "").strip("<>"),
-                "target_uri": headers.get("warc-target-uri"),
-                "date": headers.get("warc-date"),
-                "content_type": headers.get("content-type"),
-                "payload": buf[body_start : body_start + length],
-            }
-        )
-        pos = body_start + length
-    return records
+        while len(window) < body_start + length:
+            if not pull():
+                raise ValueError("WARC content block runs past the payload")
+        yield {
+            "warc_type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", "").strip("<>"),
+            "target_uri": headers.get("warc-target-uri"),
+            "date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "payload": bytes(window[body_start : body_start + length]),
+        }
+        del window[: body_start + length]
 
 
 def split_http_response(payload: bytes):
@@ -221,7 +294,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc(bytes(content)):
+                for rec in iter_warc_records(bytes(content)):
                     status = h_ct = None
                     body = rec["payload"]
                     if rec["warc_type"] == "response":
@@ -298,9 +371,7 @@ def warc_to_documents(
             F.coalesce(host, F.lit("unknown")).alias("source"),
             "text",
             F.length("text").alias("n_chars"),
-            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ssX").alias(
-                "fetch_date"
-            ),
+            _fetch_date().alias("fetch_date"),
         )
         .where(F.col("n_chars") >= min_chars)
     )
@@ -348,9 +419,7 @@ def wet_to_documents(
             F.coalesce(host, F.lit("unknown")).alias("source"),
             "text",
             F.length("text").alias("n_chars"),
-            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ssX").alias(
-                "fetch_date"
-            ),
+            _fetch_date().alias("fetch_date"),
         )
         .where(F.col("n_chars") >= min_chars)
     )

@@ -86,3 +86,88 @@ class TestOffloadPolicy:
     def test_unknown_key_still_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="unknown policy key"):
             P.set_policy(str(tmp_path), "offload_polices", {})
+
+
+class TestAdviceHardening:
+    """ADVICE r8: codec/ingestion totality + memory-shape fixes."""
+
+    def test_flac_reserved_bits_code_raises_valueerror(self):
+        """bits-per-sample code 0b011 is reserved (RFC 9639 §9.1.4) —
+        the total-ValueError contract must hold, not leak a KeyError."""
+        from pulsar_spark.functions.flac import decode_flac, encode_flac
+
+        good = encode_flac([100, -100, 500, -500] * 16, rate=8000)
+        # first frame starts after fLaC + block header + STREAMINFO
+        frame_at = 4 + 4 + 34
+        raw = bytearray(good)
+        # bits-per-sample code lives in frame header byte 3, bits 3..1
+        b = raw[frame_at + 3]
+        raw[frame_at + 3] = (b & ~0x0E) | (0b011 << 1)
+        # recompute the header CRC-8 so the reserved code is reached:
+        # 4 fixed bytes + utf8 frame number (1) + 16-bit block size (2)
+        from pulsar_spark.functions.flac import _crc8
+
+        raw[frame_at + 7] = _crc8(bytes(raw[frame_at : frame_at + 7]))
+        with pytest.raises(ValueError, match="reserved FLAC bits-per-sample"):
+            decode_flac(bytes(raw))
+
+    def test_gif_malformed_gce_size_raises(self):
+        from pulsar_spark.functions.gif import decode_gif, encode_gif
+        import numpy as np
+
+        frame = np.zeros((4, 4, 3), np.uint8)
+        good = bytearray(encode_gif([frame], delays_cs=[5]))
+        i = good.find(b"\x21\xf9")
+        assert i >= 0
+        good[i + 2] = 3  # declared GCE size != 4
+        with pytest.raises(ValueError, match="GCE"):
+            decode_gif(bytes(good))
+
+    def test_warc_streaming_iterator_matches_parse(self):
+        from pulsar_spark.sources import encode_warc, iter_warc_records, parse_warc
+
+        recs = [
+            {"warc_type": "response", "target_uri": f"http://x/{i}",
+             "payload": (b"HTTP/1.1 200 OK\r\n\r\n" + bytes([65 + i % 26]) * (1000 + i))}
+            for i in range(50)
+        ]
+        data = encode_warc(recs, gzip_members=True)
+        streamed = list(iter_warc_records(data))
+        assert streamed == parse_warc(data)
+        assert len(streamed) == 50
+        # truncation raises mid-iteration, never silently drops tail
+        it = iter_warc_records(data[: len(data) - 40])
+        with pytest.raises(ValueError):
+            list(it)
+
+    def test_warc_record_spanning_many_chunks(self):
+        """A record bigger than the 1 MiB decompress chunk still parses
+        (the window accumulates across pulls)."""
+        from pulsar_spark.sources import encode_warc, iter_warc_records
+
+        big = b"x" * (3 << 20)
+        data = encode_warc(
+            [{"warc_type": "resource", "payload": big},
+             {"warc_type": "resource", "payload": b"tail"}],
+            gzip_members=True,
+        )
+        got = list(iter_warc_records(data))
+        assert got[0]["payload"] == big and got[1]["payload"] == b"tail"
+
+    def test_warc_date_fractional_seconds_survive(self, spark, tmp_path):
+        from pulsar_spark.sources import encode_warc, wet_to_documents
+
+        data = encode_warc(
+            [{"warc_type": "conversion", "target_uri": "http://a/b",
+              "date": "2024-02-01T00:00:05.123Z", "payload": b"hello world"},
+             {"warc_type": "conversion", "target_uri": "http://a/c",
+              "date": "2024-02-01T00:00:06Z", "payload": b"bye world"}],
+            gzip_members=True,
+        )
+        p = tmp_path / "w.warc.gz"
+        p.write_bytes(data)
+        rows = {r.url: r.fetch_date for r in
+                wet_to_documents(spark, str(p)).collect()}
+        assert rows["http://a/b"] is not None
+        assert rows["http://a/b"].second == 5
+        assert rows["http://a/c"].second == 6
