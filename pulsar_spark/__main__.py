@@ -204,6 +204,22 @@ def main(argv: list[str] | None = None) -> int:
     p_dels.add_argument("--force", action="store_true",
                         help="delete even with existing subscriptions")
 
+    p_rsub = sub.add_parser(
+        "replsub",
+        help="replicated-subscriptions controller: tick/snapshot/sync/status",
+    )
+    p_rsub.add_argument("topic")
+    p_rsub.add_argument("verb", choices=["tick", "snapshot", "sync", "status"])
+    p_rsub.add_argument("--cluster", default="local",
+                        help="this cluster's name (the marker origin)")
+    p_rsub.add_argument(
+        "--remote", action="append", default=[],
+        metavar="NAME=PATH",
+        help="remote cluster topic dir (repeatable), e.g. west=/data/west/t",
+    )
+    p_rsub.add_argument("--subscription", default=None,
+                        help="subscription to sync (replsub sync)")
+
     p_pol = sub.add_parser(
         "policy", help="durable topic/namespace policies: set/get/remove/list"
     )
@@ -387,6 +403,40 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("pulsar-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "replsub":
+        from pulsar_spark.streaming.replicated_subscriptions import (
+            ReplicatedSubscriptionsController,
+        )
+
+        remotes = dict(r.split("=", 1) for r in args.remote)
+        ctl = ReplicatedSubscriptionsController(
+            spark, args.topic, args.cluster, remotes
+        )
+        if args.verb == "tick":
+            print(json.dumps({"topic": args.topic, **ctl.tick()}))
+        elif args.verb == "snapshot":
+            print(json.dumps({"topic": args.topic,
+                              "snapshot_id": ctl.start_snapshot()}))
+        elif args.verb == "sync":
+            if not args.subscription:
+                ap.error("replsub sync needs --subscription")
+            snap = ctl.sync_subscription(args.subscription)
+            print(json.dumps({"topic": args.topic,
+                              "subscription": args.subscription,
+                              "snapshot": snap}))
+        else:  # status
+            st = ctl._load()
+            print(json.dumps({
+                "topic": args.topic,
+                "enabled": ctl.enabled(),
+                "pending": sorted(st["pending"]),
+                "completed_snapshots": len(st["snapshots"]),
+                "marker_watermarks": st["marker_watermarks"],
+            }))
+        if owns_session:
+            spark.stop()
+        return 0
 
     if args.cmd == "produce":
         from pulsar_spark.sources.topics import produce

@@ -45,6 +45,10 @@ KNOWN_KEYS = {
     "is_allow_auto_update_schema": "Namespaces.setIsAllowAutoUpdateSchema",
     "schema_validation_enforced": "Namespaces.setSchemaValidationEnforced",
     "offload_policies": "Namespaces.setOffloadPolicies (Namespaces.java:4232)",
+    "replicated_subscriptions_enabled": (
+        "Namespaces.setReplicatedSubscriptionStatus analog (per-namespace "
+        "enablement of the snapshot-marker protocol)"
+    ),
 }
 
 

@@ -229,6 +229,22 @@ class ReplicatedSubscriptionsController:
             write_marker_rows(self.spark, self.topic_path, self._marker_buffer)
             self._marker_buffer = []
 
+    def enabled(self) -> bool:
+        """Per-namespace/topic enablement — the
+        ``Namespaces.setReplicatedSubscriptionStatus`` analog, read from
+        the durable policy registry
+        (``replicated_subscriptions_enabled``, default ON like the
+        reference's broker default). A disabled controller neither
+        starts snapshots nor ticks — deployment matches the
+        reference's per-namespace switch without code changes."""
+        from pulsar_spark.sources.policies import effective_policies
+
+        return bool(
+            effective_policies(self.topic_path).get(
+                "replicated_subscriptions_enabled", True
+            )
+        )
+
     def _has_data(self) -> bool:
         """Presence = partition= subdirectories exist — the same cheap
         metadata check _read_topic_if_present uses, without paying a
@@ -271,6 +287,8 @@ class ReplicatedSubscriptionsController:
         no data arrived since the last snapshot (:259), else write a
         SNAPSHOT_REQUEST marker. Returns the snapshot id, or None when
         skipped."""
+        if not self.enabled():
+            return None
         now = _now_ms() if now_ms is None else int(now_ms)
         st = self._load()
         self._cleanup_timed_out(st, now)
@@ -610,6 +628,11 @@ class ReplicatedSubscriptionsController:
         markers) to every remote. Both halves are checkpoint-driven, so
         a tick on a quiescent topic is marker-file listings only — no
         data file is (re)read. Returns
-        ``{"markers": n, "forwarded": {cluster: input_rows}}``."""
+        ``{"markers": n, "forwarded": {cluster: input_rows}}`` (or a
+        disabled record when the stored
+        ``replicated_subscriptions_enabled`` policy turns the protocol
+        off for this topic/namespace)."""
+        if not self.enabled():
+            return {"markers": 0, "forwarded": {}, "disabled": True}
         n = self.process_markers(now_ms=now_ms)
         return {"markers": n, "forwarded": self.replicate_out()}

@@ -30,6 +30,9 @@ TABLES = [
 
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
+    # round-9 additions (preemptive: keep green when rotated out)
+    "scalable_txn_visibility",
+    "policy_offload",
     # round-7 additions (preemptive: keep green when rotated out)
     "segment_subscription_lifecycle",
     "media_phash_near_dups",

@@ -88,6 +88,91 @@ class TestOffloadPolicy:
             P.set_policy(str(tmp_path), "offload_polices", {})
 
 
+class TestReplsubPolicyAndCLI:
+    """replicated_subscriptions_enabled policy key (the
+    Namespaces.setReplicatedSubscriptionStatus analog) + the replsub
+    CLI lifecycle."""
+
+    def _mesh(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import create_topic, produce
+        from pulsar_spark.streaming.replicated_subscriptions import (
+            ReplicatedSubscriptionsController,
+        )
+
+        east, west = str(tmp_path / "ns" / "east"), str(tmp_path / "ns" / "west")
+        for t, base in ((east, 0), (west, 100)):
+            create_topic(t, 2)
+            produce(
+                spark.createDataFrame(
+                    [(str(i), i) for i in range(base, base + 8)],
+                    "key string, event_id bigint",
+                ),
+                t, key_col="key",
+            )
+        ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+        return east, west, ce, cw
+
+    def test_policy_disables_controller(self, spark, tmp_path):
+        east, west, ce, cw = self._mesh(spark, tmp_path)
+        P.set_policy(east, "replicated_subscriptions_enabled", False)
+        assert not ce.enabled()
+        assert ce.start_snapshot(now_ms=1_000) is None
+        assert ce.tick(now_ms=2_000) == {"markers": 0, "forwarded": {},
+                                         "disabled": True}
+        # nothing reached west
+        assert cw.process_markers(now_ms=3_000) == 0
+        # namespace-level disable covers both topics; topic-level
+        # re-enable overrides it (defaults < namespace < topic)
+        P.remove_policy(east, "replicated_subscriptions_enabled")
+        ns = str(tmp_path / "ns")
+        P.set_policy(ns, "replicated_subscriptions_enabled", False)
+        assert not ce.enabled() and not cw.enabled()
+        P.set_policy(east, "replicated_subscriptions_enabled", True)
+        assert ce.enabled() and not cw.enabled()
+
+    def test_cli_lifecycle(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from pulsar_spark.__main__ import main
+
+        east, west, ce, cw = self._mesh(spark, tmp_path)
+
+        def run(*argv):
+            rc = main(list(argv))
+            assert rc == 0
+            return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+        out = run("replsub", east, "snapshot", "--cluster", "east",
+                  "--remote", f"west={west}")
+        assert out["snapshot_id"]
+        run("replsub", east, "tick", "--cluster", "east",
+            "--remote", f"west={west}")
+        run("replsub", west, "tick", "--cluster", "west",
+            "--remote", f"east={east}")
+        run("replsub", east, "tick", "--cluster", "east",
+            "--remote", f"west={west}")
+        st = run("replsub", east, "status", "--cluster", "east",
+                 "--remote", f"west={west}")
+        assert st["enabled"] and st["completed_snapshots"] == 1
+        assert not st["pending"]
+        # sync requires --subscription (argparse usage error)
+        with pytest.raises(SystemExit) as ei:
+            main(["replsub", east, "sync"])
+        assert ei.value.code == 2
+        capsys.readouterr()
+        from pulsar_spark.sources import cursors
+        from pulsar_spark.streaming.replicated_subscriptions import (
+            high_watermarks,
+        )
+
+        cursors.create_subscription(east, "s", replicated=True)
+        cursors.ack_cumulative(east, "s", high_watermarks(spark, east))
+        out = run("replsub", east, "sync", "--cluster", "east",
+                  "--remote", f"west={west}", "--subscription", "s")
+        assert out["snapshot"] is not None
+
+
 class TestAdviceHardening:
     """ADVICE r8: codec/ingestion totality + memory-shape fixes."""
 
