@@ -527,7 +527,12 @@ def _decode_stub(payload: bytes, modality: str) -> dict:
     }
 
 
-def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -> DataFrame:
+def decode_media(
+    media: DataFrame,
+    strict: bool = False,
+    batch_rows: int = 64,
+    kernel: str = "auto",
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     Rows whose ``codec`` is in ``REAL_CODECS`` (jpeg/png/bmp/ppm/pgm/
@@ -538,10 +543,36 @@ def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -
     exceptions, in a 100 TB crawl). Other codecs run the deterministic
     stub, or raise NotImplementedError under ``strict=True`` — the
     marker that a compressed-codec kernel must be dropped in.
+
+    ``kernel`` selects the decode tier (functions/native_codecs.py):
+    ``"auto"`` (default) consults the native-adapter registry first and
+    falls back to the pure kernels on a miss or adapter failure — with
+    no library present (this container) auto IS the pure tier;
+    ``"pure"`` never consults adapters (the oracle/verification tier);
+    ``"native"`` requires an adapter per codec and raises
+    NotImplementedError otherwise. Adapters also cover codecs the pure
+    tier cannot (mp3/h264), retiring the strict-tier stub when the
+    deployment provides a library.
     """
+    if kernel not in ("auto", "pure", "native"):
+        raise ValueError(f"kernel must be auto|pure|native, got {kernel!r}")
+    # snapshot the DRIVER's adapter registry into the closure: the
+    # mapInPandas workers are separate processes whose own registry is
+    # empty, and plan-build-time capture also pins which adapters a
+    # given plan uses (cloudpickle ships the callables)
+    if kernel == "pure":
+        adapters: dict = {}
+    else:
+        from pulsar_spark.functions.native_codecs import _REGISTRY
+
+        adapters = dict(_REGISTRY)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from pulsar_spark.functions.native_codecs import (
+            finalize_adapter_result,
+        )
 
         cols = [
             "media_id", "modality", "width", "height",
@@ -553,6 +584,42 @@ def decode_media(media: DataFrame, strict: bool = False, batch_rows: int = 64) -
                 # frames without a codec column (e.g. the thumbnailer
                 # example's bare media bytes) are stub-tier
                 codec = (r.get("codec") or "").lower()
+                d = None
+                ok = True
+                adapter = adapters.get(codec)
+                if adapter is not None:
+                    try:
+                        d = finalize_adapter_result(
+                            adapter(bytes(r["payload"] or b"")), r["modality"]
+                        )
+                    except Exception:
+                        if kernel == "native":
+                            d = dict.fromkeys(
+                                ("width", "height", "duration_ms",
+                                 "n_frames", "feature")
+                            )
+                            ok = False
+                        # auto: fall through to the pure tier below
+                elif kernel == "native":
+                    raise NotImplementedError(
+                        f"kernel='native' but no adapter registered for "
+                        f"{codec!r}; see functions/native_codecs.py "
+                        "detect_native_kernels()"
+                    )
+                if d is not None:
+                    out.append(
+                        {
+                            "media_id": r["media_id"],
+                            "modality": r["modality"],
+                            "width": d["width"],
+                            "height": d["height"],
+                            "duration_ms": d["duration_ms"],
+                            "n_frames": d["n_frames"],
+                            "feature": d["feature"],
+                            "decode_ok": ok,
+                        }
+                    )
+                    continue
                 if codec in REAL_CODECS:
                     try:
                         d = _decode_real(bytes(r["payload"] or b""), codec)

@@ -173,6 +173,118 @@ class TestReplsubPolicyAndCLI:
         assert out["snapshot"] is not None
 
 
+class TestNativeCodecAdapters:
+    """functions/native_codecs.py — the optional library-backed decode
+    tier behind decode_media (VERDICT r8 missing #2). No native library
+    exists in this container, so the seam is proven with FAKE adapters
+    wrapping the pure kernels: plumbing, fallback, and tier-equality
+    are all testable without the libraries."""
+
+    @pytest.fixture(autouse=True)
+    def _clean_registry(self):
+        from pulsar_spark.functions import native_codecs as nc
+
+        saved = dict(nc._REGISTRY)
+        nc._REGISTRY.clear()
+        yield
+        nc._REGISTRY.clear()
+        nc._REGISTRY.update(saved)
+
+    def _media(self, spark):
+        import numpy as np
+
+        from pulsar_spark.functions.gif import encode_gif
+        from pulsar_spark.functions.multimodal import _encode_png
+
+        rows = [
+            (0, "image", "png",
+             _encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))),
+            (1, "video", "gif",
+             encode_gif([np.full((4, 4, 3), 7, np.uint8)], delays_cs=[5])),
+        ]
+        return spark.createDataFrame(
+            rows, "media_id bigint, modality string, codec string, payload binary"
+        )
+
+    def test_detection_empty_in_this_container(self):
+        from pulsar_spark.functions.native_codecs import detect_native_kernels
+
+        assert detect_native_kernels() == {}
+
+    def test_auto_without_adapters_equals_pure(self, spark):
+        from pulsar_spark.functions.multimodal import decode_media
+
+        m = self._media(spark)
+        auto = decode_media(m, kernel="auto").collect()
+        pure = decode_media(m, kernel="pure").collect()
+        assert sorted(map(str, auto)) == sorted(map(str, pure))
+
+    def test_fake_adapter_is_tier_equal(self, spark):
+        """An adapter returning the pure kernel's pixels must produce
+        EXACTLY the pure tier's rows — the finalize seam shares the
+        feature functions, so equality is bit-for-bit."""
+        from pulsar_spark.functions import native_codecs as nc
+        from pulsar_spark.functions.multimodal import _decode_png, decode_media
+
+        nc.register_adapter("png", lambda p: {"pixels": _decode_png(p)})
+        m = self._media(spark).where("codec = 'png'")
+        native = decode_media(m, kernel="auto").collect()
+        pure = decode_media(m, kernel="pure").collect()
+        assert list(map(str, native)) == list(map(str, pure))
+
+    def test_adapter_retires_the_mp3_stub(self, spark):
+        """A registered mp3 adapter makes strict-mode decode work — the
+        documented path that closes the stub surface when a deployment
+        has a library."""
+        import numpy as np
+
+        from pulsar_spark.functions import native_codecs as nc
+        from pulsar_spark.functions.multimodal import decode_media
+
+        m = spark.createDataFrame(
+            [(9, "audio", "mp3", b"\xff\xfb fake-mp3-bytes")],
+            "media_id bigint, modality string, codec string, payload binary",
+        )
+        # without an adapter the strict tier still raises (unchanged)
+        with pytest.raises(Exception, match="no codec library"):
+            decode_media(m, strict=True, kernel="pure").collect()
+        nc.register_adapter(
+            "mp3",
+            lambda p: {"samples": np.zeros(800, np.float32), "rate": 8000,
+                       "nch": 1},
+        )
+        row = decode_media(m, strict=True, kernel="auto").collect()[0]
+        assert row.decode_ok and row.duration_ms == 100 and row.n_frames == 800
+
+    def test_auto_falls_back_on_adapter_failure(self, spark):
+        from pulsar_spark.functions import native_codecs as nc
+        from pulsar_spark.functions.multimodal import decode_media
+
+        def broken(payload):
+            raise RuntimeError("native decoder segfault analog")
+
+        nc.register_adapter("png", broken)
+        m = self._media(spark).where("codec = 'png'")
+        row = decode_media(m, kernel="auto").collect()[0]
+        assert row.decode_ok and row.width == 4  # pure tier answered
+        # native mode surfaces the failure as decode_ok=false instead
+        row = decode_media(m, kernel="native").collect()[0]
+        assert not row.decode_ok
+
+    def test_native_without_adapter_raises(self, spark):
+        from pulsar_spark.functions.multimodal import decode_media
+
+        m = self._media(spark)
+        with pytest.raises(Exception, match="no adapter registered"):
+            decode_media(m, kernel="native").collect()
+
+    def test_bad_kernel_rejected(self, spark):
+        from pulsar_spark.functions.multimodal import decode_media
+
+        with pytest.raises(ValueError, match="kernel"):
+            decode_media(self._media(spark), kernel="gpu")
+
+
 class TestAdviceHardening:
     """ADVICE r8: codec/ingestion totality + memory-shape fixes."""
 

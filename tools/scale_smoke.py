@@ -333,6 +333,70 @@ def main() -> None:
         out["warc_ingest_docs_per_sec"] = round(nd / (time.perf_counter() - t0))
         shutil.rmtree(warc_dir, ignore_errors=True)
 
+        # round-9 additions at scale — (a) incremental near-dup: one
+        # micro-batch probed against a 50x-corpus signature store (the
+        # probe side broadcasts; the store is scanned map-side, never
+        # shuffled, so probe docs/sec must not fall with store size)
+        from pulsar_spark.functions.dedupe import (
+            commit_near_fingerprints,
+            incremental_near_dedup,
+        )
+
+        store = tempfile.mkdtemp(prefix="pulsar_spark_neardup_") + "/store"
+        commit_near_fingerprints(
+            bigdocs.select("doc_id", "text"), store, epoch=1
+        )
+        probe = docs.select(
+            (F.col("doc_id") + 999_000_000).alias("doc_id"), "text"
+        )
+        np_ = probe.count()
+        t0 = time.perf_counter()
+        incremental_near_dedup(
+            probe, store, update_store=False, epoch=2
+        ).count()
+        out["incr_near_probe_docs_per_sec"] = round(
+            np_ / (time.perf_counter() - t0)
+        )
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+        # (b) replicated subscriptions at 50x topic size: the full
+        # snapshot protocol (request -> answer -> complete) over a
+        # 1M-row origin topic pays one-time incremental drains, then
+        # the QUIESCENT tick — checkpoint-driven, file listings only —
+        # must stay ~constant in topic size and read ZERO rows (this
+        # band regression-gates the round-9 incremental controller)
+        from pulsar_spark.streaming.replicated_subscriptions import (
+            ReplicatedSubscriptionsController,
+        )
+
+        east, west = f"{tmp}/rs_east", f"{tmp}/rs_west"
+        produce(big.where("event_id % 5 = 0"), east,
+                key_col="user_id", num_partitions=8)
+        produce(big.where("event_id % 5000 = 1"), west,
+                key_col="user_id", num_partitions=8)
+        ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+        t0 = time.perf_counter()
+        assert ce.start_snapshot(now_ms=1_000) is not None
+        ce.replicate_out()
+        cw.tick(now_ms=2_000)
+        ce.process_markers(now_ms=3_000)
+        out["replsub_sync_sec"] = round(time.perf_counter() - t0, 2)
+        assert len(ce._load()["snapshots"]) == 1
+        for t in range(3):
+            ce.tick(now_ms=4_000 + t)
+            cw.tick(now_ms=4_000 + t)
+        t0 = time.perf_counter()
+        se = ce.tick(now_ms=9_000)
+        sw = cw.tick(now_ms=9_000)
+        out["replsub_quiescent_tick_sec"] = round(
+            (time.perf_counter() - t0) / 2, 2
+        )
+        out["replsub_quiescent_rows"] = (
+            se["markers"] + sw["markers"]
+            + sum(se["forwarded"].values()) + sum(sw["forwarded"].values())
+        )
+
         # scalable-topic ingest at scale: range routing + per-segment
         # offset window — same shape as classic produce, so throughput
         # should match B1
