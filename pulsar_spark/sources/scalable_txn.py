@@ -284,3 +284,57 @@ def read_scalable_committed(
     if "txn_id" not in df.columns:
         return df
     return committed_view(df, coordinator.state_df(spark))
+
+
+def read_from_checkpoint_committed(
+    spark: SparkSession,
+    topic_path: str,
+    ckpt,
+    coordinator: V5TransactionCoordinator,
+):
+    """The v5 consumer read under transactions: rows at or past the
+    caller-held Checkpoint vector, restricted to the committed view —
+    a QueueConsumer/StreamConsumer attached to a topic with a
+    transaction buffer never receives OPEN or ABORTED rows
+    (TopicTransactionBuffer visibility composed with the
+    CheckpointConsumer scan). Returns ``(DataFrame, advanced
+    Checkpoint)`` like ``read_from_checkpoint``; the advanced vector
+    still covers staged rows (their offsets exist in the log — a later
+    commit makes them visible to OTHER subscriptions, while this
+    cursor has correctly moved past them, exactly like the reference
+    where the broker advances past aborted entries).
+
+    Reads with mergeSchema itself rather than delegating the scan to
+    ``read_from_checkpoint``: a topic legitimately mixes transactional
+    files (txn_id column) with plain ones, and a sampled plain footer
+    would silently DROP the txn_id column — staged/aborted rows would
+    leak into the consumer view, the exact visibility bug the buffer
+    exists to prevent."""
+    import os
+
+    from pulsar_spark.sources.scalable import (
+        checkpoint_start_filter,
+        read_from_checkpoint,
+        segment_high_watermarks,
+    )
+
+    if not (
+        os.path.isdir(topic_path)
+        and any(n.startswith("segment=") for n in os.listdir(topic_path))
+    ):
+        return read_from_checkpoint(spark, topic_path, ckpt)  # empty stub
+    df = spark.read.option("mergeSchema", "true").parquet(topic_path)
+    highs = {
+        sid: mx + 1 for sid, mx in segment_high_watermarks(spark, topic_path).items()
+    }
+    if ckpt.latest:
+        advanced = Checkpoint(highs)
+        df = df.limit(0)
+    else:
+        merged = dict(ckpt.offsets)
+        merged.update(highs)
+        advanced = Checkpoint(merged)
+        df = checkpoint_start_filter(df, ckpt)
+    if "txn_id" in df.columns:
+        df = committed_view(df, coordinator.state_df(spark))
+    return df, advanced

@@ -129,6 +129,78 @@ class TestAtomicAcks:
             coord.acknowledge_cumulative(999, d, "sub", {0: 1})
 
 
+class TestCommittedConsumerView:
+    def test_checkpoint_read_hides_open_and_aborted(self, spark, tmp_path):
+        from pulsar_spark.sources import read_from_checkpoint_committed
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        # many plain files first — the footer-sampling trap: a
+        # non-mergeSchema read would likely sample a plain footer,
+        # drop txn_id, and leak the staged rows below
+        for batch in range(3):
+            produce_scalable(
+                _rows(spark, range(batch * 10, batch * 10 + 10)), d,
+                key_col="k", deterministic_mod=True,
+            )
+        t_open = new_transaction(coord)
+        t_done = new_transaction(coord)
+        produce_scalable_txn(_rows(spark, range(800, 805)), d, coord, t_open,
+                             key_col="k", deterministic_mod=True)
+        produce_scalable_txn(_rows(spark, range(900, 905)), d, coord, t_done,
+                             key_col="k", deterministic_mod=True)
+        coord.commit(t_done)
+        df, advanced = read_from_checkpoint_committed(
+            spark, d, Checkpoint.earliest(), coord
+        )
+        got = sorted(r.v for r in df.collect())
+        assert got == list(range(30)) + list(range(900, 905))
+        # the advanced vector covers the staged rows too — resume must
+        # not re-deliver them when the txn later commits
+        df2, _ = read_from_checkpoint_committed(spark, d, advanced, coord)
+        assert df2.count() == 0
+        coord.commit(t_open)
+        df3, _ = read_from_checkpoint_committed(spark, d, advanced, coord)
+        assert df3.count() == 0  # visible to NEW subscriptions only
+
+    def test_latest_sentinel(self, spark, tmp_path):
+        from pulsar_spark.sources import read_from_checkpoint_committed
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(5)), d, key_col="k",
+                         deterministic_mod=True)
+        df, adv = read_from_checkpoint_committed(
+            spark, d, Checkpoint.latest(), coord
+        )
+        assert df.count() == 0 and sum(adv.offsets.values()) == 5
+
+    def test_txn_acks_compose_with_split(self, spark, tmp_path):
+        """Stage acks, split the segment, commit: the vector applies to
+        the (now sealed) parent id — sealed cursors are retained by the
+        checkpoint model, so the committed advance is not lost and the
+        backlog math stays consistent across the layout change."""
+        from pulsar_spark.sources import split_segment, subscription_backlog
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(20)), d, key_col="k",
+                         deterministic_mod=True)
+        create_subscription(d, "sub")
+        highs0 = {
+            r.segment: r.backlog
+            for r in subscription_backlog(spark, d, "sub").collect()
+        }
+        t = new_transaction(coord)
+        coord.acknowledge_cumulative(t, d, "sub", {0: highs0[0]})  # all of seg 0
+        split_segment(d, 0)
+        coord.commit(t)
+        assert subscription_checkpoint(d, "sub").offsets[0] == highs0[0]
+        after = {
+            r.segment: r.backlog
+            for r in subscription_backlog(spark, d, "sub").collect()
+        }
+        assert after[0] == 0  # parent drained for this subscription
+        assert after[1] == highs0[1]  # untouched sibling unchanged
+
+
 class TestCrashRecovery:
     def test_crash_between_commit_halves_is_recovered_idempotently(
         self, spark, tmp_path
