@@ -11,7 +11,7 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark compact <topic_path> [--event-time-order]
   python -m pulsar_spark truncate <topic_path>
   python -m pulsar_spark last    <topic_path>
-  python -m pulsar_spark offload <topic_path> --cold <path> --before TS
+  python -m pulsar_spark offload <topic_path> --cold <path> --before TS [--from-policy]
   python -m pulsar_spark skip    <topic_path> -n N [--from-offset N]
   python -m pulsar_spark update-partitions <topic_path> --partitions N
   python -m pulsar_spark create-scalable  <topic_path> [--segments N]
@@ -73,8 +73,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p_off = sub.add_parser("offload", help="move rows older than a cutoff to the cold tier")
     p_off.add_argument("topic")
-    p_off.add_argument("--cold", required=True, help="cold-tier directory")
-    p_off.add_argument("--before", required=True, help="offload rows with publish_time < TS")
+    p_off.add_argument("--cold", default=None, help="cold-tier directory")
+    p_off.add_argument("--before", default=None, help="offload rows with publish_time < TS")
+    p_off.add_argument(
+        "--from-policy", action="store_true",
+        help="enforce the STORED offload_policies instead of --cold/--before "
+             "(Namespaces.setOffloadPolicies); --before then supplies 'now'",
+    )
 
     p_skip = sub.add_parser("skip", help="admin skipMessages: cursor past the next N messages")
     p_skip.add_argument("topic")
@@ -600,10 +605,24 @@ def main(argv: list[str] | None = None) -> int:
         ):
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
     elif args.cmd == "offload":
-        from pulsar_spark.sources.tiered import offload_partitions
+        if args.from_policy:
+            import datetime
 
-        stats = offload_partitions(spark, args.topic, args.cold, args.before)
-        print(json.dumps(stats))
+            from pulsar_spark.sources.policies import run_offload_policy
+
+            now = args.before or datetime.datetime.now().isoformat(sep=" ")
+            stats = run_offload_policy(spark, args.topic, now)
+            print(json.dumps(
+                stats if stats is not None
+                else {"skipped": True, "reason": "no offload_policies stored"}
+            ))
+        else:
+            if not args.cold or not args.before:
+                ap.error("offload needs --cold and --before (or --from-policy)")
+            from pulsar_spark.sources.tiered import offload_partitions
+
+            stats = offload_partitions(spark, args.topic, args.cold, args.before)
+            print(json.dumps(stats))
     elif args.cmd == "skip":
         from pulsar_spark.operators import skip_cursor
         from pulsar_spark.sources.topics import read_topic

@@ -87,6 +87,20 @@ class TestOffloadPolicy:
         with pytest.raises(ValueError, match="unknown policy key"):
             P.set_policy(str(tmp_path), "offload_polices", {})
 
+    def test_cli_offload_from_policy(self, spark, tmp_path, capsys):
+        from pulsar_spark.__main__ import main
+
+        t = _topic(spark, tmp_path)
+        cold = str(tmp_path / "cold")
+        P.set_policy(t, "offload_policies", {"cold_path": cold, "age_seconds": 5 * 86400})
+        rc = main(["offload", t, "--from-policy", "--before", "2024-01-20 00:00:00"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["offloaded"] == 20
+        # explicit mode still demands both args
+        with pytest.raises(SystemExit):
+            main(["offload", t, "--cold", cold])
+
 
 class TestReplsubPolicyAndCLI:
     """replicated_subscriptions_enabled policy key (the
