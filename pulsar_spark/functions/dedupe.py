@@ -1217,6 +1217,109 @@ def commit_near_fingerprints(
         sigs.unpersist()
 
 
+def _store_fs(spark, store_path: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_path)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _recover_store_swap(spark, store_path: str) -> None:
+    """Complete or roll back an interrupted store-compaction swap —
+    the same two-rename invariants as the tiered-storage rewrite
+    (sources/tiered.py _recover_swap), over the Hadoop FileSystem API
+    so remote stores (hdfs://, s3a://) recover too."""
+    fs, jvm = _store_fs(spark, store_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base, tmp, old = P(store_path), P(store_path + "__rewrite"), P(store_path + "__old")
+    if not fs.exists(base):
+        if fs.exists(tmp):
+            fs.rename(tmp, base)
+        elif fs.exists(old):
+            fs.rename(old, base)
+    if fs.exists(base) and fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(base) and fs.exists(tmp):
+        fs.delete(tmp, True)
+
+
+def _store_inputs(spark, store_path: str) -> list[str]:
+    """Every data location in a store directory: loose root part files
+    (non-epoch appends) plus ALL ``batch_id=N`` epoch dirs."""
+    return _fingerprint_store_files(spark, store_path) + _epoch_store_dirs(
+        spark, store_path, exclude_epoch=-1
+    )
+
+
+def compact_fingerprint_store(spark, store_path: str, into_epoch: int = 0) -> dict:
+    """Compact the exact-dedup fingerprint store: fold every epoch
+    directory and loose append into ONE distinct-fingerprint base
+    epoch (``batch_id=into_epoch``). A rolling crawl commits one epoch
+    per micro-batch forever; without compaction the store's file/dir
+    count — and every probe's scan cost — grows with epoch COUNT even
+    when the fingerprint set stays flat. The log-compaction analog for
+    the dedup store.
+
+    Contract change it buys: epochs folded into the base are no longer
+    replay-idempotent (a replayed pre-compaction epoch would anti-join
+    against its own folded fingerprints) — compact only past the
+    replay horizon, exactly like checkpoint GC. Crash-safe via the
+    two-rename swap (+ ``_recover_store_swap`` on entry); a second
+    compaction of an already-compacted store is a no-op rewrite."""
+    _recover_store_swap(spark, store_path)
+    inputs = _store_inputs(spark, store_path)
+    if not inputs:
+        return {"fingerprints": 0, "inputs": 0, "compacted": False}
+    fps = spark.read.parquet(*inputs).select("_fp").distinct()
+    rewrite = store_path.rstrip("/") + "__rewrite"
+    fps.write.mode("overwrite").parquet(f"{rewrite}/batch_id={int(into_epoch)}")
+    n = spark.read.parquet(f"{rewrite}/batch_id={int(into_epoch)}").count()
+    fs, jvm = _store_fs(spark, store_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.rename(P(store_path), P(store_path + "__old"))
+    fs.rename(P(rewrite), P(store_path))
+    fs.delete(P(store_path + "__old"), True)
+    return {"fingerprints": n, "inputs": len(inputs), "compacted": True}
+
+
+def compact_near_store(spark, store_path: str, into_epoch: int = 0) -> dict:
+    """Compact the incremental NEAR-dup store (``sigs/`` + ``bands/``):
+    distinct signature rows by ``_fp`` and distinct band rows by
+    ``(_fp, band_idx, band_hash)``, folded into one base epoch each —
+    same motivation, swap protocol, and replay-horizon contract as
+    ``compact_fingerprint_store``. Store size after compaction is the
+    true signature-set size, so the map-side probe scan cost stops
+    growing with epoch count."""
+    _recover_store_swap(spark, store_path)
+    sig_in = _store_inputs(spark, f"{store_path}/sigs")
+    band_in = _store_inputs(spark, f"{store_path}/bands")
+    if not sig_in and not band_in:
+        return {"signatures": 0, "band_rows": 0, "inputs": 0, "compacted": False}
+    rewrite = store_path.rstrip("/") + "__rewrite"
+    sigs = spark.read.parquet(*sig_in).dropDuplicates(["_fp"])
+    sigs.write.mode("overwrite").parquet(
+        f"{rewrite}/sigs/batch_id={int(into_epoch)}"
+    )
+    bands = spark.read.parquet(*band_in).dropDuplicates(
+        ["_fp", "band_idx", "band_hash"]
+    )
+    bands.write.mode("overwrite").parquet(
+        f"{rewrite}/bands/batch_id={int(into_epoch)}"
+    )
+    n_sig = spark.read.parquet(f"{rewrite}/sigs/batch_id={int(into_epoch)}").count()
+    n_band = spark.read.parquet(f"{rewrite}/bands/batch_id={int(into_epoch)}").count()
+    fs, jvm = _store_fs(spark, store_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.rename(P(store_path), P(store_path + "__old"))
+    fs.rename(P(rewrite), P(store_path))
+    fs.delete(P(store_path + "__old"), True)
+    return {
+        "signatures": n_sig,
+        "band_rows": n_band,
+        "inputs": len(sig_in) + len(band_in),
+        "compacted": True,
+    }
+
+
 def remove_duplicated_spans(
     docs: DataFrame,
     n: int = 5,

@@ -198,3 +198,120 @@ class TestReviewFindings:
         assert out["codec"] if "codec" in out.__fields__ else True
         assert out["n_frames"] == 3
         assert out["duration_ms"] == 300
+
+
+class TestStoreCompaction:
+    """Round-9 store GC (compact_fingerprint_store / compact_near_store):
+    a rolling crawl commits one epoch dir per micro-batch forever — the
+    fold into one distinct base epoch must preserve probe semantics
+    exactly while bounding the store's file/dir count."""
+
+    def _edited(self, i: int) -> str:
+        return BASE + f" extra token{i}"
+
+    def test_near_store_compaction_preserves_probe_results(self, spark, tmp_path):
+        from pulsar_spark.functions.dedupe import compact_near_store
+
+        store = str(tmp_path / "s")
+        for epoch in range(4):
+            batch = spark.createDataFrame(
+                [(epoch * 10 + j, _distinct_text(epoch * 10 + j), "w")
+                 for j in range(3)] + [(epoch * 10 + 9, BASE, "w")],
+                SCHEMA,
+            )
+            incremental_near_dedup(batch, store, threshold=0.6, epoch=epoch)
+        probe = spark.createDataFrame(
+            [(900, self._edited(1), "w"),          # near-dup of BASE
+             (901, _distinct_text(11), "w"),       # exact hist text
+             (902, _distinct_text(999), "w")],     # novel
+            SCHEMA,
+        )
+        before = sorted(
+            r.doc_id for r in incremental_near_dedup(
+                probe, store, threshold=0.6, update_store=False, epoch=50
+            ).collect()
+        )
+        stats = compact_near_store(spark, store)
+        assert stats["compacted"] and stats["inputs"] >= 8
+        after = sorted(
+            r.doc_id for r in incremental_near_dedup(
+                probe, store, threshold=0.6, update_store=False, epoch=50
+            ).collect()
+        )
+        assert after == before == [902]
+        # folded into exactly one epoch dir per substore
+        import os
+
+        assert os.listdir(f"{store}/sigs") == ["batch_id=0"]
+        assert os.listdir(f"{store}/bands") == ["batch_id=0"]
+        # compacting again is a no-op rewrite with the same counts
+        stats2 = compact_near_store(spark, store)
+        assert stats2["signatures"] == stats["signatures"]
+        assert stats2["band_rows"] == stats["band_rows"]
+
+    def test_near_store_compaction_dedups_signatures(self, spark, tmp_path):
+        from pulsar_spark.functions.dedupe import compact_near_store
+
+        store = str(tmp_path / "s")
+        one = spark.createDataFrame([(1, BASE, "w")], SCHEMA)
+        # the same signature committed in three epochs stores three
+        # copies; compaction keeps ONE
+        for epoch in range(3):
+            commit_near_fingerprints(one, store, epoch=epoch)
+        stats = compact_near_store(spark, store)
+        assert stats["signatures"] == 1
+
+    def test_exact_store_compaction(self, spark, tmp_path):
+        from pulsar_spark.functions.dedupe import (
+            compact_fingerprint_store,
+            incremental_exact_dedup,
+        )
+
+        store = str(tmp_path / "fp")
+        for epoch in range(3):
+            batch = spark.createDataFrame(
+                [(epoch * 10 + j, _distinct_text(j), "w") for j in range(3)],
+                SCHEMA,
+            )
+            incremental_exact_dedup(batch, store, epoch=epoch)
+        stats = compact_fingerprint_store(spark, store)
+        # 3 distinct texts total (same texts re-committed never land:
+        # the anti-join dropped them in epochs 1-2)
+        assert stats == {"fingerprints": 3, "inputs": 3, "compacted": True}
+        probe = spark.createDataFrame(
+            [(70, _distinct_text(0), "w"), (71, _distinct_text(77), "w")], SCHEMA
+        )
+        got = sorted(
+            r.doc_id for r in incremental_exact_dedup(
+                probe, store, update_store=False, epoch=9
+            ).collect()
+        )
+        assert got == [71]
+
+    def test_interrupted_swap_recovers(self, spark, tmp_path):
+        from pulsar_spark.functions.dedupe import (
+            compact_fingerprint_store,
+            incremental_exact_dedup,
+        )
+
+        store = str(tmp_path / "fp")
+        incremental_exact_dedup(
+            spark.createDataFrame([(1, BASE, "w")], SCHEMA), store, epoch=0
+        )
+        compact_fingerprint_store(spark, store)
+        # simulate a crash between the two swap renames: store gone,
+        # rewrite present
+        import os
+
+        os.rename(store, store + "__rewrite")
+        stats = compact_fingerprint_store(spark, store)
+        assert stats["compacted"] and stats["fingerprints"] == 1
+
+    def test_empty_store_is_noop(self, spark, tmp_path):
+        from pulsar_spark.functions.dedupe import (
+            compact_fingerprint_store,
+            compact_near_store,
+        )
+
+        assert not compact_fingerprint_store(spark, str(tmp_path / "x"))["compacted"]
+        assert not compact_near_store(spark, str(tmp_path / "y"))["compacted"]
