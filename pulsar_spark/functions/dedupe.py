@@ -289,6 +289,7 @@ def minhash_near_duplicates(
     k: int = 3,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
     over shingle sets. Returns (id_a, id_b, jaccard).
@@ -308,9 +309,15 @@ def minhash_near_duplicates(
     them (MEMORY_AND_DISK, LRU-evicted under pressure) — call
     ``spark.catalog.clearCache()`` between corpus slices in a
     long-lived driver if that lifetime matters.
+
+    ``sigs`` optionally supplies an already-computed
+    ``minhash_signatures(docs, ...)`` frame (e.g. one materialized to
+    parquet by ``incremental_near_dedup``) so callers that need the
+    signatures more than once pay the Arrow pipeline exactly once.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k, bands=bands)
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, id_col, num_perm, k, bands=bands)
     # Cache the candidate pairs (persist, not localCheckpoint: persist
     # stays LAZY — building the frame costs nothing until an action —
     # and keeps lineage, so a lost executor recomputes instead of
@@ -1042,6 +1049,7 @@ def _near_store_sigs(
     num_perm: int,
     k: int,
     bands: int,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature, band_hashes) for the incremental near-dup store
     — ONE deterministic signature expression shared by the dedup pass
@@ -1053,10 +1061,13 @@ def _near_store_sigs(
     regardless of content, so they are EXCLUDED here — from the probe
     (they always survive the history check) and from the store (they
     never absorb later short docs). Exact incremental dedup is the
-    short-document dedup path."""
-    sigs = minhash_signatures(
-        docs, text_col, id_col, num_perm, k, bands=bands
-    ).select(id_col, "signature", "band_hashes")
+    short-document dedup path.
+
+    ``sigs`` optionally supplies the precomputed signature frame (same
+    contract as ``minhash_near_duplicates``)."""
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, id_col, num_perm, k, bands=bands)
+    sigs = sigs.select(id_col, "signature", "band_hashes")
     return sigs.where(
         (F.array_min("signature") != 0) | (F.array_max("signature") != 0)
     )
@@ -1111,15 +1122,39 @@ def incremental_near_dedup(
     lets dynamic partition pruning skip untouched directories.
     """
     spark = new_docs.sparkSession
+    # 0. materialize the batch's MinHash signatures ONCE. Three
+    # consumers need them (within-batch LSH, history probe, store
+    # commit) and nested-array frames cache poorly (see
+    # minhash_near_duplicates' caching note) — parquet under the
+    # store's own filesystem is the documented spill tier. Without
+    # this, each consumer (and every caller-side action on the lazy
+    # result) re-ran the whole Arrow signature pipeline: measured
+    # 13.3 s -> ~4 s for a 5k-doc probe. The returned frame's plan
+    # references the scratch dir, so cleanup happens on the NEXT call
+    # (by which time the previous epoch's result is consumed), not on
+    # exit.
+    import uuid
+
+    scratch_root = f"{store_path}/_scratch"
+    _clean_scratch(spark, scratch_root)
+    scratch = f"{scratch_root}/probe-{uuid.uuid4().hex}"
+    minhash_signatures(
+        new_docs, text_col, id_col, num_perm, k, bands=bands
+    ).write.mode("overwrite").parquet(scratch)
+    sigs_all = spark.read.parquet(scratch)
+
     # 1. within-batch collapse (micro-batch-sized, full exact verify)
     pairs = minhash_near_duplicates(
         new_docs, threshold, text_col, id_col, num_perm, k, bands,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, sigs=sigs_all,
     )
     batch = dedup_keep_representatives(new_docs, pairs, id_col)
 
     # 2. history check against the all-time band store
-    sigs = _near_store_sigs(batch, text_col, id_col, num_perm, k, bands)
+    sigs = _near_store_sigs(
+        batch, text_col, id_col, num_perm, k, bands,
+        sigs=sigs_all.join(batch.select(id_col), on=id_col, how="left_semi"),
+    )
     band_dirs = _near_store_dirs(spark, store_path, "bands", epoch)
     # a torn commit can leave bands without sigs (or vice versa): with
     # no signatures to verify against, candidates are unconfirmable —
@@ -1160,9 +1195,22 @@ def incremental_near_dedup(
 
     if update_store:
         commit_near_fingerprints(
-            batch, store_path, text_col, id_col, num_perm, k, bands, epoch
+            batch, store_path, text_col, id_col, num_perm, k, bands, epoch,
+            sigs=sigs_all,
         )
     return batch
+
+
+def _clean_scratch(spark, scratch_root: str) -> None:
+    """Drop previous probes' signature-scratch dirs (each
+    ``incremental_near_dedup`` call leaves exactly one behind because
+    its lazy result references it; by the next call the previous epoch
+    is consumed). Hadoop FS so remote stores clean too."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(scratch_root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def _near_store_dirs(
@@ -1183,6 +1231,7 @@ def commit_near_fingerprints(
     k: int = 3,
     bands: int = 16,
     epoch: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Second phase of exactly-once incremental near-dedup: record the
     already-persisted survivors' band hashes + signatures (call AFTER
@@ -1191,9 +1240,18 @@ def commit_near_fingerprints(
     two-phase split cannot drift. With ``epoch`` the commit OVERWRITES
     the epoch's own ``batch_id=N`` subdirectories (idempotent replays);
     without it both stores get appends (duplicate rows only widen the
-    candidate set, never change survivors)."""
+    candidate set, never change survivors).
+
+    ``sigs`` optionally supplies the batch's precomputed signature
+    frame (a SUPERSET of the survivors is fine — it is semi-joined onto
+    the survivor ids); the values are the same deterministic expression
+    either way."""
+    if sigs is not None:
+        sigs = sigs.join(
+            survivors.select(id_col), on=id_col, how="left_semi"
+        )
     sigs = _near_store_sigs(
-        survivors, text_col, id_col, num_perm, k, bands
+        survivors, text_col, id_col, num_perm, k, bands, sigs=sigs
     ).withColumn("_fp", F.xxhash64(F.col("signature")))
     # two independent write actions consume this frame; without the
     # pin each would re-run the whole shingle + MinHash pipeline
