@@ -286,6 +286,92 @@ def read_scalable_committed(
     return committed_view(df, coordinator.state_df(spark))
 
 
+def materialize_transactions(
+    spark: SparkSession,
+    topic_path: str,
+    coordinator: V5TransactionCoordinator,
+) -> dict:
+    """Transaction-buffer materialization + metadata GC — the piece
+    that keeps BOTH the coordinator registry and the invisible-row debt
+    bounded at scale (the reference's TopicTransactionBuffer snapshots
+    + ledger truncation; without it every committed read forever pays
+    the broadcast of an ever-growing txn-state table, and the registry
+    file grows one record per txn for the topic's lifetime).
+
+    One maintenance rewrite of the topic:
+    - rows of COMMITTED-and-applied txns get ``txn_id`` cleared — their
+      visibility is now a property of the LOG, not the registry;
+    - rows of ABORTED txns are physically purged (the buffer discard);
+    - OPEN txns' rows (and records) stay untouched.
+    Finalized records then leave the registry. Txn-id reuse after a GC
+    is harmless by construction: no surviving row references a dropped
+    id. Crash-safe via the same two-rename directory swap as the
+    tiered/offload rewrite, sidecars included; a crash between the swap
+    and the registry trim only re-materializes already-NULL rows.
+
+    Works on scalable (``segment=``) and classic (``partition=``)
+    topics. Returns counts for observability."""
+    import os
+
+    state = coordinator._load()
+    committed = [
+        int(k) for k, v in state.items()
+        if v["status"] == COMMITTED and v.get("acks_applied")
+    ]
+    aborted = [int(k) for k, v in state.items() if v["status"] == ABORTED]
+    if not committed and not aborted:
+        return {"materialized": 0, "purged_txns": 0, "records_dropped": 0}
+    df = spark.read.option("mergeSchema", "true").parquet(topic_path)
+    if "txn_id" not in df.columns:
+        n_dropped = _drop_records(coordinator, committed + aborted)
+        return {"materialized": 0, "purged_txns": 0, "records_dropped": n_dropped}
+    part_col = "segment" if "segment" in df.columns else "partition"
+    kept = df
+    if aborted:
+        # NULL-safe: a bare ~isin() filters NULL txn_ids out too
+        kept = kept.where(
+            F.col("txn_id").isNull() | ~F.col("txn_id").isin(aborted)
+        )
+    if committed:
+        kept = kept.withColumn(
+            "txn_id",
+            F.when(F.col("txn_id").isin(committed), F.lit(None).cast("bigint"))
+            .otherwise(F.col("txn_id")),
+        )
+    tmp = topic_path.rstrip("/") + "__rewrite"
+    old = topic_path.rstrip("/") + "__old"
+    kept.repartition(part_col).write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+    import shutil
+
+    for name in os.listdir(topic_path):
+        src = os.path.join(topic_path, name)
+        if name.startswith("_") and not name.endswith(".parquet"):
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(tmp, name), dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, os.path.join(tmp, name))
+    os.rename(topic_path, old)
+    os.rename(tmp, topic_path)
+    shutil.rmtree(old)
+    n_dropped = _drop_records(coordinator, committed + aborted)
+    return {
+        "materialized": len(committed),
+        "purged_txns": len(aborted),
+        "records_dropped": n_dropped,
+    }
+
+
+def _drop_records(coordinator: V5TransactionCoordinator, txn_ids) -> int:
+    state = coordinator._load()
+    n = 0
+    for t in txn_ids:
+        if str(int(t)) in state:
+            del state[str(int(t))]
+            n += 1
+    coordinator._save(state)
+    return n
+
+
 def read_from_checkpoint_committed(
     spark: SparkSession,
     topic_path: str,

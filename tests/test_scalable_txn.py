@@ -201,6 +201,109 @@ class TestCommittedConsumerView:
         assert after[1] == highs0[1]  # untouched sibling unchanged
 
 
+class TestMaterialization:
+    """materialize_transactions — the TopicTransactionBuffer
+    snapshot/truncation analog: visibility moves from the registry into
+    the log, bounding both the registry and the broadcast txn-state
+    table."""
+
+    def _setup(self, spark, tmp_path):
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(10)), d, key_col="k",
+                         deterministic_mod=True)
+        t_done = new_transaction(coord)
+        t_gone = new_transaction(coord)
+        t_open = new_transaction(coord)
+        produce_scalable_txn(_rows(spark, range(100, 105)), d, coord, t_done,
+                             key_col="k", deterministic_mod=True)
+        produce_scalable_txn(_rows(spark, range(200, 205)), d, coord, t_gone,
+                             key_col="k", deterministic_mod=True)
+        produce_scalable_txn(_rows(spark, range(300, 305)), d, coord, t_open,
+                             key_col="k", deterministic_mod=True)
+        coord.commit(t_done)
+        coord.abort(t_gone)
+        return d, coord, t_open
+
+    def test_view_identical_and_registry_bounded(self, spark, tmp_path):
+        from pulsar_spark.sources import materialize_transactions
+
+        d, coord, t_open = self._setup(spark, tmp_path)
+        before = sorted(
+            r.v for r in read_scalable_committed(spark, d, coord).collect()
+        )
+        stats = materialize_transactions(spark, d, coord)
+        assert stats["materialized"] == 1 and stats["purged_txns"] == 1
+        assert stats["records_dropped"] == 2
+        after = sorted(
+            r.v for r in read_scalable_committed(spark, d, coord).collect()
+        )
+        assert after == before == list(range(10)) + list(range(100, 105))
+        # committed rows are now registry-independent (txn_id NULL in
+        # the log), aborted rows physically gone, OPEN rows still staged
+        raw = spark.read.option("mergeSchema", "true").parquet(d)
+        assert raw.where(F.col("v").between(100, 105)).where(
+            F.col("txn_id").isNotNull()).count() == 0
+        assert raw.where(F.col("v").between(200, 205)).count() == 0
+        assert raw.where(F.col("v").between(300, 305)).count() == 5
+        assert list(coord._load()) == [str(t_open)]
+        # second pass is a no-op (nothing finalized remains)
+        assert materialize_transactions(spark, d, coord) == {
+            "materialized": 0, "purged_txns": 0, "records_dropped": 0}
+        # the open txn still completes normally afterwards
+        coord.commit(t_open)
+        final = read_scalable_committed(spark, d, coord)
+        assert final.where(F.col("v").between(300, 305)).count() == 5
+
+    def test_sidecars_and_offsets_survive(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            materialize_transactions,
+            scalable_metadata,
+            subscription_checkpoint,
+        )
+
+        d, coord, _ = self._setup(spark, tmp_path)
+        create_subscription(d, "sub")
+        coord2 = V5TransactionCoordinator(str(tmp_path / "c2.json"))
+        t = new_transaction(coord2)
+        coord2.acknowledge_cumulative(t, d, "sub", {0: 2})
+        coord2.commit(t)
+        offsets_before = sorted(
+            (r.segment, r.offset)
+            for r in spark.read.option("mergeSchema", "true").parquet(d)
+            .where(F.col("txn_id").isNull()).select("segment", "offset").collect()
+        )
+        materialize_transactions(spark, d, coord)
+        assert scalable_metadata(d)["segments"]  # _scalable.json survived
+        assert subscription_checkpoint(d, "sub").offsets == {0: 2}
+        # pre-existing non-txn rows keep their exact coordinates
+        after = sorted(
+            (r.segment, r.offset)
+            for r in spark.read.option("mergeSchema", "true").parquet(d)
+            .where(F.col("txn_id").isNull() & (F.col("v") < 100))
+            .select("segment", "offset").collect()
+        )
+        assert after == offsets_before and len(after) == 10
+
+    def test_txn_id_reuse_after_gc_is_harmless(self, spark, tmp_path):
+        from pulsar_spark.sources import materialize_transactions
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        t0 = new_transaction(coord)
+        produce_scalable_txn(_rows(spark, [500]), d, coord, t0,
+                             key_col="k", deterministic_mod=True)
+        coord.abort(t0)
+        materialize_transactions(spark, d, coord)
+        # the registry is empty -> begin() hands out id 0 again; no
+        # surviving row references the old id 0, so visibility is clean
+        t0b = new_transaction(coord)
+        assert t0b == t0
+        produce_scalable_txn(_rows(spark, [600]), d, coord, t0b,
+                             key_col="k", deterministic_mod=True)
+        coord.commit(t0b)
+        got = sorted(r.v for r in read_scalable_committed(spark, d, coord).collect())
+        assert got == [600]
+
+
 class TestCrashRecovery:
     def test_crash_between_commit_halves_is_recovered_idempotently(
         self, spark, tmp_path
