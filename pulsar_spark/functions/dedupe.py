@@ -989,6 +989,10 @@ def incremental_exact_dedup(
     Pair with ``commit_fingerprints(..., epoch=N)``.
     """
     spark = new_docs.sparkSession
+    # a compaction may have died between its two swap renames — recover
+    # BEFORE probing, or the store reads as empty and every previously
+    # seen duplicate silently re-admits
+    _recover_store_swap(spark, store_path)
     cols = new_docs.columns
     fp = _exact_fingerprint(text_col)
     collapsed = (
@@ -998,7 +1002,11 @@ def incremental_exact_dedup(
         .select("_fp", "_d.*")
     )
     if epoch is None:
-        files = _fingerprint_store_files(spark, store_path)
+        # root appends PLUS every epoch dir: history written in epoch
+        # mode — or folded there by compact_fingerprint_store — must
+        # stay visible to non-epoch probes (no self-exclusion needed:
+        # this mode commits loose root files)
+        files = _store_inputs(spark, store_path)
     else:
         files = _epoch_store_dirs(spark, store_path, epoch)
     if files:
@@ -1035,6 +1043,10 @@ def commit_fingerprints(
     OVERWRITES the epoch's own ``batch_id=N`` subdirectory (idempotent
     replays); without it the flat store gets an append (duplicate rows
     are harmless for anti-join semantics)."""
+    # never write into a store whose compaction swap is mid-flight: the
+    # write would recreate the root next to the __old dir and the next
+    # recovery would then discard the real history
+    _recover_store_swap(survivors.sparkSession, store_path)
     fps = survivors.select(_exact_fingerprint(text_col).alias("_fp"))
     if epoch is None:
         fps.write.mode("append").parquet(store_path)
@@ -1122,6 +1134,9 @@ def incremental_near_dedup(
     lets dynamic partition pruning skip untouched directories.
     """
     spark = new_docs.sparkSession
+    # recover a torn compaction swap before probing (see
+    # incremental_exact_dedup)
+    _recover_store_swap(spark, store_path)
     # 0. materialize the batch's MinHash signatures ONCE. Three
     # consumers need them (within-batch LSH, history probe, store
     # commit) and nested-array frames cache poorly (see
@@ -1202,15 +1217,19 @@ def incremental_near_dedup(
 
 
 def _clean_scratch(spark, scratch_root: str) -> None:
-    """Drop previous probes' signature-scratch dirs (each
-    ``incremental_near_dedup`` call leaves exactly one behind because
-    its lazy result references it; by the next call the previous epoch
-    is consumed). Hadoop FS so remote stores clean too."""
+    """Drop STALE probes' signature-scratch dirs, keeping the single
+    newest one: call N's lazy result references its scratch, and a
+    caller may still evaluate it after call N+1 started (foreachBatch
+    pipelining) — so a scratch dir dies two calls later, not one.
+    Hadoop FS so remote stores clean too."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(scratch_root)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    if not fs.exists(path):
+        return
+    entries = sorted(fs.listStatus(path), key=lambda f: f.getModificationTime())
+    for f in entries[:-1]:
+        fs.delete(f.getPath(), True)
 
 
 def _near_store_dirs(
@@ -1218,7 +1237,9 @@ def _near_store_dirs(
 ) -> list[str]:
     base = f"{store_path}/{sub}"
     if exclude_epoch is None:
-        return _fingerprint_store_files(spark, base)
+        # root appends PLUS every epoch dir (compaction folds history
+        # into an epoch dir; non-epoch probes must still see it)
+        return _store_inputs(spark, base)
     return _epoch_store_dirs(spark, base, exclude_epoch)
 
 
@@ -1246,6 +1267,7 @@ def commit_near_fingerprints(
     frame (a SUPERSET of the survivors is fine — it is semi-joined onto
     the survivor ids); the values are the same deterministic expression
     either way."""
+    _recover_store_swap(survivors.sparkSession, store_path)
     if sigs is not None:
         sigs = sigs.join(
             survivors.select(id_col), on=id_col, how="left_semi"

@@ -130,12 +130,26 @@ def _pil_image(payload: bytes) -> dict:
     import io
 
     import numpy as np
-    from PIL import Image
+    from PIL import Image, ImageSequence
 
     with Image.open(io.BytesIO(payload)) as im:
         n = getattr(im, "n_frames", 1)
-        return {"pixels": np.asarray(im.convert("RGB"), dtype=np.uint8),
-                "n_frames": n}
+        duration_ms = None
+        if n > 1:
+            # animated: sum the per-frame GCE delays so duration_ms
+            # matches the pure GIF kernel instead of flipping to NULL
+            duration_ms = int(
+                sum(
+                    int(frame.info.get("duration", 0))
+                    for frame in ImageSequence.Iterator(im)
+                )
+            )
+            im.seek(0)
+        return {
+            "pixels": np.asarray(im.convert("RGB"), dtype=np.uint8),
+            "n_frames": n,
+            "duration_ms": duration_ms,
+        }
 
 
 def _soundfile_audio(payload: bytes) -> dict:
@@ -179,6 +193,11 @@ def _av_video(payload: bytes) -> dict:
             if first is None:
                 first = frame.to_ndarray(format="rgb24").astype(np.uint8)
             n += 1
-        dur = int(round(float(stream.duration * stream.time_base) * 1000)) \
-            if stream.duration else 0
+        if stream.duration:
+            dur = int(round(float(stream.duration * stream.time_base) * 1000))
+        elif stream.average_rate:
+            # container clock fallback, like the pure AVI/Y4M kernels
+            dur = int(round(n * 1000 / float(stream.average_rate)))
+        else:
+            dur = 0
     return {"pixels": first, "n_frames": n, "duration_ms": dur}

@@ -256,6 +256,15 @@ def produce_scalable_txn(
     the coordinator's COMMITTED flip."""
     if coordinator.status(txn_id) != OPEN:
         raise ValueError(f"txn {txn_id} not OPEN")
+    # record which topics hold this txn's staged rows BEFORE producing
+    # (crash between the two leaves a benign over-record, never an
+    # untracked row) — materialize_transactions may only drop a txn's
+    # registry record once EVERY recorded topic has been rewritten
+    state = coordinator._load()
+    topics = state[str(txn_id)].setdefault("topics", [])
+    if topic_path not in topics:
+        topics.append(topic_path)
+        coordinator._save(state)
     produce_scalable(
         payload.withColumn("txn_id", F.lit(int(txn_id)).cast("bigint")),
         topic_path,
@@ -310,9 +319,19 @@ def materialize_transactions(
     and the registry trim only re-materializes already-NULL rows.
 
     Works on scalable (``segment=``) and classic (``partition=``)
-    topics. Returns counts for observability."""
+    topics. A transaction that produced into SEVERAL topics (the record
+    tracks them in ``topics``) keeps its registry record — with this
+    topic ticked off — until every recorded topic has been rewritten;
+    dropping it earlier would flip the OTHER topics' staged rows to
+    non-committed (committed visibility there still derives from the
+    record). Returns counts for observability."""
     import os
 
+    from pulsar_spark.sources.tiered import _recover_swap, copy_sidecars
+
+    # finish/roll back an interrupted previous swap FIRST (same
+    # two-rename invariants as the tiered offload)
+    _recover_swap(topic_path)
     state = coordinator._load()
     committed = [
         int(k) for k, v in state.items()
@@ -322,38 +341,32 @@ def materialize_transactions(
     if not committed and not aborted:
         return {"materialized": 0, "purged_txns": 0, "records_dropped": 0}
     df = spark.read.option("mergeSchema", "true").parquet(topic_path)
-    if "txn_id" not in df.columns:
-        n_dropped = _drop_records(coordinator, committed + aborted)
-        return {"materialized": 0, "purged_txns": 0, "records_dropped": n_dropped}
-    part_col = "segment" if "segment" in df.columns else "partition"
-    kept = df
-    if aborted:
-        # NULL-safe: a bare ~isin() filters NULL txn_ids out too
-        kept = kept.where(
-            F.col("txn_id").isNull() | ~F.col("txn_id").isin(aborted)
-        )
-    if committed:
-        kept = kept.withColumn(
-            "txn_id",
-            F.when(F.col("txn_id").isin(committed), F.lit(None).cast("bigint"))
-            .otherwise(F.col("txn_id")),
-        )
-    tmp = topic_path.rstrip("/") + "__rewrite"
-    old = topic_path.rstrip("/") + "__old"
-    kept.repartition(part_col).write.mode("overwrite").partitionBy(part_col).parquet(tmp)
-    import shutil
+    if "txn_id" in df.columns:
+        part_col = "segment" if "segment" in df.columns else "partition"
+        kept = df
+        if aborted:
+            # NULL-safe: a bare ~isin() filters NULL txn_ids out too
+            kept = kept.where(
+                F.col("txn_id").isNull() | ~F.col("txn_id").isin(aborted)
+            )
+        if committed:
+            kept = kept.withColumn(
+                "txn_id",
+                F.when(F.col("txn_id").isin(committed), F.lit(None).cast("bigint"))
+                .otherwise(F.col("txn_id")),
+            )
+        tmp = topic_path.rstrip("/") + "__rewrite"
+        old = topic_path.rstrip("/") + "__old"
+        kept.repartition(part_col).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(tmp)
+        copy_sidecars(topic_path, tmp)
+        import shutil
 
-    for name in os.listdir(topic_path):
-        src = os.path.join(topic_path, name)
-        if name.startswith("_") and not name.endswith(".parquet"):
-            if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(tmp, name), dirs_exist_ok=True)
-            else:
-                shutil.copy2(src, os.path.join(tmp, name))
-    os.rename(topic_path, old)
-    os.rename(tmp, topic_path)
-    shutil.rmtree(old)
-    n_dropped = _drop_records(coordinator, committed + aborted)
+        os.rename(topic_path, old)
+        os.rename(tmp, topic_path)
+        shutil.rmtree(old)
+    n_dropped = _finish_topic(coordinator, committed + aborted, topic_path)
     return {
         "materialized": len(committed),
         "purged_txns": len(aborted),
@@ -361,11 +374,24 @@ def materialize_transactions(
     }
 
 
-def _drop_records(coordinator: V5TransactionCoordinator, txn_ids) -> int:
+def _finish_topic(
+    coordinator: V5TransactionCoordinator, txn_ids, topic_path: str
+) -> int:
+    """Tick ``topic_path`` off each finalized record's topic list and
+    drop records whose every produced-into topic has been rewritten —
+    multi-topic transactions stay registered until the LAST topic
+    materializes (their rows elsewhere still derive visibility from
+    the record)."""
     state = coordinator._load()
     n = 0
     for t in txn_ids:
-        if str(int(t)) in state:
+        rec = state.get(str(int(t)))
+        if rec is None:
+            continue
+        remaining = [p for p in rec.get("topics", []) if p != topic_path]
+        if remaining:
+            rec["topics"] = remaining
+        else:
             del state[str(int(t))]
             n += 1
     coordinator._save(state)
@@ -381,14 +407,15 @@ def read_from_checkpoint_committed(
     """The v5 consumer read under transactions: rows at or past the
     caller-held Checkpoint vector, restricted to the committed view —
     a QueueConsumer/StreamConsumer attached to a topic with a
-    transaction buffer never receives OPEN or ABORTED rows
-    (TopicTransactionBuffer visibility composed with the
-    CheckpointConsumer scan). Returns ``(DataFrame, advanced
-    Checkpoint)`` like ``read_from_checkpoint``; the advanced vector
-    still covers staged rows (their offsets exist in the log — a later
-    commit makes them visible to OTHER subscriptions, while this
-    cursor has correctly moved past them, exactly like the reference
-    where the broker advances past aborted entries).
+    transaction buffer never receives OPEN or ABORTED rows.
+
+    maxReadPosition semantics (TopicTransactionBuffer): both the
+    delivered rows AND the advanced vector are CAPPED per segment at
+    the earliest OPEN transaction's first staged offset — the cursor
+    must not advance past rows that a later commit will make visible,
+    or this subscription would lose them forever (ABORTED rows carry no
+    such hold: the broker advances past aborted entries, and so does
+    this vector).
 
     Reads with mergeSchema itself rather than delegating the scan to
     ``read_from_checkpoint``: a topic legitimately mixes transactional
@@ -398,12 +425,16 @@ def read_from_checkpoint_committed(
     exists to prevent."""
     import os
 
+    from pulsar_spark.envelope import watermark_lookup
     from pulsar_spark.sources.scalable import (
         checkpoint_start_filter,
         read_from_checkpoint,
         segment_high_watermarks,
     )
+    from pulsar_spark.sources.tiered import _recover_swap
 
+    if not os.path.isdir(topic_path):
+        _recover_swap(topic_path, cleanup=False)  # torn materialize swap
     if not (
         os.path.isdir(topic_path)
         and any(n.startswith("segment=") for n in os.listdir(topic_path))
@@ -413,14 +444,39 @@ def read_from_checkpoint_committed(
     highs = {
         sid: mx + 1 for sid, mx in segment_high_watermarks(spark, topic_path).items()
     }
+    caps: dict[int, int] = {}
+    if "txn_id" in df.columns:
+        open_ids = [
+            int(k) for k, v in coordinator._load().items() if v["status"] == OPEN
+        ]
+        if open_ids:
+            # earliest OPEN staged offset per segment — one bounded
+            # grouped MIN over a pushable isin filter
+            caps = {
+                int(r.segment): int(r.lo)
+                for r in df.where(F.col("txn_id").isin(open_ids))
+                .groupBy("segment")
+                .agg(F.min("offset").alias("lo"))
+                .collect()
+            }
+    capped_highs = {
+        sid: min(hi, caps.get(sid, hi)) for sid, hi in highs.items()
+    }
     if ckpt.latest:
-        advanced = Checkpoint(highs)
+        advanced = Checkpoint(capped_highs)
         df = df.limit(0)
     else:
         merged = dict(ckpt.offsets)
-        merged.update(highs)
+        for sid, hi in capped_highs.items():
+            # never rewind a caller vector already past the cap
+            merged[sid] = max(int(merged.get(sid, 0)), hi)
         advanced = Checkpoint(merged)
         df = checkpoint_start_filter(df, ckpt)
+        if caps:
+            df = df.where(
+                F.col("offset")
+                < watermark_lookup(F.col("segment"), caps, default=2**62)
+            )
     if "txn_id" in df.columns:
         df = committed_view(df, coordinator.state_df(spark))
     return df, advanced

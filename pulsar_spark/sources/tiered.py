@@ -66,17 +66,7 @@ def offload_partitions(
     tmp = hot_path.rstrip("/") + "__rewrite"
     old = hot_path.rstrip("/") + "__old"
     keep_rows.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(tmp)
-    # EVERY metadata sidecar survives the swap — topic identity
-    # (_topic.json), stored policies (_policies.json — losing it here
-    # would silently disable the very offload policy that triggered
-    # this rewrite), subscriptions, replication state/checkpoints
-    for name in os.listdir(hot_path):
-        src = os.path.join(hot_path, name)
-        if name.startswith("_") and not name.endswith(".parquet"):
-            if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(tmp, name), dirs_exist_ok=True)
-            else:
-                shutil.copy2(src, os.path.join(tmp, name))
+    copy_sidecars(hot_path, tmp)
     # Idempotent cold append: a prior run may have appended these rows
     # already (crash before the swap); (partition, offset) identifies a
     # message, so an anti-join drops the already-offloaded ones. The
@@ -97,6 +87,22 @@ def offload_partitions(
     os.rename(tmp, hot_path)
     shutil.rmtree(old)
     return {"offloaded": n_cold, "hot": spark.read.parquet(hot_path).count()}
+
+
+def copy_sidecars(src_dir: str, dst_dir: str) -> None:
+    """Carry EVERY metadata sidecar through a directory-rewrite swap —
+    topic identity (_topic.json), stored policies (_policies.json —
+    losing it would silently disable the very policy that triggered
+    the rewrite), subscriptions, replication state/checkpoints. Shared
+    by every rewrite that swaps a topic directory (offload,
+    transaction materialization)."""
+    for name in os.listdir(src_dir):
+        src = os.path.join(src_dir, name)
+        if name.startswith("_") and not name.endswith(".parquet"):
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(dst_dir, name), dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, os.path.join(dst_dir, name))
 
 
 def _recover_swap(hot_path: str, cleanup: bool = True) -> None:

@@ -355,12 +355,17 @@ class ReplicatedSubscriptionsController:
             # nothing to drain (the files stay unseen by the marker
             # checkpoint and are caught up the first time markers exist)
             return 0
-        st = self._load()
-        wms = st["marker_watermarks"]
-        collected: list = []
+        processed = [0]
 
         def handle(batch: DataFrame, epoch_id: int) -> None:
-            collected.extend(
+            # ALL processing happens INSIDE the batch: the file-source
+            # checkpoint only commits these files as consumed when this
+            # function returns — a crash mid-processing fails the batch
+            # and the next call REPLAYS it, where the persisted
+            # per-(origin, lane) watermarks below dedup the side effects
+            # already applied (at-least-once replay + idempotent apply =
+            # the markers are never lost AND never double-processed)
+            collected = (
                 batch.where(
                     F.col("marker_type").isin(list(REPLICATED_MARKER_TYPES))
                     & F.col("replicated_from").isNotNull()
@@ -370,6 +375,47 @@ class ReplicatedSubscriptionsController:
                 )
                 .collect()
             )
+            # a failed previous attempt may have left half-built
+            # buffered markers; the replay recomputes them from scratch
+            self._marker_buffer = []
+            st = self._load()
+            wms = st["marker_watermarks"]
+            rows = [
+                r for r in collected
+                if int(r.offset)
+                >= int(wms.get(f"{r.replicated_from}|{int(r.partition)}", 0))
+            ]
+            rows.sort(
+                key=lambda r: (r.replicated_from, int(r.partition), int(r.offset))
+            )
+            completed_snapshot = False
+            for r in rows:
+                payload = json.loads(r.props)
+                mt = int(r.marker_type)
+                if mt == MARKER_SNAPSHOT_REQUEST:
+                    self._received_snapshot_request(payload)
+                elif mt == MARKER_SNAPSHOT_RESPONSE:
+                    completed_snapshot |= self._received_snapshot_response(
+                        st, payload, now
+                    )
+                elif mt == MARKER_SUBSCRIPTION_UPDATE:
+                    self._received_subscription_update(payload)
+                key = f"{r.replicated_from}|{int(r.partition)}"
+                wms[key] = max(int(wms.get(key, 0)), int(r.offset) + 1)
+                processed[0] += 1
+            # ONE append for every marker this pass emitted (responses,
+            # round-2 requests, completed snapshots)
+            self._flush_markers()
+            if completed_snapshot:
+                # the no-new-data guard must compare against the
+                # watermark INCLUDING the snapshot marker just flushed,
+                # or every snapshot would be followed by another
+                # covering only its own marker row
+                st["last_snapshot_watermark"] = {
+                    str(k): v
+                    for k, v in high_watermarks(self.spark, self.topic_path).items()
+                }
+            self._save(st)
 
         q = (
             stream.writeStream.foreachBatch(handle)
@@ -381,39 +427,7 @@ class ReplicatedSubscriptionsController:
             .start()
         )
         q.awaitTermination()
-        rows = [
-            r for r in collected
-            if int(r.offset) >= int(wms.get(f"{r.replicated_from}|{int(r.partition)}", 0))
-        ]
-        rows.sort(key=lambda r: (r.replicated_from, int(r.partition), int(r.offset)))
-        n = 0
-        completed_snapshot = False
-        for r in rows:
-            payload = json.loads(r.props)
-            mt = int(r.marker_type)
-            if mt == MARKER_SNAPSHOT_REQUEST:
-                self._received_snapshot_request(payload)
-            elif mt == MARKER_SNAPSHOT_RESPONSE:
-                completed_snapshot |= self._received_snapshot_response(st, payload, now)
-            elif mt == MARKER_SUBSCRIPTION_UPDATE:
-                self._received_subscription_update(payload)
-            key = f"{r.replicated_from}|{int(r.partition)}"
-            wms[key] = max(int(wms.get(key, 0)), int(r.offset) + 1)
-            n += 1
-        # ONE append for every marker this pass emitted (responses,
-        # round-2 requests, completed snapshots)
-        self._flush_markers()
-        if completed_snapshot:
-            # the no-new-data guard must compare against the watermark
-            # INCLUDING the snapshot marker just flushed, or every
-            # snapshot would be followed by another covering only its
-            # own marker row
-            st["last_snapshot_watermark"] = {
-                str(k): v
-                for k, v in high_watermarks(self.spark, self.topic_path).items()
-            }
-        self._save(st)
-        return n
+        return processed[0]
 
     def _received_snapshot_request(self, payload: dict) -> None:
         """:171 — answer with the local last position, one response row

@@ -307,6 +307,74 @@ class TestStoreCompaction:
         stats = compact_fingerprint_store(spark, store)
         assert stats["compacted"] and stats["fingerprints"] == 1
 
+    def test_epoch_none_probe_sees_compacted_history(self, spark, tmp_path):
+        """Compaction folds loose appends into a batch_id dir; a
+        non-epoch probe must still see that history (it previously read
+        only root part files — every seen duplicate would silently
+        re-admit after a compaction)."""
+        from pulsar_spark.functions.dedupe import (
+            compact_fingerprint_store,
+            compact_near_store,
+            incremental_exact_dedup,
+        )
+
+        store = str(tmp_path / "fp")
+        one = spark.createDataFrame([(1, BASE, "w")], SCHEMA)
+        incremental_exact_dedup(one, store)  # flat append (epoch=None)
+        compact_fingerprint_store(spark, store)
+        again = spark.createDataFrame([(2, BASE, "w")], SCHEMA)
+        assert incremental_exact_dedup(again, store).count() == 0
+        # near store, same contract
+        nstore = str(tmp_path / "near")
+        incremental_near_dedup(
+            spark.createDataFrame([(1, BASE, "w")], SCHEMA), nstore, threshold=0.6
+        )
+        compact_near_store(spark, nstore)
+        got = incremental_near_dedup(
+            spark.createDataFrame([(2, BASE + " tail", "w")], SCHEMA),
+            nstore, threshold=0.6, update_store=False,
+        )
+        assert got.count() == 0
+
+    def test_probe_recovers_torn_compaction_swap(self, spark, tmp_path):
+        """A compaction that died between its two swap renames must not
+        make the next probe see an EMPTY store (silently re-admitting
+        every duplicate)."""
+        import os
+
+        from pulsar_spark.functions.dedupe import (
+            compact_fingerprint_store,
+            incremental_exact_dedup,
+        )
+
+        store = str(tmp_path / "fp")
+        incremental_exact_dedup(
+            spark.createDataFrame([(1, BASE, "w")], SCHEMA), store, epoch=0
+        )
+        compact_fingerprint_store(spark, store)
+        os.rename(store, store + "__rewrite")  # crash between renames
+        got = incremental_exact_dedup(
+            spark.createDataFrame([(2, BASE, "w")], SCHEMA), store,
+            update_store=False, epoch=1,
+        )
+        assert got.count() == 0  # history intact after recovery
+
+    def test_previous_probe_result_survives_next_call(self, spark, tmp_path):
+        """The lazy frame returned by call N references its signature
+        scratch; call N+1 must not delete it (scratch dies at N+2)."""
+        store = str(tmp_path / "s")
+        r1 = incremental_near_dedup(
+            spark.createDataFrame([(1, _distinct_text(1), "w")], SCHEMA),
+            store, threshold=0.6, epoch=0,
+        )
+        r2 = incremental_near_dedup(
+            spark.createDataFrame([(2, _distinct_text(2), "w")], SCHEMA),
+            store, threshold=0.6, epoch=1,
+        )
+        # evaluate call 0's result AFTER call 1 ran
+        assert [r.doc_id for r in r1.collect()] == [1]
+        assert [r.doc_id for r in r2.collect()] == [2]
+
     def test_empty_store_is_noop(self, spark, tmp_path):
         from pulsar_spark.functions.dedupe import (
             compact_fingerprint_store,

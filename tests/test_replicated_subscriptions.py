@@ -315,6 +315,43 @@ class TestIncrementalController:
         # one flush carrying every response lane of both answers
         assert len(calls) == 1 and calls[0] >= 2
 
+    def test_crash_mid_processing_replays_markers(self, spark, tmp_path, monkeypatch):
+        """Marker processing runs INSIDE the drain batch: a crash after
+        the files were read but before the handlers ran must FAIL the
+        batch (checkpoint uncommitted) so the next call replays the
+        markers — the incremental drain must not trade away the old
+        full-rescan's crash safety."""
+        east, west = str(tmp_path / "east"), str(tmp_path / "west")
+        _produce(spark, east, range(6))
+        _produce(spark, west, range(100, 104))
+        ce = ReplicatedSubscriptionsController(spark, east, "east", {"west": west})
+        cw = ReplicatedSubscriptionsController(spark, west, "west", {"east": east})
+        assert ce.start_snapshot(now_ms=1_000) is not None
+        ce.replicate_out()
+
+        boom = {"armed": True}
+        real = ReplicatedSubscriptionsController._received_snapshot_request
+
+        def crashing(self, payload):
+            if boom["armed"]:
+                boom["armed"] = False
+                raise RuntimeError("crash mid marker processing")
+            return real(self, payload)
+
+        monkeypatch.setattr(
+            ReplicatedSubscriptionsController, "_received_snapshot_request", crashing
+        )
+        with pytest.raises(Exception):
+            cw.process_markers(now_ms=2_000)
+        # nothing was consumed: no response marker, watermarks unmoved
+        assert cw._load()["marker_watermarks"] == {}
+        # the replay processes the SAME marker successfully
+        n = cw.process_markers(now_ms=2_500)
+        assert n == 1
+        cw.replicate_out()
+        ce.process_markers(now_ms=3_000)
+        assert len(ce._load()["snapshots"]) == 1
+
     def test_checkpoint_survives_controller_restart(self, spark, tmp_path):
         """The streaming checkpoints live in the topic dir, so a FRESH
         controller object neither re-forwards nor re-drains."""

@@ -131,6 +131,11 @@ class TestAtomicAcks:
 
 class TestCommittedConsumerView:
     def test_checkpoint_read_hides_open_and_aborted(self, spark, tmp_path):
+        """maxReadPosition semantics (TopicTransactionBuffer): the read
+        AND the advanced vector stop at the earliest OPEN txn's first
+        staged offset — committed rows beyond it are held back for
+        ordering, and the cursor never advances past rows a later
+        commit will reveal (no message loss)."""
         from pulsar_spark.sources import read_from_checkpoint_committed
 
         d, coord = _topic(tmp_path), _coord(tmp_path)
@@ -153,14 +158,38 @@ class TestCommittedConsumerView:
             spark, d, Checkpoint.earliest(), coord
         )
         got = sorted(r.v for r in df.collect())
-        assert got == list(range(30)) + list(range(900, 905))
-        # the advanced vector covers the staged rows too — resume must
-        # not re-deliver them when the txn later commits
-        df2, _ = read_from_checkpoint_committed(spark, d, advanced, coord)
+        # t_done's rows sit BEYOND t_open's staged offsets — held back
+        assert got == list(range(30))
+        # nothing re-delivers while t_open stays open
+        df2, adv2 = read_from_checkpoint_committed(spark, d, advanced, coord)
         assert df2.count() == 0
+        # commit unblocks: the resumed cursor receives BOTH txns' rows
+        # exactly once (no loss, no duplicates)
         coord.commit(t_open)
-        df3, _ = read_from_checkpoint_committed(spark, d, advanced, coord)
-        assert df3.count() == 0  # visible to NEW subscriptions only
+        df3, adv3 = read_from_checkpoint_committed(spark, d, adv2, coord)
+        assert sorted(r.v for r in df3.collect()) == (
+            list(range(800, 805)) + list(range(900, 905))
+        )
+        df4, _ = read_from_checkpoint_committed(spark, d, adv3, coord)
+        assert df4.count() == 0
+
+    def test_aborted_rows_do_not_hold_the_cursor(self, spark, tmp_path):
+        from pulsar_spark.sources import read_from_checkpoint_committed
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(5)), d, key_col="k",
+                         deterministic_mod=True)
+        t = new_transaction(coord)
+        produce_scalable_txn(_rows(spark, [700]), d, coord, t,
+                             key_col="k", deterministic_mod=True)
+        coord.abort(t)
+        df, adv = read_from_checkpoint_committed(
+            spark, d, Checkpoint.earliest(), coord
+        )
+        assert sorted(r.v for r in df.collect()) == list(range(5))
+        # the vector passed the aborted offsets (no hold)
+        df2, _ = read_from_checkpoint_committed(spark, d, adv, coord)
+        assert df2.count() == 0
 
     def test_latest_sentinel(self, spark, tmp_path):
         from pulsar_spark.sources import read_from_checkpoint_committed
@@ -283,6 +312,51 @@ class TestMaterialization:
             .select("segment", "offset").collect()
         )
         assert after == offsets_before and len(after) == 10
+
+    def test_multi_topic_txn_record_survives_until_last_topic(self, spark, tmp_path):
+        """A txn that produced into TWO topics keeps its registry
+        record (with the rewritten topic ticked off) until both are
+        materialized — dropping earlier would flip the other topic's
+        staged rows to non-committed."""
+        from pulsar_spark.sources import materialize_transactions
+
+        a, b, coord = _topic(tmp_path, "a"), _topic(tmp_path, "b"), _coord(tmp_path)
+        t = new_transaction(coord)
+        produce_scalable_txn(_rows(spark, [1]), a, coord, t,
+                             key_col="k", deterministic_mod=True)
+        produce_scalable_txn(_rows(spark, [2]), b, coord, t,
+                             key_col="k", deterministic_mod=True)
+        coord.commit(t)
+        stats_a = materialize_transactions(spark, a, coord)
+        assert stats_a["materialized"] == 1 and stats_a["records_dropped"] == 0
+        # topic B's committed view still shows the row (record alive)
+        assert [r.v for r in read_scalable_committed(spark, b, coord).collect()] == [2]
+        stats_b = materialize_transactions(spark, b, coord)
+        assert stats_b["records_dropped"] == 1
+        assert coord._load() == {}
+        # both topics' rows are registry-independent now
+        assert [r.v for r in read_scalable_committed(spark, a, coord).collect()] == [1]
+        assert [r.v for r in read_scalable_committed(spark, b, coord).collect()] == [2]
+
+    def test_interrupted_materialize_swap_recovers(self, spark, tmp_path):
+        import os
+
+        from pulsar_spark.sources import materialize_transactions
+
+        d, coord, t_open = self._setup(spark, tmp_path)
+        materialize_transactions(spark, d, coord)
+        # simulate a crash between the two swap renames: topic dir
+        # missing, rewrite dir present
+        os.rename(d, d + "__rewrite")
+        # a consumer read recovers the torn swap forward
+        from pulsar_spark.sources import read_from_checkpoint_committed
+
+        df, _ = read_from_checkpoint_committed(spark, d, Checkpoint.earliest(), coord)
+        assert os.path.isdir(d) and df.count() > 0
+        # the next materialize call also recovers instead of crashing
+        os.rename(d, d + "__rewrite")
+        materialize_transactions(spark, d, coord)
+        assert os.path.isdir(d)
 
     def test_txn_id_reuse_after_gc_is_harmless(self, spark, tmp_path):
         from pulsar_spark.sources import materialize_transactions
