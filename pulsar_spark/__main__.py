@@ -225,6 +225,17 @@ def main(argv: list[str] | None = None) -> int:
     p_rsub.add_argument("--subscription", default=None,
                         help="subscription to sync (replsub sync)")
 
+    p_txn = sub.add_parser(
+        "txn",
+        help="v5 transaction maintenance: status / recover (finish "
+        "crash-split commits, drop aborted stages) / materialize "
+        "(txn-buffer materialization + registry GC for a topic)",
+    )
+    p_txn.add_argument("registry", help="coordinator registry JSON path")
+    p_txn.add_argument("verb", choices=["status", "recover", "materialize"])
+    p_txn.add_argument("--topic", default=None,
+                       help="topic dir (materialize only)")
+
     p_pol = sub.add_parser(
         "policy", help="durable topic/namespace policies: set/get/remove/list"
     )
@@ -263,6 +274,27 @@ def main(argv: list[str] | None = None) -> int:
 
         deleted = delete_scalable_topic(args.topic, force=args.force)
         print(json.dumps({"topic": args.topic, "deleted": deleted}))
+        return 0
+    if args.cmd == "txn" and args.verb in ("status", "recover"):
+        # registry-only verbs, no session
+        from collections import Counter
+
+        from pulsar_spark.sources import V5TransactionCoordinator
+
+        coord = V5TransactionCoordinator(args.registry)
+        if args.verb == "status":
+            state = coord._load()
+            print(json.dumps({
+                "registry": args.registry,
+                "txns": len(state),
+                "by_status": dict(Counter(v["status"] for v in state.values())),
+                "unapplied_commits": sum(
+                    1 for v in state.values()
+                    if v["status"] == "COMMITTED" and not v.get("acks_applied")
+                ),
+            }))
+        else:
+            print(json.dumps({"registry": args.registry, **coord.recover()}))
         return 0
     if args.cmd == "policy":  # sidecar-only, no session
         from pulsar_spark.sources.policies import (
@@ -408,6 +440,21 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("pulsar-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "txn":  # materialize (needs a session)
+        from pulsar_spark.sources import (
+            V5TransactionCoordinator,
+            materialize_transactions,
+        )
+
+        if not args.topic:
+            ap.error("txn materialize needs --topic")
+        coord = V5TransactionCoordinator(args.registry)
+        stats = materialize_transactions(spark, args.topic, coord)
+        print(json.dumps({"registry": args.registry, "topic": args.topic, **stats}))
+        if owns_session:
+            spark.stop()
+        return 0
 
     if args.cmd == "replsub":
         from pulsar_spark.streaming.replicated_subscriptions import (

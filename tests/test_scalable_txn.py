@@ -378,6 +378,39 @@ class TestMaterialization:
         assert got == [600]
 
 
+class TestTxnCLI:
+    def test_status_recover_materialize(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from pulsar_spark.__main__ import main
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(4)), d, key_col="k",
+                         deterministic_mod=True)
+        create_subscription(d, "sub")
+        t = new_transaction(coord)
+        produce_scalable_txn(_rows(spark, [100]), d, coord, t,
+                             key_col="k", deterministic_mod=True)
+        coord.acknowledge_cumulative(t, d, "sub", {0: 1})
+        coord._transition(t, "COMMITTED")  # crash before the ack half
+
+        def run(*argv):
+            rc = main(list(argv))
+            assert rc == 0
+            return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+        st = run("txn", coord.path, "status")
+        assert st["txns"] == 1 and st["unapplied_commits"] == 1
+        rec = run("txn", coord.path, "recover")
+        assert rec["applied"] == 1
+        assert subscription_checkpoint(d, "sub").offsets == {0: 1}
+        mat = run("txn", coord.path, "materialize", "--topic", d)
+        assert mat["materialized"] == 1 and mat["records_dropped"] == 1
+        assert run("txn", coord.path, "status")["txns"] == 0
+        with pytest.raises(SystemExit):
+            main(["txn", coord.path, "materialize"])  # needs --topic
+
+
 class TestCrashRecovery:
     def test_crash_between_commit_halves_is_recovered_idempotently(
         self, spark, tmp_path
