@@ -351,6 +351,42 @@ def main() -> None:
 
         timed("x9_media_av_decode", _x9, remeasure=True)
 
+        # x10: incremental near-dup probe — one micro-batch (the
+        # documents table, ids shifted) probed against an all-time
+        # MinHash band/signature store built from 2x documents. The
+        # rolling-crawl hot path: one materialized signature pass,
+        # broadcast band probe, map-side store scan. Extra (added
+        # round 9), not in headline_total.
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from pulsar_spark.functions.dedupe import (
+            commit_near_fingerprints,
+            incremental_near_dedup,
+        )
+
+        x10_store = _tempfile.mkdtemp(prefix="bench_near_") + "/store"
+        commit_near_fingerprints(
+            docs.crossJoin(spark.range(2).withColumnRenamed("id", "rep"))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+            .drop("rep")
+            .select("doc_id", "text"),
+            x10_store,
+            epoch=1,
+        )
+        x10_probe = docs.select(
+            (F.col("doc_id") + 999_000_000).alias("doc_id"), "text"
+        )
+
+        def _x10():
+            return incremental_near_dedup(
+                x10_probe, x10_store, threshold=0.7,
+                update_store=False, epoch=2,
+            ).count()
+
+        timed("x10_incremental_near", _x10, remeasure=True)
+        _shutil.rmtree(os.path.dirname(x10_store), ignore_errors=True)
+
         # x5: corpus-hygiene pass (deterministic half-sample -> PII
         # scrub -> cross-doc duplicated-5-gram fraction) — the narrow
         # filter + regex stages ride the scan; the gram agg/join is the
