@@ -642,7 +642,10 @@ class _BitReader:
                 return False
         else:
             self.pos = i + 1
-        self.acc = (self.acc << 8) | b
+        # mask the accumulator so consumed high bits never accumulate
+        # into an ever-growing Python int (n stays <= 24 by the fill
+        # discipline, so 32 valid bits always suffice)
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
         self.n += 8
         return True
 
@@ -653,10 +656,15 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        # bulk extraction: one shift/mask instead of k bit() calls —
+        # this and _decode_huff are the per-coefficient hot loop
+        if k == 0:
+            return 0
+        while self.n < k:
+            if not self._fill():
+                raise ValueError("JPEG entropy stream truncated")
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def align_to_marker(self) -> int | None:
         """Skip to the next marker (for RSTn); returns the marker byte."""
@@ -675,12 +683,26 @@ class _BitReader:
 
 
 def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
+    # the entropy-decode hot loop: keep the accumulator in locals and
+    # write it back only on fill/return — the per-bit method-call form
+    # dominated the whole decode profile (350k bit() calls per 64x64)
+    r = reader
+    acc, n = r.acc, r.n
+    get = table.get
+    code = 0
+    length = 0
     while length < 16:
-        code = (code << 1) | reader.bit()
+        if n == 0:
+            r.acc, r.n = acc, n
+            if not r._fill():
+                raise ValueError("JPEG entropy stream truncated")
+            acc, n = r.acc, r.n
+        n -= 1
+        code = (code << 1) | ((acc >> n) & 1)
         length += 1
-        sym = table.get((length, code))
+        sym = get((length, code))
         if sym is not None:
+            r.acc, r.n = acc, n
             return sym
     raise ValueError("invalid JPEG Huffman code")
 

@@ -212,8 +212,18 @@ def phash_near_dups(
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
+    # persist the narrow (id, hash) core: the bucket-size aggregate and
+    # BOTH sides of the band join consume it, and its upstream is the
+    # fused decode+hash Arrow stage — unpersisted, that stage re-ran
+    # once per branch (measured ~2x the whole x8 wall). The frame is
+    # FLAT and two columns, so the nested-array cache slowness that
+    # keeps MinHash signatures uncached does not apply; same lingering-
+    # cache contract as minhash_near_duplicates' candidate frames.
+    core = hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).persist()
     bands = [
-        F.shiftrightunsigned(F.col(hash_col), width * i)
+        F.shiftrightunsigned(F.col("_h"), width * i)
         .bitwiseAND(F.lit(mask))
         .cast("bigint")
         .alias(f"b{i}")
@@ -221,7 +231,7 @@ def phash_near_dups(
     ]
     stack_args = ", ".join(f"{i}, b{i}" for i in range(n_bands))
     banded = (
-        hashed.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), *bands)
+        core.select("_id", "_h", *bands)
         .selectExpr(
             "_id", "_h",
             f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
