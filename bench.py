@@ -424,6 +424,7 @@ def main() -> None:
         "x7_curation_v4",
         "x8_media_phash",
         "x9_media_av_decode",
+        "x10_incremental_near",
     ]
     total = round(sum(v for k, v in timings.items() if k not in extras), 3)
     queries_min = {k: min(rs) for k, rs in runs_detail.items()}
