@@ -275,6 +275,8 @@ def main(argv: list[str] | None = None) -> int:
         deleted = delete_scalable_topic(args.topic, force=args.force)
         print(json.dumps({"topic": args.topic, "deleted": deleted}))
         return 0
+    if args.cmd == "txn" and args.verb == "materialize" and not args.topic:
+        ap.error("txn materialize needs --topic")  # before session startup
     if args.cmd == "txn" and args.verb in ("status", "recover"):
         # registry-only verbs, no session
         from collections import Counter
@@ -283,13 +285,15 @@ def main(argv: list[str] | None = None) -> int:
 
         coord = V5TransactionCoordinator(args.registry)
         if args.verb == "status":
-            state = coord._load()
+            recs = {
+                k: v for k, v in coord._load().items() if not k.startswith("_")
+            }
             print(json.dumps({
                 "registry": args.registry,
-                "txns": len(state),
-                "by_status": dict(Counter(v["status"] for v in state.values())),
+                "txns": len(recs),
+                "by_status": dict(Counter(v["status"] for v in recs.values())),
                 "unapplied_commits": sum(
-                    1 for v in state.values()
+                    1 for v in recs.values()
                     if v["status"] == "COMMITTED" and not v.get("acks_applied")
                 ),
             }))
@@ -447,8 +451,6 @@ def main(argv: list[str] | None = None) -> int:
             materialize_transactions,
         )
 
-        if not args.topic:
-            ap.error("txn materialize needs --topic")
         coord = V5TransactionCoordinator(args.registry)
         stats = materialize_transactions(spark, args.topic, coord)
         print(json.dumps({"registry": args.registry, "topic": args.topic, **stats}))

@@ -1153,9 +1153,15 @@ def incremental_near_dedup(
     scratch_root = f"{store_path}/_scratch"
     _clean_scratch(spark, scratch_root)
     scratch = f"{scratch_root}/probe-{uuid.uuid4().hex}"
+    # drop the shingles column before spilling: no consumer of the
+    # materialized signatures reads it (the exact-verify stage
+    # recomputes shingles for candidate docs only), and the arrays are
+    # ~k x the document text
     minhash_signatures(
         new_docs, text_col, id_col, num_perm, k, bands=bands
-    ).write.mode("overwrite").parquet(scratch)
+    ).select(id_col, "signature", "band_hashes").write.mode(
+        "overwrite"
+    ).parquet(scratch)
     sigs_all = spark.read.parquet(scratch)
 
     # 1. within-batch collapse (micro-batch-sized, full exact verify)

@@ -57,8 +57,16 @@ class TransactionCoordinator:
 
     def begin(self, timeout_s: float = 60.0) -> int:
         state = self._load()
-        txn_id = max((int(k) for k in state), default=-1) + 1
+        # monotonic id floor: ids must NEVER be reused even after
+        # finalized records are GC'd (materialize_transactions) —
+        # a reused id would resurrect surviving rows stamped with it
+        floor = int(state.get("_next_txn_id", 0))
+        txn_id = max(
+            floor,
+            max((int(k) for k in state if not k.startswith("_")), default=-1) + 1,
+        )
         state[str(txn_id)] = {"status": OPEN, "deadline": time.time() + timeout_s}
+        state["_next_txn_id"] = txn_id + 1
         self._save(state)
         return txn_id
 
@@ -84,6 +92,8 @@ class TransactionCoordinator:
         now = time.time()
         out = []
         for k, v in state.items():
+            if k.startswith("_"):
+                continue  # registry metadata (_next_txn_id), not a txn
             if v["status"] == OPEN and v["deadline"] < now:
                 v["status"] = ABORTED
                 out.append(int(k))
@@ -95,7 +105,11 @@ class TransactionCoordinator:
 
     def state_df(self, spark: SparkSession) -> DataFrame:
         state = self._load()
-        rows = [(int(k), v["status"]) for k, v in state.items()]
+        rows = [
+            (int(k), v["status"])
+            for k, v in state.items()
+            if not k.startswith("_")
+        ]
         return spark.createDataFrame(rows or [(None, None)], "txn_id bigint, status string").where(
             F.col("txn_id").isNotNull()
         )

@@ -216,12 +216,16 @@ class V5TransactionCoordinator(TransactionCoordinator):
         timed_out = self.sweep_timeouts()
         applied = 0
         for k, rec in self._load().items():
+            if k.startswith("_"):
+                continue  # registry metadata (_next_txn_id)
             if rec["status"] == COMMITTED and not rec.get("acks_applied"):
                 applied += int(self._apply_acks(int(k)))
         # reload AFTER the applies (each apply persists its own flag)
         state = self._load()
         dropped = 0
-        for rec in state.values():
+        for k, rec in state.items():
+            if k.startswith("_"):
+                continue
             if rec["status"] == ABORTED and (
                 rec.get("pending_acks") or rec.get("pending_acks_individual")
             ):
@@ -310,13 +314,23 @@ def materialize_transactions(
     One maintenance rewrite of the topic:
     - rows of COMMITTED-and-applied txns get ``txn_id`` cleared — their
       visibility is now a property of the LOG, not the registry;
-    - rows of ABORTED txns are physically purged (the buffer discard);
+    - rows of ABORTED txns are physically purged (the buffer discard) —
+      EXCEPT each partition's highest-offset row, which is kept (still
+      invisible) so the partition's offset high-watermark never drops:
+      a lowered max would make the next produce REUSE purged offsets
+      and consumers whose cursors already passed them would silently
+      lose the new messages (the reference never reuses positions);
     - OPEN txns' rows (and records) stay untouched.
-    Finalized records then leave the registry. Txn-id reuse after a GC
-    is harmless by construction: no surviving row references a dropped
-    id. Crash-safe via the same two-rename directory swap as the
+    Finalized records then leave the registry. Surviving
+    aborted-tail rows can never resurrect: the coordinator's
+    ``_next_txn_id`` floor guarantees dropped ids are never reissued.
+    Crash-safe via the same two-rename directory swap as the
     tiered/offload rewrite, sidecars included; a crash between the swap
     and the registry trim only re-materializes already-NULL rows.
+
+    Single-writer assumption (same as the tiered offload): run in a
+    maintenance window — a produce racing the swap between the tmp
+    write and the rename would be lost with the old directory.
 
     Works on scalable (``segment=``) and classic (``partition=``)
     topics. A transaction that produced into SEVERAL topics (the record
@@ -324,7 +338,9 @@ def materialize_transactions(
     topic ticked off — until every recorded topic has been rewritten;
     dropping it earlier would flip the OTHER topics' staged rows to
     non-committed (committed visibility there still derives from the
-    record). Returns counts for observability."""
+    record). Records WITHOUT a ``topics`` key (written by a path that
+    predates the tracking) are conservatively KEPT unless they never
+    staged any produce or ack. Returns counts for observability."""
     import os
 
     from pulsar_spark.sources.tiered import _recover_swap, copy_sidecars
@@ -333,40 +349,80 @@ def materialize_transactions(
     # two-rename invariants as the tiered offload)
     _recover_swap(topic_path)
     state = coordinator._load()
-    committed = [
-        int(k) for k, v in state.items()
-        if v["status"] == COMMITTED and v.get("acks_applied")
-    ]
-    aborted = [int(k) for k, v in state.items() if v["status"] == ABORTED]
-    if not committed and not aborted:
-        return {"materialized": 0, "purged_txns": 0, "records_dropped": 0}
-    df = spark.read.option("mergeSchema", "true").parquet(topic_path)
-    if "txn_id" in df.columns:
-        part_col = "segment" if "segment" in df.columns else "partition"
-        kept = df
-        if aborted:
-            # NULL-safe: a bare ~isin() filters NULL txn_ids out too
-            kept = kept.where(
-                F.col("txn_id").isNull() | ~F.col("txn_id").isin(aborted)
-            )
-        if committed:
-            kept = kept.withColumn(
-                "txn_id",
-                F.when(F.col("txn_id").isin(committed), F.lit(None).cast("bigint"))
-                .otherwise(F.col("txn_id")),
-            )
-        tmp = topic_path.rstrip("/") + "__rewrite"
-        old = topic_path.rstrip("/") + "__old"
-        kept.repartition(part_col).write.mode("overwrite").partitionBy(
-            part_col
-        ).parquet(tmp)
-        copy_sidecars(topic_path, tmp)
-        import shutil
 
-        os.rename(topic_path, old)
-        os.rename(tmp, topic_path)
-        shutil.rmtree(old)
-    n_dropped = _finish_topic(coordinator, committed + aborted, topic_path)
+    def _touches_here(rec: dict) -> bool:
+        # a record is relevant to THIS topic when it produced here, or
+        # its provenance is unknown (no topics key on a record that
+        # staged something — conservatively assume it might be here)
+        if topic_path in rec.get("topics", []):
+            return True
+        return "topics" not in rec and bool(
+            rec.get("pending_acks") or rec.get("pending_acks_individual")
+        )
+
+    finalized = {
+        int(k): v for k, v in state.items()
+        if not k.startswith("_")
+        and (
+            (v["status"] == COMMITTED and v.get("acks_applied"))
+            or v["status"] == ABORTED
+        )
+    }
+    committed = [
+        t for t, v in finalized.items()
+        if v["status"] == COMMITTED and _touches_here(v)
+    ]
+    aborted = [
+        t for t, v in finalized.items()
+        if v["status"] == ABORTED and _touches_here(v)
+    ]
+    has_data = os.path.isdir(topic_path) and any(
+        n.startswith(("segment=", "partition=")) for n in os.listdir(topic_path)
+    )
+    if (committed or aborted) and has_data:
+        df = spark.read.option("mergeSchema", "true").parquet(topic_path)
+        if "txn_id" in df.columns:
+            from pyspark.sql import Window
+
+            part_col = "segment" if "segment" in df.columns else "partition"
+            kept = df
+            if aborted:
+                # purge aborted rows EXCEPT each partition's max-offset
+                # row (offset-floor preservation, see docstring);
+                # NULL-safe: a bare ~isin() filters NULL txn_ids out too
+                mx = F.max("offset").over(Window.partitionBy(part_col))
+                kept = (
+                    kept.withColumn("_is_max", F.col("offset") == mx)
+                    .where(
+                        F.col("txn_id").isNull()
+                        | ~F.col("txn_id").isin(aborted)
+                        | F.col("_is_max")
+                    )
+                    .drop("_is_max")
+                )
+            if committed:
+                kept = kept.withColumn(
+                    "txn_id",
+                    F.when(
+                        F.col("txn_id").isin(committed),
+                        F.lit(None).cast("bigint"),
+                    ).otherwise(F.col("txn_id")),
+                )
+            tmp = topic_path.rstrip("/") + "__rewrite"
+            old = topic_path.rstrip("/") + "__old"
+            kept.repartition(part_col).write.mode("overwrite").partitionBy(
+                part_col
+            ).parquet(tmp)
+            copy_sidecars(topic_path, tmp)
+            import shutil
+
+            os.rename(topic_path, old)
+            os.rename(tmp, topic_path)
+            shutil.rmtree(old)
+    # every finalized record ticks THIS topic off (records not touching
+    # this topic tick off nothing and only drop when their list is
+    # explicitly empty — acks-only txns)
+    n_dropped = _finish_topic(coordinator, sorted(finalized), topic_path)
     return {
         "materialized": len(committed),
         "purged_txns": len(aborted),
@@ -387,6 +443,14 @@ def _finish_topic(
     for t in txn_ids:
         rec = state.get(str(int(t)))
         if rec is None:
+            continue
+        if "topics" not in rec and (
+            rec.get("pending_acks") or rec.get("pending_acks_individual")
+        ):
+            # unknown provenance (pre-tracking record that staged
+            # something): keep it — its rows may live in a topic we
+            # never rewrote, and visibility there still needs the
+            # record
             continue
         remaining = [p for p in rec.get("topics", []) if p != topic_path]
         if remaining:
@@ -447,7 +511,8 @@ def read_from_checkpoint_committed(
     caps: dict[int, int] = {}
     if "txn_id" in df.columns:
         open_ids = [
-            int(k) for k, v in coordinator._load().items() if v["status"] == OPEN
+            int(k) for k, v in coordinator._load().items()
+            if not k.startswith("_") and v["status"] == OPEN
         ]
         if open_ids:
             # earliest OPEN staged offset per segment — one bounded

@@ -404,7 +404,12 @@ class ReplicatedSubscriptionsController:
                 wms[key] = max(int(wms.get(key, 0)), int(r.offset) + 1)
                 processed[0] += 1
             # ONE append for every marker this pass emitted (responses,
-            # round-2 requests, completed snapshots)
+            # round-2 requests, completed snapshots). Ordering choice:
+            # flush BEFORE saving the watermarks — a crash in between
+            # re-emits the same markers on replay (at-least-once), which
+            # every receiver absorbs idempotently (builder putIfAbsent,
+            # cumulative max-merge acks); the reverse order would LOSE
+            # emissions and stall the protocol until timeout
             self._flush_markers()
             if completed_snapshot:
                 # the no-new-data guard must compare against the

@@ -274,7 +274,8 @@ class TestMaterialization:
             F.col("txn_id").isNotNull()).count() == 0
         assert raw.where(F.col("v").between(200, 205)).count() == 0
         assert raw.where(F.col("v").between(300, 305)).count() == 5
-        assert list(coord._load()) == [str(t_open)]
+        recs = [k for k in coord._load() if not k.startswith("_")]
+        assert recs == [str(t_open)]
         # second pass is a no-op (nothing finalized remains)
         assert materialize_transactions(spark, d, coord) == {
             "materialized": 0, "purged_txns": 0, "records_dropped": 0}
@@ -333,7 +334,7 @@ class TestMaterialization:
         assert [r.v for r in read_scalable_committed(spark, b, coord).collect()] == [2]
         stats_b = materialize_transactions(spark, b, coord)
         assert stats_b["records_dropped"] == 1
-        assert coord._load() == {}
+        assert not [k for k in coord._load() if not k.startswith("_")]
         # both topics' rows are registry-independent now
         assert [r.v for r in read_scalable_committed(spark, a, coord).collect()] == [1]
         assert [r.v for r in read_scalable_committed(spark, b, coord).collect()] == [2]
@@ -358,7 +359,9 @@ class TestMaterialization:
         materialize_transactions(spark, d, coord)
         assert os.path.isdir(d)
 
-    def test_txn_id_reuse_after_gc_is_harmless(self, spark, tmp_path):
+    def test_txn_ids_never_reused_after_gc(self, spark, tmp_path):
+        """The _next_txn_id floor survives record GC — a reused id
+        could resurrect surviving aborted rows stamped with it."""
         from pulsar_spark.sources import materialize_transactions
 
         d, coord = _topic(tmp_path), _coord(tmp_path)
@@ -367,15 +370,62 @@ class TestMaterialization:
                              key_col="k", deterministic_mod=True)
         coord.abort(t0)
         materialize_transactions(spark, d, coord)
-        # the registry is empty -> begin() hands out id 0 again; no
-        # surviving row references the old id 0, so visibility is clean
-        t0b = new_transaction(coord)
-        assert t0b == t0
-        produce_scalable_txn(_rows(spark, [600]), d, coord, t0b,
+        t1 = new_transaction(coord)
+        assert t1 > t0  # monotone even though t0's record is gone
+        produce_scalable_txn(_rows(spark, [600]), d, coord, t1,
                              key_col="k", deterministic_mod=True)
-        coord.commit(t0b)
+        coord.commit(t1)
         got = sorted(r.v for r in read_scalable_committed(spark, d, coord).collect())
         assert got == [600]
+
+    def test_abort_purge_preserves_offset_floor(self, spark, tmp_path):
+        """Purging an aborted tail must NOT lower the partition's max
+        offset: the next produce would reuse those offsets and a
+        consumer whose cursor already passed them would lose the new
+        messages. The per-partition max row survives (invisible)."""
+        from pulsar_spark.sources import (
+            materialize_transactions,
+            read_from_checkpoint_committed,
+            segment_high_watermarks,
+        )
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(6)), d, key_col="k",
+                         deterministic_mod=True)
+        t = new_transaction(coord)
+        produce_scalable_txn(_rows(spark, range(800, 806)), d, coord, t,
+                             key_col="k", deterministic_mod=True)
+        coord.abort(t)
+        highs_before = segment_high_watermarks(spark, d)
+        # a consumer advances past the (aborted, unheld) staged offsets
+        df, adv = read_from_checkpoint_committed(
+            spark, d, Checkpoint.earliest(), coord
+        )
+        assert sorted(r.v for r in df.collect()) == list(range(6))
+        materialize_transactions(spark, d, coord)
+        assert segment_high_watermarks(spark, d) == highs_before
+        # new messages land at FRESH offsets and reach the consumer
+        produce_scalable(_rows(spark, [900]), d, key_col="k",
+                         deterministic_mod=True)
+        df2, _ = read_from_checkpoint_committed(spark, d, adv, coord)
+        assert [r.v for r in df2.collect()] == [900]
+
+    def test_legacy_record_without_topics_is_kept(self, spark, tmp_path):
+        from pulsar_spark.sources import materialize_transactions
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        create_subscription(d, "sub")
+        t = new_transaction(coord)
+        coord.acknowledge_cumulative(t, d, "sub", {0: 1})
+        coord.commit(t)
+        # simulate a pre-tracking record: strip the topics key
+        state = coord._load()
+        state[str(t)].pop("topics", None)
+        coord._save(state)
+        stats = materialize_transactions(spark, d, coord)
+        # unknown provenance + staged acks -> conservatively kept
+        assert stats["records_dropped"] == 0
+        assert str(t) in coord._load()
 
 
 class TestTxnCLI:
