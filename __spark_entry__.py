@@ -300,6 +300,65 @@ def _q_scalable_txn_visibility(spark, sf_dir):
     )
 
 
+def _q_scalable_ack_holes(spark, sf_dir):
+    # Individual-ack hole set for scalable-topic subscriptions
+    # (sources/ack_holes.py — the individualDeletedMessages analog,
+    # ManagedCursorImpl.java:202; ScalableQueueConsumer.java:234): the
+    # full orders table lands on two segments, a subscription
+    # individually acks every message whose okey % 30 == 0 — scattered
+    # through each segment, so the cursor advances only over whatever
+    # contiguous prefix exists and the rest persist as hole ranges.
+    # The post-failover redelivery view (subscription_visible) must be
+    # EXACTLY the unacked rows — invariant to within-segment offset
+    # order, hence closed-form for the oracle — and the backlog count
+    # must agree (holes are delivered, not backlog).
+    import tempfile
+
+    from pulsar_spark.sources import (
+        acknowledge_individual,
+        create_scalable_topic,
+        create_subscription,
+        produce_scalable,
+        read_scalable,
+        subscription_backlog,
+        subscription_visible,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_orderkey").alias("okey"),
+        "o_totalprice",
+    )
+    base = tempfile.mkdtemp(prefix="psholes_")
+    d = base + "/topic"
+    create_scalable_topic(d, num_initial_segments=2)
+    produce_scalable(orders, d, key_col="k", deterministic_mod=True)
+    create_subscription(d, "sub")
+    # the consumer acks message ids one batch at a time — collect the
+    # bounded planted set (~3% of orders) and fold it into the
+    # (cursor, holes) pair in one registry write
+    acks: dict[int, list[int]] = {}
+    for r in (
+        read_scalable(spark, d)
+        .where(F.col("okey") % 30 == 0)
+        .select("segment", "offset")
+        .collect()
+    ):
+        acks.setdefault(int(r.segment), []).append(int(r.offset))
+    acknowledge_individual(d, "sub", acks)
+    vis = subscription_visible(spark, d, "sub")
+    backlog = subscription_backlog(spark, d, "sub")
+    return (
+        vis.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_visible"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .join(backlog, on="segment")
+        .select("segment", "n_visible", "sum_price", "backlog")
+    )
+
+
 def _q_scalable_multi_topic_stats(spark, sf_dir):
     # Multi-topic scalable consume (sources/scalable.py
     # read_namespace_from_checkpoint — MultiTopicStreamConsumer.java /
@@ -1001,6 +1060,20 @@ def _q_doc_langid(spark, sf_dir):
     return language_id(load_table(spark, sf_dir, "documents"))
 
 
+def _q_doc_langid_trained(spark, sf_dir):
+    # Trained character-bigram Naive Bayes language ID
+    # (functions/langid.py): train on the even-doc_id half of the
+    # corpus (the lang column as weak supervision), score EVERY
+    # document — integer micro-log-prob arithmetic end to end, so the
+    # DuckDB twin replays training AND scoring exactly. The trained
+    # replacement for the marker-word heuristic (text.py language_id)
+    # a multilingual 100 TB crawl needs.
+    from pulsar_spark.functions import langid_fit_predict
+
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_fit_predict(docs, train_filter=F.col("doc_id") % 2 == 0)
+
+
 def _q_embedding_knn(spark, sf_dir):
     from pulsar_spark.functions import cosine_topk
 
@@ -1277,6 +1350,7 @@ def _q_txn_pending_acks(spark, sf_dir):
 
 
 _CRYPTO_KEYS = None
+_CRYPTO_KEYS2 = None
 
 
 def _q_crypto_roundtrip(spark, sf_dir):
@@ -1303,6 +1377,65 @@ def _q_crypto_roundtrip(spark, sf_dir):
             F.sum(F.length("props")).cast("bigint").alias("total_chars"),
             F.sum("event_id").cast("bigint").alias("sum_id"),
         )
+    )
+
+
+def _q_crypto_failure_actions(spark, sf_dir):
+    # ConsumerCryptoFailureAction (ConsumerCryptoFailureAction.java:30)
+    # over a topic mixing THREE producer key rotations: even event_ids
+    # encrypt for consumer "alice" under two successive data keys
+    # (%4==0 and %4==2 — fresh key per encrypt_messages call), odd ones
+    # for "bob" only. Decrypting as alice in CONSUME mode must decrypt
+    # both alice rotations and flag every bob row with the ciphertext
+    # passed through intact (GCM ct = plaintext + 16 tag bytes — the
+    # closed form the oracle checks); a second DISCARD-mode pass must
+    # keep exactly the alice rows. FAIL stays the raising default
+    # (tested in tests/test_functions.py).
+    global _CRYPTO_KEYS, _CRYPTO_KEYS2
+    from pulsar_spark.crypto import (
+        CONSUME,
+        DISCARD,
+        decrypt_messages,
+        encrypt_messages,
+        generate_rsa_keypair,
+    )
+
+    if _CRYPTO_KEYS is None:
+        _CRYPTO_KEYS = generate_rsa_keypair()
+    if _CRYPTO_KEYS2 is None:
+        _CRYPTO_KEYS2 = generate_rsa_keypair()
+    a_priv, a_pub = _CRYPTO_KEYS
+    _b_priv, b_pub = _CRYPTO_KEYS2
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.encode(F.col("props"), "utf-8").alias("payload")
+    )
+    enc = (
+        encrypt_messages(ev.where(F.col("event_id") % 4 == 0), {"alice": a_pub})
+        .unionByName(
+            encrypt_messages(ev.where(F.col("event_id") % 4 == 2), {"alice": a_pub})
+        )
+        .unionByName(
+            encrypt_messages(ev.where(F.col("event_id") % 2 == 1), {"bob": b_pub}),
+            allowMissingColumns=True,
+        )
+    )
+    consumed = decrypt_messages(enc, "alice", a_priv, failure_action=CONSUME)
+    kept = decrypt_messages(enc, "alice", a_priv, failure_action=DISCARD)
+    agg = consumed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("crypto_failure").cast("bigint")).alias("n_failed"),
+        F.sum(
+            F.when(~F.col("crypto_failure"), F.length("payload"))
+        ).cast("bigint").alias("ok_chars"),
+        F.sum(
+            F.when(F.col("crypto_failure"), F.length("payload"))
+        ).cast("bigint").alias("enc_bytes"),
+    )
+    discarded = kept.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_after_discard")
+    )
+    return agg.join(discarded, on="event_type").select(
+        "event_type", "n", "n_failed", "ok_chars", "enc_bytes", "n_after_discard"
     )
 
 
@@ -3826,6 +3959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # structural test in tests/test_meta_freshness.py enforces that
     # invariant mechanically.
     return {
+        # -- new round-10 queries
+        "scalable_ack_holes": _q_scalable_ack_holes,
+        "crypto_failure_actions": _q_crypto_failure_actions,
+        "doc_langid_trained": _q_doc_langid_trained,
         # -- new round-9 queries
         "scalable_txn_visibility": _q_scalable_txn_visibility,
         "policy_offload": _q_policy_offload,
@@ -4728,6 +4865,19 @@ def oracle_sql() -> dict[str, str]:
             FROM vis v LEFT JOIN cur c ON v.segment = c.segment
             GROUP BY v.segment
         """,
+        "scalable_ack_holes": """
+            WITH src AS (
+              SELECT o_orderkey AS okey, o_totalprice,
+                     CAST(CASE WHEN (o_orderkey * 2654435761) % 65536 < 32768
+                          THEN 0 ELSE 1 END AS INT) AS segment
+              FROM orders
+            )
+            SELECT segment, count(*) AS n_visible,
+                   CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price,
+                   CAST(count(*) AS BIGINT) AS backlog
+            FROM src WHERE okey % 30 <> 0
+            GROUP BY segment
+        """,
         "scalable_split_stats": """
             WITH e AS (
               SELECT event_id, user_id,
@@ -5592,6 +5742,54 @@ def oracle_sql() -> dict[str, str]:
                    greatest(de_s, en_s, es_s, fr_s, zh_s) AS lang_score
             FROM s
         """,
+        "doc_langid_trained": """
+            WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            tg AS (
+              SELECT lang, substr(text, CAST(i AS INT), 2) AS g
+              FROM train, unnest(range(1, len(text))) AS t(i)
+            ),
+            counts AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+            tot AS (SELECT lang, sum(c) AS t FROM counts GROUP BY 1),
+            voc AS (SELECT count(DISTINCT g) AS v FROM counts),
+            prior AS (
+              SELECT lang,
+                     CAST(round(ln(count(*) * 1.0 /
+                          (SELECT count(*) FROM train)) * 1000000, 0)
+                          AS BIGINT) AS p
+              FROM train GROUP BY lang
+            ),
+            lp AS (
+              SELECT c.lang, c.g,
+                     CAST(round(ln((c.c + 1.0) / (tot.t + voc.v)) * 1000000, 0)
+                          AS BIGINT) AS lp
+              FROM counts c JOIN tot USING (lang) CROSS JOIN voc
+            ),
+            dflt AS (
+              SELECT lang,
+                     CAST(round(ln(1.0 / (tot.t + voc.v)) * 1000000, 0)
+                          AS BIGINT) AS lp0
+              FROM tot CROSS JOIN voc
+            ),
+            dg AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 2) AS g
+              FROM documents, unnest(range(1, len(text))) AS t(i)
+            ),
+            sums AS (
+              SELECT dg.doc_id, d.lang, sum(coalesce(lp.lp, d.lp0)) AS s
+              FROM dg CROSS JOIN dflt d
+              LEFT JOIN lp ON lp.lang = d.lang AND lp.g = dg.g
+              GROUP BY dg.doc_id, d.lang
+            ),
+            scored AS (
+              SELECT s.doc_id, s.lang, s.s + p.p AS score
+              FROM sums s JOIN prior p ON p.lang = s.lang
+            )
+            SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS micro_score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        """,
         "doc_bpe_tokens": r"""
             WITH toks AS (
               SELECT lang,
@@ -5782,6 +5980,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    CAST(sum(length(props)) AS BIGINT) AS total_chars,
                    CAST(sum(event_id) AS BIGINT) AS sum_id
+            FROM events GROUP BY event_type
+        """,
+        "crypto_failure_actions": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_failed,
+                   CAST(sum(CASE WHEN event_id % 2 = 0
+                            THEN strlen(props) END) AS BIGINT) AS ok_chars,
+                   CAST(sum(CASE WHEN event_id % 2 = 1
+                            THEN strlen(props) + 16 END) AS BIGINT) AS enc_bytes,
+                   CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_after_discard
             FROM events GROUP BY event_type
         """,
         "txn_pending_acks": f"""

@@ -31,6 +31,15 @@ from pyspark.sql.types import BinaryType
 AES_KEY_BYTES = 32  # AES-256-GCM, MessageCryptoBc's data-key size
 NONCE_BYTES = 12
 
+#: ConsumerCryptoFailureAction (pulsar-client-api/.../api/
+#: ConsumerCryptoFailureAction.java:30): what to do with a message the
+#: consumer cannot decrypt. FAIL = delivery fails (raise), DISCARD =
+#: silently drop the message, CONSUME = deliver the ENCRYPTED payload
+#: to the application, flagged. ProducerCryptoFailureAction
+#: (ProducerCryptoFailureAction.java): FAIL = the send fails, SEND =
+#: publish unencrypted when encryption fails.
+FAIL, DISCARD, CONSUME, SEND = "FAIL", "DISCARD", "CONSUME", "SEND"
+
 
 def generate_rsa_keypair() -> tuple[bytes, bytes]:
     """(private_pem, public_pem) helper for tests/CLI — the reference
@@ -84,17 +93,38 @@ def encrypt_messages(
     df: DataFrame,
     public_keys: dict[str, bytes],
     payload_col: str = "payload",
+    failure_action: str = FAIL,
 ) -> DataFrame:
     """Producer-side encryption (MessageCrypto.encrypt): replaces
     ``payload_col`` with AES-256-GCM ciphertext and adds
     ``encryption_param`` (per-row nonce) plus one
     ``encryption_key__<name>`` column per recipient holding the wrapped
     data key (constant per batch — a literal, so it costs nothing per
-    row). Raises if ``public_keys`` is empty, like the reference's
-    producer with encryption enabled but no keys."""
+    row). Each call mints a FRESH data key — the reference's per-batch
+    key rotation; a topic therefore legitimately carries several
+    distinct wrapped-key values, which ``decrypt_messages`` unwraps
+    once each. Raises if ``public_keys`` is empty, like the
+    reference's producer with encryption enabled but no keys.
+
+    ``failure_action`` is ProducerCryptoFailureAction: ``FAIL``
+    (default) propagates a key-wrap error (bad recipient PEM) and the
+    send fails; ``SEND`` publishes the batch UNENCRYPTED instead —
+    same schema as the unencrypted producer (no encryption columns),
+    the reference's explicit availability-over-confidentiality trade.
+    """
     if not public_keys:
         raise ValueError("encryption enabled but no public keys given")
+    if failure_action not in (FAIL, SEND):
+        raise ValueError(f"unknown ProducerCryptoFailureAction: {failure_action}")
     data_key = os.urandom(AES_KEY_BYTES)
+    try:
+        wrapped = {
+            name: _wrap_data_key(data_key, pem) for name, pem in public_keys.items()
+        }
+    except Exception:
+        if failure_action == FAIL:
+            raise
+        return df  # SEND: publish unencrypted
 
     from pyspark.sql.types import StructField, StructType
 
@@ -129,10 +159,8 @@ def encrypt_messages(
         .drop("_e")
         .withColumn("encryption_algo", F.lit("AES-256-GCM"))
     )
-    for name, pem in public_keys.items():
-        out = out.withColumn(
-            f"encryption_key__{name}", F.lit(_wrap_data_key(data_key, pem))
-        )
+    for name, wk in wrapped.items():
+        out = out.withColumn(f"encryption_key__{name}", F.lit(wk))
     return out
 
 
@@ -141,39 +169,103 @@ def decrypt_messages(
     key_name: str,
     private_pem: bytes,
     payload_col: str = "payload",
+    failure_action: str = FAIL,
 ) -> DataFrame:
-    """Consumer-side decryption (MessageCrypto.decrypt): unwraps the
-    data key ONCE driver-side from the ``encryption_key__<name>``
-    column (constant per batch), then AES-GCM-decrypts payloads with the
-    per-row nonce. GCM authentication means tampered ciphertext fails
-    loudly, not silently."""
+    """Consumer-side decryption (MessageCrypto.decrypt): unwraps each
+    DISTINCT wrapped data key ONCE driver-side from the
+    ``encryption_key__<name>`` column (bounded — one value per producer
+    key rotation, the reference's consumer unwraps once per rotation
+    too), then AES-GCM-decrypts payloads with the per-row nonce and
+    the row's own data key, so a topic mixing several rotations
+    decrypts in one pass.
+
+    ``failure_action`` is ConsumerCryptoFailureAction
+    (ConsumerCryptoFailureAction.java:30), applied PER ROW to the two
+    real failure modes — no usable data key (NULL wrapped value after
+    a recipient change, or a wrapped value this private key cannot
+    unwrap) and GCM authentication failure (tampered ciphertext or
+    nonce):
+
+    - ``FAIL`` (default): the batch fails loudly on the first
+      undecryptable row — delivery stalls, nothing is silently lost;
+    - ``DISCARD``: undecryptable rows are dropped from the result;
+    - ``CONSUME``: undecryptable rows pass through with the ENCRYPTED
+      payload intact and ``crypto_failure = true``; decrypted rows
+      carry ``crypto_failure = false``. Under CONSUME the
+      ``encryption_param`` / ``encryption_key__*`` / ``encryption_algo``
+      columns are KEPT (the application needs them to decrypt the
+      flagged rows later); FAIL/DISCARD drop them as before."""
+    if failure_action not in (FAIL, DISCARD, CONSUME):
+        raise ValueError(f"unknown ConsumerCryptoFailureAction: {failure_action}")
     col = f"encryption_key__{key_name}"
     if col not in df.columns:
         raise KeyError(f"no wrapped data key for consumer key '{key_name}'")
-    wrapped = df.select(col).limit(1).collect()
-    if not wrapped:
-        # empty frame: no data key to unwrap, but the OUTPUT SCHEMA must
-        # not depend on row count — drop the encryption columns exactly
-        # like the non-empty path does
-        drop = [c for c in df.columns if c.startswith("encryption_key__")]
-        return df.drop("encryption_param", "encryption_algo", *drop)
-    data_key = _unwrap_data_key(bytes(wrapped[0][0]), private_pem)
+    # bounded: one distinct wrapped value per producer key rotation
+    rotations = [
+        bytes(r[0]) for r in df.select(col).distinct().collect() if r[0] is not None
+    ]
+    key_map: dict[bytes, bytes] = {}
+    for wk in rotations:
+        try:
+            key_map[wk] = _unwrap_data_key(wk, private_pem)
+        except Exception:
+            if failure_action == FAIL:
+                raise
+            # DISCARD/CONSUME: rows under this rotation are per-row
+            # failures, handled below
 
-    @F.pandas_udf(BinaryType())
-    def _dec(payloads, nonces):
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    dec_t = StructType(
+        [StructField("pt", BinaryType()), StructField("ok", BooleanType())]
+    )
+
+    @F.pandas_udf(dec_t)
+    def _dec(payloads, nonces, wrappeds):
         import pandas as pd
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
-        gcm = AESGCM(data_key)
-        return pd.Series(
-            [
-                None if p is None else gcm.decrypt(bytes(n), bytes(p), None)
-                for p, n in zip(payloads, nonces)
-            ]
-        )
+        gcms = {wk: AESGCM(k) for wk, k in key_map.items()}
+        rows = []
+        for p, n, w in zip(payloads, nonces, wrappeds):
+            if p is None:
+                rows.append({"pt": None, "ok": True})  # tombstone payload
+                continue
+            gcm = gcms.get(bytes(w)) if w is not None else None
+            if gcm is None or n is None:
+                if failure_action == "FAIL":
+                    raise ValueError(
+                        "ConsumerCryptoFailureAction.FAIL: no usable data "
+                        f"key for consumer key '{key_name}'"
+                    )
+                rows.append({"pt": None, "ok": False})
+                continue
+            try:
+                rows.append({"pt": gcm.decrypt(bytes(n), bytes(p), None), "ok": True})
+            except Exception:
+                if failure_action == "FAIL":
+                    raise ValueError(
+                        "ConsumerCryptoFailureAction.FAIL: GCM authentication "
+                        "failed (tampered ciphertext or nonce)"
+                    )
+                rows.append({"pt": None, "ok": False})
+        return pd.DataFrame(rows)
 
     drop = [c for c in df.columns if c.startswith("encryption_key__")]
+    out = df.withColumn(
+        "_d", _dec(F.col(payload_col), F.col("encryption_param"), F.col(col))
+    )
+    if failure_action == CONSUME:
+        return (
+            out.withColumn(
+                payload_col,
+                F.when(F.col("_d.ok"), F.col("_d.pt")).otherwise(F.col(payload_col)),
+            )
+            .withColumn("crypto_failure", ~F.col("_d.ok"))
+            .drop("_d")
+        )
+    out = out.where(F.col("_d.ok")) if failure_action == DISCARD else out
     return (
-        df.withColumn(payload_col, _dec(F.col(payload_col), F.col("encryption_param")))
-        .drop("encryption_param", "encryption_algo", *drop)
+        out.withColumn(payload_col, F.col("_d.pt"))
+        .drop("_d", "encryption_param", "encryption_algo", *drop)
     )

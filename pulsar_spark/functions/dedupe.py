@@ -1127,11 +1127,14 @@ def incremental_near_dedup(
     Scale shape: the probe side (one micro-batch of band hashes) is
     broadcast, so the band store is SCANNED map-side but never
     shuffled; candidate verification joins the candidate ``_fp`` set
-    (micro-batch-bounded) against the sig store the same way. Per-epoch
-    cost is one store scan — the Spark rendering of what a KV-backed
-    LSH index does with point lookups; a deployment that needs
-    sub-scan probes partitions ``bands/`` by a band-hash prefix and
-    lets dynamic partition pruning skip untouched directories.
+    (micro-batch-bounded) against the sig store the same way. Epoch
+    commits partition ``bands/`` by a band-hash prefix (BAND_PFX_MOD
+    hive directories per epoch), and the probe pushes its OWN bounded
+    prefix set as a PartitionFilters prune — each probe scans
+    O(store/256) of the band rows instead of O(store), which is the
+    difference between a per-epoch full-index pass and a KV-style
+    point lookup at 100 TB. Legacy flat appends (``epoch=None``)
+    full-scan until a ``compact_near_store`` migrates them.
     """
     spark = new_docs.sparkSession
     # recover a torn compaction swap before probing (see
@@ -1188,7 +1191,7 @@ def incremental_near_dedup(
             F.col("signature"),
             F.posexplode("band_hashes").alias("band_idx", "band_hash"),
         )
-        stored_bands = spark.read.parquet(*band_dirs)
+        stored_bands = _read_stored_bands(spark, band_dirs, probe=probe)
         cand = (
             stored_bands.join(
                 F.broadcast(probe), on=["band_idx", "band_hash"]
@@ -1249,6 +1252,86 @@ def _near_store_dirs(
     return _epoch_store_dirs(spark, base, exclude_epoch)
 
 
+#: hive-partition fan-out of the band store: epoch commits land under
+#: ``bands/batch_id=N/band_pfx=P`` with ``P = pmod(band_hash, 256)``,
+#: so a probe's bounded band-hash set prunes store DIRECTORIES
+#: (PartitionFilters) instead of scanning every band row — O(store/256)
+#: per epoch instead of O(store), the difference the design note in
+#: ``incremental_near_dedup`` names at 100 TB.
+BAND_PFX_MOD = 256
+
+
+def _band_pfx():
+    return F.pmod(F.col("band_hash"), F.lit(BAND_PFX_MOD)).cast("int")
+
+
+def _write_bands_partitioned(band_rows: DataFrame, path: str) -> None:
+    """Overwrite ``path`` with band rows hive-partitioned by band_pfx
+    (one file per populated pfx dir). Zero-row frames write FLAT — a
+    partitioned write of nothing leaves a schema-less directory
+    (_SUCCESS only) that breaks every later ``spark.read.parquet``."""
+    if band_rows.limit(1).isEmpty():
+        band_rows.write.mode("overwrite").parquet(path)
+        return
+    (
+        band_rows.withColumn("band_pfx", _band_pfx())
+        .repartition("band_pfx")
+        .write.mode("overwrite")
+        .partitionBy("band_pfx")
+        .parquet(path)
+    )
+
+
+def _read_stored_bands(spark, band_dirs: list[str], probe: DataFrame | None = None):
+    """Read the stored band rows ``(_fp, band_idx, band_hash)`` across a
+    MIXED store: ``band_pfx=``-partitioned epoch dirs (commits and
+    compactions after the layout upgrade) are read as one partitioned
+    scan — pruned to the probe's band-hash prefixes when ``probe`` is
+    given (its prefix set is bounded by BAND_PFX_MOD, collected once
+    from the micro-batch-sized probe) — while legacy flat dirs/files
+    full-scan exactly as before. The two groups cannot share one read:
+    Spark refuses partition discovery over roots with conflicting
+    directory structures."""
+    fs, jvm = _store_fs(spark, band_dirs[0])
+    P = jvm.org.apache.hadoop.fs.Path
+    part, flat = [], []
+    for d in band_dirs:
+        p = P(d)
+        if fs.isDirectory(p) and any(
+            st.getPath().getName().startswith("band_pfx=")
+            for st in fs.listStatus(p)
+        ):
+            part.append(d)
+        else:
+            flat.append(d)
+    cols = ["_fp", "band_idx", "band_hash"]
+    frames = []
+    if part:
+        vals = None
+        if probe is not None:
+            vals = sorted(
+                int(r[0])
+                for r in probe.select(_band_pfx().alias("p")).distinct().collect()
+            )
+        # epoch dirs are themselves partition directories (batch_id=N):
+        # Spark needs the explicit basePath or multi-root discovery
+        # reports CONFLICTING_DIRECTORY_STRUCTURES
+        by_base: dict[str, list[str]] = {}
+        for d in part:
+            by_base.setdefault(d.rsplit("/batch_id=", 1)[0], []).append(d)
+        for bp, ds in by_base.items():
+            df = spark.read.option("basePath", bp).parquet(*ds)
+            if vals is not None:
+                df = df.where(F.col("band_pfx").isin(vals))
+            frames.append(df.select(*cols))
+    if flat:
+        frames.append(spark.read.parquet(*flat).select(*cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def commit_near_fingerprints(
     survivors: DataFrame,
     store_path: str,
@@ -1290,14 +1373,24 @@ def commit_near_fingerprints(
             "_fp", F.posexplode("band_hashes").alias("band_idx", "band_hash")
         )
         if epoch is None:
+            # legacy flat appends: loose part files under bands/ —
+            # full-scanned by probes until a compaction folds them into
+            # the band_pfx-partitioned layout
             sig_rows.write.mode("append").parquet(f"{store_path}/sigs")
             band_rows.write.mode("append").parquet(f"{store_path}/bands")
         else:
             sig_rows.write.mode("overwrite").parquet(
                 f"{store_path}/sigs/batch_id={int(epoch)}"
             )
-            band_rows.write.mode("overwrite").parquet(
-                f"{store_path}/bands/batch_id={int(epoch)}"
+            # band_pfx fan-out (see BAND_PFX_MOD): probes prune store
+            # directories by the probe's own prefix set. repartition on
+            # the partition column bounds the file count to one per
+            # populated pfx dir instead of tasks x dirs. An EMPTY batch
+            # (all docs short/deduped) must write flat: a partitioned
+            # write of zero rows leaves a schema-less directory that
+            # poisons every later probe's read.
+            _write_bands_partitioned(
+                band_rows, f"{store_path}/bands/batch_id={int(epoch)}"
             )
     finally:
         sigs.unpersist()
@@ -1309,19 +1402,32 @@ def _store_fs(spark, store_path: str):
     return path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def _fs_rename(fs, src, dst) -> None:
+    """Hadoop ``fs.rename`` returns False instead of raising on most
+    failures (missing parent, existing destination, cross-store move).
+    A swap step that silently no-ops would strand a compaction rewrite
+    with no error — check the boolean and fail loudly."""
+    if not fs.rename(src, dst):
+        raise IOError(f"fs.rename({src}, {dst}) returned false")
+
+
 def _recover_store_swap(spark, store_path: str) -> None:
     """Complete or roll back an interrupted store-compaction swap —
     the same two-rename invariants as the tiered-storage rewrite
     (sources/tiered.py _recover_swap), over the Hadoop FileSystem API
-    so remote stores (hdfs://, s3a://) recover too."""
+    so remote stores (hdfs://, s3a://) recover too. ``store_path`` is
+    normalized (trailing slash stripped) so the swap names are true
+    SIBLINGS of the store — an unstripped path would make
+    ``store_path + '__old'`` a child of the store itself."""
+    store_path = store_path.rstrip("/")
     fs, jvm = _store_fs(spark, store_path)
     P = jvm.org.apache.hadoop.fs.Path
     base, tmp, old = P(store_path), P(store_path + "__rewrite"), P(store_path + "__old")
     if not fs.exists(base):
         if fs.exists(tmp):
-            fs.rename(tmp, base)
+            _fs_rename(fs, tmp, base)
         elif fs.exists(old):
-            fs.rename(old, base)
+            _fs_rename(fs, old, base)
     if fs.exists(base) and fs.exists(old):
         fs.delete(old, True)
     if fs.exists(base) and fs.exists(tmp):
@@ -1351,18 +1457,19 @@ def compact_fingerprint_store(spark, store_path: str, into_epoch: int = 0) -> di
     replay horizon, exactly like checkpoint GC. Crash-safe via the
     two-rename swap (+ ``_recover_store_swap`` on entry); a second
     compaction of an already-compacted store is a no-op rewrite."""
+    store_path = store_path.rstrip("/")
     _recover_store_swap(spark, store_path)
     inputs = _store_inputs(spark, store_path)
     if not inputs:
         return {"fingerprints": 0, "inputs": 0, "compacted": False}
     fps = spark.read.parquet(*inputs).select("_fp").distinct()
-    rewrite = store_path.rstrip("/") + "__rewrite"
+    rewrite = store_path + "__rewrite"
     fps.write.mode("overwrite").parquet(f"{rewrite}/batch_id={int(into_epoch)}")
     n = spark.read.parquet(f"{rewrite}/batch_id={int(into_epoch)}").count()
     fs, jvm = _store_fs(spark, store_path)
     P = jvm.org.apache.hadoop.fs.Path
-    fs.rename(P(store_path), P(store_path + "__old"))
-    fs.rename(P(rewrite), P(store_path))
+    _fs_rename(fs, P(store_path), P(store_path + "__old"))
+    _fs_rename(fs, P(rewrite), P(store_path))
     fs.delete(P(store_path + "__old"), True)
     return {"fingerprints": n, "inputs": len(inputs), "compacted": True}
 
@@ -1375,28 +1482,29 @@ def compact_near_store(spark, store_path: str, into_epoch: int = 0) -> dict:
     ``compact_fingerprint_store``. Store size after compaction is the
     true signature-set size, so the map-side probe scan cost stops
     growing with epoch count."""
+    store_path = store_path.rstrip("/")
     _recover_store_swap(spark, store_path)
     sig_in = _store_inputs(spark, f"{store_path}/sigs")
     band_in = _store_inputs(spark, f"{store_path}/bands")
     if not sig_in and not band_in:
         return {"signatures": 0, "band_rows": 0, "inputs": 0, "compacted": False}
-    rewrite = store_path.rstrip("/") + "__rewrite"
+    rewrite = store_path + "__rewrite"
     sigs = spark.read.parquet(*sig_in).dropDuplicates(["_fp"])
     sigs.write.mode("overwrite").parquet(
         f"{rewrite}/sigs/batch_id={int(into_epoch)}"
     )
-    bands = spark.read.parquet(*band_in).dropDuplicates(
+    # compaction also MIGRATES legacy flat band layouts into the
+    # band_pfx-partitioned one (sub-scan probes from then on)
+    bands = _read_stored_bands(spark, band_in).dropDuplicates(
         ["_fp", "band_idx", "band_hash"]
     )
-    bands.write.mode("overwrite").parquet(
-        f"{rewrite}/bands/batch_id={int(into_epoch)}"
-    )
+    _write_bands_partitioned(bands, f"{rewrite}/bands/batch_id={int(into_epoch)}")
     n_sig = spark.read.parquet(f"{rewrite}/sigs/batch_id={int(into_epoch)}").count()
     n_band = spark.read.parquet(f"{rewrite}/bands/batch_id={int(into_epoch)}").count()
     fs, jvm = _store_fs(spark, store_path)
     P = jvm.org.apache.hadoop.fs.Path
-    fs.rename(P(store_path), P(store_path + "__old"))
-    fs.rename(P(rewrite), P(store_path))
+    _fs_rename(fs, P(store_path), P(store_path + "__old"))
+    _fs_rename(fs, P(rewrite), P(store_path))
     fs.delete(P(store_path + "__old"), True)
     return {
         "signatures": n_sig,

@@ -237,6 +237,26 @@ def _offload_cutoff(pol: dict, now_ts):
     return now_ts - F.expr(f"make_interval(0, 0, 0, 0, 0, 0, {age})")
 
 
+def _hot_parquet_bytes(spark, topic_path: str) -> int:
+    """Stored parquet bytes under ``topic_path``, resolved through the
+    Hadoop FileSystem API so the managedLedgerOffloadThresholdInBytes
+    trigger works on ANY topic filesystem (hdfs://, s3a://, file:/) —
+    a driver-local ``os.walk`` would sum 0 bytes on a remote path and
+    silently disable the stored offload policy forever."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(topic_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return 0
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += int(st.getLen())
+    return total
+
+
 def run_offload_policy(spark, topic_path: str, now: str, namespace_dir: str | None = None):
     """Enforce the stored OffloadPolicies (Namespaces.setOffloadPolicies,
     Namespaces.java:4232 / removeOffloadPolicies :4246): offload rows
@@ -257,13 +277,7 @@ def run_offload_policy(spark, topic_path: str, now: str, namespace_dir: str | No
     cold_path = pol["cold_path"]
     thr = pol.get("threshold_bytes")
     if thr is not None:
-        hot_bytes = 0
-        for root, _dirs, files in os.walk(topic_path):
-            hot_bytes += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
+        hot_bytes = _hot_parquet_bytes(spark, topic_path)
         if hot_bytes <= int(thr):
             return {"skipped": True, "hot_bytes": hot_bytes, "threshold": int(thr)}
     now_dt = datetime.datetime.fromisoformat(now)

@@ -852,11 +852,46 @@ def save_subscription_checkpoint(
     topic_path: str, subscription: str, ckpt: Checkpoint
 ) -> None:
     """Persist an advanced position vector (the ack path for a
-    persisted subscription)."""
+    persisted subscription). Individual-ack holes stored beside the
+    vector (sources/ack_holes.py) are reconciled against the move in
+    the SAME atomic registry write so cursor and holes can never
+    disagree: a forward advance consumes holes below the new cursor
+    AND sweeps the cursor through any hole that became contiguous with
+    it (the ManagedCursorImpl markDelete-advance merge); a rewind
+    clears the segment's holes entirely (resetCursor semantics —
+    everything past the reset point redelivers)."""
+    from pulsar_spark.sources.ack_holes import (
+        fold_cursor,
+        reconcile_holes_with_cursor,
+    )
+
     subs = _read_subscriptions(topic_path)
     if subscription not in subs:
         raise ValueError(f"no such subscription: {subscription}")
-    subs[subscription]["checkpoint"] = json.loads(ckpt.to_bytes())
+    entry = subs[subscription]
+    old = {
+        int(k): int(v)
+        for k, v in entry["checkpoint"].get("offsets", {}).items()
+    }
+    offsets = dict(ckpt.offsets)
+    holes = entry.get("ack_holes")
+    if holes:
+        kept = reconcile_holes_with_cursor(
+            old, offsets, {int(k): v for k, v in holes.items()}
+        )
+        out_holes: dict[int, list[list[int]]] = {}
+        for seg, rs in kept.items():
+            cur, rest = fold_cursor(offsets.get(seg, 0), rs)
+            offsets[seg] = cur
+            if rest:
+                out_holes[seg] = rest
+        if out_holes:
+            entry["ack_holes"] = {str(k): v for k, v in out_holes.items()}
+        else:
+            entry.pop("ack_holes", None)
+    entry["checkpoint"] = json.loads(
+        Checkpoint(offsets, latest=ckpt.latest).to_bytes()
+    )
     _write_subscriptions(topic_path, subs)
 
 
@@ -887,14 +922,17 @@ def clear_backlog(spark: SparkSession, topic_path: str, subscription: str) -> Ch
 
 
 def subscription_backlog(spark: SparkSession, topic_path: str, subscription: str):
-    """Per-segment backlog (rows at or past the cursor) for a persisted
-    subscription — the getBacklog admin view. Returns a DataFrame
-    ``(segment int, backlog bigint)`` with an explicit 0 for every
-    layout segment so a cleared subscription is visibly empty.
+    """Per-segment backlog (rows at or past the cursor, EXCLUDING
+    individually-acked holes — those are delivered, not backlog) for a
+    persisted subscription — the getBacklog admin view. Returns a
+    DataFrame ``(segment int, backlog bigint)`` with an explicit 0 for
+    every layout segment so a cleared subscription is visibly empty.
 
-    Scale shape: one grouped count over the cursor filter (the filter
-    is a literal map lookup riding the scan), left-joined onto the
+    Scale shape: one grouped count over the cursor filter + hole filter
+    (both literal map lookups riding the scan), left-joined onto the
     bounded layout segment list."""
+    from pulsar_spark.sources.ack_holes import ack_hole_filter, subscription_ack_holes
+
     meta = scalable_metadata(topic_path)
     ckpt = subscription_checkpoint(topic_path, subscription)
     seg_rows = [(int(s["segment_id"]),) for s in meta["segments"].values()]
@@ -903,6 +941,7 @@ def subscription_backlog(spark: SparkSession, topic_path: str, subscription: str
     if df is None or ckpt.latest:
         return segs.select("segment", F.lit(0).cast("bigint").alias("backlog"))
     df = checkpoint_start_filter(df, ckpt)
+    df = ack_hole_filter(df, subscription_ack_holes(topic_path, subscription))
     counts = df.groupBy("segment").agg(F.count("*").alias("_c"))
     return (
         segs.join(counts, "segment", "left")

@@ -34,12 +34,14 @@ record applied. A crash between the two halves is recovered by
 idempotent because cursor advances are monotone merges — and aborted
 or timed-out records drop their staged vectors.
 
-Divergence note (documented, same as CheckpointConsumer): the engine's
-scalable cursor is a position VECTOR with no ack-hole set, so a
-committed INDIVIDUAL ack (queue discipline) advances each segment's
-cursor only over the contiguous acked prefix; acked-but-holed offsets
-past the prefix are redelivered at-least-once after a failover, which
-is the discipline's stated redelivery contract.
+Individual acks past the contiguous prefix land in the subscription's
+persisted HOLE SET (sources/ack_holes.py — the
+``individualDeletedMessages`` analog, ManagedCursorImpl.java:202):
+commit advances each segment's cursor over the contiguous acked prefix
+AND records the scattered remainder as ranges the redelivery view
+excludes, exactly like the reference. (Earlier rounds documented a
+divergence here — cursor-only state redelivered acked-but-holed
+offsets after failover; the hole set closes it.)
 
 Scale shape: the coordinator record is O(segments × subscriptions)
 JSON — the reference keeps the same thing in the metadata store;
@@ -128,8 +130,9 @@ class V5TransactionCoordinator(TransactionCoordinator):
         """QueueConsumer.acknowledge(MessageId, Transaction)
         (QueueConsumer.java:94 → ScalableQueueConsumer.java:234): stage
         ONE message id under the txn. On commit the individual acks
-        fold into the vector over the contiguous prefix (see the module
-        divergence note)."""
+        fold into the persisted (cursor, hole-set) pair — contiguous
+        prefix advances the vector, the scattered rest become
+        individualDeletedMessages ranges (sources/ack_holes.py)."""
         state = self._load()
         rec = self._open_record(state, txn_id)
         lst = (
@@ -175,24 +178,17 @@ class V5TransactionCoordinator(TransactionCoordinator):
         rec.pop("pending_acks_individual", None)
         self._save(state)
 
-    def _fold_individual(self, topic_path: str, sub: str, by_seg: dict) -> dict:
-        """Contiguous-prefix fold of committed individual acks: from the
-        current cursor, advance while the next offset is acked."""
-        cur = subscription_checkpoint(topic_path, sub).offsets
-        out = {}
-        for seg, offsets in by_seg.items():
-            acked = set(int(o) for o in offsets)
-            pos = int(cur.get(int(seg), 0))
-            while pos in acked:
-                pos += 1
-            out[int(seg)] = pos
-        return out
-
     def _apply_acks(self, txn_id: int) -> bool:
         """The post-commit half: push staged vectors into the persisted
-        subscription registry. Idempotent (monotone merges) and guarded
+        subscription registry, and fold staged INDIVIDUAL acks into the
+        (cursor, hole-set) pair via ``acknowledge_individual`` — the
+        contiguous prefix advances the vector, the scattered remainder
+        persists as individualDeletedMessages ranges. Idempotent
+        (monotone merges; re-adding a hole is a set no-op) and guarded
         by ``acks_applied`` so replay after a crash is safe. Returns
         True when this call did the application."""
+        from pulsar_spark.sources.ack_holes import acknowledge_individual
+
         state = self._load()
         rec = state[str(txn_id)]
         if rec.get("acks_applied") or rec["status"] != COMMITTED:
@@ -202,7 +198,9 @@ class V5TransactionCoordinator(TransactionCoordinator):
                 _advance_vector(topic, sub, offsets)
         for topic, subs in rec.get("pending_acks_individual", {}).items():
             for sub, by_seg in subs.items():
-                _advance_vector(topic, sub, self._fold_individual(topic, sub, by_seg))
+                acknowledge_individual(
+                    topic, sub, {int(s): offs for s, offs in by_seg.items()}
+                )
         rec["acks_applied"] = True
         self._save(state)
         return True
@@ -456,6 +454,15 @@ def _finish_topic(
         if remaining:
             rec["topics"] = remaining
         else:
+            # seed/bump the monotonic id floor BEFORE dropping the
+            # record: a registry created before _next_txn_id existed
+            # only gets the floor written by begin(), so GCing its
+            # max-id record would otherwise let begin() reissue that
+            # id — and a later commit of the reused id would resurrect
+            # surviving aborted-tail rows stamped with it
+            state["_next_txn_id"] = max(
+                int(state.get("_next_txn_id", 0)), int(t) + 1
+            )
             del state[str(int(t))]
             n += 1
     coordinator._save(state)

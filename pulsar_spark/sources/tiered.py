@@ -93,10 +93,22 @@ def copy_sidecars(src_dir: str, dst_dir: str) -> None:
     """Carry EVERY metadata sidecar through a directory-rewrite swap —
     topic identity (_topic.json), stored policies (_policies.json —
     losing it would silently disable the very policy that triggered
-    the rewrite), subscriptions, replication state/checkpoints. Shared
-    by every rewrite that swaps a topic directory (offload,
-    transaction materialization)."""
+    the rewrite), subscriptions, replication state. Shared by every
+    rewrite that swaps a topic directory (offload, transaction
+    materialization).
+
+    Deliberately NOT carried: ``_replsub_ckpt`` (the replicated-
+    subscriptions controller's streaming file-source checkpoints). The
+    rewrite replaces every data file path, so a carried checkpoint
+    would be a stale seen-file list — the next tick re-reads the whole
+    rewritten topic anyway (all paths unseen). Dropping it makes that
+    post-rewrite full re-drain deliberate and bounded: the controller
+    starts a fresh checkpoint, and correctness holds because marker
+    processing dedups on watermark state and replicate-out anti-joins
+    presence on the remote (streaming/replicated_subscriptions.py)."""
     for name in os.listdir(src_dir):
+        if name == "_replsub_ckpt":
+            continue
         src = os.path.join(src_dir, name)
         if name.startswith("_") and not name.endswith(".parquet"):
             if os.path.isdir(src):

@@ -103,21 +103,99 @@ class TestAtomicAcks:
         # staged acks dropped from the record
         assert "pending_acks" not in coord._load()[str(t)]
 
-    def test_individual_acks_fold_contiguous_prefix(self, spark, tmp_path):
+    def test_individual_acks_fold_prefix_and_record_holes(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            subscription_ack_holes,
+            subscription_visible,
+        )
+
         d, coord = self._setup(spark, tmp_path)
         t = new_transaction(coord)
-        # ack offsets 0,1,3 of segment 0 — commit advances only past 1
+        # ack offsets 0,1,3 of segment 0 — commit advances the cursor
+        # past the contiguous prefix (0,1) and records 3 as a hole
+        # (individualDeletedMessages, ManagedCursorImpl.java:202)
         for off in (0, 1, 3):
             coord.acknowledge(t, d, "sub", 0, off)
         coord.commit(t)
         assert subscription_checkpoint(d, "sub").offsets[0] == 2
-        # the hole (2) and the acked-behind-hole (3) stay deliverable —
-        # at-least-once, the documented vector-model divergence
+        assert subscription_ack_holes(d, "sub") == {0: [[3, 3]]}
+        # the unacked offset 2 redelivers, the acked-behind-hole 3 does
+        # NOT (the former at-least-once divergence, now closed)
+        vis = {
+            int(r.offset)
+            for r in subscription_visible(spark, d, "sub")
+            .where(F.col("segment") == 0)
+            .collect()
+        }
+        assert 2 in vis and 3 not in vis
+        # backlog counts the same set: past-cursor minus holes
+        seg0_total = (
+            spark.read.parquet(d).where(F.col("segment") == 0).count()
+        )
         backlog0 = {
             r.segment: r.backlog
             for r in subscription_backlog(spark, d, "sub").collect()
         }[0]
-        assert backlog0 > 0
+        assert backlog0 == seg0_total - 3
+
+    def test_hole_fills_and_cursor_advances_through(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            acknowledge_individual,
+            subscription_ack_holes,
+        )
+
+        d, coord = self._setup(spark, tmp_path)
+        t = new_transaction(coord)
+        for off in (0, 1, 3, 4):
+            coord.acknowledge(t, d, "sub", 0, off)
+        coord.commit(t)
+        assert subscription_checkpoint(d, "sub").offsets[0] == 2
+        assert subscription_ack_holes(d, "sub") == {0: [[3, 4]]}
+        # non-txn individual ack of the missing 2 fills the gap: the
+        # cursor sweeps through the absorbed hole to 5
+        ck = acknowledge_individual(d, "sub", {0: [2]})
+        assert ck.offsets[0] == 5
+        assert subscription_ack_holes(d, "sub") == {}
+
+    def test_cumulative_advance_consumes_holes(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            acknowledge_individual,
+            subscription_ack_holes,
+        )
+
+        d, coord = self._setup(spark, tmp_path)
+        acknowledge_individual(d, "sub", {0: [3, 5, 7]})
+        assert subscription_ack_holes(d, "sub") == {0: [[3, 3], [5, 5], [7, 7]]}
+        # a committed cumulative ack to 6 consumes the holes below it,
+        # leaves [7,7] standing (6 itself is unacked)
+        t = new_transaction(coord)
+        coord.acknowledge_cumulative(t, d, "sub", {0: 6})
+        coord.commit(t)
+        assert subscription_checkpoint(d, "sub").offsets[0] == 6
+        assert subscription_ack_holes(d, "sub") == {0: [[7, 7]]}
+        # advancing ONTO a hole sweeps the cursor through it — the
+        # markDelete-advance merge
+        t2 = new_transaction(coord)
+        coord.acknowledge_cumulative(t2, d, "sub", {0: 7})
+        coord.commit(t2)
+        assert subscription_checkpoint(d, "sub").offsets[0] == 8
+        assert subscription_ack_holes(d, "sub") == {}
+
+    def test_seek_rewind_clears_holes(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            Checkpoint,
+            acknowledge_individual,
+            save_subscription_checkpoint,
+            subscription_ack_holes,
+        )
+
+        d, _coordn = self._setup(spark, tmp_path)
+        acknowledge_individual(d, "sub", {0: [0, 1, 5, 9]})
+        assert subscription_ack_holes(d, "sub") == {0: [[5, 5], [9, 9]]}
+        # resetCursor semantics: a rewind redelivers EVERYTHING past the
+        # reset point, holes included
+        save_subscription_checkpoint(d, "sub", Checkpoint({0: 0}))
+        assert subscription_ack_holes(d, "sub") == {}
 
     def test_stage_requires_open(self, spark, tmp_path):
         d, coord = self._setup(spark, tmp_path)
