@@ -178,6 +178,23 @@ class V5TransactionCoordinator(TransactionCoordinator):
         rec.pop("pending_acks_individual", None)
         self._save(state)
 
+    def sweep_timeouts(self) -> list[int]:
+        """Timeout sweep that ALSO compacts the aborted records' staged
+        ack vectors (the explicit ``abort`` path drops them; the sweep
+        must too, or a long-open churn of staged acks keeps dead
+        vectors in the registry until materialization — the registry
+        record must stay O(OPEN txns), never O(ever-aborted acks))."""
+        out = super().sweep_timeouts()
+        if out:
+            state = self._load()
+            for t in out:
+                rec = state.get(str(t))
+                if rec is not None:
+                    rec.pop("pending_acks", None)
+                    rec.pop("pending_acks_individual", None)
+            self._save(state)
+        return out
+
     def _apply_acks(self, txn_id: int) -> bool:
         """The post-commit half: push staged vectors into the persisted
         subscription registry, and fold staged INDIVIDUAL acks into the

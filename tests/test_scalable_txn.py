@@ -590,3 +590,66 @@ class TestCrashRecovery:
 
         with open(coord.path) as fh:
             assert json.load(fh)[str(t)]["status"] == "COMMITTED"
+
+
+class TestRegistryBounds:
+    """The v5 coordinator registry must stay O(OPEN txns): finalized
+    records leave via materialize_transactions, timed-out OPEN txns
+    drop their staged vectors at sweep time, and GC'd ids are never
+    reissued (the _next_txn_id floor)."""
+
+    def test_timeout_sweep_drops_staged_vectors(self, spark, tmp_path):
+        import time
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(10)), d, key_col="k",
+                         deterministic_mod=True)
+        create_subscription(d, "sub")
+        t = new_transaction(coord, timeout_s=0.0)
+        coord.acknowledge_cumulative(t, d, "sub", {0: 5})
+        coord.acknowledge(t, d, "sub", 1, 0)
+        time.sleep(0.01)
+        assert coord.sweep_timeouts() == [t]
+        rec = coord._load()[str(t)]
+        assert rec["status"] == "ABORTED"
+        assert "pending_acks" not in rec
+        assert "pending_acks_individual" not in rec
+        # the subscription cursor never moved
+        assert subscription_checkpoint(d, "sub").offsets == {}
+
+    def test_registry_bounded_under_churn(self, spark, tmp_path):
+        import json
+        import os
+
+        from pulsar_spark.sources import materialize_transactions
+
+        d, coord = _topic(tmp_path), _coord(tmp_path)
+        produce_scalable(_rows(spark, range(10)), d, key_col="k",
+                         deterministic_mod=True)
+        create_subscription(d, "sub")
+        n_churn = 9
+        for i in range(n_churn):
+            t = new_transaction(coord)
+            produce_scalable_txn(
+                _rows(spark, [1000 + i]), d, coord, t,
+                key_col="k", deterministic_mod=True,
+            )
+            coord.acknowledge_cumulative(t, d, "sub", {0: i + 1})
+            coord.acknowledge(t, d, "sub", 1, i)
+            if i % 3 == 0:
+                coord.abort(t)
+            else:
+                coord.commit(t)
+            if i % 4 == 3:
+                materialize_transactions(spark, d, coord)
+        materialize_transactions(spark, d, coord)
+        with open(coord.path) as fh:
+            state = json.load(fh)
+        # every finalized record GC'd: registry is metadata-only now
+        assert [k for k in state if not k.startswith("_")] == []
+        # the registry file is a bounded few bytes, not O(churn)
+        assert os.path.getsize(coord.path) < 256
+        # ids were never reused across the GCs
+        assert int(state["_next_txn_id"]) == n_churn
+        t_next = new_transaction(coord)
+        assert t_next == n_churn
