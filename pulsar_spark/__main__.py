@@ -150,10 +150,15 @@ def main(argv: list[str] | None = None) -> int:
     p_sub.add_argument("topic")
     p_sub.add_argument(
         "verb",
-        choices=["create", "delete", "list", "backlog", "clear-backlog", "seek"],
+        choices=["create", "delete", "list", "backlog", "clear-backlog", "seek",
+                 "ack", "holes"],
     )
     p_sub.add_argument("--name", help="subscription name (all verbs except list)")
     p_sub.add_argument("--timestamp", help="seek target, e.g. '2026-01-01 00:00:00'")
+    p_sub.add_argument(
+        "--ids",
+        help="ack: comma-separated segment:offset message ids, e.g. '0:5,0:7,1:3'",
+    )
 
     p_seg = sub.add_parser(
         "segment",
@@ -360,6 +365,45 @@ def main(argv: list[str] | None = None) -> int:
         child = merge_segments(args.topic, *args.segments)
         print(json.dumps({"sealed": args.segments, "child": child}))
         return 0
+    if args.cmd == "subscription" and args.verb in ("ack", "holes"):
+        # individualDeletedMessages verbs (sources/ack_holes.py):
+        # registry-only, no Spark session needed
+        from pulsar_spark.sources import (
+            acknowledge_individual,
+            subscription_ack_holes,
+            subscription_checkpoint,
+        )
+
+        if not args.name:
+            print(json.dumps({"error": "--name is required"}))
+            return 2
+        if args.verb == "ack":
+            if not args.ids:
+                print(json.dumps({"error": "--ids is required for ack"}))
+                return 2
+            acks: dict[int, list[int]] = {}
+            for pair in args.ids.split(","):
+                seg, off = pair.strip().split(":")
+                acks.setdefault(int(seg), []).append(int(off))
+            ck = acknowledge_individual(args.topic, args.name, acks)
+            print(json.dumps({
+                "subscription": args.name,
+                "cursor": {str(k): v for k, v in sorted(ck.offsets.items())},
+                "holes": subscription_ack_holes(args.topic, args.name),
+            }))
+            return 0
+        print(json.dumps({
+            "subscription": args.name,
+            "cursor": {
+                str(k): v
+                for k, v in sorted(
+                    subscription_checkpoint(args.topic, args.name).offsets.items()
+                )
+            },
+            "holes": subscription_ack_holes(args.topic, args.name),
+        }))
+        return 0
+
     if args.cmd == "subscription" and args.verb in ("create", "delete", "list"):
         # registry-only verbs: no Spark session needed
         from pulsar_spark.sources import (

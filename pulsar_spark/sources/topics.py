@@ -230,8 +230,20 @@ def produce(
     quota_rows: int | None = None,
     quota_policy: str = "exception",
     access_mode: str = "shared",
+    write_tasks: int | None = None,
 ) -> None:
     """Append payload rows to a topic with full envelope minting.
+
+    ``write_tasks`` caps the offset-window/write stage's task count
+    below ``num_partitions`` for SMALL appends: each task then holds
+    several WHOLE topic partitions (the window's clustering requirement
+    still holds, the on-disk layout is still one file per partition per
+    append), but the job pays ``write_tasks`` task commits + schedules
+    instead of ``num_partitions`` — the fixed cost that dominates a
+    sub-second append. Leave ``None`` (= ``num_partitions``, the
+    historical shape) when the batch is big enough to want a writer
+    per partition; at cluster scale micro-batches pick e.g.
+    ``max(1, min(num_partitions, rows // 12_500))``.
 
     ``interceptors`` is an ordered list of ``DataFrame -> DataFrame``
     callables applied to the payload before routing/minting — the
@@ -374,16 +386,20 @@ def produce(
     # keep-latest and per-key reads rely on.
     df = df.withColumn("_send_order", F.monotonically_increasing_id())
     w = Window.partitionBy("partition").orderBy("_send_order")
-    # Pin the offset-window shuffle to exactly one task per topic
-    # partition. The window's ClusteredDistribution(partition) is
-    # satisfied by this explicit hash partitioning, so no second
-    # exchange — but unlike the implicit window shuffle, an explicit
-    # repartition is exempt from AQE partition coalescing, which on
-    # small appends was merging the whole batch into ONE task and
-    # serializing the 32-directory write (measured ~40% of B1 wall
-    # time). At scale this loses nothing: a row_number window over
-    # `partition` can never split a partition across tasks anyway.
-    df = df.repartition(num_partitions, "partition")
+    # Pin the offset-window shuffle to one task per topic partition
+    # (or the caller's smaller write_tasks cap — each task then holds
+    # several whole partitions). The window's
+    # ClusteredDistribution(partition) is satisfied by this explicit
+    # hash partitioning, so no second exchange — but unlike the
+    # implicit window shuffle, an explicit repartition is exempt from
+    # AQE partition coalescing, which on small appends was merging the
+    # whole batch into ONE task and serializing the 32-directory write
+    # (measured ~40% of B1 wall time). At scale this loses nothing: a
+    # row_number window over `partition` can never split a partition
+    # across tasks anyway.
+    n_tasks = num_partitions if write_tasks is None else max(1, min(
+        int(write_tasks), num_partitions))
+    df = df.repartition(n_tasks, "partition")
     # one withColumns node, not five chained projections — shaves the
     # per-append plan-analysis cost that lands on the driver hot path
     df = df.withColumns(

@@ -30,6 +30,16 @@ TABLES = [
 
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
+    # round-10 displacements (driver-green r9) + new-query preemptives
+    "doc_rag_chunks",
+    "embedding_kmeans",
+    "doc_bpe_merges",
+    "doc_bpe_encode",
+    "doc_temperature_mix",
+    "embedding_pq",
+    "scalable_ack_holes",
+    "crypto_failure_actions",
+    "doc_langid_trained",
     # round-9 additions (preemptive: keep green when rotated out)
     "scalable_txn_visibility",
     "policy_offload",

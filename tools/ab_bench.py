@@ -82,7 +82,18 @@ def x2():
         docs, threshold=0.5, max_bucket_size=512
     ).count()
 
-FNS = {"x5": x5, "x3": x3, "b2": b2, "x2": x2}
+def x6():
+    # bench.py's x6: pretraining pipeline v3 to packed shards (no
+    # cache clear between runs — mirrors bench.py's remeasure shape)
+    import __spark_entry__ as _e
+    return _e.queries()["pretraining_pipeline_v3"](spark, sf_dir).count()
+
+def x7():
+    # bench.py's x7: curation v4 (gopher -> classifier -> mix -> pack)
+    import __spark_entry__ as _e
+    return _e.queries()["pretraining_pipeline_v4"](spark, sf_dir).count()
+
+FNS = {"x5": x5, "x3": x3, "b2": b2, "x2": x2, "x6": x6, "x7": x7}
 out = {}
 for q in queries:
     fn = FNS[q]
