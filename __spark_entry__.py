@@ -345,7 +345,11 @@ def _q_scalable_ack_holes(spark, sf_dir):
         .collect()
     ):
         acks.setdefault(int(r.segment), []).append(int(r.offset))
-    acknowledge_individual(d, "sub", acks)
+    # uncapped: the SQL twin models every ack as excluded, so the
+    # engine must not silently drop high ranges at larger SFs (the
+    # default 1024/segment cap would diverge around sf>=0.1 — the cap
+    # path is covered by tests/test_ack_holes.py instead)
+    acknowledge_individual(d, "sub", acks, max_ranges_per_segment=None)
     vis = subscription_visible(spark, d, "sub")
     backlog = subscription_backlog(spark, d, "sub")
     return (

@@ -377,32 +377,42 @@ def main(argv: list[str] | None = None) -> int:
         if not args.name:
             print(json.dumps({"error": "--name is required"}))
             return 2
-        if args.verb == "ack":
-            if not args.ids:
-                print(json.dumps({"error": "--ids is required for ack"}))
-                return 2
-            acks: dict[int, list[int]] = {}
-            for pair in args.ids.split(","):
-                seg, off = pair.strip().split(":")
-                acks.setdefault(int(seg), []).append(int(off))
-            ck = acknowledge_individual(args.topic, args.name, acks)
+        try:
+            if args.verb == "ack":
+                if not args.ids:
+                    print(json.dumps({"error": "--ids is required for ack"}))
+                    return 2
+                acks: dict[int, list[int]] = {}
+                for pair in args.ids.split(","):
+                    seg, _, off = pair.strip().partition(":")
+                    if not off:
+                        raise ValueError(
+                            f"bad message id {pair.strip()!r}: want segment:offset"
+                        )
+                    acks.setdefault(int(seg), []).append(int(off))
+                ck = acknowledge_individual(args.topic, args.name, acks)
+                print(json.dumps({
+                    "subscription": args.name,
+                    "cursor": {str(k): v for k, v in sorted(ck.offsets.items())},
+                    "holes": subscription_ack_holes(args.topic, args.name),
+                }))
+                return 0
             print(json.dumps({
                 "subscription": args.name,
-                "cursor": {str(k): v for k, v in sorted(ck.offsets.items())},
+                "cursor": {
+                    str(k): v
+                    for k, v in sorted(
+                        subscription_checkpoint(args.topic, args.name).offsets.items()
+                    )
+                },
                 "holes": subscription_ack_holes(args.topic, args.name),
             }))
             return 0
-        print(json.dumps({
-            "subscription": args.name,
-            "cursor": {
-                str(k): v
-                for k, v in sorted(
-                    subscription_checkpoint(args.topic, args.name).offsets.items()
-                )
-            },
-            "holes": subscription_ack_holes(args.topic, args.name),
-        }))
-        return 0
+        except (ValueError, KeyError) as exc:
+            # the CLI's JSON-error contract: usage/registry errors are
+            # {"error": ...} + exit 2, never a traceback
+            print(json.dumps({"error": str(exc)}))
+            return 2
 
     if args.cmd == "subscription" and args.verb in ("create", "delete", "list"):
         # registry-only verbs: no Spark session needed

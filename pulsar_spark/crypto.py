@@ -200,7 +200,13 @@ def decrypt_messages(
     col = f"encryption_key__{key_name}"
     if col not in df.columns:
         raise KeyError(f"no wrapped data key for consumer key '{key_name}'")
-    # bounded: one distinct wrapped value per producer key rotation
+    # Bounded: one distinct wrapped value per producer key rotation.
+    # This pre-pass is one COLUMN-PRUNED scan of the wrapped-key column
+    # (constant per batch file, so dictionary-encoded) — deliberately
+    # paid on the driver so the RSA private key NEVER ships to
+    # executors (the module contract: workers only ever see symmetric
+    # data keys); the decrypt pass itself reads payload+nonce+key and
+    # does the AES work, which dominates.
     rotations = [
         bytes(r[0]) for r in df.select(col).distinct().collect() if r[0] is not None
     ]

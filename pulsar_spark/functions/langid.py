@@ -76,12 +76,14 @@ def langid_fit(
     counts = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
     # bounded collects: langs x vocab (charset^n), never corpus-sized
     rows = counts.collect()
-    n_docs = docs.count()
     by_lang_docs = {
         r["lang"]: r["nd"]
         for r in docs.groupBy(label_col).agg(F.count("*").alias("nd"))
         .withColumnRenamed(label_col, "lang").collect()
     }
+    # the per-language doc counts already sum to the training size —
+    # no separate count() pass
+    n_docs = sum(by_lang_docs.values())
     langs = sorted(by_lang_docs)
     vocab = {r.g for r in rows}
     v = len(vocab)

@@ -236,7 +236,12 @@ def subscription_visible(
     (never redelivered — the fix for the former at-least-once
     divergence), restricted to the committed view when a transaction
     ``coordinator`` is attached to the topic. This is what a recovering
-    consumer receives; ``subscription_backlog`` counts the same set."""
+    consumer receives; ``subscription_backlog`` counts the same set.
+
+    A NEVER-produced topic has no schema anywhere, so its empty view is
+    a ``(segment, offset)`` stub — the same documented contract as
+    ``read_from_checkpoint``; callers aggregating payload columns must
+    produce first (nothing can have been acked on an empty topic)."""
     from pulsar_spark.operators.transactions import committed_view
     from pulsar_spark.sources.scalable import (
         _read_if_present,

@@ -1173,6 +1173,16 @@ def delete_segment(
         if str(sid) in offsets:
             del offsets[str(sid)]
             changed = True
+        # the segment's ack holes go with its cursor slot: a surviving
+        # hole entry would permanently exclude those offsets from a
+        # cursor that now claims earliest (resetCursor clears
+        # individualDeletedMessages — so must slot deletion)
+        holes = entry.get("ack_holes", {})
+        if str(sid) in holes:
+            del holes[str(sid)]
+            if not holes:
+                entry.pop("ack_holes", None)
+            changed = True
     if changed:
         _write_subscriptions(topic_path, subs)
     return True
@@ -1282,10 +1292,17 @@ def delete_segment_subscription(
     meta = scalable_metadata(topic_path)
     _segment_entry(meta, segment_id)
     subs = _read_subscriptions(topic_path)
-    offsets = subs[subscription]["checkpoint"].get("offsets", {})
+    entry = subs[subscription]
+    offsets = entry["checkpoint"].get("offsets", {})
     if str(int(segment_id)) not in offsets:
         return False
     del offsets[str(int(segment_id))]
+    # resetCursor semantics: a slot deleted back to EARLIEST clears the
+    # segment's individualDeletedMessages with it — a surviving hole
+    # entry would permanently suppress redelivery of those offsets
+    holes = entry.get("ack_holes", {})
+    if holes.pop(str(int(segment_id)), None) is not None and not holes:
+        entry.pop("ack_holes", None)
     _write_subscriptions(topic_path, subs)
     return True
 

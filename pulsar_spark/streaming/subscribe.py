@@ -135,6 +135,7 @@ def subscribe_assigned(
     assignment,
     start_checkpoint=None,
     max_files_per_trigger: int | None = None,
+    ack_holes: dict | None = None,
 ) -> DataFrame:
     """Streaming consumer view of a scalable topic under a
     ``ConsumerAssignment`` (sources/coordinator.py — the consumer-side
@@ -196,6 +197,16 @@ def subscribe_assigned(
                 }
             )
         stream = checkpoint_start_filter(stream, start_checkpoint)
+    if ack_holes:
+        # individualDeletedMessages consult on the streaming dispatch
+        # path: pass the subscription's persisted hole set
+        # (sources/ack_holes.subscription_ack_holes) so a resumed
+        # consumer never re-receives individually-acked offsets past
+        # the cursor. A literal range filter — streaming-safe, rides
+        # the scan like the cursor filter.
+        from pulsar_spark.sources.ack_holes import ack_hole_filter
+
+        stream = ack_hole_filter(stream, ack_holes)
     return stream
 
 
