@@ -1319,6 +1319,10 @@ def _read_stored_bands(spark, band_dirs: list[str], probe: DataFrame | None = No
         by_base: dict[str, list[str]] = {}
         for d in part:
             by_base.setdefault(d.rsplit("/batch_id=", 1)[0], []).append(d)
+        if vals is not None and len(vals) >= BAND_PFX_MOD:
+            # a big probe batch covers every prefix — the isin filter
+            # would prune nothing and only cost plan/evaluation time
+            vals = None
         for bp, ds in by_base.items():
             df = spark.read.option("basePath", bp).parquet(*ds)
             if vals is not None:

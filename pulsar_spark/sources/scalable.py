@@ -1328,9 +1328,20 @@ def get_segment_subscription_backlog(
     if df is None:
         return 0
     start = ck.offsets.get(sid, 0)
-    return df.where(
+    df = df.where(
         (F.col("segment") == sid) & (F.col("offset") >= F.lit(int(start)))
-    ).count()
+    )
+    # individually-acked holes past the cursor are delivered, not
+    # backlog — the drain probe must agree with subscription_backlog
+    from pulsar_spark.sources.ack_holes import (
+        ack_hole_filter,
+        subscription_ack_holes,
+    )
+
+    holes = subscription_ack_holes(topic_path, subscription)
+    if sid in holes:
+        df = ack_hole_filter(df, {sid: holes[sid]})
+    return df.count()
 
 
 def seek_segment_subscription(

@@ -471,3 +471,17 @@ class TestHoleCleanupOnSlotOps:
         )
         assert r2.returncode == 2
         assert "error" in _json.loads(r2.stdout.strip().splitlines()[-1])
+
+    def test_segment_backlog_excludes_holes(self, spark, tmp_path):
+        from pulsar_spark.sources import (
+            get_segment_subscription_backlog,
+            subscription_ack_holes,
+        )
+
+        d = self._setup(spark, tmp_path)  # holes {0:[3,5], 1:[2]}
+        assert subscription_ack_holes(d, "sub") == {0: [[3, 3], [5, 5]], 1: [[2, 2]]}
+        seg0_total = (
+            spark.read.parquet(d).where(F.col("segment") == 0).count()
+        )
+        # cursor at 0, two acked holes excluded from the drain probe
+        assert get_segment_subscription_backlog(spark, d, 0, "sub") == seg0_total - 2
