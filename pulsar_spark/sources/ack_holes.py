@@ -253,6 +253,11 @@ def subscription_visible(
     ckpt = subscription_checkpoint(topic_path, subscription)
     if df is None:
         return spark.createDataFrame([], "segment int, offset bigint")
+    if ckpt.latest:
+        # an unresolved LATEST sentinel means "nothing stored is
+        # delivered" (same reading as subscription_backlog's zeros) —
+        # full-schema empty frame, not a checkpoint_start_filter error
+        return df.limit(0)
     df = checkpoint_start_filter(df, ckpt)
     df = ack_hole_filter(df, subscription_ack_holes(topic_path, subscription))
     if coordinator is not None and "txn_id" in df.columns:
