@@ -275,3 +275,41 @@ def decrypt_messages(
         out.withColumn(payload_col, F.col("_d.pt"))
         .drop("_d", "encryption_param", "encryption_algo", *drop)
     )
+
+
+def decrypt_failed_rows(
+    consumed: DataFrame,
+    key_name: str,
+    private_pem: bytes,
+    payload_col: str = "payload",
+    failure_action: str = CONSUME,
+) -> DataFrame:
+    """The application-side recovery half of
+    ``ConsumerCryptoFailureAction.CONSUME``: rows a prior
+    ``decrypt_messages(..., failure_action=CONSUME)`` pass flagged
+    (``crypto_failure = true``) retried under a DIFFERENT consumer key
+    — the flow after a delayed key delivery or rotation catch-up. The
+    already-decrypted rows pass through untouched; only flagged rows
+    re-enter ``decrypt_messages`` (their encryption context was kept by
+    the CONSUME contract exactly for this). Returns the union with a
+    fresh ``crypto_failure`` column (rows failing under BOTH keys stay
+    flagged when ``failure_action=CONSUME``; ``DISCARD`` drops them;
+    ``FAIL`` raises)."""
+    if "crypto_failure" not in consumed.columns:
+        raise ValueError("decrypt_failed_rows expects a CONSUME-mode result "
+                         "(missing crypto_failure column)")
+    ok = consumed.where(~F.col("crypto_failure"))
+    retry = decrypt_messages(
+        consumed.where(F.col("crypto_failure")).drop("crypto_failure"),
+        key_name,
+        private_pem,
+        payload_col=payload_col,
+        failure_action=failure_action,
+    )
+    if failure_action != CONSUME:
+        # FAIL raises inside decrypt; DISCARD drops — both land on a
+        # frame without the flag, so re-add it for a stable schema
+        retry = retry.withColumn("crypto_failure", F.lit(False))
+        keep = [c for c in retry.columns if c in ok.columns]
+        return ok.select(*keep).unionByName(retry.select(*keep))
+    return ok.unionByName(retry)

@@ -485,3 +485,38 @@ class TestHoleCleanupOnSlotOps:
         )
         # cursor at 0, two acked holes excluded from the drain probe
         assert get_segment_subscription_backlog(spark, d, 0, "sub") == seg0_total - 2
+
+
+class TestConsumeRecovery:
+    def test_flagged_rows_decrypt_under_late_key(self, spark, keys):
+        from pulsar_spark.crypto import (
+            CONSUME,
+            decrypt_failed_rows,
+            decrypt_messages,
+            encrypt_messages,
+            generate_rsa_keypair,
+        )
+
+        apriv, apub = keys
+        bpriv, bpub = generate_rsa_keypair()
+        enc = encrypt_messages(_payloads(spark, range(4)), {"a": apub}).unionByName(
+            encrypt_messages(_payloads(spark, range(4, 8)), {"b": bpub}),
+            allowMissingColumns=True,
+        )
+        # first pass as consumer a: b-rows flagged, ciphertext kept
+        first = decrypt_messages(enc, "a", apriv, failure_action=CONSUME)
+        assert first.where("crypto_failure").count() == 4
+        # b's key arrives late: retry ONLY the flagged rows
+        recovered = decrypt_failed_rows(first, "b", bpriv)
+        rows = {r.event_id: r for r in recovered.collect()}
+        assert len(rows) == 8
+        assert all(not rows[i].crypto_failure for i in range(8))
+        assert all(
+            bytes(rows[i].payload) == f"msg-{i}".encode() for i in range(8)
+        )
+
+    def test_requires_consume_result(self, spark, keys):
+        from pulsar_spark.crypto import decrypt_failed_rows
+
+        with pytest.raises(ValueError, match="CONSUME-mode"):
+            decrypt_failed_rows(_payloads(spark, [1]), "a", b"pem")
