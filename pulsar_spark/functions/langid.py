@@ -58,11 +58,26 @@ def char_ngrams(text: Column, n: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _features(text: Column, n: int, analyzer: str) -> Column:
+    """Feature extraction column: character n-grams (default — robust
+    for unsegmented scripts) or whitespace word tokens (``analyzer=
+    'word'`` — the fasttext-style unigram mode, stronger when language
+    signal lives in whole function words)."""
+    if analyzer == "char":
+        return char_ngrams(text, n)
+    if analyzer == "word":
+        from pulsar_spark.functions.text import tokenize
+
+        return tokenize(text)
+    raise ValueError(f"unknown analyzer: {analyzer!r} (want 'char' or 'word')")
+
+
 def langid_fit(
     docs: DataFrame,
     label_col: str = "lang",
     text_col: str = "text",
     n: int = 2,
+    analyzer: str = "char",
 ) -> dict:
     """Train the NB model on labeled rows. Returns the bounded model:
     ``langs`` (sorted), ``prior`` / ``default`` micro-log-prob per
@@ -71,7 +86,7 @@ def langid_fit(
     ``default``, the Laplace-smoothed zero count)."""
     grams = docs.select(
         F.col(label_col).alias("lang"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("g"),
+        F.explode(_features(F.col(text_col), n, analyzer)).alias("g"),
     )
     counts = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
     # bounded collects: langs x vocab (charset^n), never corpus-sized
@@ -101,7 +116,14 @@ def langid_fit(
         table.setdefault(r.g, {})[r.lang] = _round_micro(
             math.log((int(r.c) + 1.0) / (tot[r.lang] + v))
         )
-    return {"n": n, "langs": langs, "prior": prior, "default": default, "table": table}
+    return {
+        "n": n,
+        "analyzer": analyzer,
+        "langs": langs,
+        "prior": prior,
+        "default": default,
+        "table": table,
+    }
 
 
 def langid_predict(
@@ -127,7 +149,9 @@ def langid_predict(
     lp = spark.createDataFrame(lp_rows, schema)
     dg = docs.select(
         F.col(id_col),
-        F.explode(char_ngrams(F.col(text_col), model["n"])).alias("g"),
+        F.explode(
+            _features(F.col(text_col), model["n"], model.get("analyzer", "char"))
+        ).alias("g"),
     )
     joined = dg.join(F.broadcast(lp), on="g", how="left")
     sums = joined.groupBy(id_col).agg(
@@ -164,10 +188,11 @@ def langid_fit_predict(
     id_col: str = "doc_id",
     n: int = 2,
     train_filter: Column | None = None,
+    analyzer: str = "char",
 ) -> DataFrame:
     """Train on ``train_filter`` rows (default: all) and score ALL
     documents — the standard held-out evaluation shape. One call =
     one bounded training aggregate + one broadcast-scored pass."""
     train = docs.where(train_filter) if train_filter is not None else docs
-    model = langid_fit(train, label_col, text_col, n)
+    model = langid_fit(train, label_col, text_col, n, analyzer)
     return langid_predict(docs, model, text_col, id_col)

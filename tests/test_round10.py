@@ -520,3 +520,31 @@ class TestConsumeRecovery:
 
         with pytest.raises(ValueError, match="CONSUME-mode"):
             decrypt_failed_rows(_payloads(spark, [1]), "a", b"pem")
+
+
+class TestLangidWordAnalyzer:
+    # reuse the planted multilingual fixture without inheriting (a
+    # subclass would re-run the parent's tests under a second name)
+    VOCAB = TestTrainedLangid.VOCAB
+    _fixture = TestTrainedLangid._fixture
+
+    def test_word_analyzer_matches_char_on_planted_fixture(self, spark):
+        from pulsar_spark.functions import langid_fit_predict
+
+        docs = self._fixture(spark)
+        truth = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+        pred = {
+            r.doc_id: r.lang_pred
+            for r in langid_fit_predict(
+                docs, train_filter=F.col("doc_id") % 2 == 0, analyzer="word"
+            ).collect()
+        }
+        test_ids = [i for i in truth if i % 2 == 1]
+        acc = sum(pred[i] == truth[i] for i in test_ids) / len(test_ids)
+        assert acc >= 0.95, acc
+
+    def test_unknown_analyzer_rejected(self, spark):
+        from pulsar_spark.functions import langid_fit_predict
+
+        with pytest.raises(ValueError, match="unknown analyzer"):
+            langid_fit_predict(self._fixture(spark, 2, 5), analyzer="byte").collect()
