@@ -89,22 +89,50 @@ def _unwrap_data_key(wrapped: bytes, private_pem: bytes) -> bytes:
     )
 
 
+def new_producer_key_context(public_keys: dict[str, bytes]) -> dict:
+    """One producer-side key rotation: mint a fresh AES-256 data key
+    and wrap it ONCE per recipient public key. Reuse the returned
+    context across ``encrypt_messages`` calls and replace it on an
+    interval — the reference's producer regenerates its data key on a
+    timer (MessageCryptoBc's dataKeyGenerator rotation), not per send,
+    which keeps the topic's distinct rotation count ~retention/interval
+    instead of ~appends. The WHOLE context (key + wrapped bytes) is the
+    reuse unit: RSA-OAEP wrapping is randomized, so re-wrapping the
+    same data key per call would still mint a new distinct wrapped
+    value and defeat the consumer-side per-rotation unwrap bound.
+    Raises on an unwrappable recipient PEM — callers wanting
+    ProducerCryptoFailureAction.SEND semantics for context creation
+    handle that at ``encrypt_messages`` time by not passing a context."""
+    if not public_keys:
+        raise ValueError("encryption enabled but no public keys given")
+    data_key = os.urandom(AES_KEY_BYTES)
+    return {
+        "data_key": data_key,
+        "wrapped": {
+            name: _wrap_data_key(data_key, pem) for name, pem in public_keys.items()
+        },
+    }
+
+
 def encrypt_messages(
     df: DataFrame,
     public_keys: dict[str, bytes],
     payload_col: str = "payload",
     failure_action: str = FAIL,
+    key_context: dict | None = None,
 ) -> DataFrame:
     """Producer-side encryption (MessageCrypto.encrypt): replaces
     ``payload_col`` with AES-256-GCM ciphertext and adds
     ``encryption_param`` (per-row nonce) plus one
     ``encryption_key__<name>`` column per recipient holding the wrapped
     data key (constant per batch — a literal, so it costs nothing per
-    row). Each call mints a FRESH data key — the reference's per-batch
-    key rotation; a topic therefore legitimately carries several
-    distinct wrapped-key values, which ``decrypt_messages`` unwraps
-    once each. Raises if ``public_keys`` is empty, like the
-    reference's producer with encryption enabled but no keys.
+    row). By default each call mints a FRESH data key (one rotation per
+    append). A long-lived producer session should pass a ``key_context``
+    (:func:`new_producer_key_context`, rotated on an interval) so the
+    topic's distinct rotation count stays bounded over its life — that
+    bound is what keeps ``decrypt_messages``' per-rotation unwrap pass
+    small. Raises if ``public_keys`` is empty, like the reference's
+    producer with encryption enabled but no keys.
 
     ``failure_action`` is ProducerCryptoFailureAction: ``FAIL``
     (default) propagates a key-wrap error (bad recipient PEM) and the
@@ -116,15 +144,25 @@ def encrypt_messages(
         raise ValueError("encryption enabled but no public keys given")
     if failure_action not in (FAIL, SEND):
         raise ValueError(f"unknown ProducerCryptoFailureAction: {failure_action}")
-    data_key = os.urandom(AES_KEY_BYTES)
-    try:
-        wrapped = {
-            name: _wrap_data_key(data_key, pem) for name, pem in public_keys.items()
-        }
-    except Exception:
-        if failure_action == FAIL:
-            raise
-        return df  # SEND: publish unencrypted
+    if key_context is not None:
+        data_key = key_context["data_key"]
+        wrapped = dict(key_context["wrapped"])
+        if set(wrapped) != set(public_keys):
+            raise ValueError(
+                "key_context recipients do not match public_keys — rotate the "
+                "context (new_producer_key_context) when recipients change"
+            )
+    else:
+        data_key = os.urandom(AES_KEY_BYTES)
+        try:
+            wrapped = {
+                name: _wrap_data_key(data_key, pem)
+                for name, pem in public_keys.items()
+            }
+        except Exception:
+            if failure_action == FAIL:
+                raise
+            return df  # SEND: publish unencrypted
 
     from pyspark.sql.types import StructField, StructType
 
@@ -150,7 +188,9 @@ def encrypt_messages(
             else:
                 n = os.urandom(NONCE_BYTES)
                 rows.append({"ct": gcm.encrypt(n, bytes(p), None), "nonce": n})
-        return pd.DataFrame(rows)
+        # explicit columns: a zero-row Arrow batch must still produce a
+        # frame with the struct's fields (pd.DataFrame([]) has none)
+        return pd.DataFrame(rows, columns=["ct", "nonce"])
 
     out = df.withColumn("_e", _enc(F.col(payload_col)))
     out = (
@@ -173,11 +213,20 @@ def decrypt_messages(
 ) -> DataFrame:
     """Consumer-side decryption (MessageCrypto.decrypt): unwraps each
     DISTINCT wrapped data key ONCE driver-side from the
-    ``encryption_key__<name>`` column (bounded — one value per producer
-    key rotation, the reference's consumer unwraps once per rotation
-    too), then AES-GCM-decrypts payloads with the per-row nonce and
-    the row's own data key, so a topic mixing several rotations
-    decrypts in one pass.
+    ``encryption_key__<name>`` column (the reference's consumer unwraps
+    once per rotation too), then AES-GCM-decrypts payloads with the
+    per-row nonce and the row's own data key, so a topic mixing several
+    rotations decrypts in one pass.
+
+    ROTATION-COUNT BOUND: the distinct-collect, the RSA unwraps, and
+    the key map shipped in the UDF closure all scale with the number of
+    DISTINCT rotations IN THE FRAME BEING READ — which is small for a
+    per-batch streaming read regardless of producer behavior, and small
+    for a full-history read only if the producer reused its data key
+    across appends (``encrypt_messages(data_key=...)``, the reference's
+    interval rotation). A full-history read of a topic whose producer
+    minted a fresh key per append pays one unwrap per append — if you
+    own both ends, reuse keys; if not, read in bounded batches.
 
     ``failure_action`` is ConsumerCryptoFailureAction
     (ConsumerCryptoFailureAction.java:30), applied PER ROW to the two
@@ -255,7 +304,9 @@ def decrypt_messages(
                         "failed (tampered ciphertext or nonce)"
                     )
                 rows.append({"pt": None, "ok": False})
-        return pd.DataFrame(rows)
+        # explicit columns: a zero-row Arrow batch must still produce a
+        # frame with the struct's fields (pd.DataFrame([]) has none)
+        return pd.DataFrame(rows, columns=["pt", "ok"])
 
     drop = [c for c in df.columns if c.startswith("encryption_key__")]
     out = df.withColumn(

@@ -27,6 +27,18 @@ and one groupBy(doc) — a single shuffle whose width is the document
 count, never the corpus text. The per-language profile table is the
 reference's per-message Function state rendered as a broadcast literal
 (pulsar-functions/api-java/.../Function.java:34).
+
+VOCABULARY BOUND: the ``char`` default is driver-safe unconditionally
+(charset² grams). ``analyzer='word'`` vocabulary is corpus-sized
+(Heaps-law growth) — on a large multilingual crawl an uncapped
+``counts.collect()`` is a driver-killer. ``langid_fit`` therefore
+takes ``min_count`` / ``top_k_per_lang``: both are applied INSIDE the
+distributed aggregation (a count filter and a per-language
+``row_number`` over ``(count DESC, gram ASC)`` — fully deterministic),
+so the driver collect is bounded by ``top_k_per_lang × langs``
+regardless of corpus size. This mirrors fasttext lid's min-count /
+hash-bucket vocabulary cap. Word mode REQUIRES ``top_k_per_lang``;
+passing None raises rather than silently risking the driver.
 """
 
 from __future__ import annotations
@@ -78,18 +90,52 @@ def langid_fit(
     text_col: str = "text",
     n: int = 2,
     analyzer: str = "char",
+    min_count: int = 1,
+    top_k_per_lang: int | None = None,
 ) -> dict:
     """Train the NB model on labeled rows. Returns the bounded model:
     ``langs`` (sorted), ``prior`` / ``default`` micro-log-prob per
     language, and ``table`` — {gram: {lang: micro_lp}} for grams seen
     in training (missing (gram, lang) pairs score the language's
-    ``default``, the Laplace-smoothed zero count)."""
+    ``default``, the Laplace-smoothed zero count).
+
+    ``min_count`` drops (lang, gram) cells with fewer than that many
+    occurrences; ``top_k_per_lang`` keeps only each language's k most
+    frequent grams (ties broken gram-ascending — deterministic, exact
+    in SQL as ``row_number() OVER (PARTITION BY lang ORDER BY c DESC,
+    g ASC)``). Both run INSIDE the distributed aggregation, so the
+    driver collect is bounded by ``k × langs`` even when the raw
+    vocabulary is corpus-sized. ``analyzer='word'`` REQUIRES
+    ``top_k_per_lang`` for exactly that reason (word vocabulary grows
+    with the corpus — Heaps' law); the char default is charset²-bounded
+    and needs no cap. Laplace totals and the smoothing vocabulary are
+    computed over the RETAINED cells — the model is self-contained
+    in what it collects, so the SQL twin replays it from the same
+    capped table."""
+    if analyzer == "word" and top_k_per_lang is None:
+        raise ValueError(
+            "analyzer='word' has a corpus-sized vocabulary; pass "
+            "top_k_per_lang to bound the driver collect (see module docstring)"
+        )
     grams = docs.select(
         F.col(label_col).alias("lang"),
         F.explode(_features(F.col(text_col), n, analyzer)).alias("g"),
     )
     counts = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
-    # bounded collects: langs x vocab (charset^n), never corpus-sized
+    if int(min_count) > 1:
+        counts = counts.where(F.col("c") >= int(min_count))
+    if top_k_per_lang is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("g").asc())
+        counts = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(top_k_per_lang))
+            .drop("_rn")
+        )
+    # bounded collects: langs x vocab — charset^n for char mode,
+    # top_k_per_lang x langs when capped; word mode cannot reach here
+    # uncapped (guard above)
     rows = counts.collect()
     by_lang_docs = {
         r["lang"]: r["nd"]
@@ -123,6 +169,8 @@ def langid_fit(
         "prior": prior,
         "default": default,
         "table": table,
+        "min_count": int(min_count),
+        "top_k_per_lang": top_k_per_lang,
     }
 
 
@@ -189,10 +237,14 @@ def langid_fit_predict(
     n: int = 2,
     train_filter: Column | None = None,
     analyzer: str = "char",
+    min_count: int = 1,
+    top_k_per_lang: int | None = None,
 ) -> DataFrame:
     """Train on ``train_filter`` rows (default: all) and score ALL
     documents — the standard held-out evaluation shape. One call =
     one bounded training aggregate + one broadcast-scored pass."""
     train = docs.where(train_filter) if train_filter is not None else docs
-    model = langid_fit(train, label_col, text_col, n, analyzer)
+    model = langid_fit(
+        train, label_col, text_col, n, analyzer, min_count, top_k_per_lang
+    )
     return langid_predict(docs, model, text_col, id_col)

@@ -11,7 +11,8 @@ cursor AND not inside a hole. As holes become contiguous with the
 cursor, the cursor advances and the ranges are consumed
 (ManagedCursorImpl.mergeIndividualDeletedMessagesIfNeeded); the
 persisted range count is capped (managedLedgerMaxUnackedRangesToPersist,
-default 10000) — ranges beyond the cap are simply not persisted, and
+reference default 200000, broker.conf:1532) — ranges beyond the cap are
+simply not persisted, and
 those acks are redelivered after a crash (at-least-once, never lost).
 ``ScalableQueueConsumer.acknowledge`` (ScalableQueueConsumer.java:234)
 is the v5 queue-discipline producer of exactly this state.
@@ -122,13 +123,24 @@ def acknowledge_individual(
     subscription: str,
     acks: dict[int, list[int]],
     max_ranges_per_segment: int | None = DEFAULT_MAX_RANGES,
+    spark=None,
 ):
     """Individually acknowledge message ids ``{segment: [offsets]}`` on
     a persisted subscription — the non-transactional
     ``QueueConsumer.acknowledge(MessageId)`` path. Per segment the
     offsets fold into ``(cursor, holes)`` via :func:`add_acks`; the
     updated vector + hole set persist atomically in one registry write.
-    Returns the advanced :class:`Checkpoint`."""
+    Returns the advanced :class:`Checkpoint`.
+
+    A subscription still at the LATEST sentinel is RESOLVED to its
+    concrete high-watermark vector first (the floating-latest contract
+    every other verb follows — seek/create resolve the same way): acks
+    folded under an unresolved sentinel would be inert, because
+    ``subscription_visible`` / ``checkpoint_start_filter`` ignore the
+    offsets map while ``latest`` is set. Resolution needs a
+    ``SparkSession`` (the ``spark`` argument, or the active session);
+    with neither available the ack raises rather than silently
+    recording dead state."""
     from pulsar_spark.sources.scalable import (
         Checkpoint,
         _read_subscriptions,
@@ -140,6 +152,27 @@ def acknowledge_individual(
         raise ValueError(f"no such subscription: {subscription}")
     entry = subs[subscription]
     ck = entry["checkpoint"]
+    if ck.get("latest"):
+        from pyspark.sql import SparkSession
+
+        from pulsar_spark.sources.scalable import _resolve_latest_offsets
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "subscription cursor is a LATEST sentinel: acks folded under "
+                "it would be inert — pass spark= (or ack inside an active "
+                "session) so it can resolve to the high-watermark vector first"
+            )
+        ck = {
+            "latest": False,
+            "offsets": {
+                str(k): v
+                for k, v in _resolve_latest_offsets(
+                    spark, topic_path, Checkpoint(ck.get("offsets", {}), latest=True)
+                ).items()
+            },
+        }
     offsets = {int(k): int(v) for k, v in ck.get("offsets", {}).items()}
     holes = {
         int(k): [list(map(int, r)) for r in v]

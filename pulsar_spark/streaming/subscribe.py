@@ -136,6 +136,7 @@ def subscribe_assigned(
     start_checkpoint=None,
     max_files_per_trigger: int | None = None,
     ack_holes: dict | None = None,
+    subscription: str | None = None,
 ) -> DataFrame:
     """Streaming consumer view of a scalable topic under a
     ``ConsumerAssignment`` (sources/coordinator.py — the consumer-side
@@ -154,6 +155,16 @@ def subscribe_assigned(
     cursor (the bounded ``run_to_end`` drain per assignment epoch is
     the batch-ish rendering of that consumer loop).
 
+    ``subscription`` names a PERSISTED subscription in the topic's
+    registry: its cursor and its individually-acked hole set
+    (individualDeletedMessages — sources/ack_holes.py) are loaded from
+    the registry itself, so the SAFE path is the default path — a
+    resumed consumer cannot forget the holes and silently redeliver
+    acked offsets. Explicit ``start_checkpoint`` / ``ack_holes``
+    arguments override the loaded values (the coordinator's in-memory
+    assignment flow passes its own), and remain the only option for
+    caller-held (CheckpointConsumer-style) cursors that never persist.
+
     Scale shape: the segment membership filter is a predicate on the
     hive ``segment=N`` partition column, so each micro-batch's file
     listing PRUNES to the assigned segments — a consumer holding 2 of
@@ -164,6 +175,15 @@ def subscribe_assigned(
         checkpoint_start_filter,
         segment_high_watermarks,
     )
+
+    if subscription is not None:
+        from pulsar_spark.sources.ack_holes import subscription_ack_holes
+        from pulsar_spark.sources.scalable import subscription_checkpoint
+
+        if start_checkpoint is None:
+            start_checkpoint = subscription_checkpoint(topic_path, subscription)
+        if ack_holes is None:
+            ack_holes = subscription_ack_holes(topic_path, subscription)
 
     seg_ids = [int(s.segment_id) for s in assignment.segments]
     # schema discovery only — mergeSchema, because a topic legitimately

@@ -533,10 +533,13 @@ class TestLangidWordAnalyzer:
 
         docs = self._fixture(spark)
         truth = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+        # word mode requires a vocab cap (corpus-sized vocabulary);
+        # 64 > the 30-word planted vocab, so the cap keeps everything
         pred = {
             r.doc_id: r.lang_pred
             for r in langid_fit_predict(
-                docs, train_filter=F.col("doc_id") % 2 == 0, analyzer="word"
+                docs, train_filter=F.col("doc_id") % 2 == 0, analyzer="word",
+                top_k_per_lang=64,
             ).collect()
         }
         test_ids = [i for i in truth if i % 2 == 1]
