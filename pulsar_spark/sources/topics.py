@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 class BacklogQuotaExceededError(RuntimeError):
@@ -324,22 +323,101 @@ def produce(
         meta = topic_metadata(topic_path)
         num_partitions = meta["num_partitions"] if meta else 8
     spark = payload.sparkSession
+
+    def _sq(s: str) -> str:
+        # SQL single-quoted string literal
+        return "'" + s.replace("'", "''") + "'"
+
     # Routing mirrors MessageRoutingMode (capi/MessageRoutingMode.java):
     # an explicit ``message_router`` (Column, or callable DataFrame ->
     # Column) is CustomPartition; otherwise keyed rows hash-route and
     # keyless rows follow ``routing_mode`` ("round_robin" | "single").
+    #
+    # The route — and the whole envelope below — is built as SQL
+    # expression STRINGS through selectExpr (ONE py4j round-trip per
+    # select): the identical tree built Column-by-Column measured
+    # ~120 ms of pure DRIVER time per append (r11, warm), the dominant
+    # fixed cost of a sub-second produce and dead weight on a driver
+    # pushing micro-batches at cluster scale. Expressions are
+    # semantically identical to the former Column forms (hash =
+    # Murmur3 x86/32 either way). Envelope columns REPLACE same-named
+    # payload columns (as withColumn did), landing at the envelope's
+    # position in the output order.
+    if routing_mode == "single":
+        keyless_sql = f"pmod(hash({_sq(producer_name)}), {int(num_partitions)})"
+    else:
+        keyless_sql = f"pmod(monotonically_increasing_id(), {int(num_partitions)})"
     if message_router is not None:
         router = message_router(payload) if callable(message_router) else message_router
-        part = F.pmod(router.cast("bigint"), F.lit(num_partitions)).cast("int")
+        payload = payload.withColumn("_route", router.cast("bigint"))
+        part_sql = f"CAST(pmod(_route, {int(num_partitions)}) AS INT)"
     elif key_col:
-        part = route_partition(key_col, num_partitions, routing_mode, producer_name)
+        part_sql = (
+            f"CAST(CASE WHEN `{key_col}` IS NOT NULL THEN "
+            f"pmod(hash(`{key_col}`), {int(num_partitions)}) "
+            f"ELSE {keyless_sql} END AS INT)"
+        )
     else:
-        part = _keyless_route(num_partitions, routing_mode, producer_name)
-    df = payload.withColumn("partition", part)
+        part_sql = f"CAST({keyless_sql} AS INT)"
+    _mint_names = {"partition", "producer_name", "topic", "offset",
+                   "publish_time", "event_time", "key", "sequence_id",
+                   "_route", "_send_order"}
+    base_cols = [f"`{c}`" for c in payload.columns if c not in _mint_names]
+    # key/event_time are computed HERE, in the first projection, while
+    # every payload column is still in scope (key_col is very often
+    # literally named "key" — the second projection below could no
+    # longer see it); the final projection only repositions them to the
+    # envelope's historical column order.
+    ev_sql = f"`{event_time_col}`" if event_time_col else "current_timestamp()"
+    key_sql = f"CAST(`{key_col}` AS STRING)" if key_col else "CAST(NULL AS STRING)"
+
+    import os
+
+    topic_name = "persistent://public/default/" + os.path.basename(topic_path.rstrip("/"))
+    # Pin the offset-window shuffle to one task per topic partition
+    # (or the caller's smaller write_tasks cap — each task then holds
+    # several whole partitions). The window's
+    # ClusteredDistribution(partition) is satisfied by this explicit
+    # hash partitioning, so no second exchange — but unlike the
+    # implicit window shuffle, an explicit repartition is exempt from
+    # AQE partition coalescing, which on small appends was merging the
+    # whole batch into ONE task and serializing the 32-directory write
+    # (measured ~40% of B1 wall time). At scale this loses nothing: a
+    # row_number window over `partition` can never split a partition
+    # across tasks anyway.
+    n_tasks = num_partitions if write_tasks is None else max(1, min(
+        int(write_tasks), num_partitions))
+    # Send order (_send_order) must be captured BEFORE the shuffle: a
+    # monotonic id minted below the exchange is stable per input row,
+    # while one computed above it would follow shuffle-fetch arrival
+    # order — nondeterministic across runs/retries on a real cluster,
+    # which would break the offset=publish-order contract that
+    # compaction keep-latest and per-key reads rely on. (Catalyst never
+    # collapses projections across a non-deterministic expression, so
+    # the id stays below the REPARTITION node.)
+    env_sel = ", ".join(
+        base_cols
+        + (["`sequence_id`"] if sequence_col is not None else [])
+        + [
+            "`partition`",
+            "`producer_name`",
+            f"{_sq(topic_name)} AS topic",
+            "CAST(row_number() OVER (PARTITION BY `partition` "
+            "ORDER BY _send_order) - 1 AS BIGINT) AS offset",
+            "current_timestamp() AS publish_time",
+            "`event_time`",
+            "`key`",
+        ]
+    )
 
     if sequence_col is not None:
-        df = df.withColumn("sequence_id", F.col(sequence_col).cast("bigint")).withColumn(
-            "producer_name", F.lit(producer_name)
+        df = payload.selectExpr(
+            *base_cols,
+            f"{part_sql} AS partition",
+            f"CAST(`{sequence_col}` AS BIGINT) AS sequence_id",
+            f"{_sq(producer_name)} AS producer_name",
+            f"{key_sql} AS key",
+            f"{ev_sql} AS event_time",
         )
         # The high-water anti-filter only applies on append: an overwrite
         # discards the stored log (and with it the dedup high-water map),
@@ -372,45 +450,42 @@ def produce(
             .select("producer_name", "sequence_id", "_m.*")
             .select(*seq_cols)
         )
+        df = df.selectExpr("*", "monotonically_increasing_id() AS _send_order")
+        df = df.repartition(n_tasks, "partition")
+        df = spark.sql("SELECT " + env_sel + " FROM {df}", df=df)
     else:
-        df = df.withColumn("producer_name", F.lit(producer_name))
-
-    import os
-
-    topic_name = "persistent://public/default/" + os.path.basename(topic_path.rstrip("/"))
-    # Send order must be captured BEFORE the shuffle: a monotonic id
-    # minted below the exchange is stable per input row, while one
-    # computed above it would follow shuffle-fetch arrival order —
-    # nondeterministic across runs/retries on a real cluster, which
-    # would break the offset=publish-order contract that compaction
-    # keep-latest and per-key reads rely on.
-    df = df.withColumn("_send_order", F.monotonically_increasing_id())
-    w = Window.partitionBy("partition").orderBy("_send_order")
-    # Pin the offset-window shuffle to one task per topic partition
-    # (or the caller's smaller write_tasks cap — each task then holds
-    # several whole partitions). The window's
-    # ClusteredDistribution(partition) is satisfied by this explicit
-    # hash partitioning, so no second exchange — but unlike the
-    # implicit window shuffle, an explicit repartition is exempt from
-    # AQE partition coalescing, which on small appends was merging the
-    # whole batch into ONE task and serializing the 32-directory write
-    # (measured ~40% of B1 wall time). At scale this loses nothing: a
-    # row_number window over `partition` can never split a partition
-    # across tasks anyway.
-    n_tasks = num_partitions if write_tasks is None else max(1, min(
-        int(write_tasks), num_partitions))
-    df = df.repartition(n_tasks, "partition")
-    # one withColumns node, not five chained projections — shaves the
-    # per-append plan-analysis cost that lands on the driver hot path
-    df = df.withColumns(
-        {
-            "topic": F.lit(topic_name),
-            "offset": (F.row_number().over(w) - 1).cast("bigint"),
-            "publish_time": F.current_timestamp(),
-            "event_time": F.col(event_time_col) if event_time_col else F.current_timestamp(),
-            "key": F.col(key_col).cast("string") if key_col else F.lit(None).cast("string"),
-        }
-    ).drop("_send_order")
+        # Hot path: the WHOLE envelope — route, producer stamp, send
+        # order, pinned repartition, offset window, sequence mint — as
+        # ONE SQL statement, i.e. ONE eager analyzer pass. Classic
+        # PySpark analyzes on every transformation, so the former
+        # selectExpr/withColumn chain paid 4-5 analyses of a growing
+        # tree: ~170 ms of pure driver time per append (measured r11,
+        # warm), the dominant fixed cost of a sub-second produce. The
+        # fused statement measured ~120 ms build+plan for the same tree.
+        mint_sel = ", ".join(
+            base_cols
+            + [
+                f"{part_sql} AS partition",
+                f"{_sq(producer_name)} AS producer_name",
+                f"{key_sql} AS key",
+                f"{ev_sql} AS event_time",
+                "monotonically_increasing_id() AS _send_order",
+            ]
+        )
+        win_sql = (
+            "SELECT " + env_sel + " FROM ("
+            "SELECT /*+ REPARTITION(" + str(int(n_tasks)) + ", `partition`) */ * "
+            "FROM (SELECT " + mint_sel + " FROM {payload}))"
+        )
+        if existing is None:
+            # fresh topic: no offset rebase — fuse the sequence mint too
+            df = spark.sql(
+                "SELECT *, CAST(offset * " + str(int(num_partitions))
+                + " + `partition` AS BIGINT) AS sequence_id FROM (" + win_sql + ")",
+                payload=payload,
+            )
+        else:
+            df = spark.sql(win_sql, payload=payload)
 
     base = _existing_offsets(existing)
     if base is not None:
@@ -418,7 +493,7 @@ def produce(
             "offset", F.col("offset") + F.coalesce(F.col("_base") + 1, F.lit(0))
         ).drop("_base")
 
-    if sequence_col is None:
+    if sequence_col is None and existing is not None:
         # sequence_id: the dedup contract (MessageDeduplication.java:279-281)
         # only needs strict monotonicity in send order per producer — reject
         # sequence <= highest-seen — not dense numbering. Mint it AFTER
@@ -428,9 +503,10 @@ def produce(
         # across appends, and a narrow expression — no extra pass, no
         # single-task global window (a window over producer_name would
         # serialize the whole batch into one task).
-        df = df.withColumn(
-            "sequence_id",
-            (F.col("offset") * num_partitions + F.col("partition")).cast("bigint"),
+        df = df.selectExpr(
+            "*",
+            f"CAST(offset * {int(num_partitions)} + `partition` AS BIGINT) "
+            "AS sequence_id",
         )
 
     # No repartition here: the offset window already hash-partitioned the

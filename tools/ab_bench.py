@@ -93,12 +93,36 @@ def x7():
     import __spark_entry__ as _e
     return _e.queries()["pretraining_pipeline_v4"](spark, sf_dir).count()
 
-FNS = {"x5": x5, "x3": x3, "b2": b2, "x2": x2, "x6": x6, "x7": x7}
+_b1_state = {}
+
+def b1():
+    # bench.py's B1: full-envelope produce to a fresh topic path, after
+    # the same four full-size warm produces bench.py uses; each call is
+    # ONE produce (the caller's 3-run loop provides the repeats, so one
+    # A/B "run" = one append, directly comparable to runs_detail lines)
+    import tempfile
+    from pulsar_spark.sources.topics import produce
+    if "tmp" not in _b1_state:
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        _b1_state.update(tmp=tempfile.mkdtemp(prefix="ab_b1_"), ev=ev,
+                         wt=max(1, min(32, n // 6250)), i=0)
+        for wi in range(4):
+            produce(ev, f"{_b1_state['tmp']}/warm_{wi}", key_col="user_id",
+                    num_partitions=32, mode="append", write_tasks=_b1_state["wt"])
+    _b1_state["i"] += 1
+    produce(_b1_state["ev"], f"{_b1_state['tmp']}/t_{_b1_state['i']}",
+            key_col="user_id", num_partitions=32, mode="append",
+            write_tasks=_b1_state["wt"])
+
+FNS = {"x5": x5, "x3": x3, "b2": b2, "x2": x2, "x6": x6, "x7": x7, "b1": b1}
 out = {}
 for q in queries:
     fn = FNS[q]
+    if q == "b1":
+        fn()  # untimed: fixture + four full-size warm produces + 1 append
     runs = []
-    for _ in range(3):
+    for _ in range(6 if q == "b1" else 3):
         t = time.perf_counter(); fn()
         runs.append(round(time.perf_counter() - t, 3))
     out[q] = runs
