@@ -21,6 +21,8 @@ few lines over the same DataFrame operators the library exposes.
   python -m pulsar_spark consume-namespace <namespace_dir> [--checkpoint F] [--limit N]
   python -m pulsar_spark autoscale        <topic_path> [--window S] [--apply]
   python -m pulsar_spark curate <docs.parquet> --out DIR [--seq-len N] [--shards N]
+  python -m pulsar_spark decrypt <topic_path> --key-name K --private-key PEM
+      [--on-failure fail|discard|consume] [--retry-key K2 --retry-private-key PEM2]
 """
 
 from __future__ import annotations
@@ -81,6 +83,34 @@ def main(argv: list[str] | None = None) -> int:
              "(Namespaces.setOffloadPolicies); --before then supplies 'now'",
     )
 
+    p_dec = sub.add_parser(
+        "decrypt",
+        help="consumer-side decrypt of an encrypted topic, with per-row "
+        "ConsumerCryptoFailureAction and an optional late-key retry pass",
+    )
+    p_dec.add_argument("topic")
+    p_dec.add_argument("--key-name", required=True, help="consumer key name")
+    p_dec.add_argument("--private-key", required=True,
+                       help="RSA private key PEM file for --key-name")
+    p_dec.add_argument(
+        "--on-failure", choices=["fail", "discard", "consume"], default="fail",
+        help="ConsumerCryptoFailureAction for undecryptable rows: fail = "
+        "stall loudly (default), discard = drop, consume = deliver the "
+        "encrypted payload flagged crypto_failure=true",
+    )
+    p_dec.add_argument(
+        "--retry-key", default=None,
+        help="second consumer key name: rows the first pass flagged are "
+        "retried under this key (the decrypt_failed_rows recovery flow "
+        "after a delayed key delivery)",
+    )
+    p_dec.add_argument("--retry-private-key", default=None,
+                       help="RSA private key PEM file for --retry-key")
+    p_dec.add_argument("--out", default=None,
+                       help="write the decrypted frame as parquet here "
+                       "instead of printing rows")
+    p_dec.add_argument("-n", "--limit", type=int, default=20)
+
     p_skip = sub.add_parser("skip", help="admin skipMessages: cursor past the next N messages")
     p_skip.add_argument("topic")
     p_skip.add_argument("-n", "--count", type=int, required=True)
@@ -140,6 +170,27 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="shard-shuffle seed; defaults to seed+2 — MUST differ from "
         "--seed or shard order degenerates to the sampling hash",
+    )
+    p_cur.add_argument(
+        "--key-name", default=None,
+        help="input is an ENCRYPTED corpus (doc_id, source, encrypted "
+        "payload = UTF-8 text): decrypt with this consumer key before "
+        "curating",
+    )
+    p_cur.add_argument("--private-key", default=None,
+                       help="RSA private key PEM file for --key-name")
+    p_cur.add_argument(
+        "--on-failure", choices=["fail", "discard", "consume"],
+        default="consume",
+        help="ConsumerCryptoFailureAction for undecryptable corpus rows "
+        "(default consume: flagged rows are excluded from curation and "
+        "counted — or quarantined — rather than poisoning the shards)",
+    )
+    p_cur.add_argument(
+        "--quarantine", default=None,
+        help="consume mode: write still-encrypted flagged rows here (their "
+        "encryption context intact for a later retry) instead of only "
+        "counting them",
     )
 
     p_sub = sub.add_parser(
@@ -282,6 +333,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "txn" and args.verb == "materialize" and not args.topic:
         ap.error("txn materialize needs --topic")  # before session startup
+    if args.cmd == "decrypt":  # arg-combination checks before session startup
+        if bool(args.retry_key) != bool(args.retry_private_key):
+            ap.error("--retry-key and --retry-private-key go together")
+        if args.retry_key and args.on_failure != "consume":
+            ap.error("--retry-key requires --on-failure consume (only the "
+                     "CONSUME contract keeps the encryption context a retry "
+                     "needs)")
+    if args.cmd == "curate":
+        if bool(args.key_name) != bool(args.private_key):
+            ap.error("curate --key-name and --private-key go together")
+        if args.quarantine and (not args.key_name or args.on_failure != "consume"):
+            ap.error("--quarantine needs --key-name and --on-failure consume")
     if args.cmd == "txn" and args.verb in ("status", "recover"):
         # registry-only verbs, no session
         from collections import Counter
@@ -578,6 +641,39 @@ def main(argv: list[str] | None = None) -> int:
         df = peek_messages(read_topic(spark, args.topic), args.limit)
         for row in df.orderBy("partition", "offset").collect():
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    elif args.cmd == "decrypt":
+        from pulsar_spark import crypto
+        from pulsar_spark.sources.topics import read_topic
+
+        with open(args.private_key, "rb") as fh:
+            pem = fh.read()
+        df = crypto.decrypt_messages(
+            read_topic(spark, args.topic),
+            args.key_name,
+            pem,
+            failure_action=args.on_failure.upper(),
+        )
+        if args.retry_key:
+            with open(args.retry_private_key, "rb") as fh:
+                retry_pem = fh.read()
+            df = crypto.decrypt_failed_rows(df, args.retry_key, retry_pem)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            written = spark.read.parquet(args.out)
+            failed = (
+                written.where("crypto_failure").count()
+                if "crypto_failure" in written.columns
+                else 0
+            )
+            print(json.dumps({
+                "topic": args.topic,
+                "out": args.out,
+                "rows": written.count(),
+                "crypto_failed": failed,
+            }))
+        else:
+            for row in df.orderBy("partition", "offset").limit(args.limit).collect():
+                print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
     elif args.cmd == "stats":
         from pulsar_spark.operators import topic_stats
         from pulsar_spark.sources.topics import read_topic
@@ -745,9 +841,47 @@ def main(argv: list[str] | None = None) -> int:
 
         from pulsar_spark.functions.curation import curate_corpus
 
-        docs = spark.read.parquet(args.input).select(
-            "doc_id", "text", "source", "n_chars"
-        )
+        crypto_failed = 0
+        if args.key_name:
+            # encrypted-corpus hook: decrypt payload -> text first; under
+            # CONSUME, flagged rows leave the pipeline BEFORE the text
+            # decode (their payload is still ciphertext) and are
+            # quarantined with their encryption context intact so a late
+            # key can recover them (crypto.decrypt_failed_rows)
+            from pulsar_spark import crypto
+
+            with open(args.private_key, "rb") as fh:
+                pem = fh.read()
+            dec = crypto.decrypt_messages(
+                spark.read.parquet(args.input),
+                args.key_name,
+                pem,
+                failure_action=args.on_failure.upper(),
+            )
+            if args.on_failure == "consume":
+                flagged = dec.where("crypto_failure")
+                if args.quarantine:
+                    flagged.write.mode("overwrite").parquet(args.quarantine)
+                    crypto_failed = spark.read.parquet(args.quarantine).count()
+                else:
+                    crypto_failed = flagged.count()
+                dec = dec.where(~F.col("crypto_failure"))
+            # cast, not decode(UTF-8): Catalyst may collapse the text
+            # projection into the same Project that computes
+            # crypto_failure (below the filter), evaluating it
+            # speculatively on still-encrypted rows — and ciphertext is
+            # not valid UTF-8, so strict decode throws. The binary ->
+            # string cast reinterprets bytes without charset validation
+            # (identical output for the valid-UTF-8 plaintext rows).
+            docs = (
+                dec.withColumn("text", F.col("payload").cast("string"))
+                .withColumn("n_chars", F.length("text").cast("bigint"))
+                .select("doc_id", "text", "source", "n_chars")
+            )
+        else:
+            docs = spark.read.parquet(args.input).select(
+                "doc_id", "text", "source", "n_chars"
+            )
         bins = curate_corpus(
             docs,
             total_rows=args.total_rows,
@@ -777,6 +911,7 @@ def main(argv: list[str] | None = None) -> int:
                     "docs_packed": int(stats["docs"] or 0),
                     "bins": int(stats["bins"] or 0),
                     "tokens": int(stats["tokens"] or 0),
+                    "crypto_failed": crypto_failed,
                 }
             )
         )

@@ -341,3 +341,328 @@ class TestSubscribeAssignedAutoHoles:
         )
         run_to_end(stream.writeStream.foreachBatch(sink))
         assert sorted(got) == [8, 9]
+
+
+# --------------------------------------------------------------------------
+# VERDICT r10 next-round #7: the CONSUME contract end-to-end — a `decrypt`
+# CLI verb with --on-failure / --retry-key, the curate encrypted-corpus
+# hook, and a streaming integration where CONSUME keeps the pipeline
+# moving and a late key recovers the flagged rows.
+
+
+@pytest.fixture(scope="module")
+def enc_topic(spark, tmp_path_factory):
+    """A real topic mixing two recipients: event_ids 0-5 encrypted for
+    'alice', 6-9 for 'bob' only — as alice, the bob rows are
+    undecryptable (NULL wrapped key after the union)."""
+    from tests.test_round10 import _payloads
+
+    from pulsar_spark.crypto import encrypt_messages, generate_rsa_keypair
+    from pulsar_spark.sources.topics import create_topic, produce
+
+    tmp = tmp_path_factory.mktemp("enc")
+    apriv, apub = generate_rsa_keypair()
+    bpriv, bpub = generate_rsa_keypair()
+    a = encrypt_messages(_payloads(spark, range(6)), {"alice": apub})
+    b = encrypt_messages(_payloads(spark, range(6, 10)), {"bob": bpub})
+    topic = str(tmp / "enc-topic")
+    create_topic(topic, 2)
+    # two appends (identical column sets): a small append batches into
+    # ONE file, and the streaming test wants multiple micro-batches
+    enc = a.unionByName(b, allowMissingColumns=True)
+    produce(enc.where("event_id < 5"), topic)
+    produce(enc.where("event_id >= 5"), topic)
+    alice_pem = tmp / "alice.pem"
+    bob_pem = tmp / "bob.pem"
+    alice_pem.write_bytes(apriv)
+    bob_pem.write_bytes(bpriv)
+    return topic, str(alice_pem), str(bob_pem)
+
+
+class TestDecryptCLI:
+    def _stats(self, capsys):
+        import json
+
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def test_consume_flags_then_retry_recovers(
+        self, spark, enc_topic, tmp_path, capsys
+    ):
+        from pulsar_spark.__main__ import main
+
+        topic, alice_pem, bob_pem = enc_topic
+        out1 = str(tmp_path / "pass1")
+        rc = main([
+            "decrypt", topic, "--key-name", "alice", "--private-key", alice_pem,
+            "--on-failure", "consume", "--out", out1,
+        ])
+        assert rc == 0
+        stats = self._stats(capsys)
+        assert stats["rows"] == 10 and stats["crypto_failed"] == 4
+        # flagged rows kept their encryption context (the CONSUME contract)
+        got = spark.read.parquet(out1)
+        assert "encryption_param" in got.columns
+        # second pass: bob's key arrived — retry recovers every row
+        out2 = str(tmp_path / "pass2")
+        rc = main([
+            "decrypt", topic, "--key-name", "alice", "--private-key", alice_pem,
+            "--on-failure", "consume",
+            "--retry-key", "bob", "--retry-private-key", bob_pem,
+            "--out", out2,
+        ])
+        assert rc == 0
+        stats = self._stats(capsys)
+        assert stats["rows"] == 10 and stats["crypto_failed"] == 0
+        rows = spark.read.parquet(out2).collect()
+        assert all(
+            bytes(r.payload) == f"msg-{r.event_id}".encode() for r in rows
+        )
+
+    def test_discard_drops_bob_rows(self, spark, enc_topic, tmp_path, capsys):
+        from pulsar_spark.__main__ import main
+
+        topic, alice_pem, _bob_pem = enc_topic
+        out = str(tmp_path / "discard")
+        rc = main([
+            "decrypt", topic, "--key-name", "alice", "--private-key", alice_pem,
+            "--on-failure", "discard", "--out", out,
+        ])
+        assert rc == 0
+        stats = self._stats(capsys)
+        assert stats["rows"] == 6 and stats["crypto_failed"] == 0
+        got = spark.read.parquet(out)
+        assert {r.event_id for r in got.collect()} == set(range(6))
+        assert "crypto_failure" not in got.columns
+
+    def test_print_path_limits_rows(self, spark, enc_topic, capsys):
+        import json
+
+        from pulsar_spark.__main__ import main
+
+        topic, alice_pem, _ = enc_topic
+        rc = main([
+            "decrypt", topic, "--key-name", "alice", "--private-key", alice_pem,
+            "--on-failure", "consume", "-n", "3",
+        ])
+        assert rc == 0
+        lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+        assert len(lines) == 3
+        assert all("payload" in json.loads(ln) for ln in lines)
+
+    def test_retry_requires_consume(self, enc_topic, capsys):
+        from pulsar_spark.__main__ import main
+
+        topic, alice_pem, bob_pem = enc_topic
+        with pytest.raises(SystemExit):
+            main([
+                "decrypt", topic, "--key-name", "alice",
+                "--private-key", alice_pem,
+                "--on-failure", "discard",
+                "--retry-key", "bob", "--retry-private-key", bob_pem,
+            ])
+        capsys.readouterr()
+
+    def test_retry_key_pair_must_be_complete(self, enc_topic, capsys):
+        from pulsar_spark.__main__ import main
+
+        topic, alice_pem, _ = enc_topic
+        with pytest.raises(SystemExit):
+            main([
+                "decrypt", topic, "--key-name", "alice",
+                "--private-key", alice_pem,
+                "--on-failure", "consume", "--retry-key", "bob",
+            ])
+        capsys.readouterr()
+
+
+class TestCurateEncryptedCorpus:
+    def test_curate_decrypts_and_quarantines(self, spark, tmp_path, capsys):
+        import json
+
+        from tests.conftest import SF_DIR
+
+        from pulsar_spark.__main__ import main
+        from pulsar_spark.crypto import (
+            decrypt_failed_rows,
+            encrypt_messages,
+            generate_rsa_keypair,
+        )
+
+        cpriv, cpub = generate_rsa_keypair()
+        opriv, opub = generate_rsa_keypair()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source", F.encode("text", "utf-8").alias("payload")
+        )
+        n_docs = docs.count()
+        good = encrypt_messages(docs.where("doc_id % 50 != 0"), {"corp": cpub})
+        poison = encrypt_messages(docs.where("doc_id % 50 = 0"), {"other": opub})
+        n_poison = poison.count()
+        corpus = str(tmp_path / "enc-corpus")
+        good.unionByName(poison, allowMissingColumns=True).write.parquet(corpus)
+        corp_pem = tmp_path / "corp.pem"
+        corp_pem.write_bytes(cpriv)
+        out_dir = str(tmp_path / "curated")
+        quarantine = str(tmp_path / "quarantine")
+        rc = main([
+            "curate", corpus, "--out", out_dir,
+            "--shards", "2", "--seq-len", "256", "--total-rows", "100",
+            "--key-name", "corp", "--private-key", str(corp_pem),
+            "--quarantine", quarantine,
+        ])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["crypto_failed"] == n_poison > 0
+        assert stats["docs_in"] == n_docs - n_poison
+        assert stats["docs_packed"] > 0 and stats["tokens"] > 0
+        # quarantined rows kept ciphertext + context: a late key recovers
+        q = spark.read.parquet(quarantine)
+        assert q.count() == n_poison
+        assert q.where("NOT crypto_failure").count() == 0
+        rec = decrypt_failed_rows(q, "other", opriv)
+        assert rec.where("crypto_failure").count() == 0
+        orig = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .where("doc_id % 50 = 0")
+            .collect()
+        }
+        for r in rec.collect():
+            assert bytes(r.payload).decode("utf-8") == orig[r.doc_id]
+
+    def test_key_name_without_pem_rejected(self, tmp_path, capsys):
+        from pulsar_spark.__main__ import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "curate", "whatever.parquet", "--out", str(tmp_path / "o"),
+                "--key-name", "corp",
+            ])
+        capsys.readouterr()
+
+    def test_quarantine_requires_consume(self, tmp_path, capsys):
+        from pulsar_spark.__main__ import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "curate", "whatever.parquet", "--out", str(tmp_path / "o"),
+                "--key-name", "corp", "--private-key", "k.pem",
+                "--on-failure", "discard", "--quarantine", str(tmp_path / "q"),
+            ])
+        capsys.readouterr()
+
+
+class TestStreamingDecryptConsume:
+    def test_consume_keeps_stream_moving_late_key_recovers(
+        self, spark, enc_topic, tmp_path
+    ):
+        """The streaming CONSUME integration: decrypt runs per
+        micro-batch inside foreachBatch (the rotation collect is
+        batch-static there), undecryptable rows flow through FLAGGED
+        instead of stalling delivery, and decrypt_failed_rows over the
+        accumulated sink recovers them once the late key arrives."""
+        from pulsar_spark.crypto import (
+            CONSUME,
+            decrypt_failed_rows,
+            decrypt_messages,
+        )
+        from pulsar_spark.streaming import run_to_end, subscribe
+
+        topic, alice_pem, bob_pem = enc_topic
+        with open(alice_pem, "rb") as fh:
+            apriv = fh.read()
+        with open(bob_pem, "rb") as fh:
+            bpriv = fh.read()
+        out_dir = str(tmp_path / "stream-dec")
+        batches = []
+
+        def dec_batch(df, _bid):
+            batches.append(df.count())
+            decrypt_messages(
+                df, "alice", apriv, failure_action=CONSUME
+            ).write.mode("append").parquet(out_dir)
+
+        run_to_end(
+            subscribe(spark, topic, max_files_per_trigger=1)
+            .writeStream.foreachBatch(dec_batch)
+        )
+        assert len(batches) > 1, "expected multiple micro-batches"
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 10
+        assert got.where("crypto_failure").count() == 4
+        decrypted = {
+            r.event_id: bytes(r.payload)
+            for r in got.where("NOT crypto_failure").collect()
+        }
+        assert decrypted == {i: f"msg-{i}".encode() for i in range(6)}
+        # late key delivery: the recovery pass over the sink
+        rec = decrypt_failed_rows(got, "bob", bpriv)
+        assert rec.where("crypto_failure").count() == 0
+        assert {
+            r.event_id: bytes(r.payload) for r in rec.collect()
+        } == {i: f"msg-{i}".encode() for i in range(10)}
+
+
+class TestAdapterDispatchProof:
+    """VERDICT r10 next-round #8: prove kernel='auto' actually ROUTES
+    through a registered adapter — tier-equality tests (test_round9)
+    cannot distinguish adapter dispatch from silent pure-tier fallback,
+    so here the fake adapter returns pixels that DIFFER from the real
+    decode and the output must reflect the adapter's pixels."""
+
+    @pytest.fixture(autouse=True)
+    def _clean_registry(self):
+        from pulsar_spark.functions import native_codecs as nc
+
+        saved = dict(nc._REGISTRY)
+        nc._REGISTRY.clear()
+        yield
+        nc._REGISTRY.clear()
+        nc._REGISTRY.update(saved)
+
+    def test_auto_routes_through_adapter_not_fallback(self, spark):
+        import numpy as np
+
+        from pulsar_spark.functions import native_codecs as nc
+        from pulsar_spark.functions.multimodal import _encode_png, decode_media
+
+        real = np.zeros((4, 4, 3), np.uint8)  # real decode: all-black
+        sentinel = np.full((8, 2, 3), 255, np.uint8)  # adapter: white 8x2
+        m = spark.createDataFrame(
+            [(0, "image", "png", _encode_png(real))],
+            "media_id bigint, modality string, codec string, payload binary",
+        )
+        nc.register_adapter("png", lambda p: {"pixels": sentinel.copy()})
+        auto = decode_media(m, kernel="auto").collect()[0]
+        pure = decode_media(m, kernel="pure").collect()[0]
+        # dimensions prove WHICH pixels were used: 8x2 = adapter,
+        # 4x4 = pure fallback
+        assert (auto.height, auto.width) == (8, 2)
+        assert (pure.height, pure.width) == (4, 4)
+
+    def test_h264_stub_retired_by_video_adapter(self, spark):
+        """The other strict-tier stub (h264) decodes through a registered
+        video adapter — with PyAV-shaped raw output (first frame +
+        n_frames + duration), the detect_native_kernels contract."""
+        import numpy as np
+
+        from pulsar_spark.functions import native_codecs as nc
+        from pulsar_spark.functions.multimodal import decode_media
+
+        m = spark.createDataFrame(
+            [(1, "video", "h264", b"\x00\x00\x00\x01 fake-nal")],
+            "media_id bigint, modality string, codec string, payload binary",
+        )
+        with pytest.raises(Exception, match="no codec library"):
+            decode_media(m, strict=True, kernel="pure").collect()
+        nc.register_adapter(
+            "h264",
+            lambda p: {
+                "pixels": np.full((6, 8, 3), 120, np.uint8),
+                "n_frames": 24,
+                "duration_ms": 1000,
+            },
+        )
+        row = decode_media(m, strict=True, kernel="auto").collect()[0]
+        assert row.decode_ok
+        assert (row.height, row.width) == (6, 8)
+        assert (row.n_frames, row.duration_ms) == (24, 1000)
