@@ -74,6 +74,12 @@ def get_spark(
         # and the right default for HDFS-like stores. (Object-store
         # deployments swap in their own committer anyway.)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Nothing in the engine reads _SUCCESS markers (topic presence =
+        # partition=/segment= dirs, store presence = part- files), so
+        # skip the driver-side marker create each job commit pays:
+        # interleaved A/B at sf0.1 measured min 0.609 vs 0.721 s on the
+        # 32-partition append (4/6 rounds faster at equal sentinel).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         # Hadoop's ChecksumFileSystem shadows every file:// write with a
         # .crc sidecar — double the file count and fsync traffic on the
         # partitioned topic layout (one parquet file per partition per
