@@ -524,6 +524,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_union_find_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the
     clustering step that turns pairwise matches into keep-one-per-group
@@ -531,20 +532,48 @@ def near_dup_clusters(
     id that appears in a pair; cluster_id is the smallest member id
     (so the canonical "representative" is ``id == cluster_id``).
 
-    Iterative min-label propagation (hash-min): each round every vertex
-    takes the min of its own label and its neighbors' labels, so labels
-    converge in O(component diameter) rounds — near-dup clusters are
-    shallow (a hub + spokes), so 3-5 rounds is typical. Each round is
-    one broadcast-able join + one partial-aggregated groupBy, and the
-    frame is ``localCheckpoint``-ed to truncate lineage (without it the
-    plan doubles every iteration and Catalyst analysis, not the data,
-    becomes the bottleneck at scale). The loop's driver-side work is a
-    single scalar ``count`` per round — no row data ever collects.
+    Two execution paths behind one result contract, chosen by the
+    (checkpointed, so already-paid-for) edge count:
+
+    - **Bounded graphs** (<= ``driver_union_find_max_edges`` symmetric
+      edges, ~16 MB of id pairs): driver-side union-find. A
+      micro-batch's dup graph — the ``incremental_near_dedup`` hot
+      path — is thousands of edges, and the distributed loop's cost
+      there is ALL fixed overhead: 2 jobs + an eager checkpoint per
+      round, ~1.7 s for a 5k-doc batch that union-find resolves in
+      milliseconds. The collect is bounded by the threshold, not the
+      corpus.
+    - **Corpus-scale graphs**: iterative min-label propagation
+      (hash-min) with a pointer-jumping step (label <-
+      min(label, label(label))) each round, so convergence is
+      O(log diameter) — near-dup clusters are shallow (hub + spokes)
+      and resolve in 2-3 rounds, and even a pathological chain
+      component converges within ``max_iter``. Each round is two
+      broadcast-able joins + one partial-aggregated groupBy,
+      ``localCheckpoint``-ed to truncate lineage (without it the plan
+      doubles every iteration and Catalyst analysis, not the data,
+      becomes the bottleneck at scale). Driver-side work is one scalar
+      ``count`` per round — no row data ever collects on this path.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # localCheckpoint the symmetrized edge list BEFORE the loop: it is
+    # joined in EVERY propagation round, and without the checkpoint each
+    # round re-executed the caller's whole pair pipeline (for MinHash
+    # callers the candidate/shingle inputs are persisted, so the re-paid
+    # part is the pair join + exact array_intersect verify: ~0.5 s total
+    # on the sf0.1 adversarial probe, and the full unpersisted pipeline
+    # for any caller that hands in a raw pair frame). Bounded by the
+    # verified pair set, same storage tier the loop's label checkpoints
+    # already use.
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if sym.count() <= driver_union_find_max_edges:
+        return _union_find_clusters(pairs.sparkSession, sym)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -556,11 +585,32 @@ def near_dup_clusters(
             sym.join(labels, sym["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
+        hop = (
             labels.select("id", "label")
             .union(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (label <- min(label, label(label))): pure
+        # neighbor-min propagates ONE hop per round, so convergence was
+        # diameter-bounded and a chain-shaped component longer than
+        # max_iter silently kept split labels (caught by the union-find
+        # equivalence test on a random sparse graph). The label-of-label
+        # join doubles the reach each round — 25 iterations now cover
+        # diameter 2^25 — at the cost of one extra broadcast-able join
+        # per round. A label always names a vertex, so the left join +
+        # coalesce only guards the (impossible) miss defensively.
+        lab2 = hop.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        new_labels = (
+            hop.join(lab2, hop["label"] == lab2["_pid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -577,6 +627,53 @@ def near_dup_clusters(
         labels.join(F.broadcast(sizes), on="label")
         .select(F.col("id"), F.col("label").alias("cluster_id"), "cluster_size")
     )
+
+
+def _union_find_clusters(spark, sym: DataFrame) -> DataFrame:
+    """Driver union-find over a BOUNDED symmetric edge list (the
+    ``near_dup_clusters`` fast path). Path-halving + union-by-smaller-
+    root, so the root of every component is directly its smallest
+    member id — the same canonical labeling the distributed path
+    converges to. Result ships back as one Arrow-backed frame."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # union by SMALLER root id: the final root IS the min member
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    roots = {x: find(x) for x in parent}
+    sizes: dict = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = sym.schema["src"].dataType  # explicit: empty frames can't infer
+    schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("cluster_id", id_type),
+            StructField("cluster_size", LongType()),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "id": list(roots.keys()),
+            "cluster_id": list(roots.values()),
+            "cluster_size": [sizes[r] for r in roots.values()],
+        }
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def dedup_keep_representatives(

@@ -666,3 +666,64 @@ class TestAdapterDispatchProof:
         assert row.decode_ok
         assert (row.height, row.width) == (6, 8)
         assert (row.n_frames, row.duration_ms) == (24, 1000)
+
+
+class TestClusterPathEquivalence:
+    """near_dup_clusters' driver union-find fast path must produce
+    EXACTLY the distributed hash-min labeling (same canonical
+    min-member cluster_id, same sizes) — and the distributed loop keeps
+    coverage by forcing the threshold to 0."""
+
+    def _random_pairs(self, spark, seed=3, n_ids=400, n_edges=300):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(n_edges):
+            a, b = rng.randrange(n_ids), rng.randrange(n_ids)
+            if a == b:
+                continue
+            rows.append((min(a, b), max(a, b)))
+        return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+    def test_union_find_equals_distributed(self, spark):
+        from pulsar_spark.functions.dedupe import near_dup_clusters
+
+        pairs = self._random_pairs(spark)
+        fast = near_dup_clusters(pairs).collect()
+        slow = near_dup_clusters(pairs, driver_union_find_max_edges=0).collect()
+        key = lambda r: (r.id, r.cluster_id, r.cluster_size)
+        assert sorted(map(key, fast)) == sorted(map(key, slow))
+        # canonical labeling: representative is the smallest member
+        by_cluster = {}
+        for r in fast:
+            by_cluster.setdefault(r.cluster_id, []).append(r.id)
+        for cid, members in by_cluster.items():
+            assert cid == min(members)
+            assert all(
+                r.cluster_size == len(members) for r in fast if r.cluster_id == cid
+            )
+
+    def test_empty_pairs_both_paths(self, spark):
+        from pulsar_spark.functions.dedupe import near_dup_clusters
+
+        pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        for thr in (0, 500_000):
+            out = near_dup_clusters(pairs, driver_union_find_max_edges=thr)
+            assert out.count() == 0
+            assert [f.name for f in out.schema.fields] == [
+                "id", "cluster_id", "cluster_size",
+            ]
+
+    def test_string_ids_fast_path(self, spark):
+        from pulsar_spark.functions.dedupe import near_dup_clusters
+
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+        )
+        got = {r.id: (r.cluster_id, r.cluster_size)
+               for r in near_dup_clusters(pairs).collect()}
+        assert got == {
+            "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+            "x": ("x", 2), "y": ("x", 2),
+        }
