@@ -852,12 +852,16 @@ def main(argv: list[str] | None = None) -> int:
 
             with open(args.private_key, "rb") as fh:
                 pem = fh.read()
+            # persist: the decrypted frame is consumed by up to three
+            # actions (quarantine/flagged count, the shard write via
+            # curate_corpus, the docs_in count) and each would otherwise
+            # re-run the per-row AES-GCM pandas UDF over the full corpus
             dec = crypto.decrypt_messages(
                 spark.read.parquet(args.input),
                 args.key_name,
                 pem,
                 failure_action=args.on_failure.upper(),
-            )
+            ).persist()
             if args.on_failure == "consume":
                 flagged = dec.where("crypto_failure")
                 if args.quarantine:

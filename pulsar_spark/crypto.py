@@ -223,8 +223,9 @@ def decrypt_messages(
     DISTINCT rotations IN THE FRAME BEING READ — which is small for a
     per-batch streaming read regardless of producer behavior, and small
     for a full-history read only if the producer reused its data key
-    across appends (``encrypt_messages(data_key=...)``, the reference's
-    interval rotation). A full-history read of a topic whose producer
+    across appends (``encrypt_messages(key_context=
+    new_producer_key_context(...))``, the reference's interval
+    rotation). A full-history read of a topic whose producer
     minted a fresh key per append pays one unwrap per append — if you
     own both ends, reuse keys; if not, read in bounded batches.
 

@@ -590,6 +590,13 @@ def near_dup_clusters(
             .union(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            # checkpoint HERE, not after the pointer jump: the jump
+            # self-joins hop, so an unmaterialized hop would run the
+            # whole sym-join + aggregate twice per round; the jump's
+            # output is then a cheap two-sided join over this
+            # checkpoint, fine to re-evaluate for the changed-count and
+            # the next round's neighbor_min
+            .localCheckpoint()
         )
         # pointer jump (label <- min(label, label(label))): pure
         # neighbor-min propagates ONE hop per round, so convergence was
@@ -611,7 +618,6 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")

@@ -137,6 +137,15 @@ def langid_fit(
     # top_k_per_lang x langs when capped; word mode cannot reach here
     # uncapped (guard above)
     rows = counts.collect()
+    if not rows:
+        # reachable with ordinary data once min_count/top_k_per_lang
+        # filtering is on (every gram rarer than min_count): without the
+        # guard the smoothing denominator log(1/(tot+v)) divides by zero
+        raise ValueError(
+            "langid_fit: vocabulary is empty after min_count/top_k_per_lang "
+            "filtering (or the training text produced no grams) — lower "
+            "min_count or supply more training text"
+        )
     by_lang_docs = {
         r["lang"]: r["nd"]
         for r in docs.groupBy(label_col).agg(F.count("*").alias("nd"))

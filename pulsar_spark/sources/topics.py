@@ -212,6 +212,30 @@ def route_partition(
     )
 
 
+#: placeholder for the temp-view name in `_sql_over` statements. NUL
+#: bytes cannot appear in a parseable SQL statement, so the marker can
+#: never collide with (escaped) payload column names — unlike PySpark's
+#: own {name} formatter, which treats every brace in the statement as a
+#: format field and raises KeyError on identifiers like `v{x}`.
+_VIEW = "\x00v\x00"
+
+
+def _sql_over(spark: SparkSession, df: DataFrame, sql: str) -> DataFrame:
+    """Run ``sql`` (with ``_VIEW`` standing for a temp view of ``df``)
+    WITHOUT PySpark's string.Formatter parameterization, so statements
+    built from caller-supplied column names survive braces and other
+    formatter-significant characters. Costs the same view
+    register/drop the formatter pays internally."""
+    import uuid
+
+    view = "_ps_sql_over_" + uuid.uuid4().hex
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(sql.replace(_VIEW, view))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def produce(
     payload: DataFrame,
     topic_path: str,
@@ -328,6 +352,11 @@ def produce(
         # SQL single-quoted string literal
         return "'" + s.replace("'", "''") + "'"
 
+    def _qi(c: str) -> str:
+        # SQL backtick-quoted identifier (backticks double to escape) —
+        # payload column names are caller data, not trusted SQL
+        return "`" + c.replace("`", "``") + "`"
+
     # Routing mirrors MessageRoutingMode (capi/MessageRoutingMode.java):
     # an explicit ``message_router`` (Column, or callable DataFrame ->
     # Column) is CustomPartition; otherwise keyed rows hash-route and
@@ -353,8 +382,8 @@ def produce(
         part_sql = f"CAST(pmod(_route, {int(num_partitions)}) AS INT)"
     elif key_col:
         part_sql = (
-            f"CAST(CASE WHEN `{key_col}` IS NOT NULL THEN "
-            f"pmod(hash(`{key_col}`), {int(num_partitions)}) "
+            f"CAST(CASE WHEN {_qi(key_col)} IS NOT NULL THEN "
+            f"pmod(hash({_qi(key_col)}), {int(num_partitions)}) "
             f"ELSE {keyless_sql} END AS INT)"
         )
     else:
@@ -362,14 +391,19 @@ def produce(
     _mint_names = {"partition", "producer_name", "topic", "offset",
                    "publish_time", "event_time", "key", "sequence_id",
                    "_route", "_send_order"}
-    base_cols = [f"`{c}`" for c in payload.columns if c not in _mint_names]
+    # case-INSENSITIVE exclusion: Spark resolves case-insensitively by
+    # default, so a payload column "Partition" collides with the minted
+    # `partition` in the window's PARTITION BY (AMBIGUOUS_REFERENCE) —
+    # the former withColumn path replaced such columns case-
+    # insensitively, and this exclusion must match it.
+    base_cols = [_qi(c) for c in payload.columns if c.lower() not in _mint_names]
     # key/event_time are computed HERE, in the first projection, while
     # every payload column is still in scope (key_col is very often
     # literally named "key" — the second projection below could no
     # longer see it); the final projection only repositions them to the
     # envelope's historical column order.
-    ev_sql = f"`{event_time_col}`" if event_time_col else "current_timestamp()"
-    key_sql = f"CAST(`{key_col}` AS STRING)" if key_col else "CAST(NULL AS STRING)"
+    ev_sql = _qi(event_time_col) if event_time_col else "current_timestamp()"
+    key_sql = f"CAST({_qi(key_col)} AS STRING)" if key_col else "CAST(NULL AS STRING)"
 
     import os
 
@@ -414,7 +448,7 @@ def produce(
         df = payload.selectExpr(
             *base_cols,
             f"{part_sql} AS partition",
-            f"CAST(`{sequence_col}` AS BIGINT) AS sequence_id",
+            f"CAST({_qi(sequence_col)} AS BIGINT) AS sequence_id",
             f"{_sq(producer_name)} AS producer_name",
             f"{key_sql} AS key",
             f"{ev_sql} AS event_time",
@@ -452,7 +486,7 @@ def produce(
         )
         df = df.selectExpr("*", "monotonically_increasing_id() AS _send_order")
         df = df.repartition(n_tasks, "partition")
-        df = spark.sql("SELECT " + env_sel + " FROM {df}", df=df)
+        df = _sql_over(spark, df, "SELECT " + env_sel + " FROM " + _VIEW)
     else:
         # Hot path: the WHOLE envelope — route, producer stamp, send
         # order, pinned repartition, offset window, sequence mint — as
@@ -475,17 +509,18 @@ def produce(
         win_sql = (
             "SELECT " + env_sel + " FROM ("
             "SELECT /*+ REPARTITION(" + str(int(n_tasks)) + ", `partition`) */ * "
-            "FROM (SELECT " + mint_sel + " FROM {payload}))"
+            "FROM (SELECT " + mint_sel + " FROM " + _VIEW + "))"
         )
         if existing is None:
             # fresh topic: no offset rebase — fuse the sequence mint too
-            df = spark.sql(
+            df = _sql_over(
+                spark,
+                payload,
                 "SELECT *, CAST(offset * " + str(int(num_partitions))
                 + " + `partition` AS BIGINT) AS sequence_id FROM (" + win_sql + ")",
-                payload=payload,
             )
         else:
-            df = spark.sql(win_sql, payload=payload)
+            df = _sql_over(spark, payload, win_sql)
 
     base = _existing_offsets(existing)
     if base is not None:

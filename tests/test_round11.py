@@ -727,3 +727,50 @@ class TestClusterPathEquivalence:
             "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
             "x": ("x", 2), "y": ("x", 2),
         }
+
+
+class TestProduceIdentifierHardening:
+    """r11 code-review regressions of the fused-SQL envelope mint: the
+    Column-API path resolved case-insensitively and accepted arbitrary
+    column names; the SQL-string path must too."""
+
+    def test_case_variant_envelope_name_is_replaced(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce, read_topic
+
+        d = spark.range(5).selectExpr("id AS v", "CAST(id AS STRING) AS Partition")
+        t = str(tmp_path / "t1")
+        produce(d, t, num_partitions=2)  # was AMBIGUOUS_REFERENCE
+        out = read_topic(spark, t)
+        assert out.count() == 5
+        # the payload's case-variant column is REPLACED by the minted
+        # envelope column, as withColumn used to do
+        assert [c for c in out.columns if c.lower() == "partition"] == ["partition"]
+
+    def test_brace_column_names_survive(self, spark, tmp_path):
+        from pulsar_spark.sources.topics import produce, read_topic
+
+        t = str(tmp_path / "t2")
+        d = spark.range(3).selectExpr("id AS `v{x}`")
+        produce(d, t, num_partitions=2)  # was KeyError: 'x' (formatter)
+        produce(d, t, num_partitions=2)  # append path (offset rebase)
+        out = read_topic(spark, t)
+        assert out.count() == 6 and "v{x}" in out.columns
+        # sequence path too
+        t3 = str(tmp_path / "t3")
+        d3 = spark.range(4).selectExpr(
+            "id AS `weird{col}`", "id AS seq", "CAST(id AS STRING) AS k"
+        )
+        produce(d3, t3, key_col="k", sequence_col="seq", num_partitions=2)
+        assert read_topic(spark, t3).count() == 4
+
+
+class TestLangidEmptyVocabGuard:
+    def test_overfiltered_vocab_raises_value_error(self, spark):
+        from pulsar_spark.functions.langid import langid_fit
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma", "l0"), (1, "delta epsilon zeta", "l1")],
+            "doc_id bigint, text string, lang string",
+        )
+        with pytest.raises(ValueError, match="vocabulary is empty"):
+            langid_fit(docs, analyzer="word", min_count=50, top_k_per_lang=100)
