@@ -212,26 +212,23 @@ def route_partition(
     )
 
 
-#: placeholder for the temp-view name in `_sql_over` statements. NUL
-#: bytes cannot appear in a parseable SQL statement, so the marker can
-#: never collide with (escaped) payload column names — unlike PySpark's
-#: own {name} formatter, which treats every brace in the statement as a
-#: format field and raises KeyError on identifiers like `v{x}`.
-_VIEW = "\x00v\x00"
-
-
-def _sql_over(spark: SparkSession, df: DataFrame, sql: str) -> DataFrame:
-    """Run ``sql`` (with ``_VIEW`` standing for a temp view of ``df``)
-    WITHOUT PySpark's string.Formatter parameterization, so statements
-    built from caller-supplied column names survive braces and other
-    formatter-significant characters. Costs the same view
-    register/drop the formatter pays internally."""
+def _sql_over(
+    spark: SparkSession, df: DataFrame, prefix: str, suffix: str = ""
+) -> DataFrame:
+    """Run ``prefix + <temp view of df> + suffix`` WITHOUT PySpark's
+    string.Formatter parameterization, so statements built from
+    caller-supplied column names survive braces and other
+    formatter-significant characters. The view name is spliced between
+    the two halves rather than substituted at a marker, so no column
+    name or literal — whatever bytes it contains — can ever collide
+    with the splice point. Costs the same view register/drop the
+    formatter pays internally."""
     import uuid
 
     view = "_ps_sql_over_" + uuid.uuid4().hex
     df.createOrReplaceTempView(view)
     try:
-        return spark.sql(sql.replace(_VIEW, view))
+        return spark.sql(prefix + view + suffix)
     finally:
         spark.catalog.dropTempView(view)
 
@@ -391,12 +388,22 @@ def produce(
     _mint_names = {"partition", "producer_name", "topic", "offset",
                    "publish_time", "event_time", "key", "sequence_id",
                    "_route", "_send_order"}
-    # case-INSENSITIVE exclusion: Spark resolves case-insensitively by
-    # default, so a payload column "Partition" collides with the minted
-    # `partition` in the window's PARTITION BY (AMBIGUOUS_REFERENCE) —
-    # the former withColumn path replaced such columns case-
-    # insensitively, and this exclusion must match it.
-    base_cols = [_qi(c) for c in payload.columns if c.lower() not in _mint_names]
+    # The exclusion must match the SESSION's resolution rule: under the
+    # default case-insensitive resolution a payload column "Partition"
+    # collides with the minted `partition` in the window's PARTITION BY
+    # (AMBIGUOUS_REFERENCE), and the former withColumn path replaced
+    # such columns case-insensitively — so fold case before matching.
+    # Under spark.sql.caseSensitive=true there is no collision and
+    # "Partition" is a DISTINCT user column that must survive, so match
+    # exactly there (folding would silently drop it).
+    case_insensitive = (
+        str(spark.conf.get("spark.sql.caseSensitive", "false")).lower() != "true"
+    )
+    base_cols = [
+        _qi(c)
+        for c in payload.columns
+        if (c.lower() if case_insensitive else c) not in _mint_names
+    ]
     # key/event_time are computed HERE, in the first projection, while
     # every payload column is still in scope (key_col is very often
     # literally named "key" — the second projection below could no
@@ -486,7 +493,7 @@ def produce(
         )
         df = df.selectExpr("*", "monotonically_increasing_id() AS _send_order")
         df = df.repartition(n_tasks, "partition")
-        df = _sql_over(spark, df, "SELECT " + env_sel + " FROM " + _VIEW)
+        df = _sql_over(spark, df, "SELECT " + env_sel + " FROM ")
     else:
         # Hot path: the WHOLE envelope — route, producer stamp, send
         # order, pinned repartition, offset window, sequence mint — as
@@ -506,21 +513,23 @@ def produce(
                 "monotonically_increasing_id() AS _send_order",
             ]
         )
-        win_sql = (
+        win_prefix = (
             "SELECT " + env_sel + " FROM ("
             "SELECT /*+ REPARTITION(" + str(int(n_tasks)) + ", `partition`) */ * "
-            "FROM (SELECT " + mint_sel + " FROM " + _VIEW + "))"
+            "FROM (SELECT " + mint_sel + " FROM "
         )
+        win_suffix = "))"
         if existing is None:
             # fresh topic: no offset rebase — fuse the sequence mint too
             df = _sql_over(
                 spark,
                 payload,
                 "SELECT *, CAST(offset * " + str(int(num_partitions))
-                + " + `partition` AS BIGINT) AS sequence_id FROM (" + win_sql + ")",
+                + " + `partition` AS BIGINT) AS sequence_id FROM (" + win_prefix,
+                win_suffix + ")",
             )
         else:
-            df = _sql_over(spark, payload, win_sql)
+            df = _sql_over(spark, payload, win_prefix, win_suffix)
 
     base = _existing_offsets(existing)
     if base is not None:

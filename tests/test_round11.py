@@ -746,6 +746,25 @@ class TestProduceIdentifierHardening:
         # envelope column, as withColumn used to do
         assert [c for c in out.columns if c.lower() == "partition"] == ["partition"]
 
+    def test_case_sensitive_session_preserves_variant_column(self, spark, tmp_path):
+        """Under spark.sql.caseSensitive=true there is NO collision, so
+        'Partition' is a distinct user column and must survive beside
+        the minted lowercase envelope column (as withColumn did)."""
+        from pulsar_spark.sources.topics import produce, read_topic
+
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        try:
+            d = spark.range(5).selectExpr(
+                "id AS v", "CAST(id AS STRING) AS Partition"
+            )
+            t = str(tmp_path / "cs")
+            produce(d, t, num_partitions=2)
+            out = read_topic(spark, t)
+            assert out.count() == 5
+            assert "Partition" in out.columns and "partition" in out.columns
+        finally:
+            spark.conf.set("spark.sql.caseSensitive", "false")
+
     def test_brace_column_names_survive(self, spark, tmp_path):
         from pulsar_spark.sources.topics import produce, read_topic
 
