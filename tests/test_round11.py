@@ -783,6 +783,26 @@ class TestProduceIdentifierHardening:
         assert read_topic(spark, t3).count() == 4
 
 
+class TestProduceAdversarialColumnNames:
+    def test_nasty_names_round_trip(self, spark, tmp_path):
+        """One produce over a battery of hostile column names — braces
+        (formatter fields), backticks (identifier quoting), quotes,
+        spaces, unicode, SQL keywords, dots — all must survive the
+        fused-SQL envelope mint, including as the routing key."""
+        from pulsar_spark.sources.topics import produce, read_topic
+
+        names = ["v{x}", "back`tick", "quo'te", 'dou"ble',
+                 "spa ce", "uni∂", "select", "a.b"]
+        df = spark.range(4)
+        for i, n in enumerate(names):
+            df = df.withColumn(n, df["id"] + i)
+        t = str(tmp_path / "nasty")
+        produce(df, t, key_col="back`tick", num_partitions=2)
+        out = read_topic(spark, t)
+        assert out.count() == 4
+        assert [n for n in names if n not in out.columns] == []
+
+
 class TestLangidEmptyVocabGuard:
     def test_overfiltered_vocab_raises_value_error(self, spark):
         from pulsar_spark.functions.langid import langid_fit
