@@ -3242,6 +3242,31 @@ def _q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+def _q_dedup_chain_clusters(spark, sf_dir):
+    # Adversarial CHAIN-shaped connected components, pinned to the
+    # DISTRIBUTED pointer-jumping path (driver_union_find_max_edges=0):
+    # four chains of consecutive doc_ids (within doc_id % 4), diameter
+    # ~n/4 ≫ the 25-iteration cap — pure one-hop neighbor-min (the
+    # pre-r11 loop) provably cannot converge here, while the
+    # label(label) doubling step lands in O(log n) rounds. The oracle
+    # is the closed form: every chain's canonical label is its minimum
+    # member and its size the group count.
+    from pyspark.sql import Window
+
+    from pulsar_spark.functions import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(4)).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    pairs = (
+        docs.withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("nxt").alias("id_b"))
+    )
+    return near_dup_clusters(pairs, driver_union_find_max_edges=0)
+
+
 def _q_dedup_keep_one(spark, sf_dir):
     # cluster-level dedup applied: documents surviving keep-one-per-
     # near-dup-cluster (smallest doc_id representative wins)
@@ -3965,6 +3990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally by tests/test_oracle_parity.py; the structural test in
     # tests/test_meta_freshness.py enforces that invariant mechanically.
     return {
+        # -- new round-11 query: chain-shaped connected components
+        #    pinned to the distributed pointer-jumping path (the r11
+        #    convergence fix; displaces policy_enforcement — driver-
+        #    green r10, added to parity KEYS)
+        "dedup_chain_clusters": _q_dedup_chain_clusters,
         # -- new round-10 queries
         "scalable_ack_holes": _q_scalable_ack_holes,
         "crypto_failure_actions": _q_crypto_failure_actions,
@@ -4041,8 +4071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_remove_repeated_lines": _q_doc_remove_repeated_lines,
         "geo_replication_stream": _q_geo_replication_stream,
         "replicated_subscription_failover": _q_replicated_subscription_failover,
-        "policy_enforcement": _q_policy_enforcement,
         # ---- 50-entry driver prefix ends here ----
+        # (displaced round 11 — driver-green r10, in parity KEYS)
+        "policy_enforcement": _q_policy_enforcement,
         # (displaced round 10 — driver-green r9, in parity KEYS)
         "doc_rag_chunks": _q_doc_rag_chunks,
         "embedding_kmeans": _q_embedding_kmeans,
@@ -6073,6 +6104,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 7 = 0 THEN 'west' END AS replicated_from
             FROM messages
             WHERE (event_id % 7 <> 0) AND marker_type IS NULL
+        """,
+        "dedup_chain_clusters": """
+            WITH g AS (
+              SELECT doc_id, doc_id % 4 AS grp FROM documents
+            ), s AS (
+              SELECT grp, MIN(doc_id) AS cluster_id,
+                     COUNT(*) AS cluster_size
+              FROM g GROUP BY grp
+            )
+            SELECT g.doc_id AS id, s.cluster_id, s.cluster_size
+            FROM g JOIN s USING (grp)
         """,
         "ngram_jaccard_dedup": """
             WITH toks AS (

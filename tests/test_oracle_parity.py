@@ -30,6 +30,9 @@ TABLES = [
 
 # keys checked here because nothing else in tests/ exercises them
 KEYS = [
+    # round-11 displacement (driver-green r10) + new-query preemptive
+    "policy_enforcement",
+    "dedup_chain_clusters",
     # round-10 displacements (driver-green r9) + new-query preemptives
     "doc_rag_chunks",
     "embedding_kmeans",
