@@ -704,6 +704,21 @@ class TestClusterPathEquivalence:
                 r.cluster_size == len(members) for r in fast if r.cluster_id == cid
             )
 
+    def test_long_chain_converges_distributed(self, spark):
+        """A 200-vertex path graph (diameter 199 >> max_iter=25) through
+        the DISTRIBUTED loop: pure one-hop neighbor-min provably cannot
+        converge here; pointer jumping must label every vertex with the
+        chain minimum in O(log n) rounds."""
+        from pulsar_spark.functions.dedupe import near_dup_clusters
+
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+        )
+        rows = near_dup_clusters(pairs, driver_union_find_max_edges=0).collect()
+        assert len(rows) == n
+        assert all(r.cluster_id == 0 and r.cluster_size == n for r in rows)
+
     def test_empty_pairs_both_paths(self, spark):
         from pulsar_spark.functions.dedupe import near_dup_clusters
 
