@@ -84,7 +84,12 @@ def _q_table_view(spark, sf_dir):
 def _q_dedup(spark, sf_dir):
     from pulsar_spark.operators import dedup_messages
 
-    return dedup_messages(_messages(spark, sf_dir), order_col="event_id").select(
+    # event_id is globally unique, so the narrow-aggregate + join-back
+    # plan (unique_order=True) is output-identical to the wide min_by
+    # and skips sorting the full log rows (r11; see dedup_messages).
+    return dedup_messages(
+        _messages(spark, sf_dir), order_col="event_id", unique_order=True
+    ).select(
         "producer_name", "sequence_id", "partition", "offset", "event_id", "val"
     )
 
@@ -3289,11 +3294,27 @@ def _scored_docs(spark, sf_dir):
     # project to (doc_id, text) BEFORE the dedup shuffle: the min_by
     # representative agg then moves 2 columns instead of the full row —
     # at corpus scale the dropped metadata columns are pure shuffle I/O
-    docs = exact_dedup(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    from pulsar_spark.sources import fan_out
+
+    # fan_out (r11): single-file inputs pin the fingerprint + tokenize
+    # map work to one core; no-op on multi-split inputs (see loader).
+    docs = exact_dedup(
+        fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
     q = quality_metrics(docs).where(F.col("n_tokens") >= 5)
-    return q.withColumn(
+    scored = q.withColumn(
         "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
     )
+    # Materialize the scored frame ONCE (r11): select_by_token_budget
+    # consumes it in two plan branches (the per-score aggregate and the
+    # corpus join-back), and the branches' differing column pruning
+    # makes the subtrees non-identical, so AQE stage reuse cannot kick
+    # in — without this pin the whole exact-dedup shuffle ran twice.
+    # localCheckpoint, not persist: a fresh run re-executes from the
+    # parquet inputs (no CacheManager plan-matching across runs), and
+    # the frame is NARROW (id + 4 numeric cols — at corpus scale this
+    # is the bounded decision table of guide §8, not the payload).
+    return scored.select("doc_id", "n_tokens", "score").localCheckpoint()
 
 
 def _q_training_set_select(spark, sf_dir):
@@ -3345,21 +3366,31 @@ def _q_pretraining_pipeline(spark, sf_dir):
         select_by_token_budget,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pulsar_spark.sources import fan_out
+
+    # fan_out (r11): parallelize the dedup/gram map work over a
+    # single-file input; no-op on multi-split inputs (see loader).
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0))
+    # corpus feeds the decontamination gram join AND the anti-join;
+    # clean feeds the quality and repetition branches; scored feeds
+    # select_by_token_budget's aggregate and join-back — every pair of
+    # branches prunes differently, defeating AQE stage reuse, so each
+    # fan-out point is materialized once (r11; see the v3 pipeline's
+    # rationale and scale note).
+    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0)).localCheckpoint()
     contaminated = (
         contamination_check(corpus, bench, n=5)
         .where(F.col("contaminated"))
         .select("doc_id")
     )
-    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    clean = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint()
     q = quality_metrics(clean).where(F.col("n_tokens") >= 5)
     rep = repetition_metrics(clean).select("doc_id", "dup_ngram_frac_3")
     gated = q.join(rep, "doc_id").where(F.col("dup_ngram_frac_3") <= 0.2)
     scored = gated.withColumn(
         "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
-    )
+    ).select("doc_id", "n_tokens", "score").localCheckpoint()
     return select_by_token_budget(scored, budget=15000)
 
 
@@ -3379,15 +3410,23 @@ def _q_pretraining_pipeline_v2(spark, sf_dir):
         select_by_token_budget,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0))
+    from pulsar_spark.sources import fan_out
+
+    # fan_out (r11): see loader — no-op on well-partitioned inputs.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    # corpus and capped each feed two differently-pruned plan branches
+    # — materialize once (r11; same rationale and scale note as the v3
+    # pipeline below).
+    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0)).localCheckpoint()
     cleaned = remove_duplicated_chunks(
         corpus.select("doc_id", "text"), chunk_words=10, min_docs=2
     )
     with_src = cleaned.join(corpus.select("doc_id", "source"), "doc_id").withColumn(
         "n_chars", F.length("text")
     )
-    capped = per_group_cap(with_src, "source", cap=50, order_col="n_chars")
+    capped = per_group_cap(with_src, "source", cap=50, order_col="n_chars").localCheckpoint()
     q = quality_metrics(capped.select("doc_id", "text")).where(F.col("n_tokens") >= 5)
     scored = q.withColumn(
         "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
@@ -3414,15 +3453,32 @@ def _q_pretraining_pipeline_v3(spark, sf_dir):
         select_by_token_budget,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0))
+    from pulsar_spark.sources import fan_out
+
+    # fan_out (r11): see loader — no-op on well-partitioned inputs.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    # Materialize the two fan-out intermediates ONCE (r11): `corpus`
+    # feeds both the chunk-dedup branch and the source join-back, and
+    # `capped` feeds both the scoring chain and the final text
+    # re-attach — each pair of branches prunes different columns, so
+    # the subtrees are not canonically identical and AQE stage reuse
+    # cannot deduplicate them; unpinned, the exact-dedup shuffle and
+    # the whole chunk-dedup pipeline executed twice per action.
+    # localCheckpoint (not persist) so a fresh run recomputes from the
+    # parquet inputs — no CacheManager plan-matching across bench runs.
+    # Scale note: `capped` is bounded (cap x n_sources rows) and
+    # `corpus` is the dedup survivor set a real pipeline materializes
+    # between stages anyway.
+    corpus = exact_dedup(docs.where(F.col("doc_id") % 97 != 0)).localCheckpoint()
     cleaned = remove_duplicated_chunks(
         corpus.select("doc_id", "text"), chunk_words=10, min_docs=2
     )
     with_src = cleaned.join(corpus.select("doc_id", "source"), "doc_id").withColumn(
         "n_chars", F.length("text")
     )
-    capped = per_group_cap(with_src, "source", cap=50, order_col="n_chars")
+    capped = per_group_cap(with_src, "source", cap=50, order_col="n_chars").localCheckpoint()
     q = quality_metrics(capped.select("doc_id", "text")).where(F.col("n_tokens") >= 5)
     scored = q.withColumn(
         "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)

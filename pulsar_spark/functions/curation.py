@@ -49,7 +49,23 @@ def curate_corpus(
         )
     if label is None:
         label = F.col("n_chars") >= 400
-    gate = gopher_rules(docs).where("gopher_pass").select("doc_id")
+    from pulsar_spark.sources.loader import fan_out
+
+    # fan_out (r11): the Gopher tokenization, classifier feature build
+    # and packing windows all start from this frame — a single-file
+    # corpus would run every narrow stage on one core. No-op when the
+    # input is already well-partitioned (see loader.fan_out).
+    docs = fan_out(docs)
+    # Materialize the gate's id set once (r11): `gated` feeds the
+    # classifier feature build, the mixture-model count collect and the
+    # final selection plan — three separately-executed actions that
+    # each re-ran the Gopher tokenization pass over the whole corpus.
+    # The checkpoint pins the NARROW id list (8 bytes/doc — the guide
+    # §8 "decide on a proxy" shape), so Gopher runs once and the
+    # consumers re-attach it to the corpus scan with a broadcast-able
+    # join. localCheckpoint, not persist: a fresh run recomputes from
+    # the parquet inputs (no CacheManager plan-matching across runs).
+    gate = gopher_rules(docs).where("gopher_pass").select("doc_id").localCheckpoint()
     gated = docs.join(gate, "doc_id")
     scored = logreg_fit_predict(gated, label, iters=classifier_iters, lr=lr)
     kept = gated.join(scored.where("pred").select("doc_id"), "doc_id")

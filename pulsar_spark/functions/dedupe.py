@@ -185,8 +185,17 @@ def minhash_signatures(
 
         sig_cols = [F.col("_sb.signature").alias("signature"), F.col("_sb.band_hashes").alias("band_hashes")]
 
+    # Scale-adaptive fan-out (r11): the shingle build + two hash
+    # transforms + the Arrow signature UDF are the most expensive
+    # narrow compute in the engine, and a single-file input pins ALL of
+    # it to one core (one row group = one scan task). fan_out is a
+    # no-op when the input is already well-partitioned; signatures are
+    # per-row deterministic, so the repartition cannot change any
+    # downstream result.
+    from pulsar_spark.sources.loader import fan_out
+
     base = (
-        with_shingles(docs, text_col, k)
+        with_shingles(fan_out(docs.select(id_col, text_col)), text_col, k)
         .select(id_col, "shingles")
         .withColumn("_h1", F.transform("shingles", lambda s: F.hash(s).cast("bigint")))
         .withColumn("_h2", F.transform("shingles", lambda s: F.hash(s, F.lit(1)).cast("bigint")))
@@ -351,7 +360,12 @@ def minhash_near_duplicates(
     # (bounded by the LSH candidate set, not the corpus) and flat
     # (id + array<bigint>), so the nested-cache slowness note above
     # does not apply.
-    sh = with_shingles(docs_c, text_col, k).select(
+    from pulsar_spark.sources.loader import fan_out
+
+    # fan_out (r11): docs_c inherits the scan's partitioning through
+    # the broadcast semi-join, so a single-file corpus would shingle
+    # every candidate doc on one core; no-op on real multi-split inputs.
+    sh = with_shingles(fan_out(docs_c), text_col, k).select(
         F.col(id_col),
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
     ).persist()
@@ -572,8 +586,17 @@ def near_dup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    if sym.count() <= driver_union_find_max_edges:
-        return _union_find_clusters(pairs.sparkSession, sym)
+    # ONE job decides the path AND feeds the fast path (r11): a
+    # limit(max+1) collect over the checkpoint replaces the former
+    # count-then-collect pair — on the micro-batch hot path that was a
+    # whole extra job of pure fixed cost. The limit bounds the driver
+    # transfer exactly like the threshold bounded the old collect; at
+    # max+1 rows the fast path is rejected without pulling the rest.
+    head = sym.limit(driver_union_find_max_edges + 1).collect()
+    if len(head) <= driver_union_find_max_edges:
+        return _union_find_clusters(
+            pairs.sparkSession, head, sym.schema["src"].dataType
+        )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -635,12 +658,15 @@ def near_dup_clusters(
     )
 
 
-def _union_find_clusters(spark, sym: DataFrame) -> DataFrame:
+def _union_find_clusters(spark, sym_rows: list, id_type) -> DataFrame:
     """Driver union-find over a BOUNDED symmetric edge list (the
-    ``near_dup_clusters`` fast path). Path-halving + union-by-smaller-
-    root, so the root of every component is directly its smallest
-    member id — the same canonical labeling the distributed path
-    converges to. Result ships back as one Arrow-backed frame."""
+    ``near_dup_clusters`` fast path), taking the ALREADY-COLLECTED
+    rows — the caller's path-decision limit-collect doubles as the
+    edge transfer, so the fast path costs one job, not two (r11).
+    Path-halving + union-by-smaller-root, so the root of every
+    component is directly its smallest member id — the same canonical
+    labeling the distributed path converges to. Result ships back as
+    one Arrow-backed frame."""
     parent: dict = {}
 
     def find(x):
@@ -651,7 +677,7 @@ def _union_find_clusters(spark, sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym.collect():
+    for row in sym_rows:
         ra, rb = find(row[0]), find(row[1])
         if ra != rb:
             # union by SMALLER root id: the final root IS the min member
@@ -663,8 +689,6 @@ def _union_find_clusters(spark, sym: DataFrame) -> DataFrame:
     for r in roots.values():
         sizes[r] = sizes.get(r, 0) + 1
     from pyspark.sql.types import LongType, StructField, StructType
-
-    id_type = sym.schema["src"].dataType  # explicit: empty frames can't infer
     schema = StructType(
         [
             StructField("id", id_type),
@@ -1263,35 +1287,47 @@ def incremental_near_dedup(
     # materialized signatures reads it (the exact-verify stage
     # recomputes shingles for candidate docs only), and the arrays are
     # ~k x the document text
-    minhash_signatures(
+    sig_sel = minhash_signatures(
         new_docs, text_col, id_col, num_perm, k, bands=bands
-    ).select(id_col, "signature", "band_hashes").write.mode(
-        "overwrite"
-    ).parquet(f"{scratch}/sigs")
-    sigs_all = spark.read.parquet(f"{scratch}/sigs")
+    ).select(id_col, "signature", "band_hashes")
+    sig_schema = sig_sel.schema
+    sig_sel.write.mode("overwrite").parquet(f"{scratch}/sigs")
+    # explicit schema (r11): the writer's own schema skips the
+    # footer-sampling job every bare spark.read.parquet pays — one
+    # fewer fixed-cost job on the per-micro-batch hot path
+    sigs_all = spark.read.schema(sig_schema).parquet(f"{scratch}/sigs")
 
     # 1. within-batch collapse (micro-batch-sized, full exact verify) —
-    # materialized to the same scratch tier as the signatures: the
-    # survivor frame is referenced THREE times downstream (the history
-    # probe's semi-join, the store commit, and the returned result), and
-    # without the spill each reference re-executed the whole LSH +
-    # exact-verify pipeline (measured 7.6 -> ~4.4 s on the 5k-doc
-    # adversarial probe). Micro-batch-sized by contract, so the spill
-    # is one bounded write; the returned frame's lineage then starts at
-    # a parquet scan, making caller-side re-evaluation cheap too.
+    # pinned as the LOSER ID SET, not the survivor rows (r11): the
+    # three downstream consumers (the history probe's semi-join, the
+    # store commit's semi-join, and the returned result) only need to
+    # know WHICH docs survived. The pre-r11 shape spilled the full
+    # survivor frame to scratch parquet — writing and re-reading every
+    # surviving document's text (~the whole micro-batch payload) to
+    # carry a lightweight membership decision, the guide-§8
+    # anti-pattern. Now the decision is the localCheckpoint'ed loser
+    # id list (8 bytes/doc, micro-batch-bounded by contract — the same
+    # broadcast-safety argument as the history ``dropped`` set below),
+    # and consumers re-attach it to ``new_docs`` with a broadcast
+    # anti-join over a column-pruned scan.
     pairs = minhash_near_duplicates(
         new_docs, threshold, text_col, id_col, num_perm, k, bands,
         max_bucket_size=max_bucket_size, sigs=sigs_all,
     )
-    dedup_keep_representatives(new_docs, pairs, id_col).write.mode(
-        "overwrite"
-    ).parquet(f"{scratch}/batch")
-    batch = spark.read.parquet(f"{scratch}/batch")
+    clusters = near_dup_clusters(pairs, "id_a", "id_b")
+    # The loser id set is micro-batch-bounded; pin it with ONE small
+    # localCheckpoint job (on the union-find path its lineage is
+    # already a driver-local relation, so the checkpoint is ~free) and
+    # anti-join it everywhere — no scratch parquet roundtrip at all.
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    ).localCheckpoint()
+    batch = new_docs.join(F.broadcast(losers), on=id_col, how="left_anti")
 
     # 2. history check against the all-time band store
     sigs = _near_store_sigs(
         batch, text_col, id_col, num_perm, k, bands,
-        sigs=sigs_all.join(batch.select(id_col), on=id_col, how="left_semi"),
+        sigs=sigs_all.join(F.broadcast(losers), on=id_col, how="left_anti"),
     )
     band_dirs = _near_store_dirs(spark, store_path, "bands", epoch)
     # a torn commit can leave bands without sigs (or vice versa): with

@@ -21,6 +21,32 @@ TIMESTAMP_NS_COLUMNS: dict[str, list[str]] = {
 }
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Scale-adaptive input fan-out (optimization guide §2.5, input
+    skew): when a frame's partition count is below the session's core
+    count — a single-file, single-row-group input is unsplittable, so
+    EVERY narrow stage above it (tokenization, regex, Arrow/pandas
+    signature UDFs) runs on ONE core — round-robin repartition to
+    ``defaultParallelism`` so per-row compute uses the whole machine.
+
+    A NO-OP whenever the input already has enough partitions, which is
+    the 100 TB case (thousands of scan splits): this never adds an
+    exchange to a well-laid-out input, so it is an input-shape repair,
+    not a local-mode tuning constant. Callers must be row-order
+    insensitive downstream (every consumer here aggregates by key,
+    joins, or sorts grouped arrays); keep it away from
+    ``monotonically_increasing_id`` / ``spark_partition_id`` lineages
+    (the produce envelope path), where a repartition changes minted
+    values."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing nano timestamps to TimestampType.
 
