@@ -84,12 +84,7 @@ def _q_table_view(spark, sf_dir):
 def _q_dedup(spark, sf_dir):
     from pulsar_spark.operators import dedup_messages
 
-    # event_id is globally unique, so the narrow-aggregate + join-back
-    # plan (unique_order=True) is output-identical to the wide min_by
-    # and skips sorting the full log rows (r11; see dedup_messages).
-    return dedup_messages(
-        _messages(spark, sf_dir), order_col="event_id", unique_order=True
-    ).select(
+    return dedup_messages(_messages(spark, sf_dir), order_col="event_id").select(
         "producer_name", "sequence_id", "partition", "offset", "event_id", "val"
     )
 

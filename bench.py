@@ -189,15 +189,12 @@ def main() -> None:
         q_b3 = compact_publish_order(messages)
         timed("b3_compaction", lambda: q_b3.count(), remeasure=True)
 
-        # B4 wordcount over documents. fan_out (r11): the single-file
-        # docs input otherwise runs the explode + partial aggregate on
-        # one core; the repartition moves ~0.6 MB of text and is a
-        # no-op on any multi-split input. Result unchanged (keyed agg).
-        from pulsar_spark.sources import fan_out
-
+        # B4 wordcount over documents. (r11: a fan_out repartition was
+        # tried and REJECTED by interleaved A/B — min 0.18 s single-
+        # stage vs 0.47 s with the exchange: explode+partial-agg over
+        # 0.6 MB of text is cheaper than any shuffle of it.)
         q_b4 = (
-            fan_out(docs.select("text"))
-            .select(F.explode(F.split("text", " ")).alias("w"))
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
             .where(F.col("w") != "")
             .groupBy("w")
             .count()
@@ -212,10 +209,12 @@ def main() -> None:
         )
         timed("b5_window", lambda: q_b5.count(), remeasure=True)
 
-        # B6 dedup filter (producer_name, sequence_id). event_id is
-        # unique, so the narrow-agg + join-back plan applies (r11) —
-        # same call shape as the registered `dedup` query.
-        q_b6 = dedup_messages(messages, order_col="event_id", unique_order=True)
+        # B6 dedup filter (producer_name, sequence_id). (r11: a narrow
+        # min-agg + broadcast-join-back variant was tried and REJECTED
+        # by interleaved A/B — min 0.27 s for min_by vs 0.43 s with the
+        # join: at 100k rows the driver collect + rebroadcast of the
+        # per-key min table costs more than sorting the log rows.)
+        q_b6 = dedup_messages(messages, order_col="event_id")
         timed("b6_dedup", lambda: q_b6.count(), remeasure=True)
 
         # extras: relational + similarity representative queries

@@ -49,13 +49,11 @@ def curate_corpus(
         )
     if label is None:
         label = F.col("n_chars") >= 400
-    from pulsar_spark.sources.loader import fan_out
-
-    # fan_out (r11): the Gopher tokenization, classifier feature build
-    # and packing windows all start from this frame — a single-file
-    # corpus would run every narrow stage on one core. No-op when the
-    # input is already well-partitioned (see loader.fan_out).
-    docs = fan_out(docs)
+    # (r11: a fan_out repartition of `docs` was tried here and REJECTED
+    # by interleaved A/B — min 2.55 s with the gate checkpoint alone vs
+    # 2.86 s adding the repartition: the Gopher/classifier stages feed
+    # aggregations quickly enough that the exchange costs more than the
+    # single-task map work it parallelizes at bench scale.)
     # Materialize the gate's id set once (r11): `gated` feeds the
     # classifier feature build, the mixture-model count collect and the
     # final selection plan — three separately-executed actions that

@@ -29,30 +29,19 @@ def dedup_messages(
     producer_col: str = "producer_name",
     seq_col: str = "sequence_id",
     order_col: str = "offset",
-    unique_order: bool = False,
 ) -> DataFrame:
     """Keep the first-appended occurrence per (producer, sequence_id).
 
-    ``unique_order=True`` asserts ``order_col`` is unique WITHIN each
-    (producer, sequence) group (e.g. a globally-unique event id, or
-    offset on a single-partition topic) and switches to the two-pass
-    plan: a narrow hash aggregate computes each group's min order key
-    (3 columns shuffled instead of the full row), then one equi-join
-    attaches the decision back to the log — the winning row's columns
-    never enter an aggregation buffer, so the wide-struct ``min_by``
-    SortAggregate (which must SORT every log row to fold the struct)
-    disappears from the plan. Output is identical to the default path
-    because a unique order key makes the group minimum a unique row;
-    with duplicate order values the join would keep BOTH tied rows,
-    which is why the default stays ``min_by``. At scale the join side
-    is the distinct-key decision table — AQE broadcasts it when small
-    and falls back to a shuffled join otherwise.
+    (r11 note: a narrow min-aggregate + semi-join-back variant — shuffle
+    3 columns, attach the decision to the log with one equi-join — was
+    measured by interleaved A/B and REJECTED: at bench scale the driver
+    collect + rebroadcast of the per-key min table costs more than the
+    min_by SortAggregate's sort of the log rows, and at corpus scale
+    the per-key min table is O(log) so the join degenerates to the same
+    full-row shuffle plus a join. The wide-struct min_by stays.)
     """
     cols = messages.columns
     keys = [producer_col, seq_col]
-    if unique_order:
-        mins = messages.groupBy(*keys).agg(F.min(order_col).alias(order_col))
-        return messages.join(mins, on=[*keys, order_col], how="left_semi").select(*cols)
     return (
         messages.groupBy(*keys)
         .agg(F.min_by(F.struct(*[c for c in cols if c not in keys]), F.col(order_col)).alias("_m"))
