@@ -3289,27 +3289,20 @@ def _scored_docs(spark, sf_dir):
     # project to (doc_id, text) BEFORE the dedup shuffle: the min_by
     # representative agg then moves 2 columns instead of the full row —
     # at corpus scale the dropped metadata columns are pure shuffle I/O
-    from pulsar_spark.sources import fan_out
-
-    # fan_out (r11): single-file inputs pin the fingerprint + tokenize
-    # map work to one core; no-op on multi-split inputs (see loader).
-    docs = exact_dedup(
-        fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    )
+    #
+    # (r11: both a head fan_out and a localCheckpoint of the scored
+    # frame were tried here and REJECTED by interleaved A/B — plain
+    # min 1.16 s vs 1.44 s fanned vs 1.38 s checkpointed, and the
+    # worktree A/B put the pre-round shape at 0.84 s min. Unlike the
+    # capstone pipelines, the duplicated select_by_token_budget subtree
+    # here is cheap and its two branches execute as CONCURRENT stages
+    # of one job, so pinning it only serializes the schedule and adds a
+    # checkpoint roundtrip.)
+    docs = exact_dedup(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     q = quality_metrics(docs).where(F.col("n_tokens") >= 5)
-    scored = q.withColumn(
+    return q.withColumn(
         "score", F.round(F.col("distinct_ratio") * (1 - F.col("stopword_ratio")), 6)
     )
-    # Materialize the scored frame ONCE (r11): select_by_token_budget
-    # consumes it in two plan branches (the per-score aggregate and the
-    # corpus join-back), and the branches' differing column pruning
-    # makes the subtrees non-identical, so AQE stage reuse cannot kick
-    # in — without this pin the whole exact-dedup shuffle ran twice.
-    # localCheckpoint, not persist: a fresh run re-executes from the
-    # parquet inputs (no CacheManager plan-matching across runs), and
-    # the frame is NARROW (id + 4 numeric cols — at corpus scale this
-    # is the bounded decision table of guide §8, not the payload).
-    return scored.select("doc_id", "n_tokens", "score").localCheckpoint()
 
 
 def _q_training_set_select(spark, sf_dir):

@@ -360,12 +360,12 @@ def minhash_near_duplicates(
     # (bounded by the LSH candidate set, not the corpus) and flat
     # (id + array<bigint>), so the nested-cache slowness note above
     # does not apply.
-    from pulsar_spark.sources.loader import fan_out
-
-    # fan_out (r11): docs_c inherits the scan's partitioning through
-    # the broadcast semi-join, so a single-file corpus would shingle
-    # every candidate doc on one core; no-op on real multi-split inputs.
-    sh = with_shingles(fan_out(docs_c), text_col, k).select(
+    # (r11: a fan_out of docs_c before this shingle pass was tried and
+    # REJECTED by interleaved A/B — 1.87-2.47 s full-query min without
+    # vs 1.97-2.66 s with: the candidate frame is consumed once into a
+    # persist, so the extra exchange buys nothing the cache build's own
+    # parallelism doesn't already provide.)
+    sh = with_shingles(docs_c, text_col, k).select(
         F.col(id_col),
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
     ).persist()

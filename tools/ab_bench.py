@@ -115,7 +115,34 @@ def b1():
             key_col="user_id", num_partitions=32, mode="append",
             write_tasks=_b1_state["wt"])
 
-FNS = {"x5": x5, "x3": x3, "b2": b2, "x2": x2, "x6": x6, "x7": x7, "b1": b1}
+def x4b():
+    # bench.py's x4b: no-global-sort token-budget selection
+    import __spark_entry__ as _e
+    return _e.queries()["training_set_select_scalable"](spark, sf_dir).count()
+
+_x10_state = {}
+
+def x10():
+    # bench.py's x10: incremental near-dup probe against a prebuilt
+    # 2x-documents band store (store build untimed, like bench.py)
+    import tempfile
+    from pulsar_spark.functions.dedupe import (
+        commit_near_fingerprints, incremental_near_dedup)
+    if "store" not in _x10_state:
+        store = tempfile.mkdtemp(prefix="ab_near_") + "/store"
+        commit_near_fingerprints(
+            docs.crossJoin(spark.range(2).withColumnRenamed("id", "rep"))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+            .drop("rep").select("doc_id", "text"), store, epoch=1)
+        _x10_state["store"] = store
+        _x10_state["probe"] = docs.select(
+            (F.col("doc_id") + 999_000_000).alias("doc_id"), "text")
+    return incremental_near_dedup(
+        _x10_state["probe"], _x10_state["store"], threshold=0.7,
+        update_store=False, epoch=2).count()
+
+FNS = {"x5": x5, "x3": x3, "b2": b2, "x2": x2, "x6": x6, "x7": x7,
+       "b1": b1, "x4b": x4b, "x10": x10}
 out = {}
 for q in queries:
     fn = FNS[q]
