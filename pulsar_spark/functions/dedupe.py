@@ -594,9 +594,14 @@ def near_dup_clusters(
     # max+1 rows the fast path is rejected without pulling the rest.
     head = sym.limit(driver_union_find_max_edges + 1).collect()
     if len(head) <= driver_union_find_max_edges:
-        return _union_find_clusters(
+        out = _union_find_clusters(
             pairs.sparkSession, head, sym.schema["src"].dataType
         )
+        # Mark the result as driver-local (a LocalRelation): consumers
+        # like incremental_near_dedup can then skip their own pinning
+        # job — re-evaluating a local relation is free (r11).
+        out._psk_local = True
+        return out
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -1265,37 +1270,31 @@ def incremental_near_dedup(
     """
     spark = new_docs.sparkSession
     # recover a torn compaction swap before probing (see
-    # incremental_exact_dedup)
+    # incremental_exact_dedup); drop any legacy pre-r11 probe scratch
     _recover_store_swap(spark, store_path)
+    _clean_scratch(spark, f"{store_path}/_scratch")
     # 0. materialize the batch's MinHash signatures ONCE. Three
     # consumers need them (within-batch LSH, history probe, store
-    # commit) and nested-array frames cache poorly (see
-    # minhash_near_duplicates' caching note) — parquet under the
-    # store's own filesystem is the documented spill tier. Without
-    # this, each consumer (and every caller-side action on the lazy
-    # result) re-ran the whole Arrow signature pipeline: measured
-    # 13.3 s -> ~4 s for a 5k-doc probe. The returned frame's plan
-    # references the scratch dir, so cleanup happens on the NEXT call
-    # (by which time the previous epoch's result is consumed), not on
-    # exit.
-    import uuid
-
-    scratch_root = f"{store_path}/_scratch"
-    _clean_scratch(spark, scratch_root)
-    scratch = f"{scratch_root}/probe-{uuid.uuid4().hex}"
-    # drop the shingles column before spilling: no consumer of the
+    # commit); without the pin each consumer (and every caller-side
+    # action on the lazy result) re-ran the whole Arrow signature
+    # pipeline: measured 13.3 s -> ~4 s for a 5k-doc probe when the
+    # pin was introduced. r11: the pin is a localCheckpoint, not a
+    # scratch-parquet roundtrip — RDD blocks store serialized rows, so
+    # the columnar-cache slowness that rules out .persist() for
+    # nested-array frames (see minhash_near_duplicates) does not
+    # apply, and the write-job + commit + re-read-setup fixed costs
+    # disappear (interleaved A/B: 1.31 s parquet vs 0.96 s checkpoint
+    # for the materialize + three-consumer shape). Micro-batch-bounded
+    # by contract; a 100 TB pipeline materializing CORPUS-scale
+    # signatures still writes parquet — this path is the per-batch
+    # probe.
+    # Drop the shingles column before pinning: no consumer of the
     # materialized signatures reads it (the exact-verify stage
     # recomputes shingles for candidate docs only), and the arrays are
-    # ~k x the document text
-    sig_sel = minhash_signatures(
+    # ~k x the document text.
+    sigs_all = minhash_signatures(
         new_docs, text_col, id_col, num_perm, k, bands=bands
-    ).select(id_col, "signature", "band_hashes")
-    sig_schema = sig_sel.schema
-    sig_sel.write.mode("overwrite").parquet(f"{scratch}/sigs")
-    # explicit schema (r11): the writer's own schema skips the
-    # footer-sampling job every bare spark.read.parquet pays — one
-    # fewer fixed-cost job on the per-micro-batch hot path
-    sigs_all = spark.read.schema(sig_schema).parquet(f"{scratch}/sigs")
+    ).select(id_col, "signature", "band_hashes").localCheckpoint()
 
     # 1. within-batch collapse (micro-batch-sized, full exact verify) —
     # pinned as the LOSER ID SET, not the survivor rows (r11): the
@@ -1315,13 +1314,17 @@ def incremental_near_dedup(
         max_bucket_size=max_bucket_size, sigs=sigs_all,
     )
     clusters = near_dup_clusters(pairs, "id_a", "id_b")
-    # The loser id set is micro-batch-bounded; pin it with ONE small
-    # localCheckpoint job (on the union-find path its lineage is
-    # already a driver-local relation, so the checkpoint is ~free) and
-    # anti-join it everywhere — no scratch parquet roundtrip at all.
+    # The loser id set is micro-batch-bounded; pin it and anti-join it
+    # everywhere — no scratch parquet roundtrip at all. On the
+    # union-find fast path the cluster frame is ALREADY a driver-local
+    # relation (near_dup_clusters marks it), so re-evaluating it is
+    # free and a localCheckpoint job would be pure fixed cost; only
+    # the distributed label-propagation path needs the pin.
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
-    ).localCheckpoint()
+    )
+    if not getattr(clusters, "_psk_local", False):
+        losers = losers.localCheckpoint()
     batch = new_docs.join(F.broadcast(losers), on=id_col, how="left_anti")
 
     # 2. history check against the all-time band store
@@ -1376,19 +1379,16 @@ def incremental_near_dedup(
 
 
 def _clean_scratch(spark, scratch_root: str) -> None:
-    """Drop STALE probes' signature-scratch dirs, keeping the single
-    newest one: call N's lazy result references its scratch, and a
-    caller may still evaluate it after call N+1 started (foreachBatch
-    pipelining) — so a scratch dir dies two calls later, not one.
-    Hadoop FS so remote stores clean too."""
+    """Remove a LEGACY probe-scratch root outright. Probes no longer
+    write signature scratch (r11: the per-batch pin is a
+    localCheckpoint), so any ``_scratch`` left by an older engine
+    version is dead weight; no live result can reference it. Hadoop FS
+    so remote stores clean too."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(scratch_root)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return
-    entries = sorted(fs.listStatus(path), key=lambda f: f.getModificationTime())
-    for f in entries[:-1]:
-        fs.delete(f.getPath(), True)
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def _near_store_dirs(
