@@ -1011,21 +1011,33 @@ def remove_duplicated_chunks(
     ).where(F.col("chunk") != "")
     hashed = chunks.select(id_col, "pos", "chunk", F.xxhash64("chunk").alias("_ch"))
     nd = _salted_distinct_doc_count(hashed, "_ch", id_col, n_salts, "_nd")
-    kept = hashed.join(nd, "_ch").where(F.col("_nd") < min_docs)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                lambda s: s.getField("chunk"),
-            ),
-        ).alias("_text"),
-        F.count("*").alias("_n_kept"),
+    # ONE per-doc aggregate for both the rebuild and the chunk totals
+    # (r11): `nd` carries every distinct chunk, so the inner join
+    # preserves all chunk rows and count(*) is the per-doc total; the
+    # conditional struct makes collect_list (which skips NULLs) gather
+    # only the surviving chunks. The former shape aggregated `hashed`
+    # a second time just for the totals — a whole extra explode +
+    # groupBy subtree with identical output.
+    keep = F.col("_nd") < min_docs
+    rebuilt = (
+        hashed.join(nd, "_ch")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "chunk")))
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+            ).alias("_text"),
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(keep, F.lit(1))).alias("_n_kept"),
+        )
     )
-    totals = hashed.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
     return (
         docs.select(id_col)
-        .join(totals, id_col, "left")
         .join(rebuilt, id_col, "left")
         .select(
             id_col,
