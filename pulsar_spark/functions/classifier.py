@@ -113,24 +113,32 @@ def _prob(weights: list[float]) -> Column:
 
 
 def _fit(feats: DataFrame, iters: int, lr: float) -> list[float]:
-    n_rows = feats.count()
-    if n_rows == 0:
-        raise ValueError("logistic regression: no non-empty documents")
+    # The row count rides the FIRST gradient aggregate (r11): a
+    # standalone count() was a whole extra job over the corpus whose
+    # only purpose was the n_rows divisor and the emptiness check —
+    # the first gradient pass needs neither as input (its p is the
+    # constant 0.5), so one fused select produces count + sums.
+    n_rows: int | None = None
     weights = [0.0] * len(FEATURES)
     for _ in range(iters):
         # p under the current literal weights; w=0 on the first pass
         # makes p identically 0.5 (both engines agree exactly)
         p = _prob(weights)
-        grad_row = feats.select(
-            *[
-                F.sum(
-                    F.round((p - F.col("y")) * F.col(name) * 1000000.0, 0).cast(
-                        "bigint"
-                    )
-                ).alias(name)
-                for name in FEATURES
-            ]
-        ).head()
+        sums = [
+            F.sum(
+                F.round((p - F.col("y")) * F.col(name) * 1000000.0, 0).cast(
+                    "bigint"
+                )
+            ).alias(name)
+            for name in FEATURES
+        ]
+        if n_rows is None:
+            grad_row = feats.select(F.count(F.lit(1)).alias("_n"), *sums).head()
+            n_rows = int(grad_row["_n"])
+        else:
+            grad_row = feats.select(*sums).head()
+        if n_rows == 0:
+            raise ValueError("logistic regression: no non-empty documents")
         # half-away-from-zero 6dp, matching Spark HALF_UP and DuckDB
         # round() — Python's round() is banker's and would diverge on
         # an exact 6dp midpoint of the update
@@ -138,6 +146,9 @@ def _fit(feats: DataFrame, iters: int, lr: float) -> list[float]:
             _round6_half_away(w - lr * ((int(grad_row[name]) / 1000000.0) / n_rows))
             for w, name in zip(weights, FEATURES)
         ]
+    if n_rows is None:  # iters == 0: still enforce the emptiness contract
+        if feats.count() == 0:
+            raise ValueError("logistic regression: no non-empty documents")
     return weights
 
 
