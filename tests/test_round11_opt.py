@@ -1,0 +1,126 @@
+"""Round-11 optimization-round focused tests: each optimization that
+changed an operator's INTERNALS gets a behavioral pin here (outputs
+were already re-verified against the DuckDB oracle; these cover the
+edges the oracle fixtures don't isolate)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pulsar_spark import get_spark
+
+    return get_spark("test-r11-opt")
+
+
+class TestChunkDedupFusedAggregate:
+    def test_all_chunks_removed_doc_keeps_total(self, spark):
+        # Both docs share their single 3-word chunk -> every chunk is
+        # boilerplate. The fused aggregate must still report the TOTAL
+        # chunk count (count(*) over the nd join preserves all rows)
+        # while the rebuilt text collapses to ''.
+        from pulsar_spark.functions.dedupe import remove_duplicated_chunks
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicated_chunks(docs, chunk_words=3).collect()
+        }
+        for i in (1, 2):
+            assert out[i]["text"] == ""
+            assert out[i]["n_chunks"] == 1
+            assert out[i]["n_removed"] == 1
+
+    def test_mixed_doc_counts_and_order(self, spark):
+        # doc 1: chunk A (shared) + chunk B (unique) -> B survives, in
+        # original position order; totals count both.
+        from pulsar_spark.functions.dedupe import remove_duplicated_chunks
+
+        docs = spark.createDataFrame(
+            [(1, "x y z u v w"), (2, "x y z q r s")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicated_chunks(docs, chunk_words=3).collect()
+        }
+        assert out[1]["text"] == "u v w" and out[1]["n_chunks"] == 2
+        assert out[1]["n_removed"] == 1
+        assert out[2]["text"] == "q r s" and out[2]["n_removed"] == 1
+
+    def test_chunkless_doc_survives_with_zero_totals(self, spark):
+        from pulsar_spark.functions.dedupe import remove_duplicated_chunks
+
+        docs = spark.createDataFrame([(7, "")], ["doc_id", "text"])
+        [r] = remove_duplicated_chunks(docs, chunk_words=3).collect()
+        assert (r["text"], r["n_chunks"], r["n_removed"]) == ("", 0, 0)
+
+
+class TestUnionFindLimitCollectBoundary:
+    def _clusters(self, spark, pairs, max_edges):
+        from pulsar_spark.functions.dedupe import near_dup_clusters
+
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        return near_dup_clusters(df, driver_union_find_max_edges=max_edges)
+
+    def test_at_threshold_uses_fast_path(self, spark):
+        # 2 pairs -> 4 symmetric edges == max_edges: fast path, marked
+        # driver-local.
+        out = self._clusters(spark, [(1, 2), (3, 4)], max_edges=4)
+        assert getattr(out, "_psk_local", False) is True
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[2]["cluster_id"] == 1 and rows[4]["cluster_id"] == 3
+
+    def test_above_threshold_distributed_path_same_labels(self, spark):
+        # 4 symmetric edges > max_edges=3: distributed loop; identical
+        # canonical labels, and NOT marked local.
+        out = self._clusters(spark, [(1, 2), (3, 4)], max_edges=3)
+        assert getattr(out, "_psk_local", False) is False
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[2]["cluster_id"] == 1 and rows[4]["cluster_id"] == 3
+        assert all(r["cluster_size"] == 2 for r in rows.values())
+
+
+class TestIncrementalNearNoScratch:
+    def test_probe_writes_no_scratch_and_cleans_legacy(self, spark, tmp_path):
+        import os
+
+        from pulsar_spark.functions.dedupe import (
+            commit_near_fingerprints,
+            incremental_near_dedup,
+        )
+
+        store = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(8)],
+            ["doc_id", "text"],
+        )
+        commit_near_fingerprints(docs, store, epoch=1)
+        # plant a legacy scratch dir: the next probe must remove it
+        legacy = os.path.join(store, "_scratch", "probe-deadbeef")
+        os.makedirs(legacy)
+        probe = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+        out = incremental_near_dedup(
+            probe, store, threshold=0.9, update_store=False, epoch=2
+        )
+        out.count()
+        assert not os.path.exists(os.path.join(store, "_scratch"))
+
+    def test_survivors_keep_all_input_columns(self, spark, tmp_path):
+        # the loser-id anti-join must return the caller's FULL rows
+        # (the pre-r11 scratch spill did; the re-attach join must too)
+        from pulsar_spark.functions.dedupe import incremental_near_dedup
+
+        store = str(tmp_path / "store2")
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six", "web"),
+             (2, "seven eight nine ten eleven twelve", "web")],
+            ["doc_id", "text", "source"],
+        )
+        out = incremental_near_dedup(docs, store, threshold=0.9, epoch=0)
+        assert sorted(out.columns) == ["doc_id", "source", "text"]
+        assert out.count() == 2
