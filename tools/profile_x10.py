@@ -1,5 +1,6 @@
 """Stepwise timing of incremental_near_dedup's internals (x10) —
-mirrors the function body so each phase is a separately-timed action.
+mirrors the r11 function body (localCheckpoint pins, loser-id anti-join,
+prefix-pruned store probe) so each phase is a separately-timed action.
 
 Usage: SPARK_GRAFT_CPUS=32 python tools/profile_x10.py [sf_dir]
 """
@@ -21,14 +22,14 @@ def main() -> None:
 
     from pulsar_spark import get_spark
     from pulsar_spark.functions.dedupe import (
-        _band_pfx,
         _near_store_dirs,
         _near_store_sigs,
         _read_stored_bands,
+        _recover_store_swap,
         commit_near_fingerprints,
-        dedup_keep_representatives,
         minhash_near_duplicates,
         minhash_signatures,
+        near_dup_clusters,
     )
     from pulsar_spark.sources import load_table
 
@@ -54,28 +55,36 @@ def main() -> None:
         print(f"  {name:<44s} {dt}s", flush=True)
         return r
 
-    for it in range(2):
+    num_perm, k, bands, threshold, id_col, text_col = 64, 3, 16, 0.7, "doc_id", "text"
+    for it in range(3):
         print(f"--- iteration {it} ---", flush=True)
-        scratch = tempfile.mkdtemp(prefix=f"prof_x10_scratch_{it}_")
-        num_perm, k, bands, threshold, id_col, text_col = 64, 3, 16, 0.7, "doc_id", "text"
+        new_docs = probe
 
-        t("1 sig write", lambda: minhash_signatures(
-            probe, text_col, id_col, num_perm, k, bands=bands
-        ).select(id_col, "signature", "band_hashes").write.mode("overwrite").parquet(f"{scratch}/sigs"))
-        sigs_all = spark.read.parquet(f"{scratch}/sigs")
+        t("0 recover+scratch (py4j FS)", lambda: (
+            _recover_store_swap(spark, store)))
+
+        sigs_all = t("1 sigs_all localCheckpoint", lambda: minhash_signatures(
+            new_docs, text_col, id_col, num_perm, k, bands=bands
+        ).select(id_col, "signature", "band_hashes").localCheckpoint())
 
         pairs = minhash_near_duplicates(
-            probe, threshold, text_col, id_col, num_perm, k, bands,
+            new_docs, threshold, text_col, id_col, num_perm, k, bands,
             max_bucket_size=512, sigs=sigs_all)
-        t("2a pairs.count (cand+verify)", lambda: pairs.count())
-        t("2b keep_reps write", lambda: dedup_keep_representatives(
-            probe, pairs, id_col).write.mode("overwrite").parquet(f"{scratch}/batch"))
-        batch = spark.read.parquet(f"{scratch}/batch")
+        clusters = t("2a near_dup_clusters (pairs collect)",
+                     lambda: near_dup_clusters(pairs, "id_a", "id_b"))
+        losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col))
+        if not getattr(clusters, "_psk_local", False):
+            losers = t("2b losers localCheckpoint", lambda: losers.localCheckpoint())
+        else:
+            print("  2b losers: LocalRelation fast path (no pin)")
+        batch = new_docs.join(F.broadcast(losers), on=id_col, how="left_anti")
 
         sigs = _near_store_sigs(
             batch, text_col, id_col, num_perm, k, bands,
-            sigs=sigs_all.join(batch.select(id_col), on=id_col, how="left_semi"))
-        band_dirs = _near_store_dirs(spark, store, "bands", 2)
+            sigs=sigs_all.join(F.broadcast(losers), on=id_col, how="left_anti"))
+        band_dirs = t("3x band+sig dir listings (py4j)", lambda: (
+            _near_store_dirs(spark, store, "bands", 2)))
         sig_dirs = _near_store_dirs(spark, store, "sigs", 2)
         probe_b = sigs.select(
             F.col(id_col), F.col("signature"),
@@ -97,8 +106,11 @@ def main() -> None:
         t("3c dropped.count (sig verify)", lambda: dropped.count())
         final = batch.join(F.broadcast(dropped), on=id_col, how="left_anti")
         t("4 final.count", lambda: final.count())
-        import shutil
-        shutil.rmtree(scratch, ignore_errors=True)
+        t("5 FULL incremental_near_dedup", lambda: __import__(
+            "pulsar_spark.functions.dedupe", fromlist=["incremental_near_dedup"]
+        ).incremental_near_dedup(
+            new_docs, store, threshold=threshold, update_store=False, epoch=2
+        ).count())
 
     import shutil
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
