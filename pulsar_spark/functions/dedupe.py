@@ -26,6 +26,8 @@ columns before mapping over them.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1372,6 +1374,12 @@ def incremental_near_dedup(
                 lambda x: x,
             )
         ) / F.lit(num_perm)
+        # No .distinct() on the drop set (r11 A/B: full probe flow
+        # 4.56 -> 4.22 s min): left_anti ignores duplicate keys, so the
+        # dedup bought nothing semantically, and its exchange was a
+        # whole extra stage. Row count stays micro-batch-bounded — cand
+        # is already distinct on (id, _fp), so the broadcast carries at
+        # most one row per candidate match.
         dropped = (
             cand.join(
                 stored_sigs.withColumnRenamed("signature", "old_signature"),
@@ -1379,7 +1387,6 @@ def incremental_near_dedup(
             )
             .where(agree >= threshold)
             .select(id_col)
-            .distinct()
         )
         batch = batch.join(F.broadcast(dropped), on=id_col, how="left_anti")
 
@@ -1450,28 +1457,53 @@ def _read_stored_bands(spark, band_dirs: list[str], probe: DataFrame | None = No
     MIXED store: ``band_pfx=``-partitioned epoch dirs (commits and
     compactions after the layout upgrade) are read as one partitioned
     scan — pruned to the probe's band-hash prefixes when ``probe`` is
-    given (its prefix set is bounded by BAND_PFX_MOD, collected once
-    from the micro-batch-sized probe) — while legacy flat dirs/files
+    given AND the store is big enough for pruning to beat the prefix
+    collect's own driver job (estimated from the dir listing;
+    ``SPARK_GRAFT_BAND_PRUNE_MIN_BYTES``, default 256 MiB) — while
+    legacy flat dirs/files
     full-scan exactly as before. The two groups cannot share one read:
     Spark refuses partition discovery over roots with conflicting
     directory structures."""
     fs, jvm = _store_fs(spark, band_dirs[0])
     P = jvm.org.apache.hadoop.fs.Path
     part, flat = [], []
+    est_bytes = 0
     for d in band_dirs:
         p = P(d)
-        if fs.isDirectory(p) and any(
-            st.getPath().getName().startswith("band_pfx=")
-            for st in fs.listStatus(p)
-        ):
+        pfx_dirs = []
+        if fs.isDirectory(p):
+            pfx_dirs = [
+                st
+                for st in fs.listStatus(p)
+                if st.getPath().getName().startswith("band_pfx=")
+            ]
+        if pfx_dirs:
             part.append(d)
+            # store-size estimate from ONE pfx subdir extrapolated by
+            # the pfx-dir count — O(1) extra listings per epoch dir, no
+            # recursive walk (getContentSummary on a 100 TB store would
+            # itself be a full listing)
+            est_bytes += sum(
+                c.getLen() for c in fs.listStatus(pfx_dirs[0].getPath())
+            ) * len(pfx_dirs)
         else:
             flat.append(d)
     cols = ["_fp", "band_idx", "band_hash"]
     frames = []
     if part:
         vals = None
-        if probe is not None:
+        # The prefix prune costs one driver job (distinct+collect over
+        # the probe's band hashes). Pay it only when the partitioned
+        # store is big enough that pruning can save real scan work: a
+        # store under the threshold reads in a handful of packed file
+        # partitions anyway (r11 A/B on the bench store: full probe
+        # flow 4.56 -> 4.49 s min from skipping the collect). The
+        # threshold is scale-adaptive via env, default 256 MiB ~= 2
+        # maxPartitionBytes scan partitions.
+        prune_min = int(
+            os.environ.get("SPARK_GRAFT_BAND_PRUNE_MIN_BYTES", 256 << 20)
+        )
+        if probe is not None and est_bytes >= prune_min:
             vals = sorted(
                 int(r[0])
                 for r in probe.select(_band_pfx().alias("p")).distinct().collect()

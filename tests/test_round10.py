@@ -173,7 +173,7 @@ class TestPartitionedBandStore:
                 ]
                 assert len(parts) == 1
 
-    def test_probe_plan_prunes_band_partitions(self, spark, tmp_path):
+    def test_probe_plan_prunes_band_partitions(self, spark, tmp_path, monkeypatch):
         from pulsar_spark.functions.dedupe import (
             _read_stored_bands,
             commit_near_fingerprints,
@@ -182,6 +182,9 @@ class TestPartitionedBandStore:
         )
         from pulsar_spark.plans.audit import partition_filters
 
+        # the prefix prune is size-gated (r11): force it on for this
+        # tiny store so the plan shape stays assertable
+        monkeypatch.setenv("SPARK_GRAFT_BAND_PRUNE_MIN_BYTES", "0")
         store = str(tmp_path / "s")
         e0 = self._docs(
             spark, [(i, self._tok(i), "w") for i in range(40)]

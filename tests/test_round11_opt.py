@@ -124,3 +124,96 @@ class TestIncrementalNearNoScratch:
         out = incremental_near_dedup(docs, store, threshold=0.9, epoch=0)
         assert sorted(out.columns) == ["doc_id", "source", "text"]
         assert out.count() == 2
+
+
+class TestBandPruneSizeGate:
+    """r11: the probe-prefix partition prune pays a driver collect job,
+    so it is gated on the estimated partitioned-store size
+    (SPARK_GRAFT_BAND_PRUNE_MIN_BYTES, default 256 MiB)."""
+
+    def _store(self, spark, tmp_path):
+        from pulsar_spark.functions.dedupe import commit_near_fingerprints
+
+        store = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{i}w{j}" for j in range(20))) for i in range(30)],
+            ["doc_id", "text"],
+        )
+        commit_near_fingerprints(docs, store, epoch=0)
+        return store, docs
+
+    def _probe(self, docs):
+        from pulsar_spark.functions.dedupe import minhash_signatures
+
+        return minhash_signatures(docs.limit(3), bands=16).select(
+            "doc_id",
+            "signature",
+            F.posexplode("band_hashes").alias("band_idx", "band_hash"),
+        )
+
+    def test_small_store_skips_prune(self, spark, tmp_path, monkeypatch):
+        from pulsar_spark.functions.dedupe import _read_stored_bands
+        from pulsar_spark.plans.audit import partition_filters
+
+        monkeypatch.delenv("SPARK_GRAFT_BAND_PRUNE_MIN_BYTES", raising=False)
+        store, docs = self._store(spark, tmp_path)
+        out = _read_stored_bands(
+            spark, [f"{store}/bands/batch_id=0"], probe=self._probe(docs)
+        )
+        # tiny store: no prefix filter in the plan (the collect job was
+        # skipped), and the full band set is readable
+        pf = partition_filters(out)
+        assert not any("band_pfx" in f for f in (pf or []))
+        assert out.count() == 30 * 16
+
+    def test_big_store_threshold_prunes(self, spark, tmp_path, monkeypatch):
+        from pulsar_spark.functions.dedupe import _read_stored_bands
+        from pulsar_spark.plans.audit import partition_filters
+
+        monkeypatch.setenv("SPARK_GRAFT_BAND_PRUNE_MIN_BYTES", "1")
+        store, docs = self._store(spark, tmp_path)
+        probe = self._probe(docs)
+        out = _read_stored_bands(
+            spark, [f"{store}/bands/batch_id=0"], probe=probe
+        )
+        pf = partition_filters(out)
+        assert pf and any("band_pfx" in f for f in pf)
+        # lossless for the join: every stored row whose band_hash the
+        # probe carries survives the prune
+        full = _read_stored_bands(spark, [f"{store}/bands/batch_id=0"])
+        hashes = {r.band_hash for r in probe.collect()}
+        want = {
+            (r._fp, r.band_idx, r.band_hash)
+            for r in full.collect()
+            if r.band_hash in hashes
+        }
+        got = {(r._fp, r.band_idx, r.band_hash) for r in out.collect()}
+        assert want <= got
+
+
+class TestDropSetNoDistinct:
+    def test_history_drop_set_correct_without_distinct(self, spark, tmp_path):
+        # r11: `dropped` lost its .distinct() (left_anti ignores dup
+        # keys). A probe doc colliding with TWO stored near-dups — the
+        # duplicate-drop-row case — must still drop exactly once, and
+        # non-matching docs must survive.
+        from pulsar_spark.functions.dedupe import (
+            commit_near_fingerprints,
+            incremental_near_dedup,
+        )
+
+        base = " ".join(f"w{j}" for j in range(40))
+        store = str(tmp_path / "store")
+        stored = spark.createDataFrame(
+            [(1, base + " tailone"), (2, base + " tailtwo")],
+            ["doc_id", "text"],
+        )
+        commit_near_fingerprints(stored, store, epoch=0)
+        probe = spark.createDataFrame(
+            [(10, base + " tailthree"), (11, "unrelated " * 20)],
+            ["doc_id", "text"],
+        )
+        out = incremental_near_dedup(
+            probe, store, threshold=0.7, update_store=False, epoch=1
+        )
+        assert [r.doc_id for r in out.collect()] == [11]
