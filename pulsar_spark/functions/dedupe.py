@@ -1338,14 +1338,26 @@ def incremental_near_dedup(
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    if not getattr(clusters, "_psk_local", False):
+    # The broadcast hint is provably safe only on the union-find fast
+    # path: there the loser set is a driver-local relation bounded by
+    # the edge threshold (r11 review fix). On the distributed path the
+    # batch already blew that threshold — exactly the regime where an
+    # unconditional hint could force a driver collect of a huge loser
+    # table — so leave the join strategy to AQE, which reads the
+    # checkpoint's RUNTIME size and broadcasts a small set / demotes a
+    # large one. Bench probes always take the fast path, so the
+    # measured plan is unchanged.
+    if getattr(clusters, "_psk_local", False):
+        losers_b = F.broadcast(losers)
+    else:
         losers = losers.localCheckpoint()
-    batch = new_docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+        losers_b = losers
+    batch = new_docs.join(losers_b, on=id_col, how="left_anti")
 
     # 2. history check against the all-time band store
     sigs = _near_store_sigs(
         batch, text_col, id_col, num_perm, k, bands,
-        sigs=sigs_all.join(F.broadcast(losers), on=id_col, how="left_anti"),
+        sigs=sigs_all.join(losers_b, on=id_col, how="left_anti"),
     )
     band_dirs = _near_store_dirs(spark, store_path, "bands", epoch)
     # a torn commit can leave bands without sigs (or vice versa): with
@@ -1377,9 +1389,13 @@ def incremental_near_dedup(
         # No .distinct() on the drop set (r11 A/B: full probe flow
         # 4.56 -> 4.22 s min): left_anti ignores duplicate keys, so the
         # dedup bought nothing semantically, and its exchange was a
-        # whole extra stage. Row count stays micro-batch-bounded — cand
-        # is already distinct on (id, _fp), so the broadcast carries at
-        # most one row per candidate match.
+        # whole extra stage. Row count bound: cand is distinct on
+        # (id, _fp), so dropped carries one row per candidate match PER
+        # STORED COPY of that _fp — epoch commits write each _fp once,
+        # and on flat/replayed stores the duplication factor is small
+        # and bounded by compaction (`compact_near_store` rewrites the
+        # sig store distinct), so the broadcast stays
+        # micro-batch x small-constant, not corpus-sized.
         dropped = (
             cand.join(
                 stored_sigs.withColumnRenamed("signature", "old_signature"),

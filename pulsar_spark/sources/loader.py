@@ -37,11 +37,25 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     joins, or sorts grouped arrays); keep it away from
     ``monotonically_increasing_id`` / ``spark_partition_id`` lineages
     (the produce envelope path), where a repartition changes minted
-    values."""
+    values.
+
+    Also a NO-OP on any frame whose physical plan already contains an
+    Exchange (r11 review fix): first, such a frame is redistributed by
+    its own shuffle, so there is no single-file input shape to repair;
+    second — the load-bearing reason — probing ``df.rdd`` under AQE
+    calls ``getFinalPhysicalPlan()``, which EXECUTES every upstream
+    shuffle stage just to answer ``getNumPartitions()``, and the
+    caller's real action then re-plans and re-executes them. The plan
+    string check below is pure Catalyst planning (``sparkPlan`` is the
+    pre-adaptive physical plan, cached on the frame's QueryExecution),
+    so the scan-shaped inputs this helper exists for never pay an
+    extra job."""
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
-    target = min_parallelism or sc.defaultParallelism
+    target = sc.defaultParallelism if min_parallelism is None else min_parallelism
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
