@@ -581,11 +581,33 @@ def near_dup_clusters(
     # for any caller that hands in a raw pair frame). Bounded by the
     # verified pair set, same storage tier the loop's label checkpoints
     # already use.
+    # Symmetrize by EXPLODING both directions out of each pair row
+    # (r11), not union(edges, reversed): the union's two branches each
+    # carried a full copy of the caller's pair subtree, so the
+    # checkpoint job executed the (persist-backed) pair join + verify
+    # TWICE; the explode evaluates it once and emits both directions
+    # per row, a narrow op. The former .distinct() is dropped with it:
+    # both downstream consumers are multiplicity-insensitive (driver
+    # union-find is idempotent per edge; the propagation loop's
+    # neighbor-min is a min over a set that duplicate rows cannot
+    # change), every in-repo pair producer is already distinct with
+    # id_a < id_b (so the explode output has no duplicates and no
+    # self-loops to remove anyway), and the distinct's exchange was a
+    # whole extra shuffle stage in the checkpoint job. A caller handing
+    # in duplicate pairs only inflates the fast-path edge count toward
+    # the threshold — a conservative path choice, never a wrong result.
     sym = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
-        .distinct()
+        .select("_e.src", "_e.dst")
         .localCheckpoint()
     )
     # ONE job decides the path AND feeds the fast path (r11): a

@@ -87,6 +87,22 @@ def get_spark(
         # produce path. Only file:// URIs are affected; HDFS/S3 paths
         # on a cluster carry their own integrity layers.
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # Spark falls back to a DISTRIBUTED listing job once a read
+        # resolves more than this many partition directories (default
+        # 32). The near-dup band store is hive-partitioned 256 ways
+        # (dedupe.BAND_PFX_MOD), so every history probe was paying a
+        # 256-task listing JOB — pure scheduling fixed cost, measured
+        # as the single largest job of the x10 probe flow — to list
+        # directories a driver thread walks in milliseconds on a
+        # local/HDFS-fast filesystem. 1024 keeps every engine layout
+        # (topics <=32 partition dirs, band store 256 dirs, epoch
+        # stores) on the driver thread; deployments on slow object
+        # stores with many-thousand-directory stores can lower it via
+        # the env knob to get the distributed listing back.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "1024"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

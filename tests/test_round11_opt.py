@@ -191,6 +191,45 @@ class TestBandPruneSizeGate:
         assert want <= got
 
 
+class TestSymmetrizeExplode:
+    """r11: near_dup_clusters symmetrizes by explode (pairs evaluated
+    once) and drops the redundant distinct — both consumers are
+    multiplicity-insensitive, so duplicate / both-direction pair lists
+    must still produce identical canonical clusters on BOTH paths."""
+
+    def _run(self, spark, rows, max_edges):
+        from pulsar_spark.functions.dedupe import near_dup_clusters
+
+        pairs = spark.createDataFrame(rows, ["id_a", "id_b"])
+        out = near_dup_clusters(pairs, driver_union_find_max_edges=max_edges)
+        return {r["id"]: (r["cluster_id"], r["cluster_size"]) for r in out.collect()}
+
+    def test_duplicate_and_reversed_pairs_fast_path(self, spark):
+        rows = [(1, 2), (1, 2), (2, 1), (3, 4)]  # dup + reversed noise
+        got = self._run(spark, rows, max_edges=500)
+        assert got == {1: (1, 2), 2: (1, 2), 3: (3, 2), 4: (3, 2)}
+
+    def test_duplicate_and_reversed_pairs_distributed_path(self, spark):
+        rows = [(1, 2), (1, 2), (2, 1), (3, 4)]
+        got = self._run(spark, rows, max_edges=0)  # pin the loop path
+        assert got == {1: (1, 2), 2: (1, 2), 3: (3, 2), 4: (3, 2)}
+
+
+class TestDriverSideListing:
+    def test_partition_discovery_threshold_covers_band_store(self, spark):
+        # r11: Spark's default parallelPartitionDiscovery.threshold (32)
+        # made every probe of the 256-dir band_pfx store pay a 256-task
+        # DISTRIBUTED listing job (measured: 795 -> 539 tasks per x10
+        # probe once lifted). The session default must keep every engine
+        # layout — topics (<=32 partition dirs) and the band store
+        # (BAND_PFX_MOD=256 dirs) — on the driver-thread listing path.
+        from pulsar_spark.functions.dedupe import BAND_PFX_MOD
+
+        thr = int(
+            spark.conf.get("spark.sql.sources.parallelPartitionDiscovery.threshold")
+        )
+        assert thr >= BAND_PFX_MOD
+
 class TestDropSetNoDistinct:
     def test_history_drop_set_correct_without_distinct(self, spark, tmp_path):
         # r11: `dropped` lost its .distinct() (left_anti ignores dup
