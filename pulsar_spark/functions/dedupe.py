@@ -1179,8 +1179,14 @@ def incremental_exact_dedup(
     else:
         files = _epoch_store_dirs(spark, store_path, epoch)
     if files:
+        # explicit schema (engine-owned layout: commit writes exactly
+        # the md5-string _fp column) — skips the per-probe 1-task
+        # footer-inference job; paths are loose part files or leaf
+        # batch_id=N dirs, so no partition columns are discovered
         collapsed = collapsed.join(
-            spark.read.parquet(*files), on="_fp", how="left_anti"
+            spark.read.schema("_fp STRING").parquet(*files),
+            on="_fp",
+            how="left_anti",
         )
     if update_store:
         commit = collapsed.select("_fp")
@@ -1401,7 +1407,13 @@ def incremental_near_dedup(
             .select(id_col, "signature", "_fp")
             .distinct()
         )
-        stored_sigs = spark.read.parquet(*sig_dirs)
+        # explicit schema (engine-owned layout, see _read_stored_bands):
+        # skips the per-probe 1-task footer-inference job. sig paths are
+        # loose part FILES or leaf batch_id=N dirs, so no partition
+        # columns are ever discovered under them.
+        stored_sigs = spark.read.schema(
+            "_fp BIGINT, signature ARRAY<BIGINT>"
+        ).parquet(*sig_dirs)
         agree = F.size(
             F.filter(
                 F.zip_with("signature", "old_signature", lambda a, b: a == b),
@@ -1504,6 +1516,14 @@ def _read_stored_bands(spark, band_dirs: list[str], probe: DataFrame | None = No
     directory structures."""
     fs, jvm = _store_fs(spark, band_dirs[0])
     P = jvm.org.apache.hadoop.fs.Path
+    # Explicit data schema (r11): the store layout is engine-owned and
+    # fixed (`commit_near_fingerprints` always writes these three
+    # columns), so schema INFERENCE — a 1-task footer-read job per
+    # spark.read.parquet call, pure fixed cost on every probe — buys
+    # nothing. Partition columns are appended per read group below
+    # (they differ: epoch dirs carry batch_id, a directly-partitioned
+    # root does not).
+    band_schema = "_fp BIGINT, band_idx INT, band_hash BIGINT"
     part, flat = [], []
     est_bytes = 0
     for d in band_dirs:
@@ -1557,12 +1577,26 @@ def _read_stored_bands(spark, band_dirs: list[str], probe: DataFrame | None = No
             # would prune nothing and only cost plan/evaluation time
             vals = None
         for bp, ds in by_base.items():
-            df = spark.read.option("basePath", bp).parquet(*ds)
+            # partition columns must be DECLARED with the explicit
+            # schema: batch_id only when the group's dirs sit under
+            # one (ds[0] != bp iff "/batch_id=" was stripped); band_pfx
+            # always (this is the partitioned group). BIGINT batch_id
+            # tolerates any epoch the int(epoch) write path can mint.
+            pcols = (
+                "batch_id BIGINT, band_pfx INT"
+                if ds[0] != bp
+                else "band_pfx INT"
+            )
+            df = (
+                spark.read.schema(f"{band_schema}, {pcols}")
+                .option("basePath", bp)
+                .parquet(*ds)
+            )
             if vals is not None:
                 df = df.where(F.col("band_pfx").isin(vals))
             frames.append(df.select(*cols))
     if flat:
-        frames.append(spark.read.parquet(*flat).select(*cols))
+        frames.append(spark.read.schema(band_schema).parquet(*flat).select(*cols))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
