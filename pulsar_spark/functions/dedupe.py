@@ -344,6 +344,12 @@ def minhash_near_duplicates(
     cand = minhash_lsh_candidates(
         sigs, id_col, bands, rows_per_band, max_bucket_size
     ).persist()
+    # The .distinct() here was A/B-tested for removal in r11 (left_semi
+    # ignores duplicate build keys, same argument that removed the
+    # probe drop-set distinct) and KEPT: worktree A/B (3 rounds,
+    # sentinels 90-149 both sides) read x2 1.07x WORSE without it —
+    # the dedup shrinks the semi-join build side by ~7x (2 ids per
+    # pair vs ~distinct docs), which outweighs its exchange here.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
