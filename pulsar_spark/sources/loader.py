@@ -61,6 +61,17 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     return df
 
 
+#: (absolute table path) -> inferred file schema. Parquet schema
+#: INFERENCE is a 1-task footer-read job plus ~100 ms of driver time
+#: per spark.read call (measured r11, warm), and pipelines that rebuild
+#: their plan per action (the bench's x-queries, the oracle harness)
+#: re-paid it on every build. Driver tables are immutable fixtures, so
+#: the first load's schema is cached and later loads declare it —
+#: METADATA caching only (exactly what a catalog/metastore provides);
+#: every load still reads the parquet DATA itself fresh.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing nano timestamps to TimestampType.
 
@@ -74,7 +85,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     if rule not in excluded:
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(filter(None, [excluded, rule])))
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for col in TIMESTAMP_NS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

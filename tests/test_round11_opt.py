@@ -230,6 +230,31 @@ class TestDriverSideListing:
         )
         assert thr >= BAND_PFX_MOD
 
+class TestLoadTableSchemaCache:
+    def test_second_load_pays_no_job_and_same_schema(self, spark, tmp_path):
+        # r11: load_table caches the inferred file schema (metadata
+        # only — data is re-read every load). The second load of the
+        # same table must schedule ZERO jobs and produce an identical
+        # schema and row set.
+        import pulsar_spark.sources.loader as loader
+        from pulsar_spark.sources import load_table
+
+        sf = str(tmp_path)
+        spark.range(5).selectExpr("id AS doc_id", "'t' AS text").write.parquet(
+            f"{sf}/documents.parquet"
+        )
+        d1 = load_table(spark, sf, "documents")
+        s1, n1 = d1.schema, d1.count()
+        assert f"{sf}/documents.parquet" in loader._SCHEMA_CACHE
+        sc = spark.sparkContext
+        sc.setJobGroup("schema-cache-probe", "schema-cache-probe")
+        d2 = load_table(spark, sf, "documents")
+        ids = sc.statusTracker().getJobIdsForGroup("schema-cache-probe")
+        assert len(ids) == 0
+        assert d2.schema == s1
+        assert d2.count() == n1
+
+
 class TestDropSetNoDistinct:
     def test_history_drop_set_correct_without_distinct(self, spark, tmp_path):
         # r11: `dropped` lost its .distinct() (left_anti ignores dup
