@@ -1444,6 +1444,17 @@ def incremental_near_dedup(
             .where(agree >= threshold)
             .select(id_col)
         )
+        if any("/batch_id=" not in d for d in sig_dirs):
+            # r12 (advisor fix): on a FLAT-append store (legacy
+            # epoch=None commits) every replay re-appends every _fp, so
+            # the no-distinct drop set grows linearly with replay count
+            # — one row per candidate per stored copy — and the
+            # broadcast with it. Re-add the distinct on exactly that
+            # path; epoch stores keep the r11 no-distinct shape (each
+            # commit OVERWRITES its batch_id dir, so _fp duplication is
+            # bounded by construction and the A/B showed the exchange
+            # costs more than it saves).
+            dropped = dropped.distinct()
         batch = batch.join(F.broadcast(dropped), on=id_col, how="left_anti")
 
     if update_store:
@@ -1454,16 +1465,34 @@ def incremental_near_dedup(
     return batch
 
 
-def _clean_scratch(spark, scratch_root: str) -> None:
-    """Remove a LEGACY probe-scratch root outright. Probes no longer
-    write signature scratch (r11: the per-batch pin is a
-    localCheckpoint), so any ``_scratch`` left by an older engine
-    version is dead weight; no live result can reference it. Hadoop FS
-    so remote stores clean too."""
+def _clean_scratch(
+    spark, scratch_root: str, grace_seconds: int = 900
+) -> None:
+    """Remove LEGACY probe-scratch entries. Probes no longer write
+    signature scratch (r11: the per-batch pin is a localCheckpoint), so
+    ``_scratch`` content left by an older engine version is dead
+    weight — but a PRE-r11 process sharing the store during a rolling
+    upgrade may still hold a live lazy result over its scratch dir
+    (r12, advisor fix): only entries whose modification time is older
+    than ``grace_seconds`` are deleted, so an in-flight legacy probe
+    (seconds-to-minutes lifetime) survives while abandoned scratch
+    still gets collected. The root itself is removed once empty.
+    Hadoop FS so remote stores clean too."""
+    import time as _time
+
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(scratch_root)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(path):
+    if not fs.exists(path):
+        return
+    cutoff_ms = int((_time.time() - grace_seconds) * 1000)
+    kept = 0
+    for st in fs.listStatus(path):
+        if st.getModificationTime() < cutoff_ms:
+            fs.delete(st.getPath(), True)
+        else:
+            kept += 1
+    if kept == 0:
         fs.delete(path, True)
 
 
@@ -1543,13 +1572,27 @@ def _read_stored_bands(spark, band_dirs: list[str], probe: DataFrame | None = No
             ]
         if pfx_dirs:
             part.append(d)
-            # store-size estimate from ONE pfx subdir extrapolated by
-            # the pfx-dir count — O(1) extra listings per epoch dir, no
+            # store-size estimate from THREE spread pfx subdirs (first,
+            # middle, last in listing order) extrapolated by the
+            # pfx-dir count — O(1) extra listings per epoch dir, no
             # recursive walk (getContentSummary on a 100 TB store would
-            # itself be a full listing)
-            est_bytes += sum(
-                c.getLen() for c in fs.listStatus(pfx_dirs[0].getPath())
-            ) * len(pfx_dirs)
+            # itself be a full listing). r12 (verdict fix): the former
+            # single-dir sample mis-estimated by the skew factor when
+            # the one listed dir happened to be the hot or a near-empty
+            # prefix; band hashes are uniform by construction, so three
+            # spread samples bound the estimator error enough that a
+            # multi-GB store can no longer silently fall under the
+            # 256 MiB prune threshold off one unlucky dir. The estimate
+            # is biased UP via the LARGEST sample — an overestimate
+            # only costs the O(1) prefix collect, while an
+            # underestimate silently full-scans the store.
+            n_pfx = len(pfx_dirs)
+            idxs = sorted({0, n_pfx // 2, n_pfx - 1})
+            per_dir = max(
+                sum(c.getLen() for c in fs.listStatus(pfx_dirs[i].getPath()))
+                for i in idxs
+            )
+            est_bytes += per_dir * n_pfx
         else:
             flat.append(d)
     cols = ["_fp", "band_idx", "band_hash"]

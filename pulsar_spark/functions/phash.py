@@ -189,6 +189,16 @@ def phash_near_dups(
     already covers identical images, so the guard only sheds quadratic
     candidate work, not exact dups.
 
+    Lingering-cache note: the narrow ``(id, hash)`` core below is
+    ``persist()``-ed (it feeds the bucket-size aggregate and BOTH join
+    sides) and stays registered after this call returns — the same
+    contract as ``minhash_near_duplicates``' candidate frames. A
+    long-lived driver that re-runs the pipeline over fresh data should
+    ``spark.catalog.clearCache()`` between slices, or the CacheManager's
+    plan canonicalization will serve the previous slice's cache to any
+    plan-identical rebuild (this is exactly why bench.py clears the
+    cache between x8 runs as of r12).
+
     Returns distinct ``(media_id_a, media_id_b, hamming)`` with a < b.
     """
     if n_bands not in (2, 4, 8, 16):

@@ -100,14 +100,29 @@ class TestIncrementalNearNoScratch:
             ["doc_id", "text"],
         )
         commit_near_fingerprints(docs, store, epoch=1)
-        # plant a legacy scratch dir: the next probe must remove it
-        legacy = os.path.join(store, "_scratch", "probe-deadbeef")
-        os.makedirs(legacy)
+        # plant TWO legacy scratch dirs: one ABANDONED (mtime past the
+        # grace window — must be collected) and one FRESH (a pre-r11
+        # process may still hold a live lazy result over it during a
+        # rolling upgrade — must survive; r12 advisor fix)
+        old = os.path.join(store, "_scratch", "probe-deadbeef")
+        fresh = os.path.join(store, "_scratch", "probe-cafebabe")
+        os.makedirs(old)
+        os.makedirs(fresh)
+        stale_t = 1_000_000_000  # 2001 — far past any grace window
+        os.utime(old, (stale_t, stale_t))
         probe = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
         out = incremental_near_dedup(
             probe, store, threshold=0.9, update_store=False, epoch=2
         )
         out.count()
+        assert not os.path.exists(old)
+        assert os.path.exists(fresh)
+        # a second probe after the grace window would collect the rest:
+        # simulate by aging the fresh dir and probing again
+        os.utime(fresh, (stale_t, stale_t))
+        incremental_near_dedup(
+            probe, store, threshold=0.9, update_store=False, epoch=2
+        ).count()
         assert not os.path.exists(os.path.join(store, "_scratch"))
 
     def test_survivors_keep_all_input_columns(self, spark, tmp_path):
@@ -245,7 +260,10 @@ class TestLoadTableSchemaCache:
         )
         d1 = load_table(spark, sf, "documents")
         s1, n1 = d1.schema, d1.count()
-        assert f"{sf}/documents.parquet" in loader._SCHEMA_CACHE
+        # r12: the cache key carries the table mtime (stale-schema guard)
+        assert any(
+            k[0] == f"{sf}/documents.parquet" for k in loader._SCHEMA_CACHE
+        )
         sc = spark.sparkContext
         sc.setJobGroup("schema-cache-probe", "schema-cache-probe")
         d2 = load_table(spark, sf, "documents")
