@@ -117,6 +117,65 @@ def _perm_mins(h1_arr, h2_arr, num_perm: int):
     return x.min(axis=1).astype(np.int64)
 
 
+def _perm_mins_batch(h1_list, h2_list, num_perm: int,
+                     chunk_shingles: int = 1024):
+    """(n_docs, num_perm) int64 MinHash signatures for a whole Arrow
+    batch of per-shingle hash arrays, in a handful of numpy sweeps.
+
+    Arithmetic-identical to calling ``_perm_mins`` per document (same
+    splitmix64 permutation family, same uint64-domain min) — the change
+    is purely mechanical (r12, guide §4.2): the per-document Python
+    loop paid one numpy dispatch per doc per batch (~µs each, dominant
+    for short documents), while this concatenates every document's
+    shingle hashes once, runs ONE ``(num_perm, total_shingles)``
+    permutation sweep, and takes per-document minima with
+    ``np.minimum.reduceat`` over the document offsets. Documents too
+    short to shingle keep the all-zeros sentinel row. ``chunk_shingles``
+    keeps the sweep matrix (``num_perm x chunk x 8`` bytes — 512 KB at
+    the defaults) cache-resident: measured on sf0.1-shaped batches,
+    chunk 1024 runs 1.5x the per-doc loop while a 1M-shingle chunk is
+    2x SLOWER than it (the 512 MB of temporaries turn the sweep
+    memory-bandwidth-bound); a document longer than the chunk still
+    processes whole (chunks split only on document boundaries, so
+    results are unaffected either way)."""
+    n = len(h1_list)
+    out = np.zeros((n, num_perm), dtype=np.int64)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in h1_list), dtype=np.int64, count=n
+    )
+    idx = np.flatnonzero(lens)
+    if idx.size == 0:
+        return out
+    ii = np.arange(num_perm, dtype=np.uint64)[:, None]
+    start = 0
+    while start < idx.size:
+        end, tot = start, 0
+        while end < idx.size and (
+            tot == 0 or tot + lens[idx[end]] <= chunk_shingles
+        ):
+            tot += lens[idx[end]]
+            end += 1
+        sel = idx[start:end]
+        a = np.concatenate(
+            [np.asarray(h1_list[i], dtype=np.int64) for i in sel]
+        ).astype(np.uint64)
+        b = np.concatenate(
+            [np.asarray(h2_list[i], dtype=np.int64) for i in sel]
+        ).astype(np.uint64)
+        base = a << np.uint64(32) | (b & np.uint64(0xFFFFFFFF))
+        with np.errstate(over="ignore"):
+            x = base[None, :] + ii * np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        seg = lens[sel]
+        off = np.zeros(seg.size, dtype=np.int64)
+        np.cumsum(seg[:-1], out=off[1:])
+        out[sel] = np.minimum.reduceat(x, off, axis=1).T.astype(np.int64)
+        start = end
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -135,8 +194,10 @@ def minhash_signatures(
     see ``_perm_mins``).
 
     The signature itself is a vectorized Arrow-batched pandas UDF over
-    the two hash arrays: one ``(num_perm, n_shingles)`` numpy broadcast
-    + row-min per document. This is shuffle-free (embarrassingly
+    the two hash arrays: one cache-chunked ``(num_perm, n_shingles)``
+    numpy sweep with segmented per-document minima (``_perm_mins_batch``
+    — r12; formerly one numpy call per document). This is shuffle-free
+    (embarrassingly
     parallel, scales linearly with executors) and measured ~6x faster
     than both the explode+groupBy(num_perm mins) and the nested
     higher-order-function formulations — HOF lambdas are interpreted
@@ -154,14 +215,8 @@ def minhash_signatures(
 
         @F.pandas_udf(ArrayType(LongType()))
         def _sig(h1: pd.Series, h2: pd.Series) -> pd.Series:
-            empty = np.zeros(num_perm, dtype=np.int64)
-            out = []
-            for a, b in zip(h1, h2):
-                if a is None or len(a) == 0:
-                    out.append(empty)
-                    continue
-                out.append(_perm_mins(a, b, num_perm))
-            return pd.Series(out)
+            mat = _perm_mins_batch(h1.to_numpy(), h2.to_numpy(), num_perm)
+            return pd.Series(list(mat))
 
         sig_cols = [_sig("_h1", "_h2").alias("signature")]
     else:
@@ -169,21 +224,20 @@ def minhash_signatures(
 
         @F.pandas_udf("signature array<bigint>, band_hashes array<bigint>")
         def _sig_bands(h1: pd.Series, h2: pd.Series) -> pd.DataFrame:
-            empty = np.zeros(num_perm, dtype=np.int64)
-            sigs, bhs = [], []
+            # one whole-batch sweep (see _perm_mins_batch), then the
+            # band fold vectorized across documents — same
+            # multiply-add recurrence as the former per-doc loop,
+            # wrapped int64 arithmetic unchanged
+            mat = _perm_mins_batch(h1.to_numpy(), h2.to_numpy(), num_perm)
+            n = mat.shape[0]
+            resh = mat.reshape(n, bands, rpb)
+            h = np.zeros((n, bands), dtype=np.int64)
             with np.errstate(over="ignore"):
-                for a, b in zip(h1, h2):
-                    if a is None or len(a) == 0:
-                        mins = empty
-                    else:
-                        mins = _perm_mins(a, b, num_perm)
-                    resh = mins.reshape(bands, rpb)
-                    h = np.zeros(bands, dtype=np.int64)
-                    for r in range(rpb):
-                        h = h * _BAND_MIX + resh[:, r]
-                    sigs.append(mins)
-                    bhs.append(h)
-            return pd.DataFrame({"signature": sigs, "band_hashes": bhs})
+                for r in range(rpb):
+                    h = h * _BAND_MIX + resh[:, :, r]
+            return pd.DataFrame(
+                {"signature": list(mat), "band_hashes": list(h)}
+            )
 
         sig_cols = [F.col("_sb.signature").alias("signature"), F.col("_sb.band_hashes").alias("band_hashes")]
 
@@ -325,6 +379,17 @@ def minhash_near_duplicates(
     ``minhash_signatures(docs, ...)`` frame (e.g. one materialized to
     parquet by ``incremental_near_dedup``) so callers that need the
     signatures more than once pay the Arrow pipeline exactly once.
+    If that frame additionally carries a ``shingle_hashes`` column
+    (``transform(shingles, xxhash64)`` — the exact verify currency),
+    the verify stage reads candidate shingle hashes from it instead of
+    re-scanning and re-shingling the documents (r12): for a
+    MATERIALIZED sigs frame that turns the verify build into a
+    semi-join over the pin, no second pass over the corpus text.
+
+    The returned frame exposes the two internal persists as
+    ``_psk_pins`` (a Python-side attribute, consumed immediately by
+    ``incremental_near_dedup`` to unpersist them once the pair set has
+    been fully drained — same contract as ``_psk_local``).
     """
     rows_per_band = num_perm // bands
     if sigs is None:
@@ -344,18 +409,6 @@ def minhash_near_duplicates(
     cand = minhash_lsh_candidates(
         sigs, id_col, bands, rows_per_band, max_bucket_size
     ).persist()
-    # The .distinct() here was A/B-tested for removal in r11 (left_semi
-    # ignores duplicate build keys, same argument that removed the
-    # probe drop-set distinct) and KEPT: worktree A/B (3 rounds,
-    # sentinels 90-149 both sides) read x2 1.07x WORSE without it —
-    # the dedup shrinks the semi-join build side by ~7x (2 ids per
-    # pair vs ~distinct docs), which outweighs its exchange here.
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    docs_c = docs.join(cand_ids, on=id_col, how="left_semi")
     # Verify over 64-bit shingle HASHES, not shingle strings:
     # array_intersect on fixed-width bigints avoids per-element string
     # hashing/comparison, and the distinct string set maps 1:1 to a
@@ -373,10 +426,42 @@ def minhash_near_duplicates(
     # vs 1.97-2.66 s with: the candidate frame is consumed once into a
     # persist, so the extra exchange buys nothing the cache build's own
     # parallelism doesn't already provide.)
-    sh = with_shingles(docs_c, text_col, k).select(
-        F.col(id_col),
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
-    ).persist()
+    if "shingle_hashes" in sigs.columns:
+        # r12: a caller-supplied sigs frame carrying precomputed
+        # shingle hashes (incremental_near_dedup's localCheckpoint pin)
+        # IS the verify currency — read it straight off the pin instead
+        # of re-scanning + re-shingling + re-hashing the candidate
+        # docs. Value-identical by construction: shingle_hashes is
+        # transform(shingles, xxhash64) over the same with_shingles
+        # output this branch's else-arm would rebuild. NO persist and
+        # NO candidate-id semi-join here: both existed to bound how
+        # many documents the verify re-shingled, but a checkpoint scan
+        # re-evaluates for the cost of reading local RDD blocks, so the
+        # two pair-join branches just scan the pin twice — zero
+        # shuffles, no cache build, and the candidate-id
+        # union+distinct's whole exchange disappears with its only
+        # consumer.
+        sh = sigs.select(F.col(id_col), F.col("shingle_hashes").alias("shingles"))
+        pins = [cand]
+    else:
+        # The .distinct() here was A/B-tested for removal in r11
+        # (left_semi ignores duplicate build keys, same argument that
+        # removed the probe drop-set distinct) and KEPT: worktree A/B
+        # (3 rounds, sentinels 90-149 both sides) read x2 1.07x WORSE
+        # without it — the dedup shrinks the semi-join build side by
+        # ~7x (2 ids per pair vs ~distinct docs), which outweighs its
+        # exchange here.
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        docs_c = docs.join(cand_ids, on=id_col, how="left_semi")
+        sh = with_shingles(docs_c, text_col, k).select(
+            F.col(id_col),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        ).persist()
+        pins = [cand, sh]
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "shingles_a"), on="id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "shingles_b"), on="id_b")
@@ -390,11 +475,17 @@ def minhash_near_duplicates(
     pairs = pairs.where(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
     inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
     union = F.size("shingles_a") + F.size("shingles_b") - inter
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Expose the internal persists so a consumer that fully drains the
+    # pair set in one action (incremental_near_dedup's bounded-batch
+    # collect) can unpersist them immediately instead of leaving them
+    # to session-lifetime LRU (r12; see docstring).
+    out._psk_pins = pins
+    return out
 
 
 def with_simhash(
@@ -547,6 +638,7 @@ def near_dup_clusters(
     id_b: str = "id_b",
     max_iter: int = 25,
     driver_union_find_max_edges: int = 500_000,
+    prefer_driver: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the
     clustering step that turns pairwise matches into keep-one-per-group
@@ -576,8 +668,34 @@ def near_dup_clusters(
       doubles every iteration and Catalyst analysis, not the data,
       becomes the bottleneck at scale). Driver-side work is one scalar
       ``count`` per round — no row data ever collects on this path.
+
+    ``prefer_driver`` (r12) is for callers that KNOW their pair graph
+    is micro-batch-bounded (``incremental_near_dedup``'s per-batch hot
+    path): the path decision collects the RAW pair rows directly —
+    union-find is direction-insensitive, so the symmetrized edge list
+    (and its localCheckpoint materialization job, plus the pinned RDD
+    blocks it leaves behind) is never built on the fast path. The
+    threshold compares against ``driver_union_find_max_edges // 2`` raw
+    pairs, i.e. exactly the graphs the default path would have taken to
+    the driver (sym has two rows per pair), so both modes route every
+    graph identically. The trade-off, and why it is not the default: a
+    graph that REJECTS the fast path falls through to the distributed
+    loop, which then builds the sym checkpoint from scratch —
+    re-executing the caller's pair pipeline a second time. Bounded
+    micro-batches essentially never reject; corpus-scale callers
+    (``dedup_keep_representatives``) keep the default
+    materialize-once-then-decide shape.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if prefer_driver:
+        max_pairs = driver_union_find_max_edges // 2
+        head = edges.limit(max_pairs + 1).collect()
+        if len(head) <= max_pairs:
+            out = _union_find_clusters(
+                pairs.sparkSession, head, edges.schema["src"].dataType
+            )
+            out._psk_local = True
+            return out
     # localCheckpoint the symmetrized edge list BEFORE the loop: it is
     # joined in EVERY propagation round, and without the checkpoint each
     # round re-executed the caller's whole pair pipeline (for MinHash
@@ -622,16 +740,20 @@ def near_dup_clusters(
     # whole extra job of pure fixed cost. The limit bounds the driver
     # transfer exactly like the threshold bounded the old collect; at
     # max+1 rows the fast path is rejected without pulling the rest.
-    head = sym.limit(driver_union_find_max_edges + 1).collect()
-    if len(head) <= driver_union_find_max_edges:
-        out = _union_find_clusters(
-            pairs.sparkSession, head, sym.schema["src"].dataType
-        )
-        # Mark the result as driver-local (a LocalRelation): consumers
-        # like incremental_near_dedup can then skip their own pinning
-        # job — re-evaluating a local relation is free (r11).
-        out._psk_local = True
-        return out
+    # (A prefer_driver caller already counted > max//2 raw pairs, so the
+    # sym row count is known to exceed the threshold — skip the probe.)
+    if not prefer_driver:
+        head = sym.limit(driver_union_find_max_edges + 1).collect()
+        if len(head) <= driver_union_find_max_edges:
+            out = _union_find_clusters(
+                pairs.sparkSession, head, sym.schema["src"].dataType
+            )
+            # Mark the result as driver-local (a LocalRelation):
+            # consumers like incremental_near_dedup can then skip their
+            # own pinning job — re-evaluating a local relation is free
+            # (r11).
+            out._psk_local = True
+            return out
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -694,10 +816,13 @@ def near_dup_clusters(
 
 
 def _union_find_clusters(spark, sym_rows: list, id_type) -> DataFrame:
-    """Driver union-find over a BOUNDED symmetric edge list (the
+    """Driver union-find over a BOUNDED edge list (the
     ``near_dup_clusters`` fast path), taking the ALREADY-COLLECTED
     rows — the caller's path-decision limit-collect doubles as the
     edge transfer, so the fast path costs one job, not two (r11).
+    Each row is one undirected union, so raw pairs (the prefer_driver
+    path) and the symmetrized list (two rows per pair) produce the
+    same components.
     Path-halving + union-by-smaller-root, so the root of every
     component is directly its smallest member id — the same canonical
     labeling the distributed path converges to. Result ships back as
@@ -1337,13 +1462,26 @@ def incremental_near_dedup(
     # by contract; a 100 TB pipeline materializing CORPUS-scale
     # signatures still writes parquet — this path is the per-batch
     # probe.
-    # Drop the shingles column before pinning: no consumer of the
-    # materialized signatures reads it (the exact-verify stage
-    # recomputes shingles for candidate docs only), and the arrays are
-    # ~k x the document text.
-    sigs_all = minhash_signatures(
-        new_docs, text_col, id_col, num_perm, k, bands=bands
-    ).select(id_col, "signature", "band_hashes").localCheckpoint()
+    # The pin carries the 64-bit shingle HASHES (not the raw shingle
+    # strings — those stay dropped, they are ~k x the document text):
+    # shingle_hashes is the exact-verify currency, and pinning it lets
+    # the verify stage semi-join the pin instead of re-scanning and
+    # re-shingling the candidate documents (r12; consumed by
+    # minhash_near_duplicates, see its docstring). One array<bigint>
+    # of ~one hash per word — comparable to the text bytes it replaces
+    # a second full read of.
+    sigs_all = (
+        minhash_signatures(new_docs, text_col, id_col, num_perm, k, bands=bands)
+        .select(
+            id_col,
+            "signature",
+            "band_hashes",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias(
+                "shingle_hashes"
+            ),
+        )
+        .localCheckpoint()
+    )
 
     # 1. within-batch collapse (micro-batch-sized, full exact verify) —
     # pinned as the LOSER ID SET, not the survivor rows (r11): the
@@ -1362,7 +1500,19 @@ def incremental_near_dedup(
         new_docs, threshold, text_col, id_col, num_perm, k, bands,
         max_bucket_size=max_bucket_size, sigs=sigs_all,
     )
-    clusters = near_dup_clusters(pairs, "id_a", "id_b")
+    # prefer_driver (r12): the micro-batch pair graph is bounded by
+    # contract, so the path decision collects raw pairs directly and
+    # the symmetrized-edge localCheckpoint (one whole job + its pinned
+    # blocks per probe) is never built on the hot path.
+    clusters = near_dup_clusters(pairs, "id_a", "id_b", prefer_driver=True)
+    # The pair set is now fully drained (collected on the fast path,
+    # materialized into the sym checkpoint on the rejection path) —
+    # free the candidate/shingle persists minhash_near_duplicates left
+    # behind instead of letting them ride session-lifetime LRU (r12,
+    # pin-lifetime bound; blocking=False, the executor-side drop is
+    # async).
+    for _pin in getattr(pairs, "_psk_pins", []):
+        _pin.unpersist(False)
     # The loser id set is micro-batch-bounded; pin it and anti-join it
     # everywhere — no scratch parquet roundtrip at all. On the
     # union-find fast path the cluster frame is ALREADY a driver-local
@@ -1388,10 +1538,15 @@ def incremental_near_dedup(
         losers_b = losers
     batch = new_docs.join(losers_b, on=id_col, how="left_anti")
 
-    # 2. history check against the all-time band store
+    # 2. history check against the all-time band store. The probe reads
+    # the WHOLE batch's signatures straight off the pin (r12) — the
+    # former loser anti-join here only shrank the probe by the
+    # within-batch loser count, and any extra ``dropped`` ids it now
+    # admits are already absent from ``batch``, so the final anti-join
+    # output is row-identical (a left_anti key with no matching probe
+    # row is a no-op).
     sigs = _near_store_sigs(
-        batch, text_col, id_col, num_perm, k, bands,
-        sigs=sigs_all.join(losers_b, on=id_col, how="left_anti"),
+        batch, text_col, id_col, num_perm, k, bands, sigs=sigs_all
     )
     band_dirs = _near_store_dirs(spark, store_path, "bands", epoch)
     # a torn commit can leave bands without sigs (or vice versa): with
@@ -1455,6 +1610,17 @@ def incremental_near_dedup(
             # bounded by construction and the A/B showed the exchange
             # costs more than it saves).
             dropped = dropped.distinct()
+        # Pin the DECISION, not the machinery (r12): checkpointing the
+        # drop-id set executes the whole history probe here, inside the
+        # call, so the returned frame is just the batch scan plus two
+        # anti-joins over driver-local/pinned id sets — it no longer
+        # references the signature pin, the store scan, or the verify
+        # join, which (a) makes re-evaluation by a multi-action caller
+        # cheap and (b) is what lets the signature pin be freed below
+        # instead of living until the caller's last action + GC. The
+        # probe ran exactly once before and runs exactly once now; only
+        # WHEN moved (from the caller's first action into this call).
+        dropped = dropped.localCheckpoint()
         batch = batch.join(F.broadcast(dropped), on=id_col, how="left_anti")
 
     if update_store:
@@ -1462,7 +1628,31 @@ def incremental_near_dedup(
             batch, store_path, text_col, id_col, num_perm, k, bands, epoch,
             sigs=sigs_all,
         )
+    # Every consumer of the signature pin has now executed (pair
+    # pipeline via the cluster collect, history probe via the dropped
+    # checkpoint, store commit eagerly above) and the returned frame
+    # does not reference it — free its RDD blocks explicitly instead of
+    # waiting for Python GC + ContextCleaner, which in a long-lived
+    # foreachBatch driver lets batch N's blocks survive arbitrarily
+    # far into batch N+1 (r12, pin-lifetime bound).
+    _unpersist_pin(sigs_all)
     return batch
+
+
+def _unpersist_pin(df: DataFrame) -> None:
+    """Free the RDD blocks behind a ``localCheckpoint()``-ed frame.
+
+    PySpark exposes no public unpersist for checkpointed DataFrames
+    (``df.rdd`` wraps a NEW conversion RDD, not the stored one), but the
+    checkpoint's analyzed plan is a ``LogicalRDD`` whose ``rdd`` val IS
+    the block-backed RDD — reach it through py4j and drop the blocks
+    (non-blocking). Best-effort by design: on any mismatch (a frame
+    that is not a bare checkpoint, an API drift) the blocks simply
+    revert to the pre-r12 lifetime, Python GC + ContextCleaner."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _clean_scratch(
