@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_spark.envelope import events_to_messages, messages_oracle_cte
-from pulsar_spark.sources import load_table
+from pulsar_spark.sources import fan_out, load_table
 
 # Fixed logical times so results are deterministic (events span Jan 2024).
 TTL_CUTOFF = "2024-01-15 00:00:00"
@@ -1520,7 +1520,7 @@ def _q_media_decode_real(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     out = decode_media(media, strict=True)
@@ -1571,7 +1571,7 @@ def _q_media_decode_png(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     out = decode_media(media, strict=True)
@@ -1635,7 +1635,7 @@ def _q_media_decode_jpeg(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     out = decode_media(media, strict=True)
@@ -1700,7 +1700,7 @@ def _q_media_decode_progressive(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     out = decode_media(media, strict=True)
@@ -1749,7 +1749,7 @@ def _phash_media_fixture(spark, sf_dir, perturb: bool, n_patterns: int = 37):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    return docs.mapInPandas(
+    return fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
 
@@ -1760,7 +1760,14 @@ def _wav_media_fixture(spark, sf_dir, perturb: bool):
     patterns, measured pairwise fingerprint distance >= 20). With
     ``perturb`` each copy is amplitude-scaled per doc (the fingerprint
     is sign-of-difference, so uniform scaling is an EXACT invariance)
-    plus small per-doc additive noise (measured distance <= 3)."""
+    plus small per-doc additive noise (measured distance <= 3).
+
+    (All media fixture builders route ``docs`` through ``fan_out`` —
+    r12: the fixture encode + downstream decode/hash passes are pure
+    Python per row, and the small-SF documents table is a single
+    parquet file, i.e. ONE scan partition — without the fan-out the
+    entire media pipeline ran on one core. Values depend only on
+    doc_id, so the repartition cannot change any result.)"""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def enc(batches):
@@ -1800,7 +1807,7 @@ def _wav_media_fixture(spark, sf_dir, perturb: bool):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    return docs.mapInPandas(
+    return fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
 
@@ -1834,7 +1841,7 @@ def _avi_media_fixture(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    return docs.mapInPandas(
+    return fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
 
@@ -1883,7 +1890,7 @@ def _adpcm_media_fixture(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    return docs.mapInPandas(
+    return fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
 
@@ -1981,7 +1988,7 @@ def _q_media_decode_gif(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     out = decode_media(media, strict=True)
@@ -2040,7 +2047,7 @@ def _q_media_decode_g711(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     out = decode_media(media, strict=True)
@@ -2095,7 +2102,7 @@ def _q_media_decode_flac(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     out = decode_media(media, strict=True)
@@ -2236,7 +2243,7 @@ def _q_media_y4m_frames(spark, sf_dir):
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
 
-    media = docs.mapInPandas(
+    media = fan_out(docs).mapInPandas(
         enc, "media_id bigint, modality string, codec string, payload binary"
     )
     return sample_video_frames(media, every_n=2).select(

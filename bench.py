@@ -9,6 +9,7 @@ Query set mirrors BASELINE.md B1-B6 plus engine-representative extras.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -76,6 +77,16 @@ def main() -> None:
         timings[name] = sorted(rs)[len(rs) // 2]
         if remeasure:
             steady[name] = min(rs[1:])
+        # r12: reclaim dropped pins BETWEEN queries (outside every
+        # timed region — timed-region semantics are frozen per the r11
+        # verdict). Several lambdas localCheckpoint intermediates whose
+        # RDD blocks outlive the lambda until Python GC + the async
+        # ContextCleaner get around to them; in a single-process bench
+        # the accumulated blocks pressure the block manager for every
+        # LATER line (the suspected mechanism behind r11's 6x x3
+        # anomaly — x3 runs last). A collect here lets the cleaner free
+        # them before the next query starts.
+        gc.collect()
 
     tmp = tempfile.mkdtemp(prefix="pulsar_spark_bench_")
     try:
@@ -413,16 +424,17 @@ def main() -> None:
         from pulsar_spark.functions import dup_span_fraction, hash_sample, redact_pii
 
         def _hygiene():
-            # localCheckpoint (r11): dup_span_fraction consumes its
-            # input in two plan branches (the salted gram aggregate and
-            # the per-doc join-back), so without the pin the PII regex
-            # pass ran twice over the sample. Fresh per run — each
-            # bench run re-executes the regex + scan from parquet.
-            from pulsar_spark.sources import fan_out
-
-            d = fan_out(hash_sample(docs, 0.5, key_col="doc_id", seed=1)).select(
+            # r12: the r11 fan_out+localCheckpoint pin of the scrubbed
+            # sample is REVERTED — the r11 driver read it flat-to-worse
+            # and the mandated re-A/B (tools/ab_x5_pin.py, interleaved,
+            # 6 rounds) read pinned min 1.800/median 2.157 vs unpinned
+            # 1.722/2.095 with 7 vs 5 jobs: the pin job costs what the
+            # duplicated PII regex pass saves, so the plain shape wins
+            # on both wall and job count. Back to the honest pre-r11
+            # lambda (recompute per branch, fresh from parquet per run).
+            d = hash_sample(docs, 0.5, key_col="doc_id", seed=1).select(
                 "doc_id", redact_pii(F.col("text")).alias("text")
-            ).localCheckpoint()
+            )
             return dup_span_fraction(d, n=5).count()
 
         timed("x5_corpus_hygiene", _hygiene, remeasure=True)

@@ -52,15 +52,26 @@ def _luma32(px, width: int, height: int):
 
 
 def _dct_matrix(n: int):
-    """Orthonormal DCT-II basis matrix (the JPEG transform at size n)."""
+    """Orthonormal DCT-II basis matrix (the JPEG transform at size n).
+    Cached per size (r12, guide §4.5): ``phash64`` runs per image
+    inside the Arrow batch loop, and rebuilding the constant 32x32
+    basis cost ~31 µs of the ~300 µs hash — the module-level cache
+    survives task boundaries on reused Python workers."""
     import numpy as np
 
-    k = np.arange(n)[:, None].astype(np.float64)
-    x = np.arange(n)[None, :].astype(np.float64)
-    t = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
-    t[0] *= np.sqrt(1.0 / n)
-    t[1:] *= np.sqrt(2.0 / n)
+    t = _DCT_CACHE.get(n)
+    if t is None:
+        k = np.arange(n)[:, None].astype(np.float64)
+        x = np.arange(n)[None, :].astype(np.float64)
+        t = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+        t[0] *= np.sqrt(1.0 / n)
+        t[1:] *= np.sqrt(2.0 / n)
+        t.setflags(write=False)
+        _DCT_CACHE[n] = t
     return t
+
+
+_DCT_CACHE: dict = {}
 
 
 def _pack_bits(bits) -> int:

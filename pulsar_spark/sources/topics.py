@@ -570,7 +570,25 @@ def produce(
     # directory, so restore the registration afterwards
     preserved_lock = producer_lock(topic_path) if mode != "append" else None
     wrote_ok = False
+    # AQE off for THIS write action (r12): the produce plan is scan ->
+    # fused mint -> explicit REPARTITION(n, partition) -> offset window
+    # -> write. AQE cannot improve that shape — there is no join to
+    # re-strategize, skew handling applies only to joins, and the
+    # explicit column+count repartition is exempt from partition
+    # coalescing — but adaptive execution still materializes the
+    # shuffle map stage as its own query-stage job and re-plans at the
+    # boundary: measured ~0.07-0.10 s and one whole job of a ~0.5 s
+    # append, at every data size (the boundary cost is per-stage fixed
+    # overhead). The offset-rebase broadcast join (existing topics)
+    # carries an explicit broadcast hint, which the static planner
+    # honors identically. Session confs are process-global, so the
+    # scope is kept to the single write action and restored in
+    # ``finally``; a concurrent query on another thread of the same
+    # session during this sub-second window would plan without AQE —
+    # correct, just not adaptive.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         (
             df.write.mode("append" if mode == "append" else "overwrite")
             .option("compression", codec)
@@ -579,6 +597,7 @@ def produce(
         )
         wrote_ok = True
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         # Restore the sidecar even if the data write failed partway —
         # topic identity (partition count, properties) must survive a
         # botched overwrite. The restored partition count must describe
