@@ -451,10 +451,15 @@ def minhash_near_duplicates(
         # without it — the dedup shrinks the semi-join build side by
         # ~7x (2 ids per pair vs ~distinct docs), which outweighs its
         # exchange here.
+        # explode, not union(two projections) (r12): both arms of the
+        # union scanned the cand cache separately; the explode emits
+        # the same id multiset in ONE pass over it, feeding the same
+        # distinct. Interleaved A/B (5 rounds, full x2): 14 -> 13 jobs,
+        # min 2.165 -> 2.024 s, explode faster in every round.
         cand_ids = (
-            cand.select(F.col("id_a").alias(id_col))
-            .union(cand.select(F.col("id_b").alias(id_col)))
-            .distinct()
+            cand.select(
+                F.explode(F.array("id_a", "id_b")).alias(id_col)
+            ).distinct()
         )
         docs_c = docs.join(cand_ids, on=id_col, how="left_semi")
         sh = with_shingles(docs_c, text_col, k).select(
