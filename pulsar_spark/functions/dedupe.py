@@ -1566,6 +1566,15 @@ def incremental_near_dedup(
             F.posexplode("band_hashes").alias("band_idx", "band_hash"),
         )
         stored_bands = _read_stored_bands(spark, band_dirs, probe=probe)
+        # The .distinct() was A/B-tested for removal/weakening in r12
+        # (tools/ab_x10_cand_dedup.py, interleaved, 5 rounds): dropping
+        # it reads 19 -> 18 jobs and min 2.671 -> 2.596 s (~3%, inside
+        # this host's noise band), and dropDuplicates([id, _fp]) reads
+        # mixed (min 2.780, median 3.040). KEPT: a pair that matches on
+        # k of the 16 bands emits k duplicate rows, so the no-distinct
+        # shape inflates the candidate set AQE broadcasts into the sig
+        # verify by up to the band factor at store scale — a real
+        # broadcast-safety regression for a noise-level local win.
         cand = (
             stored_bands.join(
                 F.broadcast(probe), on=["band_idx", "band_hash"]
