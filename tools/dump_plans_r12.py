@@ -67,6 +67,21 @@ def main() -> None:
     dump("x2_minhash_dedup", minhash_near_duplicates(
         docs, threshold=0.5, max_bucket_size=512))
 
+    # x8: the pHash near-dup frame as benched (fixture -> fused
+    # decode+hash -> banded join)
+    if not only or "x8_media_phash" in only:
+        import __spark_entry__ as _e
+        from pulsar_spark.functions.phash import (
+            perceptual_hash_media,
+            phash_near_dups,
+        )
+
+        n_docs = docs.count()
+        media = _e._phash_media_fixture(
+            spark, sf_dir, perturb=True, n_patterns=max(37, n_docs // 10)
+        )
+        dump("x8_media_phash", phash_near_dups(perceptual_hash_media(media)))
+
     # b1: the produce envelope frame (captured via writer stub)
     if not only or "b1_produce" in only:
         from pulsar_spark.sources.topics import produce
