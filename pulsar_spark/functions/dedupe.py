@@ -367,13 +367,14 @@ def minhash_near_duplicates(
     persisted (Spark's columnar cache is slow to build for nested
     array columns — measured 3x the cost of recomputing; a 100 TB
     pipeline materializes the signature table to Parquet instead).
-    Two small candidate-scoped frames ARE persisted — the pair set and
-    the per-candidate shingle-hash table, each consumed by multiple
-    plan branches below. Both are lazy and bounded by the candidate
-    set, not the corpus; they stay registered until the session drops
-    them (MEMORY_AND_DISK, LRU-evicted under pressure) — call
-    ``spark.catalog.clearCache()`` between corpus slices in a
-    long-lived driver if that lifetime matters.
+    Small candidate-scoped frames ARE persisted — always the pair set,
+    and on the re-shingling path also the per-candidate shingle-hash
+    table — each consumed by multiple plan branches below. They are
+    lazy and bounded by the candidate set, not the corpus; they stay
+    registered until the session drops them (MEMORY_AND_DISK,
+    LRU-evicted under pressure) — call ``spark.catalog.clearCache()``
+    between corpus slices in a long-lived driver if that lifetime
+    matters.
 
     ``sigs`` optionally supplies an already-computed
     ``minhash_signatures(docs, ...)`` frame (e.g. one materialized to
@@ -381,13 +382,13 @@ def minhash_near_duplicates(
     signatures more than once pay the Arrow pipeline exactly once.
     If that frame additionally carries a ``shingle_hashes`` column
     (``transform(shingles, xxhash64)`` — the exact verify currency),
-    the verify stage reads candidate shingle hashes from it instead of
-    re-scanning and re-shingling the documents (r12): for a
-    MATERIALIZED sigs frame that turns the verify build into a
-    semi-join over the pin, no second pass over the corpus text.
+    the verify stage reads candidate shingle hashes straight off it
+    instead of re-scanning and re-shingling the documents (r12), and
+    the shingle-table persist is skipped entirely (re-evaluating a
+    materialized frame costs a block read).
 
-    The returned frame exposes the two internal persists as
-    ``_psk_pins`` (a Python-side attribute, consumed immediately by
+    The returned frame exposes its internal persists as ``_psk_pins``
+    (a Python-side attribute, consumed immediately by
     ``incremental_near_dedup`` to unpersist them once the pair set has
     been fully drained — same contract as ``_psk_local``).
     """
