@@ -99,7 +99,16 @@ def main() -> None:
                     mode="append", write_tasks=max(1, min(32, n // 6250)))
         finally:
             RW.DataFrameWriter.parquet = orig
-        dump("b1_produce", cap["df"])
+        # r12: produce executes its write with AQE disabled (the plan
+        # has no join and a coalescing-exempt explicit repartition), so
+        # the "after" dump explains under that conf — the executed plan
+        # has no AdaptiveSparkPlan wrapper / query-stage boundary.
+        if tag == "after":
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            dump("b1_produce", cap["df"])
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     spark.stop()
 
