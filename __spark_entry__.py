@@ -1608,28 +1608,44 @@ def _q_media_decode_jpeg(spark, sf_dir):
 
         from pulsar_spark.functions.jpeg import FLAT_QUANT, encode_jpeg
 
+        # Per-task payload memo (r12, guide §4.2/§4.5): each branch's
+        # payload is fully determined by (branch, v, w, h) — ~512
+        # combos per branch — so repeated combos reuse the encoded
+        # bytes (immutable) instead of re-running the ~0.3-0.8 ms
+        # pure-Python JPEG encode per document.
+        payload_cache: dict = {}
+
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 if d % 3 == 0:  # grayscale + restart markers
                     v, w, h = d * 29 % 256, 8 * (1 + d % 2), 8
-                    payload = encode_jpeg(
-                        np.full((h, w), v, np.uint8),
-                        quant=FLAT_QUANT,
-                        restart_interval=2,
-                    )
                 elif d % 3 == 1:  # achromatic RGB through the 4:2:0 path
                     v, w, h = d * 31 % 256, 16, 16 * (1 + d % 2)
-                    payload = encode_jpeg(
-                        np.full((h, w, 3), v, np.uint8),
-                        quant=FLAT_QUANT,
-                        subsampling="420",
-                    )
                 else:  # plain grayscale 4:4:4
                     v = d * 37 % 256
                     w, h = 8 * (1 + d % 7 % 3), 8 * (1 + d % 5 % 2)
-                    payload = encode_jpeg(np.full((h, w), v, np.uint8), quant=FLAT_QUANT)
+                key = (d % 3, v, w, h)
+                payload = payload_cache.get(key)
+                if payload is None:
+                    if d % 3 == 0:
+                        payload = encode_jpeg(
+                            np.full((h, w), v, np.uint8),
+                            quant=FLAT_QUANT,
+                            restart_interval=2,
+                        )
+                    elif d % 3 == 1:
+                        payload = encode_jpeg(
+                            np.full((h, w, 3), v, np.uint8),
+                            quant=FLAT_QUANT,
+                            subsampling="420",
+                        )
+                    else:
+                        payload = encode_jpeg(
+                            np.full((h, w), v, np.uint8), quant=FLAT_QUANT
+                        )
+                    payload_cache[key] = payload
                 rows.append((d, "image", "jpeg", payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "modality", "codec", "payload"]
@@ -1670,31 +1686,43 @@ def _q_media_decode_progressive(spark, sf_dir):
 
         from pulsar_spark.functions.jpeg import FLAT_QUANT, encode_jpeg_progressive
 
+        # Per-task payload memo (r12): same contract as the baseline
+        # JPEG fixture above — (branch, v, w, h) fully determines the
+        # encoded bytes, so repeated combos skip the progressive encode.
+        payload_cache: dict = {}
+
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 if d % 3 == 0:  # grayscale, deep DC successive approximation
                     v, w, h = d * 29 % 256, 8 * (1 + d % 2), 8
-                    payload = encode_jpeg_progressive(
-                        np.full((h, w), v, np.uint8),
-                        quant=FLAT_QUANT, dc_al=3, ac_al=0,
-                    )
                 elif d % 3 == 1:  # achromatic RGB, DC+AC refinement, 2 bands
                     v, w, h = d * 31 % 256, 16, 8
-                    payload = encode_jpeg_progressive(
-                        np.full((h, w, 3), v, np.uint8),
-                        quant=FLAT_QUANT, dc_al=1, ac_al=1,
-                        bands=((1, 5), (6, 63)),
-                    )
                 else:  # grayscale, spectral selection only, 3 bands
                     v = d * 37 % 256
                     w, h = 8 * (1 + d % 7 % 3), 8 * (1 + d % 5 % 2)
-                    payload = encode_jpeg_progressive(
-                        np.full((h, w), v, np.uint8),
-                        quant=FLAT_QUANT, dc_al=0, ac_al=0,
-                        bands=((1, 2), (3, 20), (21, 63)),
-                    )
+                key = (d % 3, v, w, h)
+                payload = payload_cache.get(key)
+                if payload is None:
+                    if d % 3 == 0:
+                        payload = encode_jpeg_progressive(
+                            np.full((h, w), v, np.uint8),
+                            quant=FLAT_QUANT, dc_al=3, ac_al=0,
+                        )
+                    elif d % 3 == 1:
+                        payload = encode_jpeg_progressive(
+                            np.full((h, w, 3), v, np.uint8),
+                            quant=FLAT_QUANT, dc_al=1, ac_al=1,
+                            bands=((1, 5), (6, 63)),
+                        )
+                    else:
+                        payload = encode_jpeg_progressive(
+                            np.full((h, w), v, np.uint8),
+                            quant=FLAT_QUANT, dc_al=0, ac_al=0,
+                            bands=((1, 2), (3, 20), (21, 63)),
+                        )
+                    payload_cache[key] = payload
                 rows.append((d, "image", "jpeg", payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "modality", "codec", "payload"]
@@ -1730,13 +1758,29 @@ def _phash_media_fixture(spark, sf_dir, perturb: bool, n_patterns: int = 37):
 
         from pulsar_spark.functions.multimodal import _encode_bmp
 
+        # Per-task base-pattern memo (r12, guide §4.2/§4.5): the base
+        # pixel block depends only on doc_id % n_patterns, so each task
+        # mints each pattern once instead of re-running the RandomState
+        # init + randint draw per document (measured 221 -> 77 µs/doc,
+        # byte-identical payloads — the perturbation below never
+        # mutates the cached base: astype/clip allocate fresh arrays).
+        # Bounded by the task's distinct patterns (3 KB each).
+        base_cache: dict = {}
+
+        def base_px(g: int):
+            px = base_cache.get(g)
+            if px is None:
+                px = np.random.RandomState(g).randint(
+                    0, 256, (32, 32, 3)
+                ).astype(np.uint8)
+                base_cache[g] = px
+            return px
+
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                px = np.random.RandomState(d % n_patterns).randint(
-                    0, 256, (32, 32, 3)
-                ).astype(np.uint8)
+                px = base_px(d % n_patterns)
                 if perturb:
                     px = np.clip(
                         px.astype(np.int16) + (d // n_patterns) % 3, 0, 255
@@ -1777,11 +1821,16 @@ def _wav_media_fixture(spark, sf_dir, perturb: bool):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                g = d % 23
+        # Per-task base-signal memo (r12, guide §4.2/§4.5): the 8000-
+        # sample two-tone + seeded-noise base depends only on d % 23 —
+        # mint each of the 23 patterns once per task (~0.6 ms/doc saved,
+        # byte-identical: every perturbation/PCM step below allocates a
+        # fresh array, the cached base is never mutated).
+        base_cache: dict = {}
+
+        def base_sig(g: int):
+            sig = base_cache.get(g)
+            if sig is None:
                 rs = np.random.RandomState(g)
                 t = np.arange(8000) / 8000.0
                 f1, f2 = 100 + g * 37 % 1700, 300 + g * 91 % 2900
@@ -1790,6 +1839,14 @@ def _wav_media_fixture(spark, sf_dir, perturb: bool):
                     + 0.5 * np.sin(2 * np.pi * f2 * t)
                     + 0.2 * rs.randn(8000)
                 )
+                base_cache[g] = sig
+            return sig
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sig = base_sig(d % 23)
                 if perturb:
                     sig = sig * (0.3 + 0.1 * ((d // 23) % 5))
                     sig = sig + 0.01 * np.random.RandomState(10000 + d).randn(8000)
@@ -1828,15 +1885,27 @@ def _avi_media_fixture(spark, sf_dir):
 
         from pulsar_spark.functions.video import encode_avi_mjpeg
 
+        # Per-task payload memo (r12, guide §4.2/§4.5): the encoded AVI
+        # depends only on (d % 5, d % 3) — 15 distinct payloads — so
+        # each task runs the per-frame JPEG encode once per combo
+        # instead of per document (measured ~4.3 ms/doc; payloads are
+        # immutable bytes, reuse is byte-identical by construction).
+        payload_cache: dict = {}
+
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                frames = [
-                    np.full((16, 24, 3), (37 * (d % 5) + 29 * f) % 256, np.uint8)
-                    for f in range(4 + d % 3)
-                ]
-                rows.append((d, "video", "avi", encode_avi_mjpeg(frames, fps=5)))
+                key = (d % 5, d % 3)
+                payload = payload_cache.get(key)
+                if payload is None:
+                    frames = [
+                        np.full((16, 24, 3), (37 * (d % 5) + 29 * f) % 256, np.uint8)
+                        for f in range(4 + d % 3)
+                    ]
+                    payload = encode_avi_mjpeg(frames, fps=5)
+                    payload_cache[key] = payload
+                rows.append((d, "video", "avi", payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
@@ -1875,17 +1944,28 @@ def _adpcm_media_fixture(spark, sf_dir):
 
         from pulsar_spark.functions.video import encode_wav_ima
 
+        # Per-task payload memo (r12, guide §4.2/§4.5): the encoded
+        # ADPCM WAV depends only on d % 13 — 13 distinct payloads — so
+        # each task pays the signal mint + IMA encode once per pattern
+        # instead of per document (measured ~7.6 ms/doc; immutable
+        # bytes, reuse is byte-identical by construction).
+        payload_cache: dict = {}
+
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 g = d % 13
-                t = np.arange(4000)
-                sig = (
-                    9000 * np.sin(2 * np.pi * (120 + 53 * g) * t / 8000)
-                    + 5000 * np.sin(2 * np.pi * (350 + 97 * g) * t / 8000)
-                ).astype(np.int64)
-                rows.append((d, "audio", "wav", encode_wav_ima(sig, 8000)))
+                payload = payload_cache.get(g)
+                if payload is None:
+                    t = np.arange(4000)
+                    sig = (
+                        9000 * np.sin(2 * np.pi * (120 + 53 * g) * t / 8000)
+                        + 5000 * np.sin(2 * np.pi * (350 + 97 * g) * t / 8000)
+                    ).astype(np.int64)
+                    payload = encode_wav_ima(sig, 8000)
+                    payload_cache[g] = payload
+                rows.append((d, "audio", "wav", payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
@@ -1960,29 +2040,45 @@ def _q_media_decode_gif(spark, sf_dir):
 
         from pulsar_spark.functions.gif import encode_gif
 
+        # Per-task payload memo (r12, guide §4.2/§4.5): each branch's
+        # payload is fully determined by the planted parameters — most
+        # valuable for the 255-color-ramp branch, whose payload is the
+        # SAME for every third document yet cost ~5 ms of pure-Python
+        # LZW encode per row (immutable bytes, reuse byte-identical).
+        payload_cache: dict = {}
+
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 if d % 3 == 0:  # animated: 3 solid frames, GCE delays
-                    v = d * 17 % 254
-                    frames = [
-                        np.full((2 + d % 3, 3 + d % 4, 3), v + f, np.uint8)
-                        for f in range(3)
-                    ]
-                    delays = [d % 10 + 1, d % 10 + 2, d % 10 + 3]
-                    payload = encode_gif(frames, delays_cs=delays)
+                    key = (0, d * 17 % 254, d % 3, d % 4, d % 10)
                 elif d % 3 == 1:  # interlaced vertical ramp (odd height)
-                    h, w = 5 + 2 * (d % 3), 3 + d % 4
-                    ramp = (d % 200 + np.arange(h, dtype=np.int32)) % 256
-                    px = np.repeat(
-                        ramp.astype(np.uint8)[:, None, None], 3, axis=2
-                    ).repeat(w, axis=1)
-                    payload = encode_gif(px, interlace=True)
+                    key = (1, d % 3, d % 4, d % 200)
                 else:  # 255-color ramp: LZW width growth past 9 bits
-                    row = np.arange(255, dtype=np.uint8)
-                    px = np.stack([row] * 3, axis=-1)[None].repeat(16, axis=0)
-                    payload = encode_gif(px)
+                    key = (2,)
+                payload = payload_cache.get(key)
+                if payload is None:
+                    if d % 3 == 0:
+                        v = d * 17 % 254
+                        frames = [
+                            np.full((2 + d % 3, 3 + d % 4, 3), v + f, np.uint8)
+                            for f in range(3)
+                        ]
+                        delays = [d % 10 + 1, d % 10 + 2, d % 10 + 3]
+                        payload = encode_gif(frames, delays_cs=delays)
+                    elif d % 3 == 1:
+                        h, w = 5 + 2 * (d % 3), 3 + d % 4
+                        ramp = (d % 200 + np.arange(h, dtype=np.int32)) % 256
+                        px = np.repeat(
+                            ramp.astype(np.uint8)[:, None, None], 3, axis=2
+                        ).repeat(w, axis=1)
+                        payload = encode_gif(px, interlace=True)
+                    else:
+                        row = np.arange(255, dtype=np.uint8)
+                        px = np.stack([row] * 3, axis=-1)[None].repeat(16, axis=0)
+                        payload = encode_gif(px)
+                    payload_cache[key] = payload
                 rows.append((d, "image", "gif", payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "modality", "codec", "payload"]
@@ -2083,21 +2179,32 @@ def _q_media_decode_flac(spark, sf_dir):
 
         from pulsar_spark.functions.flac import encode_flac
 
+        # Per-task payload memo (r12, guide §4.2/§4.5): the payload is
+        # fully determined by (branch, n, amp), so repeated combos skip
+        # the ~1.3 ms pure-Python rice/FIXED-prediction encode
+        # (immutable bytes, reuse byte-identical).
+        payload_cache: dict = {}
+
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 n = 800 + (d % 40) * 8
                 amp = 100 + (d % 1000) * 30
-                if d % 3 == 0:
-                    sig = np.full(n, amp, np.int16)
-                elif d % 3 == 1:
-                    sig = (np.arange(n) % amp).astype(np.int16)
-                else:
-                    sig = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(
-                        np.int16
-                    )
-                rows.append((d, "audio", "flac", encode_flac(sig, 8000)))
+                key = (d % 3, n, amp)
+                payload = payload_cache.get(key)
+                if payload is None:
+                    if d % 3 == 0:
+                        sig = np.full(n, amp, np.int16)
+                    elif d % 3 == 1:
+                        sig = (np.arange(n) % amp).astype(np.int16)
+                    else:
+                        sig = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(
+                            np.int16
+                        )
+                    payload = encode_flac(sig, 8000)
+                    payload_cache[key] = payload
+                rows.append((d, "audio", "flac", payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "modality", "codec", "payload"]
             )
