@@ -258,6 +258,18 @@ def phash_near_dups(
             f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)",
         )
     )
+    # The count-agg + join-back shape is DELIBERATE (r12 A/B'd two
+    # alternatives, both output-identical on the sf0.1 fixture):
+    # (a) a window count over (band_idx, band_val) reads 9 jobs/272
+    # tasks vs this shape's 13/402 and ~1.19x the local min — REJECTED
+    # because a window funnels a degenerate flood bucket onto ONE
+    # unsplittable task (AQE skew-split applies to joins only, not
+    # windows; this join-back shape lets AQE split the flood partition
+    # and the partial-agg count never concentrates it), and shedding
+    # exactly that flood is this guard's purpose; (b) broadcasting the
+    # over-cap bucket list into a left_anti (provably bounded at
+    # n_bands x 2^width keys for width <= 16) reads the same 13 jobs/
+    # 402 tasks and equal wall — no structural win to buy.
     sizes = banded.groupBy("band_idx", "band_val").agg(F.count("*").alias("_n"))
     banded = (
         banded.join(sizes, ["band_idx", "band_val"])
